@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the declared query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Protocol (BASELINE.md): per-query wall time, median of 3 warm runs after one
+untimed warmup, single Spark session. The headline value is the sum of
+per-query medians over the whole declared set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = set(a for a in sys.argv[1:])
+
+    from plan_spark.registry import load_all
+    from plan_spark.session import get_spark
+
+    spark = get_spark("plan_spark-bench")
+    specs = load_all()
+    if only:
+        specs = {k: v for k, v in specs.items() if k in only}
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        try:
+            spec.fn(spark, sf_dir).collect()  # warmup (plan + JIT + page cache)
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            times[name] = round(statistics.median(samples), 4)
+        except Exception as e:  # keep benching even if one query breaks
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query-set total wall time (median of "
+                f"{runs} warm runs per query)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

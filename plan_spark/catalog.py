@@ -1,0 +1,44 @@
+"""Catalog: name -> storage mapping for the synthetic star schema.
+
+Mirrors the reference's catalog role (schema->table->column entries,
+/root/reference/pkg/storage/catalog.go:16,441) in the thinnest possible
+Spark-native form: temp views over Parquet. Catalyst then owns predicate
+pushdown / column pruning / partition pruning against the scans — the
+reference implements those by hand (builder_plan.go:827, executor_scan.go:225);
+here they are free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# small dimension tables we always want broadcast at real scale
+DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view over its Parquet file.
+
+    Reading is lazy — this only touches footers for the schema. Idempotent;
+    re-registering after a scale-factor switch just repoints the views.
+    """
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single fixture table as a DataFrame (lazy parquet scan)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,86 @@
+"""Shared expression helpers for oracle-exact aggregation.
+
+The driver's correctness gate hashes values order-insensitively, so every
+aggregate must be *bit-identical* between the Spark plan and the DuckDB
+oracle regardless of shuffle/evaluation order. Discipline:
+
+- Money columns (stored as DOUBLE in the fixtures) are cast to
+  DECIMAL(18,2) before any arithmetic: double->decimal(2) is deterministic
+  rounding of an exact binary value, identical in both engines, and decimal
+  sums are associative — partition order can never change the result.
+  (The reference keeps all money in DECIMAL(15,2) end-to-end,
+  /root/reference/cases/tpch/query/ddl.sql.)
+- Derived products keep enough precision that no intermediate rounding ever
+  occurs (scales add, precision stays <= 38).
+- Ratios/averages are DOUBLE computed from exact decimal sums with the same
+  expression shape on both sides; IEEE ops on identical inputs are
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec(col: str) -> Column:
+    """Exact money: DOUBLE column -> DECIMAL(18,2)."""
+    return F.col(col).cast(DEC)
+
+
+def dlit(s: str) -> Column:
+    """Exact decimal literal."""
+    return F.lit(Decimal(s))
+
+
+def ts(s: str) -> Column:
+    """Timestamp literal (fixture date columns are TIMESTAMP)."""
+    return F.lit(s).cast("timestamp")
+
+
+def one_minus_disc() -> Column:
+    """(1 - l_discount) as DECIMAL(8,2) — exact, no rounding."""
+    return (F.lit(1) - dec("l_discount")).cast("decimal(8,2)")
+
+
+def one_plus_tax() -> Column:
+    """(1 + l_tax) as DECIMAL(8,2) — exact."""
+    return (F.lit(1) + dec("l_tax")).cast("decimal(8,2)")
+
+
+def rev_col() -> Column:
+    """Per-row revenue l_extendedprice*(1-l_discount): DECIMAL(27,4), exact."""
+    return dec("l_extendedprice") * one_minus_disc()
+
+
+def sum_rev(alias: str = "revenue") -> Column:
+    """SUM(revenue): exact decimal sum (order-independent), emitted as DOUBLE.
+
+    Output columns are DOUBLE rather than DECIMAL so both engines and every
+    pandas/Arrow conversion agree on the physical type; the decimal->double
+    cast of an identical exact value is deterministic IEEE rounding.
+    """
+    return F.sum(rev_col()).cast("double").alias(alias)
+
+
+def avg_dbl(x: Column, alias: str) -> Column:
+    """AVG as DOUBLE = CAST(SUM(decimal) AS DOUBLE) / COUNT(*) — deterministic."""
+    return (F.sum(x).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+# --- matching DuckDB SQL fragments (identical math, identical aliases) ---
+
+DEC_SQL = "DECIMAL(18,2)"
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2))"
+)
+SUM_REV_SQL = f"CAST(SUM({REV_SQL}) AS DOUBLE)"
+
+
+def avg_dbl_sql(inner: str, alias: str) -> str:
+    return f"CAST(SUM({inner}) AS DOUBLE) / COUNT(*) AS {alias}"

@@ -1,0 +1,967 @@
+"""TPC-H-derived query set, adapted to the driver's fixture schemas.
+
+The reference executes the full TPC-H 22 set (reference: cases/tpch/query/
+q1.sql..q22.sql, AGENTS.md:148 "all 22 queries pass"). The driver's synthetic
+tables are narrower (no partsupp; lineitem lacks shipmode/commitdate/
+receiptdate; orders lacks shippriority/comment — see TESTDATA.md), so each
+query here keeps the *operator shape* of its namesake — the joins,
+aggregation pattern, subquery/decorrelation structure the reference
+implements by hand in pkg/compute — re-targeted at the available columns:
+
+- hash joins          -> df.join (Catalyst picks broadcast/SMJ/shuffled-hash)
+  (reference executor_join.go:12-274, join_table.go:48)
+- SEMI/ANTI from IN/EXISTS -> left_semi / left_anti joins
+  (reference builder_plan.go:488-505)
+- MARK-join decorrelation of correlated EXISTS -> expressed directly as
+  conditional semi/anti joins (Catalyst RewritePredicateSubquery equivalent)
+  (reference builder_plan.go:182-565)
+- grouped hash aggregate -> groupBy().agg() (reference aggregate_hash.go:38)
+- order/limit            -> orderBy().limit() => TakeOrderedAndProject
+  (reference executor_order.go, executor_limit.go:98)
+
+Scale notes (100 TB): every query is fully declarative — Catalyst pushes
+filters into the parquet scans and prunes columns; dimension joins
+(region/nation/supplier/part) are broadcast-eligible; fact-fact joins
+(orders x lineitem) hash-partition on the join key and benefit from AQE skew
+splitting. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.queries.common import (
+    REV_SQL,
+    SUM_REV_SQL,
+    avg_dbl,
+    avg_dbl_sql,
+    dec,
+    dlit,
+    one_minus_disc,
+    one_plus_tax,
+    rev_col,
+    sum_rev,
+    ts,
+)
+from plan_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary report (reference cases/tpch/query/q1.sql; grouped
+# aggregate with 8 aggregates over one scan — aggregate_hash.go:38-554)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({REV_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+  {avg_dbl_sql("CAST(l_quantity AS DECIMAL(18,2))", "avg_qty")},
+  {avg_dbl_sql("CAST(l_extendedprice AS DECIMAL(18,2))", "avg_price")},
+  {avg_dbl_sql("CAST(l_discount AS DECIMAL(18,2))", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1", oracle=_Q1_SQL, tags=("tpch", "agg"))
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: single-pass grouped aggregate; partial (map-side)
+    aggregation makes the shuffle carry only 6 groups x 8 states at any SF."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= ts("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(rev_col()).cast("double").alias("sum_disc_price"),
+            F.sum(rev_col() * one_plus_tax()).cast("double").alias("sum_charge"),
+            avg_dbl(dec("l_quantity"), "avg_qty"),
+            avg_dbl(dec("l_extendedprice"), "avg_price"),
+            avg_dbl(dec("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority (q3.sql): 3-way join + agg + top-k
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT
+  l_orderkey,
+  {SUM_REV_SQL} AS revenue,
+  o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3", oracle=_Q3_SQL, tags=("tpch", "join", "topk"))
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: filtered joins then top-10 by revenue.
+    orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver, no global sort at any SF."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    ords = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts("1998-03-15"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum_rev())
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4 — order priority checking (q4.sql): EXISTS -> semi join. Adapted late
+# predicate: l_shipdate > o_orderdate + 20 days (fixtures lack commitdate /
+# receiptdate). Correlated EXISTS is what the reference flattens to a MARK
+# join (builder_plan.go:412-427); here it is a conditional left-semi join.
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 20 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4", oracle=_Q4_SQL, tags=("tpch", "semijoin"))
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority check via correlated-EXISTS => left-semi join with a
+    compound (equi + range) condition; the equi key keeps it hash-joinable."""
+    ords = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1997-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cond = (ords.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > ords.o_orderdate + F.expr("INTERVAL 20 DAYS")
+    )
+    return (
+        ords.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume (q5.sql): 6-way join through region
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = f"""
+SELECT n_name, {SUM_REV_SQL} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5", oracle=_Q5_SQL, tags=("tpch", "join"))
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: fact-fact join (orders x lineitem) shuffles on
+    orderkey; nation/region/supplier are broadcast; the extra
+    c_nationkey = s_nationkey equi-pred rides along the supplier join."""
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(sum_rev())
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — forecasting revenue change (q6.sql): scan + pushed filter + ungrouped agg
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+@register("q6", oracle=_Q6_SQL, tags=("tpch", "scan"))
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue forecast: all predicates push to the parquet scan
+    (PushedFilters on l_shipdate/l_quantity); ungrouped agg reduces
+    map-side to one row per partition."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01"))
+            & (F.col("l_shipdate") < ts("1998-01-01"))
+            & dec("l_discount").between(dlit("0.03"), dlit("0.05"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping (q7.sql): two-nation flows by year
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+    {REV_SQL} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7", oracle=_Q7_SQL, tags=("tpch", "join"))
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations: the OR-of-nation-pairs predicate
+    is a post-join filter (non-equi) exactly as the reference routes non-equi
+    conds out of hash-join ON lists (builder_plan.go:880-889)."""
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31"))
+    )
+    ords = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            rev_col().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share (q8.sql)
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = f"""
+SELECT
+  o_year,
+  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    {REV_SQL} AS volume,
+    n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8", oracle=_Q8_SQL, tags=("tpch", "join"))
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share: 8-way join; numerator/denominator as exact decimal sums,
+    final ratio as a single deterministic double division."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_regionkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_col().alias("volume"),
+            "nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    den = F.sum("volume").cast("double")
+    return (
+        vol.groupBy("o_year")
+        .agg((num / den).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product type profit (q9.sql adapted: no partsupp => cost proxied by
+# 0.5 * p_retailprice * l_quantity)
+# ---------------------------------------------------------------------------
+
+_AMOUNT_SQL = (
+    f"{REV_SQL} - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.50 AS DECIMAL(3,2))"
+    " * CAST(l_quantity AS DECIMAL(4,0))"
+)
+
+_Q9_SQL = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT
+    n_name AS nation,
+    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    {_AMOUNT_SQL} AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9", oracle=_Q9_SQL, tags=("tpch", "join"))
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by nation/year over parts matching a LIKE pattern; the LIKE
+    filter prunes the broadcast part side before the fact join."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders")
+    nat = table(spark, sf_dir, "nation")
+    amount = rev_col() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * dlit("0.50").cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned item reporting (q10.sql, minus the missing address/phone cols)
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = f"""
+SELECT
+  c_custkey, c_name, {SUM_REV_SQL} AS revenue, c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10", oracle=_Q10_SQL, tags=("tpch", "join", "topk"))
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top-20 customers by lost revenue."""
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-10-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum_rev())
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping modes / priority (q12.sql adapted: no l_shipmode; group by
+# l_linestatus, "late" = shipped >30 days after order)
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT
+  l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("q12", oracle=_Q12_SQL, tags=("tpch", "join"))
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority counts: conditional aggregation (CASE WHEN
+    inside SUM) — the reference evaluates this via its expression interpreter
+    (expr_exec.go:144 executeCase); here it is codegen'd JVM-side."""
+    ords = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01")) & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            ords,
+            (li.l_orderkey == ords.o_orderkey)
+            & (li.l_shipdate > ords.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (q13.sql adapted: no o_comment;
+# exclusion predicate on o_orderpriority instead)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13", oracle=_Q13_SQL, tags=("tpch", "outerjoin"))
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution: LEFT OUTER join with an ON-clause filter (not a
+    WHERE — null-extension must happen after), then a two-level aggregate."""
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            ords,
+            (cust.c_custkey == ords.o_custkey) & (ords.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promotion effect (q14.sql)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = f"""
+SELECT
+  CAST(100.0 AS DOUBLE)
+    * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REV_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM({REV_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+@register("q14", oracle=_Q14_SQL, tags=("tpch", "join"))
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: broadcast part join + conditional-aggregate ratio."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-09-01")) & (F.col("l_shipdate") < ts("1997-10-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_col()).otherwise(F.lit(0).cast("decimal(18,2)"))
+    ).cast("double")
+    total = F.sum(rev_col()).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * promo / total).alias("promo_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier (q15.sql): CTE + scalar-subquery max
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {SUM_REV_SQL} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15", oracle=_Q15_SQL, tags=("tpch", "subquery"))
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier: uncorrelated scalar subquery (MAX over a derived view)
+    becomes a 1-row broadcast joined against the derived revenue relation —
+    decimal equality is exact so the max matches deterministically."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01")) & (F.col("l_shipdate") < ts("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(sum_rev("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier-part relationship count (q16.sql adapted: partsupp replaced
+# by lineitem as the part-supplier bridge; NOT IN -> anti join)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16", oracle=_Q16_SQL, tags=("tpch", "antijoin", "distinct"))
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier count per part group: NOT IN over a non-null key => left-anti
+    join (the reference's ANTI join from NOT-IN flattening,
+    builder_plan.go:505); COUNT(DISTINCT) expands to a two-phase aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (q17.sql): correlated scalar subquery
+# (avg per part) -> per-key aggregate + equi join
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#3'
+  AND p_type = 'MEDIUM'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("q17", oracle=_Q17_SQL, tags=("tpch", "subquery"))
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue: the correlated AVG subquery decorrelates to a
+    groupBy(l_partkey) aggregate joined back on the key — the same
+    flattening the reference performs at plan build (builder_plan.go:182).
+    l_quantity is integral so AVG (sum/count) is exact in any order."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers (q18.sql)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18", oracle=_Q18_SQL, tags=("tpch", "semijoin", "having"))
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: IN(grouped HAVING) => semi join against an
+    aggregate; at scale the aggregate and the outer join share the
+    orderkey hash partitioning, so AQE can avoid a second shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("s"))
+        .filter(F.col("s") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (
+        ords.join(big, ords.o_orderkey == big.big_orderkey, "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — discounted revenue (q19.sql adapted: OR-of-ANDs over brand/size/qty)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT {SUM_REV_SQL} AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))
+"""
+
+
+@register("q19", oracle=_Q19_SQL, tags=("tpch", "join"))
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue: disjunctive mixed-side predicate evaluated after a
+    broadcast hash join on partkey (non-equi conds stay out of the ON list,
+    as in the reference builder_plan.go:880-889)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(clause).agg(sum_rev())
+
+
+# ---------------------------------------------------------------------------
+# q20 — potential part promotion (q20.sql adapted: nested IN over aggregated
+# lineitem instead of partsupp availability)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey
+    AND p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+ORDER BY s_name
+"""
+
+
+@register("q20", oracle=_Q20_SQL, tags=("tpch", "semijoin"))
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion suppliers: nested IN over an aggregate => semi join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01")) & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("s"))
+        .filter(F.col("s") > 300)
+        .select(F.col("l_suppkey").alias("hk"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp.s_suppkey == F.col("hk"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (q21.sql adapted: "late" =
+# l_shipdate > o_orderdate + 30 days). EXISTS + NOT EXISTS with correlation
+# => semi join + anti join with compound conditions.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_1'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21", oracle=_Q21_SQL, tags=("tpch", "semijoin", "antijoin"))
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-supplier analysis: the reference's MARK/ANTI-MARK join pattern
+    (builder_logical_operator.go:75-76) expressed as one semi and one anti
+    join, both hash-keyed on l_orderkey with residual non-equi conditions."""
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    ords = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    base = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cutoff)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — global sales opportunity (q22.sql adapted: country code =
+# c_nationkey, no phone column)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT
+  cntrycode,
+  COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c_nationkey AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_nationkey IN (1, 2, 3, 4, 5)
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 4, 5))
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register("q22", oracle=_Q22_SQL, tags=("tpch", "subquery", "antijoin"))
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales opportunity: uncorrelated scalar AVG (broadcast 1-row join) +
+    NOT EXISTS (anti join on o_custkey) + final aggregate."""
+    cust = table(spark, sf_dir, "customer")
+    in_codes = F.col("c_nationkey").isin(1, 2, 3, 4, 5)
+    avg_bal = (
+        cust.filter((F.col("c_acctbal") > 0) & in_codes)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    ords = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.filter(in_codes)
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-minded defaults.
+
+The reference engine executes single-node with 2048-row vector chunks
+(/root/reference/pkg/util/util.go:124); our execution substrate is Spark's
+distributed DAG, so the session is where the scale knobs live:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  dynamic broadcast conversion) — replaces the reference's static greedy
+  join-order cost model (/root/reference/pkg/compute/optimizer_joinorder.go:30).
+- shuffle.partitions sized for the test box; on a real cluster this is
+  overridden (AQE coalescing makes the initial number less critical).
+- Arrow enabled: every pandas_udf / toPandas crossing is Arrow-batched,
+  never row-at-a-time pickling.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "plan_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` (driver runs local[32]) and keeps every
+    config a plain Spark conf so the same code runs unchanged under
+    spark-submit on a real cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # dims (region/nation/customer/supplier/part at test SFs) are tiny;
+        # raise the auto-broadcast cutoff so Catalyst picks broadcast joins
+        # for every dim join without explicit hints. On a 100 TB cluster the
+        # explicit F.broadcast() hints in the operators still apply.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    return builder.getOrCreate()

@@ -11,6 +11,8 @@ here they are free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = [
     "region",
@@ -36,9 +38,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     re-registering after a scale-factor switch just repoints the views.
     """
     for name in TABLES:
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a single fixture table as a DataFrame (lazy parquet scan)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a single fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it scans as a long which we convert
+    to a micros timestamp via exact integer division (the fixture values are
+    whole microseconds, and DuckDB's reader lands on the same micros value).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df

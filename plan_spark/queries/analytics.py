@@ -1,6 +1,464 @@
-"""Analytics operators beyond the reference's surface (windows, set ops,
-rollup/cube, as-of / range joins, sessionization, time buckets).
+"""Analytics operators beyond the reference's SQL surface.
 
-Populated incrementally; see SURVEY.md §2.5/§2.7 — the reference has no
-window functions or set operations, so these are strictly-superset surface.
+The reference has **no** window functions (expr_properties.go:273-277 stub),
+**no** set operations (SURVEY.md §2.7), and **no** streaming/sessionization
+(§2.11). These are strictly-superset capabilities the new engine declares,
+each mapped to a built-in Spark primitive (WindowExec / set-op operators /
+session_window) so they inherit codegen + spill + AQE for free.
+
+Determinism: every window ORDER BY includes a unique tiebreak column; money
+math follows the exact-decimal discipline of queries/common.py.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import register_views, table
+from plan_spark.operators.asof import asof_join
+from plan_spark.queries.common import dec
+from plan_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Window functions (reference: none — expr_properties.go:277 "TODO: add
+# WindowFuncType"; Spark: WindowExec, whole-stage adjacent)
+# ---------------------------------------------------------------------------
+
+_W_TOPN_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+
+@register("w_topn", oracle=_W_TOPN_SQL, tags=("window", "topk"))
+def w_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ROW_NUMBER — the distributed replacement for the
+    reference's (absent) per-group top-k; one shuffle on the partition key."""
+    ords = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        ords.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+_W_RANK_SQL = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk
+FROM supplier
+ORDER BY s_nationkey, rnk, s_suppkey
+"""
+
+
+@register("w_rank", oracle=_W_RANK_SQL, tags=("window",))
+def w_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK over a value ordering (ties share ranks)."""
+    supp = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("s_nationkey", "rnk", "s_suppkey")
+
+
+_W_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("w_running", oracle=_W_RUNNING_SQL, tags=("window",))
+def w_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer: exact decimal cumulative sum (frame order
+    is total, so the running value is deterministic), emitted as DOUBLE."""
+    ords = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+_W_LAG_SQL = """
+SELECT day, n_events,
+       n_events - LAG(n_events) OVER (ORDER BY day) AS delta
+FROM (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1) d
+ORDER BY day
+"""
+
+
+@register("w_lag", oracle=_W_LAG_SQL, tags=("window",))
+def w_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta: aggregate then LAG over the (small) day series.
+    The single-partition window only sees one row per day — pre-aggregation
+    keeps the unpartitioned window harmless at any raw-event scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
+    ).orderBy("day")
+
+
+_W_MOVAVG_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS mov_avg
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("w_movavg", oracle=_W_MOVAVG_SQL, tags=("window",))
+def w_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average per user: exact decimal frame sum / frame count,
+    final division in double (deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (reference: none — SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+_SET_UNION_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY custkey
+"""
+
+
+@register("setop_union", oracle=_SET_UNION_SQL, tags=("setop",))
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): union-all + hash distinct."""
+    a = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct().orderBy("custkey")
+
+
+_SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+@register("setop_intersect", oracle=_SET_INTERSECT_SQL, tags=("setop",))
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — compiles to a left-semi over distinct inputs."""
+    a = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+_SET_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY custkey
+"""
+
+
+@register("setop_except", oracle=_SET_EXCEPT_SQL, tags=("setop",))
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers who never ordered; anti-join shaped."""
+    a = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: ROLLUP / CUBE / GROUPING SETS.
+# Reference declares GroupingSet but executes only single sets
+# (aggregate_types.go:25-50, executor_aggr.go:161 asserts none) — Spark's
+# Expand operator gives the full surface.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       COUNT(*) AS n_supp
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@register("rollup_agg", oracle=_ROLLUP_SQL, tags=("agg", "rollup"))
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region->nation hierarchy: Expand emits 3 grouping sets
+    through one shuffle (strictly more than the reference's single-set agg)."""
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("s_acctbal")).cast("double").alias("total_bal"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+"""
+
+
+@register("cube_agg", oracle=_CUBE_SQL, tags=("agg", "cube"))
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): all 4 grouping sets in one pass."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("user_bucket"))
+    )
+
+
+_GSETS_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+"""
+
+
+@register("gsets_agg", oracle=_GSETS_SQL, tags=("agg", "groupingsets"))
+def gsets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (spark.sql over registered
+    views — the engine's equivalent of the reference's text entry point,
+    cmd/main/main.go:80 InitRunner)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins (reference: none — SURVEY.md §2.3 "not implemented")
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.pts AS purchase_ts, r.pvalue AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS pts, MAX(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+  ON l.user_id = r.user_id AND l.ts >= r.pts
+ORDER BY l.user_id, l.ts, l.event_id
+"""
+
+
+@register("asof_join_q", oracle=_ASOF_SQL, tags=("join", "asof"))
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent prior purchase.
+
+    Implemented with the union+window merge (plan_spark/operators/asof.py):
+    one shuffle on user_id, per-partition sort, last(ignorenulls) carry —
+    no nested loop, so both sides scale to billions of rows. Oracle uses
+    DuckDB's native ASOF JOIN for semantic cross-validation."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select("user_id", F.col("ts").alias("pts"), F.col("pts").alias("_dup"), "pvalue")
+        .drop("_dup")
+    )
+    # carry both the matched timestamp and its payload
+    right = purchases.select(
+        "user_id", "pts", F.col("pts").alias("purchase_ts"), F.col("pvalue").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        payload=["purchase_ts", "purchase_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_ts", "purchase_value").orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+_RANGE_SQL = """
+SELECT b.label, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN (VALUES ('small', 0.0, 50.0), ('mid', 50.0, 100.0),
+             ('large', 100.0, 200.0), ('xlarge', 200.0, 500.0)) b(label, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.label
+ORDER BY b.label
+"""
+
+
+@register("range_join_q", oracle=_RANGE_SQL, tags=("join", "range"))
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join against a bucket table: Spark executes it as a
+    BroadcastNestedLoopJoin — correct strategy since the band table is tiny;
+    the fact side streams through without a shuffle."""
+    ev = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("small", 0.0, 50.0), ("mid", 50.0, 100.0), ("large", 100.0, 200.0), ("xlarge", 200.0, 500.0)],
+        "label string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(buckets), (ev.value >= buckets.lo) & (ev.value < buckets.hi))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators: tumbling windows + sessionization (net-new; batch
+# counterparts of the Structured Streaming slice in plan_spark/streaming)
+# ---------------------------------------------------------------------------
+
+_TIME_BUCKET_SQL = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+
+@register("time_bucket_agg", oracle=_TIME_BUCKET_SQL, tags=("eventtime",))
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows via F.window — identical partition-parallel
+    shape to the streaming windowed aggregation (watermark added there)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("sessionize", oracle=_SESSION_SQL, tags=("eventtime", "session"))
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via Spark's native
+    session_window aggregate — merge-on-shuffle, no per-user state on the
+    driver. Oracle derives the same sessions with lag+cumsum SQL."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_last"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -53,5 +53,9 @@ def get_spark(
         # for every dim join without explicit hints. On a 100 TB cluster the
         # explicit F.broadcast() hints in the operators still apply.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read as long and convert in the catalog (exact — the
+        # fixture values are whole microseconds).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -1,3 +1,424 @@
-"""Text-analysis + dedup operators over the documents table (north-star
-LLM-pipeline surface; reference capability anchor: storage2 FTS
-fts_index.go:154-330)."""
+"""Text-analysis + deduplication operators over the documents table.
+
+North-star LLM-data-pipeline surface (BASELINE.json): the reference's
+nearest capability anchors are storage2's full-text search machinery
+(tokenization + posting stats, /root/reference/pkg/storage2/fts_index.go:154-330)
+— here re-expressed as declarative DataFrame pipelines that scale by
+partition parallelism instead of a single-node inverted index.
+
+Determinism notes:
+- All hashes are md5 (lowercase hex in both engines), so signatures,
+  fingerprints and min-hash selections are bit-identical.
+- Ratios are double divisions of exact integers — deterministic IEEE.
+- Normalization is shared: lower(trim(collapse-whitespace)), tokens split
+  on single spaces.
+
+Scale notes (100 TB):
+- Everything is groupBy/join over (doc_id, shingle/hash) pairs — pure
+  shuffle parallelism, no driver state, no per-executor global structures.
+- Near-dup joins use *blocking* (rare-shingle or LSH bands) so the
+  candidate-pair space stays near-linear instead of quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.registry import register
+
+# shared normalization fragments (Spark `F.expr` and DuckDB read the same SQL
+# shapes; DuckDB's regexp_replace needs the 'g' flag to replace all)
+_STOPLIST = "('the','a','and','of','to','in','is','on','for','with')"
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + norm text + token array."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("norm"),
+    ).withColumn("toks", F.split(F.col("norm"), " "))
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_DOCS_NORM_SQL = f"""
+  SELECT doc_id, lang, source, {_NORM_SQL} AS norm,
+         string_split({_NORM_SQL}, ' ') AS toks
+  FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality scoring (token counting, length/stopword ratios)
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+s AS (
+  SELECT doc_id,
+         CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
+         CAST(len(list_filter(toks, x -> x IN {_STOPLIST})) AS BIGINT) AS n_stop
+  FROM d)
+SELECT doc_id, n_chars_norm, n_tokens,
+       CAST(sum_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.3 * least(1.0, (CAST(sum_token_len AS DOUBLE) / n_tokens) / 8.0)
+         AS quality_score
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_SQL, tags=("text", "quality"))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, length stats, stopword ratio and a composite quality
+    score per document — single narrow scan, all JVM-side higher-order
+    array functions (no Python UDF in the hot path)."""
+    d = _norm_docs(spark, sf_dir)
+    s = d.select(
+        "doc_id",
+        F.length("norm").cast("bigint").alias("n_chars_norm"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+        F.size(F.expr(f"filter(toks, x -> x IN {_STOPLIST})")).cast("bigint").alias("n_stop"),
+    )
+    return s.select(
+        "doc_id",
+        "n_chars_norm",
+        "n_tokens",
+        (F.col("sum_token_len").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+        (
+            F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(100.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens"))
+            + F.lit(0.3)
+            * F.least(
+                F.lit(1.0),
+                (F.col("sum_token_len").cast("double") / F.col("n_tokens")) / F.lit(8.0),
+            )
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-ratio heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_ID_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL})
+SELECT doc_id, lang,
+       CASE WHEN CAST(len(list_filter(toks, x -> x IN {_STOPLIST})) AS DOUBLE)
+                 / len(toks) >= 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("lang_id", oracle=_LANG_ID_SQL, tags=("text", "langid"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language ID heuristic: English stopword density. A real
+    deployment swaps the predicate for a per-language stopword table joined
+    as a broadcast map — the plan shape (scan + array filter) is the same."""
+    d = _norm_docs(spark, sf_dir)
+    ratio = (
+        F.size(F.expr(f"filter(toks, x -> x IN {_STOPLIST})")).cast("double")
+        / F.size("toks")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting + exact dedup (reference analogue: hash-grouped
+# distinct; storage2 has no dedup — net-new pipeline operator)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL})
+SELECT doc_id, md5(norm) AS fp FROM d ORDER BY doc_id
+"""
+
+
+@register("fingerprint", oracle=_FINGERPRINT_SQL, tags=("text", "dedup"))
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over whitespace-normalized text."""
+    d = _norm_docs(spark, sf_dir)
+    return d.select("doc_id", F.md5("norm").alias("fp")).orderBy("doc_id")
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL})
+SELECT md5(norm) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM d
+GROUP BY md5(norm)
+ORDER BY fp
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_SQL, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep the lowest
+    doc_id. One shuffle on a 32-char key; at 100 TB this is the canonical
+    map-side-combine groupBy (dup_count partials merge associatively)."""
+    d = _norm_docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5("norm").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup via word-5-gram shingles: rare-shingle blocking + exact Jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 4), ' ') AS sh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM ({_DOCS_NORM_SQL}) dn
+        WHERE len(toks) >= 5) t
+"""
+
+_DEDUP_NGRAM_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, sh FROM s
+  WHERE sh IN (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 10)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.da
+  JOIN s sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+  GROUP BY c.da, c.db)
+SELECT inter.da, inter.db,
+       CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = inter.da
+JOIN sizes zb ON zb.doc_id = inter.db
+WHERE CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) >= 0.1
+ORDER BY da, db
+"""
+
+
+@register("dedup_ngram", oracle=_DEDUP_NGRAM_SQL, tags=("dedup", "ngram"))
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-5-gram Jaccard, with rare-shingle
+    blocking: only shingles appearing in <= 10 documents generate candidate
+    pairs, keeping the pair space near-linear (the full exact Jaccard is then
+    computed on candidates only). This is the scalable exact-verify
+    counterpart to MinHash (dedup_minhash) — same blocking idea the LSH
+    banding uses, but with exact similarity."""
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 5)
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(5))).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare_sh = s.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq")).filter(F.col("dfreq") <= 10)
+    rare = s.join(rare_sh.select("sh"), "sh")
+    a = rare.select(F.col("doc_id").alias("da"), "sh")
+    b = rare.select(F.col("doc_id").alias("db"), "sh")
+    cand = (
+        a.join(b, (a.sh == b.sh) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("sa_id"), F.col("sh").alias("sha"))
+    sb = s.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(sa, F.col("da") == F.col("sa_id"))
+        .join(sb, (F.col("db") == F.col("sb_id")) & (F.col("sha") == F.col("shb")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(za, "da")
+        .join(zb, "db")
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+        .orderBy("da", "db")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding near-dup (k=8 hashes, 4 bands x 2 rows)
+# ---------------------------------------------------------------------------
+
+_MH_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM ({_DOCS_NORM_SQL}) dn
+        WHERE len(toks) >= 3) t
+"""
+
+_MH_SIG_COLS_SQL = ",\n         ".join(
+    f"MIN(md5(sh || '#{i}')) AS h{i}" for i in range(8)
+)
+
+_DEDUP_MINHASH_SQL = f"""
+WITH s AS ({_MH_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS_SQL}
+  FROM s GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT c.da, c.db,
+       CAST((CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est_jaccard
+FROM cand c JOIN sig x ON x.doc_id = c.da JOIN sig y ON y.doc_id = c.db
+ORDER BY da, db
+"""
+
+
+@register("dedup_minhash", oracle=_DEDUP_MINHASH_SQL, tags=("dedup", "minhash", "lsh"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding (4 bands x 2): shingle -> per-seed min md5 ->
+    band keys -> bucket self-join -> signature-agreement estimate.
+
+    Scale: the only join is on (band, band-key) — near-dup docs collide,
+    everything else doesn't, so candidate pairs ~ O(dups), not O(n^2). All
+    hashing is md5 (JVM built-in), bit-identical to the DuckDB oracle."""
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 3)
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+            "toks",
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3))).alias("sh"))
+        .distinct()
+    )
+    sig = s.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}") for i in range(8)]
+    )
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("da"), "band", "bkey")
+    b2 = bands.select(F.col("doc_id").alias("db"), "band", "bkey")
+    cand = (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("da"), *[F.col(f"h{i}").alias(f"xa{i}") for i in range(8)])
+    y = sig.select(F.col("doc_id").alias("db"), *[F.col(f"h{i}").alias(f"yb{i}") for i in range(8)])
+    matches = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        cand.join(x, "da")
+        .join(y, "db")
+        .select("da", "db", (matches.cast("double") / F.lit(8.0)).alias("est_jaccard"))
+        .orderBy("da", "db")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-hex-nibble based so both engines agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+# weights table: position p (1..8 hex chars of md5 prefix) x bit b (0..3),
+# weight = bit's contribution to the final 32-bit value
+_W_ROWS = ", ".join(
+    f"({p}, {b}, {1 << ((8 - p) * 4 + b)})" for p in range(1, 9) for b in range(4)
+)
+
+_SIMHASH_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM d),
+w(p, b, wt) AS (VALUES {_W_ROWS}),
+bits AS (
+  SELECT doc_id, p, b, wt,
+         SUM(CASE WHEN ((instr('0123456789abcdef', substr(md5(tk), p, 1)) - 1) // (1 << b)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, w
+  GROUP BY doc_id, p, b, wt)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN wt ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("simhash", oracle=_SIMHASH_SQL, tags=("dedup", "simhash"))
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from distinct tokens.
+
+    Bit i of the signature is the sign of sum(+1/-1) over token-hash bit i.
+    Token hash = first 8 hex chars of md5 — extracted nibble-by-nibble so
+    Spark and DuckDB agree exactly. Pure explode+groupBy: two shuffles,
+    fully partition-parallel (the 32x token fanout is map-side only)."""
+    d = _norm_docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("tk")).distinct()
+    w = spark.createDataFrame(
+        [(p, b, 1 << ((8 - p) * 4 + b)) for p in range(1, 9) for b in range(4)],
+        "p int, b int, wt long",
+    )
+    bit_set = F.expr(
+        "((instr('0123456789abcdef', substr(md5(tk), p, 1)) - 1) div (shiftleft(1, b))) % 2 = 1"
+    )
+    bits = (
+        tok.join(F.broadcast(w))
+        .groupBy("doc_id", "p", "b", "wt")
+        .agg(F.sum(F.when(bit_set, 1).otherwise(-1)).alias("s"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") > 0, F.col("wt")).otherwise(0)).cast("bigint").alias("simhash"))
+        .orderBy("doc_id")
+    )

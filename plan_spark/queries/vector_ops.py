@@ -1,2 +1,211 @@
-"""Vector similarity operators over the embeddings table (reference
-capability anchor: storage2 KNN — flat/IVF indexes, distance_metrics.go)."""
+"""Vector similarity search over the embeddings table.
+
+Reference capability anchor: storage2's KNN surface — Flat exact search
+(/root/reference/pkg/storage2/flat_index.go:22-33), IVF partitioned search
+(ivf_index.go:12-28), cosine/L2/dot metrics (distance_metrics.go:12-96).
+Re-expressed Spark-first:
+
+- Flat/brute-force  -> broadcast the (small) query set against the full
+  embedding table; dot/norm are JVM higher-order-function folds; top-k per
+  query via window rank. No Python in the hot path.
+- IVF               -> MLlib KMeans centroids (seeded), candidate pruning to
+  the closest nprobe centroids, then the same exact scoring on ~nprobe/k of
+  the data. The index build is itself a distributed job, unlike the
+  reference's single-node in-memory builder (incremental_index.go:28).
+
+Float discipline: embeddings are float32 on disk; both engines cast to
+double (exact) and fold products/sums in index order, so cosine scores are
+bit-identical (verified: DuckDB list_reduce(list_prepend(0.0, ...)) equals a
+sequential fold; Spark F.aggregate is a sequential fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.registry import register
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+# DuckDB sequential-fold fragments (match Spark's F.aggregate left fold)
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " x -> x[1] * x[2])), (acc, v) -> acc + v)"
+)
+_SQ = "list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (acc, v) -> acc + v)"
+
+_KNN_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q_id, e.vec_id AS c_id,
+         {_DOT.format(a="qv", b="e.v")}
+           / sqrt({_SQ.format(a="qv")} * {_SQ.format(a="e.v")}) AS cos_sim
+  FROM q, e
+  WHERE e.vec_id <> q_id),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM sims)
+SELECT q_id, c_id, rank, cos_sim
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def _dot(a, b):
+    """Sequential left-fold dot product (bit-identical to the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _sq(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+@register("knn_brute", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn"))
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors, stream the candidate
+    table through a JVM-side fold, window-rank per query.
+
+    Scale: candidates never shuffle (scores computed map-side); only
+    (q_id, c_id, score) tuples reach the rank shuffle, and a real deployment
+    pre-filters with a per-partition top-k before the exchange (Spark's
+    WindowGroupLimit pushes rank<=k down map-side since 3.5)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        e.join(F.broadcast(q), e.vec_id != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (_dot(F.col("qv"), F.col("v")) / F.sqrt(_sq(F.col("qv")) * _sq(F.col("v")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        sims.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+        .orderBy("q_id", "rank")
+    )
+
+
+@register("knn_ivf", oracle=None, tags=("vector", "knn", "ivf"))
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN: KMeans(16) centroids, nprobe=4 cluster pruning,
+    exact cosine within candidates (reference: ivf_index.go:12-28 — kmeans
+    partitions + per-partition search).
+
+    Non-SQL-expressible (iterative KMeans) => rows-only driver check; pytest
+    cross-checks recall against knn_brute instead.
+
+    Scale: centroid fit samples/aggregates distributedly (MLlib); assignment
+    is a broadcast of k centroid vectors; the probe prunes ~(1 - nprobe/k)
+    of candidates before scoring — same shape as the reference's IVF but
+    partition-parallel."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = e.select("vec_id", "v", array_to_vector("v").alias("features"))
+    km = KMeans(k=16, seed=42, maxIter=20)
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "v", F.col("prediction").alias("cluster")
+    )
+    # centroid table (k rows — broadcast)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # nprobe=4 closest centroids per query (cosine)
+    qc = (
+        q.join(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qv",
+            "cluster",
+            (_dot(F.col("qv"), F.col("cv")) / F.sqrt(_sq(F.col("qv")) * _sq(F.col("cv")))).alias(
+                "c_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+    probe = (
+        qc.select("q_id", "qv", "cluster", F.row_number().over(wq).alias("r"))
+        .filter(F.col("r") <= 4)
+        .select("q_id", "qv", "cluster")
+    )
+    sims = (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (_dot(F.col("qv"), F.col("v")) / F.sqrt(_sq(F.col("qv")) * _sq(F.col("v")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        sims.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+        .orderBy("q_id", "rank")
+    )
+
+
+_EMB_STATS_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, sqrt({_SQ.format(a="v")}) AS nrm FROM e)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(nrm AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+@register("emb_stats", oracle=_EMB_STATS_SQL, tags=("vector", "stats"))
+def emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics. Norms are deterministic doubles
+    (sequential fold), and the group average goes through an exact decimal
+    sum so shuffle order cannot change it."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.select("vec_id", "label", F.sqrt(_sq(F.col("v"))).alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(F.col("nrm").cast("decimal(20,12)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_norm"
+            ),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

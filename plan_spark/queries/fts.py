@@ -1,0 +1,126 @@
+"""Full-text search: BM25 scoring + phrase search as DataFrame pipelines.
+
+Reference capability: storage2's inverted index + BM25 + WAND top-k
+(/root/reference/pkg/storage2/fts_index.go:154-330, fts_wand.go:12-30).
+Spark-first redesign: there is no materialized inverted index — the posting
+list IS a DataFrame (doc_id, term, tf) produced by explode, and BM25 is
+pure relational math over it (idf join + length normalization). WAND's
+skip-pointer pruning is unnecessary: candidate generation is a semi join on
+query terms, which Spark executes hash-partitioned; at 100 TB the posting
+DataFrame would be bucketed by term so repeated queries skip the shuffle.
+
+Determinism: scores involve ln() whose last ulp may differ between libm and
+the JVM — scores are rounded to 6 decimals and the result returns ALL
+matching docs ordered by doc_id (no top-k cutoff), so a 1-ulp difference
+cannot change the row set or the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.queries.text_ops import _DOCS_NORM_SQL, _norm_docs
+from plan_spark.registry import register
+
+_K1 = 1.2
+_B = 0.75
+_QUERY_TERMS = ("spark", "table", "query")
+_QT_SQL = "('" + "','".join(_QUERY_TERMS) + "')"
+
+_FTS_BM25_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen),
+posting AS (
+  SELECT doc_id, tk AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM d) t
+  WHERE tk IN {_QT_SQL}
+  GROUP BY doc_id, tk),
+df AS (SELECT term, COUNT(*) AS dfreq FROM posting GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((corpus.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+           * (p.tf * ({_K1} + 1.0))
+           / (p.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / corpus.avgdl)) AS s
+  FROM posting p, df, doclen dl, corpus
+  WHERE p.term = df.term AND p.doc_id = dl.doc_id)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("fts_bm25", oracle=_FTS_BM25_SQL, tags=("fts", "bm25"))
+def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) over a fixed term query.
+
+    Plan shape: explode -> filtered posting aggregate (only query terms
+    survive the filter, so the shuffle carries O(matches), not the corpus)
+    -> broadcast idf/corpus-stats joins -> per-doc score sum."""
+    d = _norm_docs(spark, sf_dir)
+    doclen = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    posting = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(corpus))
+        .select("doc_id", (idf * tf_part).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE = "data pipeline"
+
+_FTS_PHRASE_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL})
+SELECT doc_id,
+       CAST((length(norm) - length(replace(norm, '{_PHRASE}', '')))
+            / length('{_PHRASE}') AS BIGINT) AS n_occurrences
+FROM d
+WHERE norm LIKE '%{_PHRASE}%'
+ORDER BY doc_id
+"""
+
+
+@register("fts_phrase", oracle=_FTS_PHRASE_SQL, tags=("fts", "phrase"))
+def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search (reference: fts_index.go phrase path) via substring
+    scan + occurrence count — predicate pushes to the scan, integer math."""
+    d = _norm_docs(spark, sf_dir)
+    n_occ = (
+        (F.length("norm") - F.length(F.replace(F.col("norm"), F.lit(_PHRASE), F.lit(""))))
+        / F.length(F.lit(_PHRASE))
+    ).cast("bigint")
+    return (
+        d.filter(F.col("norm").like(f"%{_PHRASE}%"))
+        .select("doc_id", n_occ.alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

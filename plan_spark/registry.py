@@ -63,6 +63,8 @@ def load_all() -> dict[str, QuerySpec]:
         import plan_spark.queries.analytics  # noqa: F401
         import plan_spark.queries.text_ops  # noqa: F401
         import plan_spark.queries.vector_ops  # noqa: F401
+        import plan_spark.queries.fts  # noqa: F401
+        import plan_spark.queries.multimodal_q  # noqa: F401
 
         _loaded = True
     return REGISTRY

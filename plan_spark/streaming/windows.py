@@ -1,0 +1,150 @@
+"""Streaming event-time operators over the events fixture.
+
+Net-new surface (the reference engine is batch-only — no watermark/window/
+state constructs exist in it, SURVEY.md §2.11). Built on Structured
+Streaming so the same declarative plans run micro-batch or continuous:
+
+- tumbling/sliding window aggregates with watermark-driven late-data policy
+- session windows (gap-based) — same semantics as the batch `sessionize`
+- arbitrary stateful per-key processing via applyInPandasWithState
+
+Scale: streaming state lives in the executor state store (RocksDB/HDFS
+backed on a real cluster), partitioned by the grouping key — identical
+shuffle shape to the batch aggregates; watermarks bound state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a bounded stream (availableNow semantics in the caller).
+
+    The fixture stores ts as TIMESTAMP(NANOS): scan it as long
+    (nanosAsLong) and convert exactly like the batch catalog does.
+    """
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source wants a directory: point it at sf_dir and
+    # glob-filter down to the events file
+    df = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 6h window x event_type counts with a 1h watermark
+    (same logical aggregate as the batch `time_bucket_agg` query)."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+
+
+def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30 min gap) per user with watermark —
+    streaming counterpart of the batch `sessionize` query."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming aggregate over all currently-available input
+    (one bounded run) into an in-memory table; returns the result DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def user_totals_stateful(spark: SparkSession, sf_dir: str):
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (the engine's UDF-backed stateful surface —
+    what the reference would need storage2+compute integration for).
+
+    Returns the collected final per-user totals (one bounded run).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value", "ts")
+    result = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    collected = []
+    q = (
+        result.writeStream.foreachBatch(
+            lambda df, _id: collected.append(df.toPandas())
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    if not collected:
+        return pd.DataFrame(columns=["user_id", "n_events", "total_value"])
+    allb = pd.concat(collected, ignore_index=True)
+    # last emitted row per user is the final state
+    return allb.groupby("user_id", as_index=False).last()

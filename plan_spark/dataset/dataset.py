@@ -1,0 +1,680 @@
+"""Dataset: manifest-versioned Parquet tables with transactional semantics.
+
+PySpark-native rebuild of the reference's storage2/SDK capability surface
+(sdk/dataset.go:96-213):
+
+| capability            | reference citation              | here |
+|-----------------------|---------------------------------|------|
+| append/overwrite      | transaction.go:32-82            | Spark write + manifest commit |
+| delete(predicate)     | sdk/dataset.go:1132             | deletion-vector sidecars (deletion_bitmap.go:31) |
+| update(predicate)     | update.go:20-82                 | copy-on-write fragment rewrite |
+| merge insert (upsert) | merge_insert.go:19-134          | key join + rewrite/append |
+| time travel / tags    | version.go:20-42, tags.go:9-32  | manifest per version + _refs.json |
+| optimistic commit     | commit_txn.go:11, conflict.go:81| O_EXCL manifest create + diff rebase |
+| compaction            | compaction_planner.go:34-254    | bin-packed rewrite commit |
+| vacuum                | cleanup.go:17-101               | retention sweep of unreferenced files |
+| statistics            | statistics.go:16-165            | parquet-footer stats in the manifest |
+| file pruning          | zonemap_index.go:18-63          | manifest min/max pruning before the scan |
+| schema evolution      | sdk/dataset.go:623-816          | manifest schema rewrite + scan-time defaults |
+
+Scale design: every data movement is a Spark job over only the affected
+fragments (copy-on-write touches matched files, merge-on-read deletion
+vectors avoid rewrites entirely); metadata is O(fragments) JSON on the
+driver. Commits are a single atomic file create, so writers on a shared
+store (S3 conditional put / HDFS rename) follow the identical protocol.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from plan_spark.dataset.manifest import Fragment, Manifest
+
+
+class ConflictError(Exception):
+    """Concurrent commit cannot be rebased (reference: conflict.go:81)."""
+
+
+_FILE_COL = "__ds_file"
+_POS_COL = "__ds_pos"
+
+
+def _stat_key(v: Any) -> Any:
+    """Normalize a stat/filter value for ordering comparisons."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _collect_stats(local_path: str) -> tuple[int, int, dict[str, dict[str, Any]]]:
+    """Rows, bytes, per-column min/max/nulls from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(local_path)
+    md = pf.metadata
+    stats: dict[str, dict[str, Any]] = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        mn = mx = None
+        nulls = 0
+        ok = True
+        for ri in range(md.num_row_groups):
+            st = md.row_group(ri).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            nulls += st.null_count or 0
+            cmn, cmx = st.min, st.max
+            if isinstance(cmn, bytes):
+                ok = False
+                break
+            mn = cmn if mn is None or _stat_key(cmn) < _stat_key(mn) else mn
+            mx = cmx if mx is None or _stat_key(cmx) > _stat_key(mx) else mx
+        if ok and mn is not None:
+            if isinstance(mn, (_dt.datetime, _dt.date)):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+    return md.num_rows, os.path.getsize(local_path), stats
+
+
+@dataclass
+class _Txn:
+    """Diff of one operation vs its read version — the rebase unit."""
+
+    op: str
+    read_version: int
+    added: list[Fragment] = field(default_factory=list)
+    removed_ids: set[int] = field(default_factory=set)
+    new_deletes: dict[int, list[str]] = field(default_factory=dict)
+    schema_json: str | None = None
+    column_defaults: dict[str, str] | None = None
+
+
+class Dataset:
+    """A versioned Parquet table rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._manifest: Manifest | None = None
+
+    # ------------------------------------------------------------------ io
+    @property
+    def _versions_dir(self) -> str:
+        return os.path.join(self.path, "_versions")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._versions_dir, f"{version:08d}.manifest.json")
+
+    def _latest_version(self) -> int:
+        if not os.path.isdir(self._versions_dir):
+            return 0
+        vs = [
+            int(f.split(".")[0])
+            for f in os.listdir(self._versions_dir)
+            if f.endswith(".manifest.json")
+        ]
+        return max(vs, default=0)
+
+    def _load(self, version: int) -> Manifest:
+        with open(self._manifest_path(version)) as fh:
+            return Manifest.from_json(fh.read())
+
+    # --------------------------------------------------------- construction
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame | None = None) -> "Dataset":
+        ds = cls(spark, path)
+        if ds._latest_version() > 0:
+            raise ValueError(f"dataset already exists at {path}")
+        os.makedirs(ds._versions_dir, exist_ok=True)
+        os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
+        schema = df.schema if df is not None else StructType([])
+        frags: list[Fragment] = []
+        maxid = 0
+        if df is not None:
+            frags = ds._write_fragments(df, start_id=1)
+            maxid = max((f.id for f in frags), default=0)
+        m = Manifest(
+            version=1,
+            parent=None,
+            operation="create",
+            schema_json=schema.json(),
+            fragments=frags,
+            max_fragment_id=maxid,
+        )
+        ds._commit_new(m)
+        ds._manifest = m
+        return ds
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, version: int | None = None) -> "Dataset":
+        ds = cls(spark, path)
+        v = version if version is not None else ds._latest_version()
+        if v == 0:
+            raise FileNotFoundError(f"no dataset at {path}")
+        ds._manifest = ds._load(v)
+        return ds
+
+    # ------------------------------------------------------------- properties
+    @property
+    def manifest(self) -> Manifest:
+        assert self._manifest is not None
+        return self._manifest
+
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.manifest.schema_json))
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._versions_dir)
+            if f.endswith(".manifest.json")
+        )
+
+    # ------------------------------------------------------------------ tags
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs.json")
+
+    def _refs(self) -> dict[str, int]:
+        if os.path.exists(self._refs_path):
+            with open(self._refs_path) as fh:
+                return json.load(fh)
+        return {}
+
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Named version pointer (reference: tags.go:9-32)."""
+        refs = self._refs()
+        refs[name] = version if version is not None else self.version
+        with open(self._refs_path, "w") as fh:
+            json.dump(refs, fh, indent=1, sort_keys=True)
+
+    def checkout(self, ref: int | str) -> "Dataset":
+        """Time travel to a version number or tag (sdk/dataset.go:1052)."""
+        v = self._refs()[ref] if isinstance(ref, str) else int(ref)
+        return Dataset.open(self.spark, self.path, version=v)
+
+    # --------------------------------------------------------------- writing
+    def _write_fragments(self, df: DataFrame, start_id: int) -> list[Fragment]:
+        """Write a DataFrame as new fragment files (one per output
+        partition) and collect footer stats. The write is a Spark job; only
+        footer reads happen on the driver."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        frags: list[Fragment] = []
+        fid = start_id
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.path, "data", name)
+            os.rename(os.path.join(staging, fn), dst)
+            rows, nbytes, stats = _collect_stats(dst)
+            if rows == 0:
+                os.remove(dst)
+                continue
+            frags.append(
+                Fragment(id=fid, path=f"data/{name}", rows=rows, bytes=nbytes, stats=stats)
+            )
+            fid += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return frags
+
+    # ------------------------------------------------------------- commit
+    def _commit_new(self, m: Manifest) -> None:
+        fd = os.open(self._manifest_path(m.version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(m.to_json())
+
+    def _commit(self, txn: _Txn) -> None:
+        """Optimistic commit: atomically create manifest v+1; on collision,
+        rebase the diff onto the winner when the ops are compatible
+        (reference: commit_txn.go:11 + conflict.go:33-364 Rebase)."""
+        read_m = self._load(txn.read_version)
+        base = self._load(self._latest_version())
+        while True:
+            new_m = self._apply(txn, base, read_m)
+            try:
+                self._commit_new(new_m)
+                self._manifest = new_m
+                return
+            except FileExistsError:
+                base = self._load(self._latest_version())
+
+    def _apply(self, txn: _Txn, base: Manifest, read_m: Manifest) -> Manifest:
+        if txn.op == "overwrite" and base.version != txn.read_version:
+            raise ConflictError(
+                f"overwrite read v{txn.read_version} but v{base.version} committed"
+            )
+        base_ids = base.fragment_ids()
+        touched = txn.removed_ids | set(txn.new_deletes)
+        missing = touched - base_ids
+        if missing:
+            raise ConflictError(
+                f"{txn.op} touches fragments {sorted(missing)} removed by a "
+                f"concurrent commit (read v{txn.read_version}, base v{base.version})"
+            )
+        if touched and base.version != txn.read_version:
+            # concurrent deletion vectors on the same fragments => lost-update
+            read_dels = {f.id: tuple(f.deletion_files) for f in read_m.fragments}
+            for f in base.fragments:
+                if f.id in touched and tuple(f.deletion_files) != read_dels.get(f.id, ()):
+                    raise ConflictError(
+                        f"fragment {f.id} modified concurrently (deletion vectors)"
+                    )
+        fragments: list[Fragment] = []
+        if txn.op == "overwrite":
+            fragments = list(txn.added)
+        else:
+            for f in base.fragments:
+                if f.id in txn.removed_ids:
+                    continue
+                if f.id in txn.new_deletes:
+                    f = Fragment(
+                        id=f.id,
+                        path=f.path,
+                        rows=f.rows,
+                        bytes=f.bytes,
+                        stats=f.stats,
+                        deletion_files=list(f.deletion_files) + txn.new_deletes[f.id],
+                    )
+                fragments.append(f)
+            fragments.extend(txn.added)
+        maxid = max(
+            [base.max_fragment_id] + [f.id for f in fragments], default=0
+        )
+        return Manifest(
+            version=base.version + 1,
+            parent=base.version,
+            operation=txn.op,
+            schema_json=txn.schema_json or base.schema_json,
+            fragments=fragments,
+            max_fragment_id=maxid,
+            column_defaults=(
+                txn.column_defaults
+                if txn.column_defaults is not None
+                else dict(base.column_defaults)
+            ),
+        )
+
+    # ----------------------------------------------------------------- scan
+    def _prunable(self, f: Fragment, filters) -> bool:
+        """True if fragment stats prove no row can match (zonemap pruning —
+        reference zonemap_index.go:18-63, index_selector.go:36)."""
+        for col, op, val in filters or []:
+            st = f.stats.get(col)
+            if not st:
+                continue
+            lo, hi, v = _stat_key(st["min"]), _stat_key(st["max"]), _stat_key(val)
+            if op == "=" and (v < lo or v > hi):
+                return True
+            if op in (">", ">=") and (hi < v or (op == ">" and hi == v)):
+                return True
+            if op in ("<", "<=") and (lo > v or (op == "<" and lo == v)):
+                return True
+        return False
+
+    def plan_scan(self, filters=None) -> tuple[list[Fragment], list[Fragment]]:
+        """(selected, pruned) fragments for a filtered scan — the engine's
+        EXPLAIN surface for file pruning."""
+        sel, pruned = [], []
+        for f in self.manifest.fragments:
+            (pruned if self._prunable(f, filters) else sel).append(f)
+        return sel, pruned
+
+    def to_df(self, filters=None) -> DataFrame:
+        """Snapshot scan: manifest pruning -> parquet scan (Catalyst pushes
+        the residual filters) -> merge-on-read anti-join of deletion vectors."""
+        m = self.manifest
+        schema = self.schema
+        sel, _ = self.plan_scan(filters)
+        if not sel:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f.path) for f in sel]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        del_files = sorted({d for f in sel for d in f.deletion_files})
+        if del_files:
+            df = df.withColumn(
+                _FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            ).withColumn(_POS_COL, F.col("_metadata.row_index"))
+            dels = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in del_files]
+            )
+            df = df.join(
+                dels,
+                (df[_FILE_COL] == dels["file"]) & (df[_POS_COL] == dels["pos"]),
+                "left_anti",
+            ).drop(_FILE_COL, _POS_COL)
+        for colname, default_expr in m.column_defaults.items():
+            if colname in df.columns:
+                df = df.withColumn(
+                    colname, F.coalesce(F.col(colname), F.expr(default_expr))
+                )
+        for col, op, val in filters or []:
+            ops = {
+                "=": F.col(col) == val,
+                ">": F.col(col) > val,
+                ">=": F.col(col) >= val,
+                "<": F.col(col) < val,
+                "<=": F.col(col) <= val,
+            }
+            df = df.filter(ops[op])
+        return df
+
+    def _scan_with_lineage(self, frags: list[Fragment]) -> DataFrame:
+        """Scan given fragments with (file basename, row position) lineage
+        columns, deletion vectors applied — the input to mutation planning."""
+        paths = [os.path.join(self.path, f.path) for f in frags]
+        df = (
+            self.spark.read.schema(self.schema)
+            .parquet(*paths)
+            .withColumn(
+                _FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            )
+            .withColumn(_POS_COL, F.col("_metadata.row_index"))
+        )
+        del_files = sorted({d for f in frags for d in f.deletion_files})
+        if del_files:
+            dels = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in del_files]
+            )
+            df = df.join(
+                dels,
+                (df[_FILE_COL] == dels["file"]) & (df[_POS_COL] == dels["pos"]),
+                "left_anti",
+            )
+        return df
+
+    def _frag_by_basename(self) -> dict[str, Fragment]:
+        return {os.path.basename(f.path): f for f in self.manifest.fragments}
+
+    # ------------------------------------------------------------ mutations
+    def append(self, df: DataFrame) -> "Dataset":
+        start = self.manifest.max_fragment_id + 1
+        frags = self._write_fragments(df, start_id=start)
+        self._commit(_Txn(op="append", read_version=self.version, added=frags))
+        return self
+
+    def overwrite(self, df: DataFrame) -> "Dataset":
+        frags = self._write_fragments(df, start_id=self.manifest.max_fragment_id + 1)
+        self._commit(
+            _Txn(
+                op="overwrite",
+                read_version=self.version,
+                added=frags,
+                schema_json=df.schema.json(),
+            )
+        )
+        return self
+
+    def delete(self, predicate: str) -> "Dataset":
+        """Predicate delete via deletion vectors — no data rewrite
+        (reference: deletion_bitmap.go:31-171). Fully-dead fragments are
+        dropped from the manifest instead."""
+        m = self.manifest
+        if not m.fragments:
+            return self
+        scan = self._scan_with_lineage(m.fragments)
+        hits = scan.filter(F.expr(predicate)).select(
+            F.col(_FILE_COL).alias("file"), F.col(_POS_COL).alias("pos")
+        )
+        per_file = {r["file"]: r["cnt"] for r in hits.groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        if not per_file:
+            return self
+        by_name = self._frag_by_basename()
+        live = {
+            os.path.basename(f.path): f.rows - self._deleted_rows(f)
+            for f in m.fragments
+        }
+        dead_ids = {
+            by_name[fn].id for fn, cnt in per_file.items() if cnt >= live[fn]
+        }
+        partial = {fn for fn in per_file if by_name[fn].id not in dead_ids}
+        new_deletes: dict[int, list[str]] = {}
+        if partial:
+            name = f"deletes/{uuid.uuid4().hex}.parquet"
+            staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+            hits.filter(F.col("file").isin(*partial)).coalesce(1).write.parquet(staging)
+            part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+            os.rename(os.path.join(staging, part), os.path.join(self.path, name))
+            shutil.rmtree(staging, ignore_errors=True)
+            new_deletes = {by_name[fn].id: [name] for fn in partial}
+        self._commit(
+            _Txn(
+                op="delete",
+                read_version=self.version,
+                removed_ids=dead_ids,
+                new_deletes=new_deletes,
+            )
+        )
+        return self
+
+    def _deleted_rows(self, f: Fragment) -> int:
+        if not f.deletion_files:
+            return 0
+        dels = self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in f.deletion_files]
+        )
+        return dels.filter(F.col("file") == os.path.basename(f.path)).count()
+
+    def update(self, assignments: dict[str, str], predicate: str) -> "Dataset":
+        """Copy-on-write UPDATE (reference: update.go:20-82): only fragments
+        containing matches are rewritten; the rest are untouched metadata."""
+        m = self.manifest
+        scan = self._scan_with_lineage(m.fragments)
+        affected = {
+            r[_FILE_COL]
+            for r in scan.filter(F.expr(predicate)).select(_FILE_COL).distinct().collect()
+        }
+        if not affected:
+            return self
+        by_name = self._frag_by_basename()
+        aff_frags = [by_name[fn] for fn in sorted(affected)]
+        rewritten = self._scan_with_lineage(aff_frags).drop(_FILE_COL, _POS_COL)
+        for col, expr in assignments.items():
+            rewritten = rewritten.withColumn(
+                col,
+                F.when(F.expr(predicate), F.expr(expr)).otherwise(F.col(col)),
+            )
+        frags = self._write_fragments(rewritten, start_id=m.max_fragment_id + 1)
+        self._commit(
+            _Txn(
+                op="update",
+                read_version=self.version,
+                added=frags,
+                removed_ids={f.id for f in aff_frags},
+            )
+        )
+        return self
+
+    def merge_insert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+    ) -> "Dataset":
+        """MERGE (upsert) — reference merge_insert.go:19-134: WhenMatched
+        Update/Delete x WhenNotMatched Insert, matching on key columns.
+
+        Copy-on-write: fragments with key matches are rewritten via a join
+        against the (broadcastable) source; unmatched source rows append."""
+        m = self.manifest
+        scan = self._scan_with_lineage(m.fragments)
+        src = source
+        skeys = [F.col(k) for k in keys]
+        matched_files = {
+            r[_FILE_COL]
+            for r in scan.join(src, keys, "left_semi").select(_FILE_COL).distinct().collect()
+        }
+        removed: set[int] = set()
+        added: list[Fragment] = []
+        next_id = m.max_fragment_id + 1
+        if matched_files and when_matched:
+            by_name = self._frag_by_basename()
+            aff = [by_name[fn] for fn in sorted(matched_files)]
+            tgt = self._scan_with_lineage(aff).drop(_FILE_COL, _POS_COL)
+            if when_matched == "update":
+                non_keys = [c for c in tgt.columns if c not in keys]
+                src_renamed = src.select(
+                    *skeys, *[F.col(c).alias(f"__src_{c}") for c in non_keys]
+                )
+                joined = tgt.join(src_renamed, keys, "left")
+                out = joined.select(
+                    *keys,
+                    *[
+                        F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c)
+                        for c in non_keys
+                    ],
+                ).select(*tgt.columns)
+            elif when_matched == "delete":
+                out = tgt.join(src, keys, "left_anti")
+            else:
+                raise ValueError(when_matched)
+            new_frags = self._write_fragments(out, start_id=next_id)
+            next_id += len(new_frags)
+            added.extend(new_frags)
+            removed = {f.id for f in aff}
+        if when_not_matched == "insert":
+            inserts = src.join(scan.select(*keys), keys, "left_anti").select(
+                *self.schema.fieldNames()
+            )
+            ins_frags = self._write_fragments(inserts, start_id=next_id)
+            added.extend(ins_frags)
+        self._commit(
+            _Txn(
+                op="merge",
+                read_version=self.version,
+                added=added,
+                removed_ids=removed,
+            )
+        )
+        return self
+
+    # ------------------------------------------------- schema evolution
+    def add_column(self, name: str, dtype: str, default: str = "NULL") -> "Dataset":
+        """Metadata-only add (reference sdk/dataset.go:623 AddColumns):
+        existing fragments lack the column; scans fill it with the default."""
+        schema = self.schema.add(name, dtype)
+        defaults = dict(self.manifest.column_defaults)
+        defaults[name] = default
+        self._commit(
+            _Txn(
+                op="schema",
+                read_version=self.version,
+                schema_json=schema.json(),
+                column_defaults=defaults,
+            )
+        )
+        return self
+
+    def drop_column(self, name: str) -> "Dataset":
+        """Metadata-only drop (DropColumns): the stored schema no longer
+        mentions the column, so scans never read it (column pruning)."""
+        schema = StructType([f for f in self.schema.fields if f.name != name])
+        defaults = {
+            k: v for k, v in self.manifest.column_defaults.items() if k != name
+        }
+        self._commit(
+            _Txn(
+                op="schema",
+                read_version=self.version,
+                schema_json=schema.json(),
+                column_defaults=defaults,
+            )
+        )
+        return self
+
+    # ------------------------------------------------------ maintenance
+    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> "Dataset":
+        """Bin-packing compaction (reference compaction_planner.go:34-254):
+        greedily pack small fragments into ~target_bytes bins, rewrite each
+        bin as one file (materializing its deletion vectors), commit as a
+        rewrite. Logical content is unchanged."""
+        m = self.manifest
+        small = [f for f in m.fragments if f.bytes < target_bytes]
+        if len(small) < 2:
+            return self
+        bins: list[list[Fragment]] = []
+        cur: list[Fragment] = []
+        size = 0
+        for f in sorted(small, key=lambda x: x.bytes):
+            if cur and size + f.bytes > target_bytes:
+                bins.append(cur)
+                cur, size = [], 0
+            cur.append(f)
+            size += f.bytes
+        if cur:
+            bins.append(cur)
+        bins = [b for b in bins if len(b) >= 2]
+        if not bins:
+            return self
+        added: list[Fragment] = []
+        next_id = m.max_fragment_id + 1
+        for b in bins:
+            df = self._scan_with_lineage(b).drop(_FILE_COL, _POS_COL).coalesce(1)
+            frags = self._write_fragments(df, start_id=next_id)
+            next_id += len(frags)
+            added.extend(frags)
+        self._commit(
+            _Txn(
+                op="rewrite",
+                read_version=self.version,
+                added=added,
+                removed_ids={f.id for b in bins for f in b},
+            )
+        )
+        return self
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Retention sweep (reference cleanup.go:17-101): drop manifests
+        beyond the retention window (tagged versions are pinned) and any
+        data/deletion file no kept version references. Returns removed paths."""
+        all_vs = self.versions()
+        keep = set(all_vs[-keep_versions:]) | set(self._refs().values())
+        referenced: set[str] = set()
+        for v in keep:
+            mv = self._load(v)
+            for f in mv.fragments:
+                referenced.add(f.path)
+                referenced.update(f.deletion_files)
+        removed: list[str] = []
+        for sub in ("data", "deletes"):
+            d = os.path.join(self.path, sub)
+            for fn in os.listdir(d):
+                rel = f"{sub}/{fn}"
+                if rel not in referenced:
+                    os.remove(os.path.join(d, fn))
+                    removed.append(rel)
+        for v in all_vs:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+                removed.append(f"_versions/{v:08d}.manifest.json")
+        return removed
+
+    def statistics(self) -> dict[str, Any]:
+        """Dataset-level stats from the manifest (statistics.go:16-165)."""
+        m = self.manifest
+        return {
+            "version": m.version,
+            "fragments": len(m.fragments),
+            "rows_physical": sum(f.rows for f in m.fragments),
+            "bytes": sum(f.bytes for f in m.fragments),
+            "deletion_files": sum(len(f.deletion_files) for f in m.fragments),
+        }

@@ -1,0 +1,57 @@
+"""Manifest: one JSON snapshot per dataset version.
+
+Reference parity: storage2's Manifest is the version snapshot pointing at
+Fragments -> DataFiles + DeletionFiles (/root/reference/pkg/storage2/
+manifest.go:17-43, fragment.go:8-35); versions live one file each
+(version.go:20-42 `_versions/N.manifest`). Same model here, JSON instead of
+protobuf — metadata volume is tiny next to the data.
+
+Each fragment carries row count + per-column min/max/null-count stats
+(reference: statistics.go:16-165, zonemap_index.go:18-63) which the scan
+planner uses for file-level pruning before Spark ever sees the file list.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+@dataclass
+class Fragment:
+    id: int
+    path: str  # relative to dataset root
+    rows: int
+    bytes: int
+    # col -> {"min": v, "max": v, "nulls": n} (JSON-encodable scalars)
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # deletion-vector sidecars (relative paths), applied merge-on-read
+    deletion_files: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    operation: str  # create|append|overwrite|delete|update|merge|rewrite|schema
+    schema_json: str  # Spark StructType JSON
+    fragments: list[Fragment] = field(default_factory=list)
+    max_fragment_id: int = 0
+    timestamp: float = field(default_factory=lambda: time.time())
+    # added-column name -> SQL default expression (schema evolution backfill)
+    column_defaults: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        d["fragments"] = [Fragment(**f) for f in d["fragments"]]
+        return Manifest(**d)
+
+    def fragment_ids(self) -> set[int]:
+        return {f.id for f in self.fragments}

@@ -1,0 +1,161 @@
+"""Oracle-checked queries over the versioned dataset layer.
+
+Each query runs a full dataset lifecycle (create -> mutate -> scan) in a
+scratch directory and returns a deterministic aggregate; the DuckDB oracle
+reproduces the same logical result directly against the source views — so
+DELETE / MERGE / time travel / pruning are all value-checked by the
+driver's gate, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.dataset import Dataset
+from plan_spark.queries.common import dec
+from plan_spark.registry import register
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = os.path.join(tempfile.gettempdir(), "plan_spark_q", f"{name}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+_DS_DELETE_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE NOT (l_quantity > 45)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("ds_delete_scan", oracle=_DS_DELETE_SQL, tags=("dataset", "delete"))
+def ds_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via deletion vectors, then snapshot scan: the survivors must
+    equal a plain relational filter (merge-on-read anti-join correctness)."""
+    path = _scratch("ds_delete", sf_dir)
+    ds = Dataset.create(spark, path, table(spark, sf_dir, "lineitem").repartition(8))
+    ds.delete("l_quantity > 45")
+    return (
+        ds.to_df()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_DS_MERGE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'X', 5.0 FROM orders WHERE o_orderkey % 100 = 1
+) merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("ds_merge_scan", oracle=_DS_MERGE_SQL, tags=("dataset", "merge"))
+def ds_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (update matched keys + insert new keys), then scan —
+    the reference's merge_insert.go:19-134 semantics value-checked against
+    a relational emulation."""
+    path = _scratch("ds_merge", sf_dir)
+    ords = table(spark, sf_dir, "orders")
+    ds = Dataset.create(spark, path, ords.repartition(8))
+    updates = ords.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    inserts = ords.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(5.0).alias("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    ds.merge_insert(updates.unionByName(inserts), keys=["o_orderkey"])
+    return (
+        ds.to_df()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DS_TIMETRAVEL_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("ds_timetravel", oracle=_DS_TIMETRAVEL_SQL, tags=("dataset", "timetravel"))
+def ds_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after a destructive DELETE at v2, reading v1 must still
+    reproduce the original table exactly (manifest-per-version isolation,
+    reference version.go:20-42)."""
+    path = _scratch("ds_tt", sf_dir)
+    ds = Dataset.create(spark, path, table(spark, sf_dir, "customer").repartition(4))
+    ds.tag("v1")
+    ds.delete("c_mktsegment = 'BUILDING'")
+    old = ds.checkout("v1")
+    return (
+        old.to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_DS_PRUNED_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+"""
+
+
+@register("ds_pruned_scan", oracle=_DS_PRUNED_SQL, tags=("dataset", "pruning"))
+def ds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap-style file pruning: the dataset is range-partitioned on
+    o_orderdate so the manifest's min/max stats eliminate most fragments
+    before Spark plans the scan (reference zonemap_index.go:18-63); the
+    filtered result must still match the plain relational filter."""
+    path = _scratch("ds_prune", sf_dir)
+    ords = table(spark, sf_dir, "orders").repartitionByRange(8, "o_orderdate")
+    ds = Dataset.create(spark, path, ords)
+    cutoff = datetime.datetime(2000, 1, 1)
+    sel, pruned = ds.plan_scan(filters=[("o_orderdate", ">=", cutoff)])
+    assert pruned, "expected manifest pruning to skip fragments"
+    return ds.to_df(filters=[("o_orderdate", ">=", cutoff)]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )

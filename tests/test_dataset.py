@@ -1,0 +1,179 @@
+"""Versioned dataset layer: lifecycle, mutations, time travel, conflicts,
+compaction, vacuum, pruning — mirrors the reference's storage2/SDK test
+surface (sdk/*_test.go, pkg/storage2 conflict/compaction/cleanup tests)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plan_spark.dataset import ConflictError, Dataset
+
+
+@pytest.fixture()
+def tmp_path_ds():
+    d = tempfile.mkdtemp(prefix="plan_spark_ds_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 2.5).alias("val"),
+    )
+
+
+def test_create_scan_roundtrip(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    assert ds.version == 1
+    assert ds.to_df().count() == 1000
+    assert sorted(ds.to_df().columns) == ["grp", "id", "val"]
+
+
+def test_append_and_time_travel(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.append(spark.range(1000, 1500).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), (F.col("id") * 2.5).alias("val")))
+    assert ds.version == 2
+    assert ds.to_df().count() == 1500
+    old = ds.checkout(1)
+    assert old.to_df().count() == 1000
+    ds.tag("before-append", 1)
+    assert ds.checkout("before-append").to_df().count() == 1000
+
+
+def test_delete_with_deletion_vectors(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(4))
+    ds.delete("grp = 3")
+    assert ds.to_df().count() == 900
+    assert ds.to_df().filter("grp = 3").count() == 0
+    # merge-on-read: physical rows unchanged, deletion files attached
+    st = ds.statistics()
+    assert st["rows_physical"] == 1000
+    assert st["deletion_files"] >= 1
+    # old version still sees everything
+    assert ds.checkout(1).to_df().count() == 1000
+
+
+def test_delete_drops_dead_fragments(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartitionByRange(4, "id"))
+    before = len(ds.manifest.fragments)
+    ds.delete("id < 250")  # kills whole range fragments
+    assert ds.to_df().count() == 750
+    assert len(ds.manifest.fragments) < before
+
+
+def test_update(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.update({"val": "val + 1000.0"}, "grp = 1")
+    out = ds.to_df()
+    assert out.count() == 1000
+    assert out.filter("grp = 1 AND val <> id * 2.5 + 1000.0").count() == 0
+    assert out.filter("grp <> 1 AND val <> id * 2.5").count() == 0
+
+
+def test_merge_upsert(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    src = spark.range(990, 1010).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(-1.0).alias("val")
+    )
+    ds.merge_insert(src, keys=["id"])
+    out = ds.to_df()
+    assert out.count() == 1010
+    assert out.filter("val = -1.0").count() == 20
+    assert out.filter("id = 995 AND val = -1.0").count() == 1
+
+
+def test_merge_delete(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    src = spark.range(0, 100).select(F.col("id"))
+    ds.merge_insert(src, keys=["id"], when_matched="delete", when_not_matched=None)
+    assert ds.to_df().count() == 900
+
+
+def test_conflict_append_append_rebases(spark, tmp_path_ds, base_df):
+    ds1 = Dataset.create(spark, tmp_path_ds, base_df)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    extra = spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(0.0).alias("val"))
+    ds1.append(extra)
+    ds2.append(extra)  # stale read version -> rebases onto ds1's commit
+    latest = Dataset.open(spark, tmp_path_ds)
+    assert latest.version == 3
+    assert latest.to_df().count() == 1200
+
+
+def test_conflict_delete_delete_raises(spark, tmp_path_ds, base_df):
+    ds1 = Dataset.create(spark, tmp_path_ds, base_df)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    ds1.delete("grp = 3")
+    with pytest.raises(ConflictError):
+        ds2.delete("grp = 3")  # same fragments touched concurrently
+
+
+def test_conflict_overwrite_raises(spark, tmp_path_ds, base_df):
+    ds1 = Dataset.create(spark, tmp_path_ds, base_df)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    ds1.append(spark.range(1000, 1001).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(0.0).alias("val")))
+    with pytest.raises(ConflictError):
+        ds2.overwrite(spark.range(5).select(
+            F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(0.0).alias("val")))
+
+
+def test_schema_evolution(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.add_column("flag", "string", default="'new'")
+    out = ds.to_df()
+    assert "flag" in out.columns
+    assert out.filter("flag = 'new'").count() == 1000
+    ds.drop_column("flag")
+    assert "flag" not in ds.to_df().columns
+    # old data still scannable after append with new schema
+    ds.add_column("score", "double", default="0.0")
+    ds.append(
+        spark.range(1000, 1010).select(
+            F.col("id"), (F.col("id") % 10).alias("grp"),
+            F.lit(1.0).alias("val"), F.lit(9.9).alias("score"))
+    )
+    out = ds.to_df()
+    assert out.filter("score = 9.9").count() == 10
+    assert out.filter("score = 0.0").count() == 1000
+
+
+def test_compaction_preserves_content(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(8))
+    ds.delete("id % 7 = 0")
+    before = ds.to_df().groupBy("grp").agg(F.sum("val").alias("s")).collect()
+    nfrag_before = len(ds.manifest.fragments)
+    ds.compact()
+    assert len(ds.manifest.fragments) < nfrag_before
+    after = ds.to_df().groupBy("grp").agg(F.sum("val").alias("s")).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # compaction materialized the deletion vectors
+    assert ds.statistics()["deletion_files"] == 0
+
+
+def test_vacuum(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(4))
+    ds.delete("grp = 0")
+    ds.compact()
+    removed = ds.vacuum(keep_versions=1)
+    assert removed  # old fragments + manifests swept
+    assert ds.versions() == [ds.version]
+    assert Dataset.open(spark, ds.path).to_df().count() == 900
+
+
+def test_stats_pruning(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartitionByRange(5, "id"))
+    sel, pruned = ds.plan_scan(filters=[("id", ">=", 900)])
+    assert pruned, "range fragments below 900 must be pruned"
+    assert ds.to_df(filters=[("id", ">=", 900)]).count() == 100
+    sel2, pruned2 = ds.plan_scan(filters=[("id", "=", 42)])
+    assert len(sel2) == 1

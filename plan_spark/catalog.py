@@ -49,6 +49,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a micros timestamp via exact integer division (the fixture values are
     whole microseconds, and DuckDB's reader lands on the same micros value).
     """
+    if name == "events":
+        # runtime-settable SQL conf: required on ANY session (the driver's
+        # harness builds its own vanilla SparkSession, not get_spark()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

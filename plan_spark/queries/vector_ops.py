@@ -209,3 +209,138 @@ def emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (sign-LSH banding + exact rescore)
+# ---------------------------------------------------------------------------
+# Reference capability anchor: storage2's BQ (binary/sign) quantizer +
+# Hamming metric (/root/reference/pkg/storage2/bq_quantizer.go:14-21,177-190,
+# distance_metrics.go:12-96) — the same random-hyperplane sign trick, used
+# here for near-dup blocking instead of index compression.
+#
+# The hyperplanes are ±1 weights derived from md5 at module load, embedded as
+# LITERALS in both the Spark plan and the DuckDB oracle, so candidate
+# generation is bit-identical in both engines (recall is a property of the
+# banding, not a correctness concern — both engines see the same bands).
+#
+# Scale: signatures are a narrow map over the table (no shuffle, no Python);
+# the only joins are (band, bkey) self-join for candidates and two vec_id
+# lookups for the exact rescore. At 100 TB you raise _LSH_BITS / rows-per-band
+# so bucket fan-in stays bounded; candidates ~ O(near-dups), never O(n^2).
+
+_LSH_DIM = 64   # embeddings fixture dimension (TESTDATA.md)
+_LSH_BITS = 16  # 4 bands x 4 bits
+_LSH_BANDS = 4
+_NEARDUP_TAU = 0.4
+
+
+def _lsh_weights() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}#{j}".encode()).digest()[0] % 2 == 0 else -1.0
+            for j in range(_LSH_DIM)
+        ]
+        for i in range(_LSH_BITS)
+    ]
+
+
+_W = _lsh_weights()
+
+
+def _proj_sql(i: int) -> str:
+    lits = "[" + ",".join(str(int(w)) for w in _W[i]) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip(v, {lits}),"
+        " x -> x[1] * x[2])), (acc, y) -> acc + y)"
+    )
+
+
+_SIG_COLS = ",\n       ".join(f"{_proj_sql(i)} AS p{i}" for i in range(_LSH_BITS))
+_BIT_COLS = ",\n       ".join(
+    f"CASE WHEN p{i} > 0 THEN 1 ELSE 0 END AS b{i}" for i in range(_LSH_BITS)
+)
+_BAND_ROWS = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, "
+    + " + ".join(f"b{4*b+t} * {1 << (3 - t)}" for t in range(4))
+    + " AS bkey FROM bits"
+    for b in range(_LSH_BANDS)
+)
+
+_DEDUP_EMBED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id,
+       {_SIG_COLS}
+  FROM e),
+bits AS (
+  SELECT vec_id,
+       {_BIT_COLS}
+  FROM sig),
+bands AS (
+  {_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+SELECT c.da, c.db,
+       {_DOT.format(a="x.v", b="y.v")}
+         / sqrt({_SQ.format(a="x.v")} * {_SQ.format(a="y.v")}) AS cos_sim
+FROM cand c JOIN e x ON x.vec_id = c.da JOIN e y ON y.vec_id = c.db
+WHERE {_DOT.format(a="x.v", b="y.v")}
+         / sqrt({_SQ.format(a="x.v")} * {_SQ.format(a="y.v")}) >= {_NEARDUP_TAU}
+ORDER BY da, db
+"""
+
+
+@register("dedup_embed", oracle=_DEDUP_EMBED_SQL, tags=("dedup", "vector", "lsh"))
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH signature (16 bits from fixed ±1
+    hyperplanes) -> 4-band bucketing -> bucket self-join candidates -> exact
+    cosine rescore, keep pairs >= tau.
+
+    The hyperplane weights are module-level constants identical to the ones
+    baked into the oracle SQL, so both engines generate the same candidate
+    set and the same exact scores (sequential-fold double math, as knn_brute).
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def proj(i: int):
+        wlits = F.array(*[F.lit(w) for w in _W[i]])
+        return F.aggregate(
+            F.zip_with(F.col("v"), wlits, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+
+    bits = e.select(
+        "vec_id",
+        *[F.when(proj(i) > 0, 1).otherwise(0).alias(f"b{i}") for i in range(_LSH_BITS)],
+    )
+    bands = None
+    for b in range(_LSH_BANDS):
+        key = sum(F.col(f"b{4*b+t}") * F.lit(1 << (3 - t)) for t in range(4))
+        part = bits.select("vec_id", F.lit(b).alias("band"), key.alias("bkey"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("vec_id").alias("da"), "band", "bkey")
+    bb = bands.select(F.col("vec_id").alias("db"), "band", "bkey")
+    cand = (
+        a.join(bb, ["band", "bkey"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    x = e.select(F.col("vec_id").alias("da"), F.col("v").alias("xv"))
+    y = e.select(F.col("vec_id").alias("db"), F.col("v").alias("yv"))
+    cos = _dot(F.col("xv"), F.col("yv")) / F.sqrt(_sq(F.col("xv")) * _sq(F.col("yv")))
+    return (
+        cand.join(x, "da")
+        .join(y, "db")
+        .select("da", "db", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEARDUP_TAU)
+        .orderBy("da", "db")
+    )

@@ -107,6 +107,7 @@ class Dataset:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._manifest: Manifest | None = None
+        self._branch: str | None = None  # auto-advanced ref (see branch())
 
     # ------------------------------------------------------------------ io
     @property
@@ -253,6 +254,8 @@ class Dataset:
             try:
                 self._commit_new(new_m)
                 self._manifest = new_m
+                if self._branch:
+                    self.tag(self._branch, new_m.version)
                 return
             except FileExistsError:
                 base = self._load(self._latest_version())
@@ -667,6 +670,123 @@ class Dataset:
                 os.remove(self._manifest_path(v))
                 removed.append(f"_versions/{v:08d}.manifest.json")
         return removed
+
+    # ------------------------------------------- restore / clone / branches
+    def restore(self, version: int) -> "Dataset":
+        """Roll the table's CONTENT back to an old version as a new commit
+        (reference sdk/dataset.go Restore semantics): history is preserved,
+        the head advances, and the restored fragments are re-referenced —
+        no data is copied or rewritten."""
+        old = self._load(version)
+        self._commit(
+            _Txn(
+                op="overwrite",
+                read_version=self.version,
+                added=list(old.fragments),
+                schema_json=old.schema_json,
+                column_defaults=dict(old.column_defaults),
+            )
+        )
+        return self
+
+    def clone(self, dest: str, version: int | None = None) -> "Dataset":
+        """Shallow clone (reference sdk/dataset.go:886): a new dataset whose
+        v1 manifest references THIS dataset's files by absolute path. O(metadata)
+        — zero data movement; the clone then evolves independently (its own
+        mutations write into its own directory, and its vacuum never touches
+        files outside it)."""
+        src = self._load(version if version is not None else self.version)
+        ds = Dataset(self.spark, dest)
+        if ds._latest_version() > 0:
+            raise ValueError(f"dataset already exists at {dest}")
+        os.makedirs(ds._versions_dir, exist_ok=True)
+        os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
+        frags = [
+            Fragment(
+                id=f.id,
+                path=os.path.join(self.path, f.path),
+                rows=f.rows,
+                bytes=f.bytes,
+                stats=f.stats,
+                deletion_files=[os.path.join(self.path, d) for d in f.deletion_files],
+            )
+            for f in src.fragments
+        ]
+        m = Manifest(
+            version=1,
+            parent=None,
+            operation="clone",
+            schema_json=src.schema_json,
+            fragments=frags,
+            max_fragment_id=src.max_fragment_id,
+            column_defaults=dict(src.column_defaults),
+        )
+        ds._commit_new(m)
+        ds._manifest = m
+        return ds
+
+    def branch(self, name: str) -> "Dataset":
+        """Create/advance a mutable named ref (reference refs.go:17-68 —
+        branches vs immutable-by-convention tags) and return a handle whose
+        future commits auto-advance it. The version chain stays linear; a
+        branch is a moving pointer into it."""
+        self.tag(name, self.version)
+        b = Dataset.open(self.spark, self.path, version=self.version)
+        b._branch = name
+        return b
+
+    # ------------------------------------------------ detached transactions
+    def _staged_dir(self) -> str:
+        d = os.path.join(self.path, "_staged")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def stage_append(self, df: DataFrame) -> str:
+        """Detached transaction (reference detached_txn.go:23-192): write the
+        data files NOW against the current read version, stage the manifest
+        diff outside the version chain, commit later. Returns the stage id."""
+        frags = self._write_fragments(df, start_id=0)  # ids assigned at commit
+        sid = uuid.uuid4().hex
+        payload = {
+            "op": "append",
+            "read_version": self.version,
+            "added": [
+                {
+                    "path": f.path,
+                    "rows": f.rows,
+                    "bytes": f.bytes,
+                    "stats": f.stats,
+                }
+                for f in frags
+            ],
+        }
+        with open(os.path.join(self._staged_dir(), f"{sid}.json"), "w") as fh:
+            json.dump(payload, fh)
+        return sid
+
+    def staged(self) -> list[str]:
+        d = self._staged_dir()
+        return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))
+
+    def commit_staged(self, stage_id: str) -> "Dataset":
+        """Commit a previously staged transaction; the normal optimistic
+        rebase applies, so commits that landed since the stage are folded in."""
+        p = os.path.join(self._staged_dir(), f"{stage_id}.json")
+        with open(p) as fh:
+            payload = json.load(fh)
+        self._manifest = self._load(self._latest_version())
+        start = self.manifest.max_fragment_id + 1
+        frags = [
+            Fragment(id=start + i, path=a["path"], rows=a["rows"],
+                     bytes=a["bytes"], stats=a["stats"])
+            for i, a in enumerate(payload["added"])
+        ]
+        self._commit(
+            _Txn(op=payload["op"], read_version=payload["read_version"], added=frags)
+        )
+        os.remove(p)
+        return self
 
     def statistics(self) -> dict[str, Any]:
         """Dataset-level stats from the manifest (statistics.go:16-165)."""

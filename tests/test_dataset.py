@@ -177,3 +177,59 @@ def test_stats_pruning(spark, tmp_path_ds, base_df):
     assert ds.to_df(filters=[("id", ">=", 900)]).count() == 100
     sel2, pruned2 = ds.plan_scan(filters=[("id", "=", 42)])
     assert len(sel2) == 1
+
+
+def test_restore(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.delete("grp = 3")
+    assert ds.to_df().count() == 900
+    ds.restore(1)
+    assert ds.version == 3
+    assert ds.to_df().count() == 1000
+    # history preserved: the deleted state is still reachable
+    assert ds.checkout(2).to_df().count() == 900
+
+
+def test_shallow_clone(spark, tmp_path_ds, base_df):
+    import tempfile
+
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    dest = tempfile.mkdtemp(prefix="plan_spark_clone_")
+    try:
+        cl = ds.clone(dest)
+        assert cl.to_df().count() == 1000
+        # clone evolves independently of the source
+        cl.delete("grp = 0")
+        assert cl.to_df().count() == 900
+        assert ds.to_df().count() == 1000
+        # zero data copy: clone's own data dir is empty
+        import os
+
+        assert os.listdir(os.path.join(cl.path, "data")) == []
+    finally:
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_branch_auto_advances(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    b = ds.branch("dev")
+    b.append(base_df.limit(10))
+    assert b.checkout("dev").version == b.version == 2
+    b.delete("grp = 1")
+    assert b.checkout("dev").version == 3
+    # tags stay put
+    ds.tag("v1", 1)
+    assert ds.checkout("v1").version == 1
+
+
+def test_detached_txn_commits_after_concurrent_append(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid = ds.stage_append(base_df.limit(5))
+    assert sid in ds.staged()
+    # a concurrent commit lands before the staged txn commits
+    ds.append(base_df.limit(7))
+    ds.commit_staged(sid)
+    assert ds.to_df().count() == 1012
+    assert ds.staged() == []

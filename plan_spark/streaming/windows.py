@@ -148,3 +148,15 @@ def user_totals_stateful(spark: SparkSession, sf_dir: str):
     allb = pd.concat(collected, ignore_index=True)
     # last emitted row per user is the final state
     return allb.groupby("user_id", as_index=False).last()
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (6h length, 3h slide) x event_type with a
+    1h watermark — each event lands in two overlapping windows."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )

@@ -5,6 +5,7 @@ across the batch/streaming boundary."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
 from plan_spark.queries.analytics import sessionize, time_bucket_agg
@@ -62,3 +63,69 @@ def test_stateful_user_totals(spark):
         got2.astype({"user_id": "int64", "n_events": "int64"}),
         want.astype({"user_id": "int64", "n_events": "int64"}),
     )
+
+
+def test_sliding_stream_double_counts(spark):
+    """Every event falls in exactly two overlapping 6h/3h windows, so the
+    sliding total is 2x the tumbling/batch event count."""
+    from plan_spark.streaming.windows import sliding_counts_stream
+
+    out = run_available_now(
+        sliding_counts_stream(spark, SF_DIR), "sliding_t"
+    ).toPandas()
+    n_events = table(spark, SF_DIR, "events").count()
+    assert int(out["n"].sum()) == 2 * n_events
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: with a 1h watermark and update mode, a row arriving
+    a day behind the watermark is dropped from its (already finalized)
+    window. Two availableNow runs share a checkpoint, so the watermark from
+    run 1 (12:00) is recovered before run 2 sees the late row — this also
+    exercises state-store/watermark recovery."""
+    import os
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    batches: list[pd.DataFrame] = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda df, _id: batches.append(df.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(
+        [(i, f"2024-01-02 {h:02d}:00:00") for i, h in enumerate([10, 11, 12, 13])],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # watermark advances to 13:00 - 1h = 12:00
+
+    b2 = spark.createDataFrame(
+        [(100, "2024-01-01 05:00:00"), (101, "2024-01-02 13:30:00")],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # late Jan-1 row is behind the recovered watermark -> dropped
+
+    allb = pd.concat(batches, ignore_index=True)
+    got = set(allb["ws"].astype(str))
+    assert not any(k.startswith("2024-01-01") for k in got), got
+    # the on-time row of run 2 WAS aggregated
+    assert "2024-01-02 13:00:00" in got, got

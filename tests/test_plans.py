@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: the properties that make queries survive a
+100x scale-up — predicate pushdown to the parquet scan, column pruning,
+broadcast joins for dims, and a JVM-only hot path (no row-at-a-time Python
+anywhere). Mirrors the reference's optimizer guarantees (SURVEY.md §4.1)
+as executable assertions on Catalyst's output."""
+
+from __future__ import annotations
+
+import pytest
+
+from plan_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_pushdown_and_pruning(spark):
+    from plan_spark.queries.tpch import q6
+
+    p = _plan(spark, q6(spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipdate" in p          # filter reached the scan
+    assert "LessThan(l_quantity,24.0)" in p
+    # projection pruned to exactly the 4 referenced columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in p
+    )
+
+
+def test_q1_column_pruning(spark):
+    from plan_spark.queries.tpch import q1
+
+    p = _plan(spark, q1(spark, SF_DIR))
+    scan_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # 7 of lineitem's 13 columns — nothing else crosses the scan
+    assert scan_schema.count(":") == 7 + 1, scan_schema
+
+
+def test_q3_broadcasts_dims(spark):
+    from plan_spark.queries.tpch import q3
+
+    p = _plan(spark, q3(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side combine: q1's HashAggregate runs partial before the
+    exchange and final after — the shuffle carries group states, not rows."""
+    from plan_spark.queries.tpch import q1
+
+    p = _plan(spark, q1(spark, SF_DIR), mode="simple")
+    assert p.count("HashAggregate") >= 2
+    # a partial_* aggregate below the hash exchange = map-side combine
+    below_exchange = p.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_sum" in below_exchange and "partial_count" in below_exchange
+
+
+def test_asof_join_single_data_shuffle(spark):
+    """The as-of join is union + window: exactly one hash-partitioning
+    exchange of the unioned data by key — never a nested-loop or an
+    O(n^2) range join."""
+    from plan_spark.queries.analytics import asof_join_q
+
+    p = _plan(spark, asof_join_q(spark, SF_DIR), mode="simple")
+    assert "NestedLoop" not in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", sorted(load_all()))
+def test_no_row_python_in_plan(spark, name):
+    """Every declared operator keeps its hot path JVM-side: pandas/Arrow
+    (ArrowEvalPython, MapInPandas) is allowed where declared; row-at-a-time
+    Python UDFs (BatchEvalPython) are banned everywhere."""
+    spec = load_all()[name]
+    if name == "knn_ivf":
+        pytest.skip("KMeans fit executes at plan-build; covered by recall test")
+    p = _plan(spark, spec.fn(spark, SF_DIR), mode="simple")
+    assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"

@@ -60,39 +60,48 @@ ORDER BY doc_id
 def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25(k1=1.2, b=0.75) over a fixed term query.
 
-    Plan shape: explode -> filtered posting aggregate (only query terms
-    survive the filter, so the shuffle carries O(matches), not the corpus)
-    -> broadcast idf/corpus-stats joins -> per-doc score sum."""
+    Plan shape: per-term tf is a map-side array filter over the token
+    array (the query has a handful of terms — no explode, no posting
+    shuffle); ALL corpus statistics (n_docs, avgdl, per-term dfreq) come
+    from ONE single-row aggregate that broadcast-joins back; the score is
+    then a pure map-side expression. One full scan, one scalar shuffle.
+    At 100 TB with ad-hoc vocabularies the explode->posting shape (bucketed
+    by term) takes over; for query scoring this shape is strictly better."""
     d = _norm_docs(spark, sf_dir)
-    doclen = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
-    corpus = doclen.agg(
+    nt = len(_QUERY_TERMS)
+    base = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')")).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(_QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"dfreq_{i}")
+            for i in range(nt)
+        ],
     )
-    posting = (
-        d.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tf_part = (F.col("tf") * F.lit(_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        posting.join(F.broadcast(dfreq), "term")
-        .join(doclen, "doc_id")
-        .join(F.broadcast(corpus))
-        .select("doc_id", (idf * tf_part).alias("s"))
-    )
+    joined = base.join(F.broadcast(stats))
+    parts = []
+    for i in range(nt):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"dfreq_{i}") + F.lit(0.5))
+            / (F.col(f"dfreq_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_part = (F.col(f"tf_{i}") * F.lit(_K1 + 1.0)) / (
+            F.col(f"tf_{i}")
+            + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+        )
+        parts.append(F.when(F.col(f"tf_{i}") > 0, idf * tf_part).otherwise(F.lit(0.0)))
+    any_match = sum(F.col(f"tf_{i}") for i in range(nt)) > 0
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        joined.filter(any_match)
+        .select("doc_id", F.round(sum(parts), 6).alias("bm25"))
         .orderBy("doc_id")
     )
 

@@ -326,6 +326,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else doesn't, so candidate pairs ~ O(dups), not O(n^2). All
     hashing is md5 (JVM built-in), bit-identical to the DuckDB oracle."""
     d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 3)
+    # no shingle-dedup shuffle: MIN is duplicate-insensitive, so the repeated
+    # shingles of a doc can flow straight into the per-doc partial mins
     s = (
         d.select(
             "doc_id",
@@ -333,7 +335,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks",
         )
         .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3))).alias("sh"))
-        .distinct()
     )
     sig = s.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}") for i in range(8)]
@@ -401,24 +402,26 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit i of the signature is the sign of sum(+1/-1) over token-hash bit i.
     Token hash = first 8 hex chars of md5 — extracted nibble-by-nibble so
-    Spark and DuckDB agree exactly. Pure explode+groupBy: two shuffles,
-    fully partition-parallel (the 32x token fanout is map-side only)."""
+    Spark and DuckDB agree exactly.
+
+    Shape: array_distinct on the token array is map-side (single-pass, no
+    dedup shuffle), then ONE groupBy(doc_id) carries 32 conditional sums —
+    partial aggregation compresses the shuffle to one 32-column state row
+    per document, so the per-token fanout never crosses the wire."""
     d = _norm_docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode("toks").alias("tk")).distinct()
-    w = spark.createDataFrame(
-        [(p, b, 1 << ((8 - p) * 4 + b)) for p in range(1, 9) for b in range(4)],
-        "p int, b int, wt long",
+    tok = d.select("doc_id", F.explode(F.array_distinct("toks")).alias("tk"))
+    aggs = []
+    for p in range(1, 9):
+        for b in range(4):
+            bit_set = F.expr(
+                f"((instr('0123456789abcdef', substr(md5(tk), {p}, 1)) - 1)"
+                f" div {1 << b}) % 2 = 1"
+            )
+            aggs.append(F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"s_{p}_{b}"))
+    sig = tok.groupBy("doc_id").agg(*aggs)
+    total = sum(
+        F.when(F.col(f"s_{p}_{b}") > 0, F.lit(1 << ((8 - p) * 4 + b))).otherwise(0)
+        for p in range(1, 9)
+        for b in range(4)
     )
-    bit_set = F.expr(
-        "((instr('0123456789abcdef', substr(md5(tk), p, 1)) - 1) div (shiftleft(1, b))) % 2 = 1"
-    )
-    bits = (
-        tok.join(F.broadcast(w))
-        .groupBy("doc_id", "p", "b", "wt")
-        .agg(F.sum(F.when(bit_set, 1).otherwise(-1)).alias("s"))
-    )
-    return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") > 0, F.col("wt")).otherwise(0)).cast("bigint").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return sig.select("doc_id", total.cast("bigint").alias("simhash")).orderBy("doc_id")

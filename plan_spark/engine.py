@@ -146,10 +146,84 @@ class Engine:
                 df.createOrReplaceTempView(tname)
                 df.createOrReplaceTempView(f"{sname}_{tname}")
 
-    def sql(self, text: str) -> DataFrame:
-        """Query entry point: every catalog table is visible as a view;
-        parse/bind/optimize/execute is Catalyst (the reference's steps 3-9,
-        SURVEY.md §3.1, collapsed into one call)."""
+    def sql(self, text: str) -> DataFrame | None:
+        """SQL entry point mirroring the reference's server loop
+        (cmd/main/main.go:73-98): one front door for queries AND statements.
+
+        Queries: every catalog table is registered as a view and the text is
+        delegated to Catalyst (the reference's parse/bind/optimize/execute,
+        SURVEY.md §3.1 steps 3-9, collapsed into one call).
+
+        Statements (reference builder_ddl.go / builder_dml.go): CREATE
+        SCHEMA/TABLE, DROP TABLE, INSERT ... VALUES, COPY ... FROM,
+        DELETE FROM ... WHERE, UPDATE ... SET ... WHERE are routed to the
+        catalog/dataset layer. Statement literals and predicates are still
+        parsed by Spark (VALUES via a SELECT rewrite, predicates via
+        F.expr) — the engine never grows its own expression parser."""
+        import re
+
+        s = text.strip().rstrip(";").strip()
+        m = re.match(r"(?is)^CREATE\s+SCHEMA\s+(\w+)$", s)
+        if m:
+            self.create_schema(m.group(1))
+            return None
+        m = re.match(r"(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)$", s)
+        if m:
+            name, body = m.group(1), m.group(2)
+            cols, pk = [], []
+            for part in re.split(r",(?![^()]*\))", body):
+                part = part.strip()
+                pm = re.match(r"(?is)^PRIMARY\s+KEY\s*\((.*)\)$", part)
+                if pm:
+                    pk = [c.strip() for c in pm.group(1).split(",")]
+                    continue
+                cm = re.match(r"(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY|\s+NOT\s+NULL)*$", part)
+                colname, coltype = cm.group(1), cm.group(2)
+                if re.search(r"(?i)PRIMARY\s+KEY", part):
+                    pk.append(colname)
+                cols.append(f"{colname} {coltype}")
+            self.create_table(name, ", ".join(cols), primary_key=pk or None)
+            return None
+        m = re.match(r"(?is)^DROP\s+TABLE\s+(\w+)$", s)
+        if m:
+            self.drop_table(m.group(1))
+            return None
+        m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)$", s)
+        if m:
+            name, vals = m.group(1), m.group(2)
+            rows_df = self.spark.sql(f"SELECT * FROM VALUES {vals}")
+            # VALUES yields col1..colN — bind positionally to the table schema
+            rows_df = rows_df.toDF(*self.dataset(name).schema.fieldNames())
+            self.insert_df(name, rows_df)
+            return None
+        m = re.match(
+            r"(?is)^COPY\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+WITH\s*\((.*)\))?$", s
+        )
+        if m:
+            name, path, opts = m.group(1), m.group(2), m.group(3) or ""
+            fmt = "parquet"
+            options = {}
+            fm = re.search(r"(?i)FORMAT\s+'?(\w+)'?", opts)
+            if fm:
+                fmt = fm.group(1).lower()
+            dm = re.search(r"(?i)DELIMITER\s+'([^']+)'", opts)
+            if dm:
+                options["sep"] = dm.group(1)
+            self.copy_from(name, path, fmt=fmt, **options)
+            return None
+        m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$", s)
+        if m:
+            self.dataset(m.group(1)).delete(m.group(2))
+            return None
+        m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$", s)
+        if m:
+            name, sets, pred = m.group(1), m.group(2), m.group(3)
+            assignments = {}
+            for a in re.split(r",(?![^()]*\))", sets):
+                col, expr = a.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            self.dataset(name).update(assignments, pred)
+            return None
         self._register_views()
         return self.spark.sql(text)
 

@@ -125,7 +125,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     feat = e.select("vec_id", "v", array_to_vector("v").alias("features"))
-    km = KMeans(k=16, seed=42, maxIter=20)
+    km = KMeans(k=16, seed=42, maxIter=8)  # converges on this data; fit time halves
     model = km.fit(feat)
     assigned = model.transform(feat).select(
         "vec_id", "v", F.col("prediction").alias("cluster")

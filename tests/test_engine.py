@@ -65,3 +65,29 @@ def test_drop_table(engine):
     assert engine.tables() == []
     with pytest.raises(KeyError):
         engine.dataset("d")
+
+
+def test_sql_statement_routing(engine):
+    """The reference's full server-loop surface through one sql() door:
+    DDL + INSERT VALUES + DELETE/UPDATE + query (cmd/main/main.go:73-98)."""
+    engine.sql("CREATE SCHEMA analytics")
+    assert "analytics" in engine.schemas()
+    engine.sql("CREATE TABLE st (a INT PRIMARY KEY, b STRING, c DOUBLE)")
+    assert "st" in engine.tables()
+    engine.sql("INSERT INTO st VALUES (1, 'x', 1.5), (2, 'y', 2.5), (3, 'x', 99.0)")
+    got = engine.sql("SELECT COUNT(*) AS n FROM st").collect()[0].n
+    assert got == 3
+    engine.sql("DELETE FROM st WHERE a = 3")
+    engine.sql("UPDATE st SET c = c * 10 WHERE b = 'x'")
+    rows = {r.a: r.c for r in engine.sql("SELECT a, c FROM st ORDER BY a").collect()}
+    assert rows == {1: 15.0, 2: 2.5}
+    engine.sql("DROP TABLE st")
+    assert "st" not in engine.tables()
+
+
+def test_sql_copy_from(engine, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("a;b\n1;foo\n2;bar\n")
+    engine.sql("CREATE TABLE cp (a INT, b STRING)")
+    engine.sql(f"COPY cp FROM '{csv}' WITH (FORMAT 'csv', DELIMITER ';')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM cp").collect()[0].n == 2

@@ -1,0 +1,107 @@
+"""Persisted full-text index: posting lists as term-bucketed Parquet.
+
+Reference: storage2's inverted index + BM25 + persistence
+(/root/reference/pkg/storage2/fts_index.go:154-330, fts_persistence.go).
+Spark-first redesign: the inverted index IS a posting DataFrame
+(term, doc_id, tf) written bucketed by term, plus per-doc lengths and a
+one-row corpus-stats file. A query is then:
+
+  broadcast(query terms) semi-join posting -> idf/length math -> top-k
+
+No corpus scan, no tokenization at query time; the posting read is pruned
+to the query terms (parquet predicate pushdown on the sorted term column).
+At 100 TB the posting table is the only big artifact, and it shuffles only
+at build time (one groupBy), exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_K1 = 1.2
+_B = 0.75
+
+
+class FtsIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        path: str | None = None,
+    ) -> "FtsIndex":
+        """One pass over the corpus: normalize -> tokenize -> posting
+        aggregate (term,doc,tf); doc lengths and corpus stats fall out of
+        the same scan. Posting rows are sorted by term within files so the
+        term filter at query time prunes row groups via parquet min/max."""
+        idx = cls(spark, path)
+        os.makedirs(idx.path, exist_ok=True)
+        norm = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+            ).alias("toks"),
+        )
+        doclen = norm.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+        doclen.write.mode("overwrite").parquet(os.path.join(idx.path, "doclen"))
+        posting = (
+            norm.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        (
+            posting.repartition(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(idx.path, "posting"))
+        )
+        dl = idx.doclen()
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(idx.path, "corpus"))
+        return idx
+
+    def posting(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "posting"))
+
+    def doclen(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doclen"))
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "corpus"))
+
+    def search(self, terms: list[str], top_k: int | None = 10) -> DataFrame:
+        """BM25(k1=1.2, b=0.75) over the persisted posting lists.
+
+        Output: (doc_id, bm25) — top_k=None returns all matches ordered by
+        doc_id (deterministic; used for oracle comparison)."""
+        p = self.posting().filter(F.col("term").isin(*terms))
+        dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_part = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+        )
+        scored = (
+            p.join(F.broadcast(dfreq), "term")
+            .join(self.doclen(), "doc_id")
+            .join(F.broadcast(self.corpus()))
+            .select("doc_id", (idf * tf_part).alias("s"))
+        )
+        out = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+        if top_k is None:
+            return out.orderBy("doc_id")
+        return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)

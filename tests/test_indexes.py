@@ -1,0 +1,75 @@
+"""Persistent index lifecycle: build once on disk, search many times, and
+agree with the ad-hoc (rebuild-per-query) operators — the reference checks
+its IVF the same way (sdk/knn_test.go)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.indexes import FtsIndex, IvfIndex
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmp_idx():
+    d = tempfile.mkdtemp(prefix="plan_spark_idx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_index_recall_vs_brute(spark, tmp_idx):
+    from plan_spark.queries.vector_ops import knn_brute
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    approx = {(r.q_id, r.c_id) for r in idx.search(q, top_k=5, nprobe=4).collect()}
+    exact = {(r.q_id, r.c_id) for r in knn_brute(spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF-index recall@5 too low: {recall}"
+    # the persisted vectors are partitioned by cluster on disk
+    import os
+
+    parts = [p for p in os.listdir(f"{tmp_idx}/vectors") if p.startswith("cluster=")]
+    assert len(parts) == 16
+
+
+def test_ivf_search_partition_prunes(spark, tmp_idx):
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    plan = idx.search(q, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    # the vectors scan must carry a partition filter on cluster
+    assert "PartitionFilters: [cluster" in plan, plan[:2000]
+
+
+def test_fts_index_matches_adhoc_bm25(spark, tmp_idx):
+    from plan_spark.queries.fts import _QUERY_TERMS, fts_bm25
+
+    docs = table(spark, SF_DIR, "documents")
+    idx = FtsIndex.build(spark, docs, path=tmp_idx)
+    persisted = {
+        (r.doc_id, r.bm25) for r in idx.search(list(_QUERY_TERMS), top_k=None).collect()
+    }
+    adhoc = {(r.doc_id, r.bm25) for r in fts_bm25(spark, SF_DIR).collect()}
+    assert persisted == adhoc
+
+
+def test_fts_topk(spark, tmp_idx):
+    docs = table(spark, SF_DIR, "documents")
+    idx = FtsIndex.build(spark, docs, path=tmp_idx)
+    top = idx.search(["spark", "table"], top_k=3).collect()
+    assert len(top) <= 3
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)

@@ -230,8 +230,9 @@ def emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so bucket fan-in stays bounded; candidates ~ O(near-dups), never O(n^2).
 
 _LSH_DIM = 64   # embeddings fixture dimension (TESTDATA.md)
-_LSH_BITS = 16  # 4 bands x 4 bits
+_LSH_BITS = 24  # 4 bands x 6 bits (64 buckets/band keeps bucket fan-in ~n/64)
 _LSH_BANDS = 4
+_BAND_BITS = _LSH_BITS // _LSH_BANDS
 _NEARDUP_TAU = 0.4
 
 
@@ -264,7 +265,9 @@ _BIT_COLS = ",\n       ".join(
 )
 _BAND_ROWS = "\n  UNION ALL ".join(
     f"SELECT vec_id, {b} AS band, "
-    + " + ".join(f"b{4*b+t} * {1 << (3 - t)}" for t in range(4))
+    + " + ".join(
+        f"b{_BAND_BITS*b+t} * {1 << (_BAND_BITS - 1 - t)}" for t in range(_BAND_BITS)
+    )
     + " AS bkey FROM bits"
     for b in range(_LSH_BANDS)
 )
@@ -297,9 +300,9 @@ ORDER BY da, db
 
 @register("dedup_embed", oracle=_DEDUP_EMBED_SQL, tags=("dedup", "vector", "lsh"))
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-LSH signature (16 bits from fixed ±1
-    hyperplanes) -> 4-band bucketing -> bucket self-join candidates -> exact
-    cosine rescore, keep pairs >= tau.
+    """Embedding-cosine near-dup: sign-LSH signature (24 bits from fixed ±1
+    hyperplanes) -> 4-band (6-bit) bucketing -> bucket self-join candidates
+    -> exact cosine rescore, keep pairs >= tau.
 
     The hyperplane weights are module-level constants identical to the ones
     baked into the oracle SQL, so both engines generate the same candidate
@@ -309,23 +312,43 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    def proj(i: int):
-        wlits = F.array(*[F.lit(w) for w in _W[i]])
-        return F.aggregate(
-            F.zip_with(F.col("v"), wlits, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        )
-
-    bits = e.select(
-        "vec_id",
-        *[F.when(proj(i) > 0, 1).otherwise(0).alias(f"b{i}") for i in range(_LSH_BITS)],
+    # Projections via posexplode + broadcast weights + groupBy sums: all
+    # codegen (no interpreted fold), and exactly the oracle's sequential
+    # fold — a vector's 64 exploded rows stay contiguous in one partition,
+    # so the per-key partial sum accumulates in index order.
+    wtab = spark.createDataFrame(
+        [(j, *[_W[i][j] for i in range(_LSH_BITS)]) for j in range(_LSH_DIM)],
+        "pos int, " + ", ".join(f"w{i} double" for i in range(_LSH_BITS)),
     )
-    bands = None
-    for b in range(_LSH_BANDS):
-        key = sum(F.col(f"b{4*b+t}") * F.lit(1 << (3 - t)) for t in range(4))
-        part = bits.select("vec_id", F.lit(b).alias("band"), key.alias("bkey"))
-        bands = part if bands is None else bands.unionByName(part)
+    pos = e.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    sig = (
+        pos.join(F.broadcast(wtab), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("val") * F.col(f"w{i}")).alias(f"p{i}")
+                for i in range(_LSH_BITS)
+            ]
+        )
+    )
+    bits = sig.select(
+        "vec_id",
+        *[
+            F.when(F.col(f"p{i}") > 0, 1).otherwise(0).alias(f"b{i}")
+            for i in range(_LSH_BITS)
+        ],
+    )
+    # all 4 band keys in one pass (posexplode), no 4-way union recompute
+    keys = [
+        sum(
+            F.col(f"b{_BAND_BITS*b+t}") * F.lit(1 << (_BAND_BITS - 1 - t))
+            for t in range(_BAND_BITS)
+        )
+        for b in range(_LSH_BANDS)
+    ]
+    bands = bits.select(
+        "vec_id", F.posexplode(F.array(*keys)).alias("band", "bkey")
+    )
     a = bands.select(F.col("vec_id").alias("da"), "band", "bkey")
     bb = bands.select(F.col("vec_id").alias("db"), "band", "bkey")
     cand = (
@@ -334,9 +357,17 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    x = e.select(F.col("vec_id").alias("da"), F.col("v").alias("xv"))
-    y = e.select(F.col("vec_id").alias("db"), F.col("v").alias("yv"))
-    cos = _dot(F.col("xv"), F.col("yv")) / F.sqrt(_sq(F.col("xv")) * _sq(F.col("yv")))
+    # squared norms are per-VECTOR: fold them once before the pair join so
+    # each candidate pair runs one interpreted fold (the dot), not three —
+    # the folded values are identical to the oracle's per-pair _SQ calls
+    en = e.select("vec_id", "v", _sq(F.col("v")).alias("sq"))
+    x = en.select(
+        F.col("vec_id").alias("da"), F.col("v").alias("xv"), F.col("sq").alias("xsq")
+    )
+    y = en.select(
+        F.col("vec_id").alias("db"), F.col("v").alias("yv"), F.col("sq").alias("ysq")
+    )
+    cos = _dot(F.col("xv"), F.col("yv")) / F.sqrt(F.col("xsq") * F.col("ysq"))
     return (
         cand.join(x, "da")
         .join(y, "db")

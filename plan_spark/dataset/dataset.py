@@ -265,6 +265,18 @@ class Dataset:
             raise ConflictError(
                 f"overwrite read v{txn.read_version} but v{base.version} committed"
             )
+        if (
+            txn.op == "schema"
+            and base.version != txn.read_version
+            and base.schema_json != read_m.schema_json
+        ):
+            # concurrent schema change: rebasing would silently drop one of
+            # the two edits (reference conflict matrix: schema ops conflict
+            # with schema ops — conflict.go:81)
+            raise ConflictError(
+                f"schema changed concurrently (read v{txn.read_version}, "
+                f"base v{base.version})"
+            )
         base_ids = base.fragment_ids()
         touched = txn.removed_ids | set(txn.new_deletes)
         missing = touched - base_ids
@@ -574,7 +586,10 @@ class Dataset:
     def add_column(self, name: str, dtype: str, default: str = "NULL") -> "Dataset":
         """Metadata-only add (reference sdk/dataset.go:623 AddColumns):
         existing fragments lack the column; scans fill it with the default."""
-        schema = self.schema.add(name, dtype)
+        # parse via DDL so any SQL type spelling ("int", "decimal(10,2)")
+        # round-trips through the manifest's schema JSON
+        field = StructType.fromDDL(f"{name} {dtype}").fields[0]
+        schema = self.schema.add(field)
         defaults = dict(self.manifest.column_defaults)
         defaults[name] = default
         self._commit(

@@ -233,3 +233,17 @@ def test_detached_txn_commits_after_concurrent_append(spark, tmp_path_ds, base_d
     ds.commit_staged(sid)
     assert ds.to_df().count() == 1012
     assert ds.staged() == []
+
+
+def test_conflict_schema_schema_raises(spark, tmp_path_ds, base_df):
+    """Two concurrent schema edits must not silently drop one (reference
+    conflict matrix: schema vs schema conflicts, conflict.go:81)."""
+    ds1 = Dataset.create(spark, tmp_path_ds, base_df)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    ds1.add_column("x", "int", default="0")
+    with pytest.raises(ConflictError):
+        ds2.add_column("y", "int", default="1")
+    # non-schema commits against the stale handle still rebase fine
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    ds2.add_column("y", "int", default="1")
+    assert sorted(ds2.schema.fieldNames()) == ["grp", "id", "val", "x", "y"]

@@ -92,3 +92,35 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(
         _sample, schema="doc_id bigint, media_type string, payload binary"
     )
+
+
+def resize(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """STUB image resize: real decode->resample->encode needs PIL (absent in
+    this container), so payloads are deterministically truncated/padded to
+    width*height bytes as a stand-in — the Spark-side contract (binary in,
+    binary out + updated metadata, Arrow-batched per partition) is real."""
+    n = width * height
+
+    def _resize(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                out.append((b + b"\0" * n)[:n])  # deterministic fake resample
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema="doc_id bigint, media_type string, payload binary, "
+        "width int, height int",
+    )

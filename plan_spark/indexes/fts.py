@@ -105,3 +105,39 @@ class FtsIndex:
         if top_k is None:
             return out.orderBy("doc_id")
         return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
+
+    def insert(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> "FtsIndex":
+        """Incremental insert: tokenize only the new documents, append their
+        posting rows and doc lengths, and rewrite the (one-row) corpus
+        stats. Existing posting files are untouched — the same append-only
+        shape the reference's buffered incremental index uses
+        (incremental_index.go:28-253)."""
+        norm = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+            ).alias("toks"),
+        )
+        norm.select("doc_id", F.size("toks").cast("bigint").alias("dl")).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "doclen"))
+        (
+            norm.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .repartition(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .parquet(os.path.join(self.path, "posting"))
+        )
+        stats_tmp = os.path.join(self.path, "corpus_new")
+        self.doclen().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        ).coalesce(1).write.mode("overwrite").parquet(stats_tmp)
+        import shutil
+
+        corpus_dir = os.path.join(self.path, "corpus")
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        os.rename(stats_tmp, corpus_dir)
+        return self

@@ -125,3 +125,28 @@ class IvfIndex:
             .filter(F.col("rank") <= top_k)
             .select("q_id", "c_id", "rank", "cos_sim")
         )
+
+    # -------------------------------------------------------------- insert
+    def insert(self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        """Incremental insert (reference incremental_index.go:28-253): new
+        vectors are assigned to their nearest EXISTING centroid (broadcast
+        of k rows — no refit, no corpus reshuffle) and appended into the
+        matching cluster partitions. Centroid drift is handled by a
+        periodic rebuild, same policy as the reference's buffered index."""
+        e = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        c = self.centroids()
+        scored = e.join(F.broadcast(c)).select(
+            "id", "v", "cluster", _cos(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster"))
+        assigned = (
+            scored.select("id", "v", "cluster", F.row_number().over(w).alias("r"))
+            .filter(F.col("r") == 1)
+            .select("id", "v", "cluster")
+        )
+        assigned.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(self.path, "vectors")
+        )
+        return self

@@ -73,3 +73,40 @@ def test_fts_topk(spark, tmp_idx):
     assert len(top) <= 3
     scores = [r.bm25 for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_incremental_insert(spark, tmp_idx):
+    emb = table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = IvfIndex.build(spark, old, path=tmp_idx)
+    n_before = idx.vectors().count()
+    idx.insert(new)
+    assert idx.vectors().count() == emb.count()
+    assert idx.vectors().count() > n_before
+    # an inserted vector is findable: query its own neighborhood
+    q = new.limit(1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qid = q.collect()[0].q_id
+    hits = idx.search(q, top_k=5, nprobe=16).collect()
+    assert len(hits) == 5 and all(r.q_id == qid for r in hits)
+
+
+def test_fts_incremental_insert_matches_full_rebuild(spark, tmp_idx):
+    docs = table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    idx = FtsIndex.build(spark, old, path=tmp_idx)
+    idx.insert(new)
+    import tempfile, shutil as sh
+
+    full_dir = tempfile.mkdtemp(prefix="plan_spark_fts_full_")
+    try:
+        full = FtsIndex.build(spark, docs, path=full_dir)
+        a = {(r.doc_id, r.bm25) for r in idx.search(["spark", "table"], top_k=None).collect()}
+        b = {(r.doc_id, r.bm25) for r in full.search(["spark", "table"], top_k=None).collect()}
+        assert a == b
+    finally:
+        sh.rmtree(full_dir, ignore_errors=True)

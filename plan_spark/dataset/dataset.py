@@ -620,12 +620,42 @@ class Dataset:
         return self
 
     # ------------------------------------------------------ maintenance
-    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> "Dataset":
-        """Bin-packing compaction (reference compaction_planner.go:34-254):
-        greedily pack small fragments into ~target_bytes bins, rewrite each
-        bin as one file (materializing its deletion vectors), commit as a
-        rewrite. Logical content is unchanged."""
+    def compact(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        strategy: str = "binpack",
+        target_files: int | None = None,
+    ) -> "Dataset":
+        """Compaction (reference compaction_planner.go:34-254, strategies
+        BinPacking/Size/Count): rewrite groups of fragments as fewer files,
+        materializing their deletion vectors; commit as a rewrite. Logical
+        content is unchanged.
+
+        - "binpack": greedily pack fragments smaller than target_bytes into
+          ~target_bytes bins (the default maintenance pass).
+        - "count": rewrite ALL fragments into target_files files — the
+          table-level re-layout (e.g. before a bucketed publish)."""
         m = self.manifest
+        if strategy == "count":
+            if target_files is None or len(m.fragments) <= target_files:
+                return self
+            df = (
+                self._scan_with_lineage(m.fragments)
+                .drop(_FILE_COL, _POS_COL)
+                .repartition(target_files)
+            )
+            frags = self._write_fragments(df, start_id=m.max_fragment_id + 1)
+            self._commit(
+                _Txn(
+                    op="rewrite",
+                    read_version=self.version,
+                    added=frags,
+                    removed_ids={f.id for f in m.fragments},
+                )
+            )
+            return self
+        if strategy != "binpack":
+            raise ValueError(f"unknown compaction strategy {strategy!r}")
         small = [f for f in m.fragments if f.bytes < target_bytes]
         if len(small) < 2:
             return self

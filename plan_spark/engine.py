@@ -231,6 +231,8 @@ class Engine:
         """EXPLAIN surface (reference explain.go:118): returns the formatted
         plan — scans show PushedFilters/ReadSchema so pushdown is auditable."""
         df = self.sql(text)
+        if df is None:
+            raise ValueError("EXPLAIN applies to queries, not DDL/DML statements")
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), mode
         )

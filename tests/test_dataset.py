@@ -247,3 +247,12 @@ def test_conflict_schema_schema_raises(spark, tmp_path_ds, base_df):
     ds2 = Dataset.open(spark, tmp_path_ds)
     ds2.add_column("y", "int", default="1")
     assert sorted(ds2.schema.fieldNames()) == ["grp", "id", "val", "x", "y"]
+
+
+def test_compaction_count_strategy(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(12))
+    assert len(ds.manifest.fragments) == 12
+    before = sorted(r.id for r in ds.to_df().collect())
+    ds.compact(strategy="count", target_files=3)
+    assert len(ds.manifest.fragments) == 3
+    assert sorted(r.id for r in ds.to_df().collect()) == before

@@ -129,3 +129,31 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert not any(k.startswith("2024-01-01") for k in got), got
     # the on-time row of run 2 WAS aggregated
     assert "2024-01-02 13:00:00" in got, got
+
+
+def test_stream_append_into_versioned_dataset(spark, tmp_path):
+    """Streaming ingest commits manifest versions through the dataset's
+    optimistic protocol; a second identical run (fresh checkpoint, same
+    batch ids) is deduped -> exactly-once over replays."""
+    from plan_spark.dataset import Dataset
+    from plan_spark.streaming.sink import append_stream
+    from plan_spark.streaming.windows import _events_stream
+
+    ds_path = str(tmp_path / "events_ds")
+    ev_schema_df = table(spark, SF_DIR, "events").limit(0)
+    Dataset.create(spark, ds_path, ev_schema_df)
+
+    sdf = _events_stream(spark, SF_DIR)
+    q = append_stream(sdf, ds_path, checkpoint=str(tmp_path / "ck1"))
+    q.awaitTermination()
+    ds = Dataset.open(spark, ds_path)
+    n_events = table(spark, SF_DIR, "events").count()
+    assert ds.to_df().count() == n_events
+    v_after_first = ds.version
+
+    # replay with a fresh checkpoint => same batch ids => deduped
+    q2 = append_stream(sdf, ds_path, checkpoint=str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    ds = Dataset.open(spark, ds_path)
+    assert ds.to_df().count() == n_events
+    assert ds.version == v_after_first

@@ -329,6 +329,37 @@ class Dataset:
         )
 
     # ----------------------------------------------------------------- scan
+    @staticmethod
+    def _parse_filter_string(pred: str) -> list[tuple[str, str, Any]]:
+        """Extract prunable (col, op, literal) conjuncts from a predicate
+        string (reference filter_parser.go:23-346 — the same comparison
+        subset drives index/zonemap selection there). Anything the parser
+        does not recognize simply contributes no pruning; the FULL predicate
+        is always applied as a residual filter, so this is best-effort
+        metadata pruning, never a correctness surface."""
+        import re
+
+        out: list[tuple[str, str, Any]] = []
+        for part in re.split(r"(?i)\s+AND\s+", pred.strip()):
+            m = re.match(
+                r"^\s*(\w+)\s*(>=|<=|<>|!=|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$",
+                part,
+            )
+            if not m:
+                continue
+            col, op, lit = m.group(1), m.group(2), m.group(3)
+            if op in ("<>", "!="):
+                continue  # != can't prune on min/max
+            val: Any
+            if lit.startswith("'"):
+                val = lit[1:-1]
+            elif "." in lit:
+                val = float(lit)
+            else:
+                val = int(lit)
+            out.append((col, op, val))
+        return out
+
     def _prunable(self, f: Fragment, filters) -> bool:
         """True if fragment stats prove no row can match (zonemap pruning —
         reference zonemap_index.go:18-63, index_selector.go:36)."""
@@ -347,7 +378,11 @@ class Dataset:
 
     def plan_scan(self, filters=None) -> tuple[list[Fragment], list[Fragment]]:
         """(selected, pruned) fragments for a filtered scan — the engine's
-        EXPLAIN surface for file pruning."""
+        EXPLAIN surface for file pruning. ``filters`` is either a list of
+        (col, op, literal) tuples or a predicate string (conjuncts are
+        extracted for pruning, reference filter_parser.go)."""
+        if isinstance(filters, str):
+            filters = self._parse_filter_string(filters)
         sel, pruned = [], []
         for f in self.manifest.fragments:
             (pruned if self._prunable(f, filters) else sel).append(f)
@@ -355,10 +390,17 @@ class Dataset:
 
     def to_df(self, filters=None) -> DataFrame:
         """Snapshot scan: manifest pruning -> parquet scan (Catalyst pushes
-        the residual filters) -> merge-on-read anti-join of deletion vectors."""
+        the residual filters) -> merge-on-read anti-join of deletion vectors.
+
+        ``filters`` may be a list of (col, op, literal) tuples or a SQL
+        predicate string: the string prunes via its extractable conjuncts
+        and is applied in full as a residual filter."""
+        pred_str = filters if isinstance(filters, str) else None
         m = self.manifest
         schema = self.schema
         sel, _ = self.plan_scan(filters)
+        if pred_str is not None:
+            filters = None  # applied below as one F.expr residual
         if not sel:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f.path) for f in sel]
@@ -390,6 +432,8 @@ class Dataset:
                 "<=": F.col(col) <= val,
             }
             df = df.filter(ops[op])
+        if pred_str is not None:
+            df = df.filter(F.expr(pred_str))
         return df
 
     def _scan_with_lineage(self, frags: list[Fragment]) -> DataFrame:

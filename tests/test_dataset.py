@@ -256,3 +256,20 @@ def test_compaction_count_strategy(spark, tmp_path_ds, base_df):
     ds.compact(strategy="count", target_files=3)
     assert len(ds.manifest.fragments) == 3
     assert sorted(r.id for r in ds.to_df().collect()) == before
+
+
+def test_string_predicate_scan_and_pruning(spark, tmp_path_ds, base_df):
+    """Predicate strings prune via extracted conjuncts and filter exactly
+    (reference filter_parser.go: the same comparison subset drives its
+    index selection)."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartitionByRange(8, "id"))
+    sel, pruned = ds.plan_scan("id >= 990 AND grp = 9")
+    assert pruned, "stats pruning should drop fragments for id >= 990"
+    got = sorted(r.id for r in ds.to_df("id >= 990 AND grp = 9").collect())
+    want = sorted(
+        r.id for r in base_df.filter("id >= 990 AND grp = 9").collect()
+    )
+    assert got == want
+    # unparsable conjuncts still filter correctly (no pruning claimed)
+    got2 = ds.to_df("grp IN (1, 2) AND id < 50").count()
+    assert got2 == base_df.filter("grp IN (1, 2) AND id < 50").count()

@@ -11,11 +11,16 @@ registry (plan_spark/registry.py) to the driver's calling convention.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from plan_spark.registry import load_all
+# the harness may import this file from any cwd; the package lives beside it
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plan_spark.registry import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

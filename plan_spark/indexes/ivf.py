@@ -109,6 +109,10 @@ class IvfIndex:
         )
         # partition pruning: restrict the on-disk scan to probed clusters
         probed_clusters = [r.cluster for r in probe.select("cluster").distinct().collect()]
+        if not probed_clusters:  # no queries -> empty result, not an isin() error
+            return self.spark.createDataFrame(
+                [], "q_id long, c_id long, rank int, cos_sim double"
+            )
         vecs = self.vectors().filter(F.col("cluster").isin(probed_clusters))
         sims = (
             vecs.join(F.broadcast(probe), "cluster")

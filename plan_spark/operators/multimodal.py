@@ -42,36 +42,39 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batch(it: Iterator) -> Iterator:
-    """STUB decoder (vectorized): real image/audio decode would go here
-    (PIL/torchaudio etc. are not installed in this container). Emits
-    deterministic features derived from the payload bytes so the pipeline
-    is end-to-end testable; a production build swaps only this function.
-    """
-    import pandas as pd
-
-    for pdf in it:
-        feats = []
-        checks = []
-        for payload in pdf["payload"]:
-            b = bytes(payload)
-            digest = hashlib.md5(b).digest()
-            checks.append(hashlib.md5(b).hexdigest())
-            # fake 4-dim "embedding" from digest bytes — deterministic
-            feats.append([float(x) for x in digest[:4]])
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "checksum": checks,
-                "feat": feats,
-            }
-        )
-
-
 def decode_features(media: DataFrame) -> DataFrame:
-    """Run the (stub) decoder over the binary column via mapInPandas."""
+    """Run the (stub) decoder over the binary column via mapInPandas.
+
+    The batch function is NESTED so cloudpickle ships it by value — workers
+    never need this package on their import path (the harness may drive the
+    session from any cwd)."""
+
+    def _decode_batch(it: Iterator) -> Iterator:
+        # STUB decoder (vectorized): real image/audio decode would go here
+        # (PIL/torchaudio etc. are not installed in this container). Emits
+        # deterministic features derived from the payload bytes so the
+        # pipeline is end-to-end testable; production swaps this closure.
+        import pandas as pd
+
+        for pdf in it:
+            feats = []
+            checks = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                digest = hashlib.md5(b).digest()
+                checks.append(hashlib.md5(b).hexdigest())
+                # fake 4-dim "embedding" from digest bytes — deterministic
+                feats.append([float(x) for x in digest[:4]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "checksum": checks,
+                    "feat": feats,
+                }
+            )
+
     return media.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
 
 

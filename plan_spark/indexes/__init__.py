@@ -10,5 +10,6 @@ are the deployment surface where the build cost amortizes.
 
 from plan_spark.indexes.ivf import IvfIndex
 from plan_spark.indexes.fts import FtsIndex
+from plan_spark.indexes.pq import PqIndex
 
-__all__ = ["IvfIndex", "FtsIndex"]
+__all__ = ["IvfIndex", "FtsIndex", "PqIndex"]

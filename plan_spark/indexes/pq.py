@@ -1,0 +1,131 @@
+"""Product-quantization index: per-subspace KMeans codebooks + ADC search.
+
+Reference: storage2's PQ quantizer + IVF-PQ search
+(/root/reference/pkg/storage2/pq_quantizer.go:39-52, ivf_pq_index.go:31-60).
+Spark-first redesign:
+
+- BUILD: split each vector into m subvectors; fit an independent KMeans(k)
+  codebook per subspace (m small distributed fits); encode every vector as
+  m small codes. The stored index is ~m bytes/vector instead of 8*dim —
+  at 100 TB of embeddings this is the difference between scanning 3 TB of
+  codes and 200 TB of floats.
+- SEARCH (ADC — asymmetric distance computation): per query, compute the
+  m x k table of partial squared-L2 distances between the query's
+  subvectors and every centroid (driver-side — it is m*k floats), attach
+  it as a literal column, and score each candidate as the sum of m table
+  lookups over its codes. No vector data is read at query time.
+
+Approximation quality depends on data clusterability (random fixtures are
+the worst case); the test asserts recall well above chance and exactness
+on the quantized representative itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PqIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        path: str | None = None,
+        m: int = 8,
+        k: int = 16,
+        seed: int = 42,
+    ) -> "PqIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        idx = cls(spark, path)
+        os.makedirs(idx.path, exist_ok=True)
+        e = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        dim = len(e.select("v").first().v)
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks: list[list[list[float]]] = []
+        coded = e
+        for j in range(m):
+            feat = coded.withColumn(
+                "__feat", array_to_vector(F.slice("v", j * sub + 1, sub))
+            )
+            model = KMeans(k=k, seed=seed + j, maxIter=8, featuresCol="__feat").fit(feat)
+            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+            coded = (
+                model.transform(feat)
+                .withColumnRenamed("prediction", f"c{j}")
+                .drop("__feat")
+            )
+        with open(os.path.join(idx.path, "codebooks.json"), "w") as fh:
+            json.dump({"m": m, "k": k, "sub": sub, "codebooks": codebooks}, fh)
+        coded.select(
+            "id", F.array(*[F.col(f"c{j}") for j in range(m)]).alias("codes")
+        ).write.mode("overwrite").parquet(os.path.join(idx.path, "codes"))
+        return idx
+
+    # ------------------------------------------------------------- search
+    def _meta(self) -> dict:
+        with open(os.path.join(self.path, "codebooks.json")) as fh:
+            return json.load(fh)
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+
+    def search(self, query_vecs: dict[int, list[float]], top_k: int = 10) -> DataFrame:
+        """ADC top-k for a small dict of {q_id: vector}.
+
+        Each query's m x k partial-distance table is computed driver-side
+        (m*k floats) and shipped as a literal; candidates are scored with m
+        array lookups over their stored codes — the vector column is never
+        touched. Output: (q_id, c_id, rank, approx_l2sq)."""
+        meta = self._meta()
+        m, k, sub = meta["m"], meta["k"], meta["sub"]
+        cb = meta["codebooks"]
+        rows = []
+        for qid, qv in query_vecs.items():
+            luts = [
+                [
+                    sum(
+                        (qv[j * sub + t] - cb[j][c][t]) ** 2 for t in range(sub)
+                    )
+                    for c in range(k)
+                ]
+                for j in range(m)
+            ]
+            rows.append((qid, luts))
+        qdf = self.spark.createDataFrame(
+            rows, "q_id long, lut array<array<double>>"
+        )
+        scored = self.codes().join(F.broadcast(qdf)).select(
+            "q_id",
+            F.col("id").alias("c_id"),
+            sum(
+                F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
+                for j in range(m)
+            ).alias("approx_l2sq"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2sq"), F.asc("c_id"))
+        return (
+            scored.filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", "approx_l2sq", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", "approx_l2sq")
+        )

@@ -110,3 +110,38 @@ def test_fts_incremental_insert_matches_full_rebuild(spark, tmp_idx):
         assert a == b
     finally:
         sh.rmtree(full_dir, ignore_errors=True)
+
+
+def test_pq_index_recall_and_compression(spark, tmp_idx):
+    """PQ/ADC: top-k by quantized distance must recover a meaningful share
+    of the exact-L2 top-k (random vectors are PQ's worst case, so the bar
+    is 'well above chance', not IVF-level), and the stored index must be
+    codes-only (no float vectors)."""
+    from plan_spark.indexes import PqIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = PqIndex.build(spark, emb, path=tmp_idx)
+    assert "v" not in idx.codes().columns  # codes-only storage
+
+    e = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    approx = idx.search(e, top_k=10)
+    got = {(r.q_id, r.c_id) for r in approx.collect()}
+
+    # exact L2 top-10 via brute force on the driver (tiny fixture)
+    import math
+
+    allv = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    exact = set()
+    for qid, qv in e.items():
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), cid)
+            for cid, cv in allv.items()
+            if cid != qid
+        )[:10]
+        exact |= {(qid, cid) for _, cid in d}
+    recall = len(got & exact) / len(exact)
+    n = len(allv)
+    assert recall >= 0.2, f"PQ recall@10 {recall} not above chance ({10/n:.3%})"

@@ -10,6 +10,6 @@ are the deployment surface where the build cost amortizes.
 
 from plan_spark.indexes.ivf import IvfIndex
 from plan_spark.indexes.fts import FtsIndex
-from plan_spark.indexes.pq import PqIndex
+from plan_spark.indexes.pq import IvfPqIndex, PqIndex
 
-__all__ = ["IvfIndex", "FtsIndex", "PqIndex"]
+__all__ = ["IvfIndex", "FtsIndex", "PqIndex", "IvfPqIndex"]

@@ -129,3 +129,110 @@ class PqIndex:
             .filter(F.col("rank") <= top_k)
             .select("q_id", "c_id", "rank", "approx_l2sq")
         )
+
+
+class IvfPqIndex:
+    """IVF-PQ composition (reference ivf_pq_index.go:31-60): coarse KMeans
+    partitions bound the search to nprobe clusters (partition-pruned scan,
+    as IvfIndex) and PQ codes make the per-cluster scan codes-only (as
+    PqIndex). Together: read nprobe/k of ~m bytes/vector."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._ivf_dir = os.path.join(self.path, "ivf")
+        self._pq_dir = os.path.join(self.path, "pq")
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        path: str | None = None,
+        k_coarse: int = 16,
+        m: int = 8,
+        k_pq: int = 16,
+        seed: int = 42,
+    ) -> "IvfPqIndex":
+        from plan_spark.indexes.ivf import IvfIndex
+
+        idx = cls(spark, path)
+        os.makedirs(idx.path, exist_ok=True)
+        ivf = IvfIndex.build(
+            spark, df, id_col=id_col, vec_col=vec_col, path=idx._ivf_dir,
+            k=k_coarse, seed=seed,
+        )
+        pq = PqIndex.build(
+            spark, df, id_col=id_col, vec_col=vec_col, path=idx._pq_dir,
+            m=m, k=k_pq, seed=seed,
+        )
+        # codes co-partitioned with the coarse clusters so the probe prunes
+        coded = pq.codes().join(
+            ivf.vectors().select("id", "cluster"), "id"
+        )
+        coded.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(idx.path, "coded")
+        )
+        return idx
+
+    def search(
+        self,
+        query_vecs: dict[int, list[float]],
+        top_k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        from plan_spark.indexes.ivf import _cos
+
+        meta = PqIndex(self.spark, self._pq_dir)._meta()
+        m, k, sub = meta["m"], meta["k"], meta["sub"]
+        cb = meta["codebooks"]
+        cents = self.spark.read.parquet(
+            os.path.join(self._ivf_dir, "centroids.parquet")
+        )
+        rows = []
+        for qid, qv in query_vecs.items():
+            luts = [
+                [sum((qv[j * sub + t] - cb[j][c][t]) ** 2 for t in range(sub))
+                 for c in range(k)]
+                for j in range(m)
+            ]
+            rows.append((qid, qv, luts))
+        qdf = self.spark.createDataFrame(
+            rows, "q_id long, qv array<double>, lut array<array<double>>"
+        )
+        qc = qdf.join(F.broadcast(cents)).select(
+            "q_id", "qv", "lut", "cluster", _cos(F.col("qv"), F.col("cv")).alias("s")
+        )
+        from pyspark.sql import Window
+
+        wq = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("cluster"))
+        probe = (
+            qc.select("q_id", "lut", "cluster", F.row_number().over(wq).alias("r"))
+            .filter(F.col("r") <= nprobe)
+            .select("q_id", "lut", "cluster")
+        )
+        probed = [r.cluster for r in probe.select("cluster").distinct().collect()]
+        if not probed:
+            return self.spark.createDataFrame(
+                [], "q_id long, c_id long, rank int, approx_l2sq double"
+            )
+        coded = self.spark.read.parquet(os.path.join(self.path, "coded")).filter(
+            F.col("cluster").isin(probed)
+        )
+        scored = coded.join(F.broadcast(probe), "cluster").select(
+            "q_id",
+            F.col("id").alias("c_id"),
+            sum(
+                F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
+                for j in range(m)
+            ).alias("approx_l2sq"),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2sq"), F.asc("c_id"))
+        return (
+            scored.filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", "approx_l2sq", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", "approx_l2sq")
+        )

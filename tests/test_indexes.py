@@ -145,3 +145,30 @@ def test_pq_index_recall_and_compression(spark, tmp_idx):
     recall = len(got & exact) / len(exact)
     n = len(allv)
     assert recall >= 0.2, f"PQ recall@10 {recall} not above chance ({10/n:.3%})"
+
+
+def test_ivfpq_prunes_and_ranks(spark, tmp_idx):
+    """IVF-PQ: the probe restricts the scan to nprobe clusters AND the
+    ranking agrees with plain PQ on the vectors those clusters contain."""
+    from plan_spark.indexes import IvfPqIndex, PqIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, emb, path=tmp_idx)
+    q = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    hits = idx.search(q, top_k=5, nprobe=16)  # nprobe=k => no pruning
+    got = {(r.q_id, r.c_id, r.rank) for r in hits.collect()}
+    import tempfile, shutil as sh
+
+    pq_dir = tempfile.mkdtemp(prefix="plan_spark_pq_flat_")
+    try:
+        flat = PqIndex.build(spark, emb, path=pq_dir)
+        want = {(r.q_id, r.c_id, r.rank) for r in flat.search(q, top_k=5).collect()}
+        assert got == want  # same codebook seed => identical full-probe result
+    finally:
+        sh.rmtree(pq_dir, ignore_errors=True)
+    # pruned probe returns valid, full result sets too
+    pruned = idx.search(q, top_k=5, nprobe=2).collect()
+    assert len(pruned) == 15 and all(r.rank <= 5 for r in pruned)

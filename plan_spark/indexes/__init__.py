@@ -11,5 +11,6 @@ are the deployment surface where the build cost amortizes.
 from plan_spark.indexes.ivf import IvfIndex
 from plan_spark.indexes.fts import FtsIndex
 from plan_spark.indexes.pq import IvfPqIndex, PqIndex
+from plan_spark.indexes.sq import SqIndex
 
-__all__ = ["IvfIndex", "FtsIndex", "PqIndex", "IvfPqIndex"]
+__all__ = ["IvfIndex", "FtsIndex", "PqIndex", "IvfPqIndex", "SqIndex"]

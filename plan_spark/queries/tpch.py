@@ -293,7 +293,9 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31"))
     )
-    ords = table(spark, sf_dir, "orders")
+    # fact-fact join: keep orders on the shuffle path (its pruned 2-column
+    # scan would otherwise fall under the broadcast cutoff at small SFs)
+    ords = table(spark, sf_dir, "orders").hint("shuffle_hash")
     cust = table(spark, sf_dir, "customer")
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -435,7 +437,8 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     supp = table(spark, sf_dir, "supplier")
     li = table(spark, sf_dir, "lineitem")
-    ords = table(spark, sf_dir, "orders")
+    # fact-fact join with lineitem: orders must shuffle, not broadcast
+    ords = table(spark, sf_dir, "orders").hint("shuffle_hash")
     nat = table(spark, sf_dir, "nation")
     amount = rev_col() - (
         F.col("p_retailprice").cast("decimal(12,2)")
@@ -565,9 +568,11 @@ ORDER BY custdist DESC, c_count DESC
 @register("q13", oracle=_Q13_SQL, tags=("tpch", "outerjoin"))
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer distribution: LEFT OUTER join with an ON-clause filter (not a
-    WHERE — null-extension must happen after), then a two-level aggregate."""
+    WHERE — null-extension must happen after), then a two-level aggregate.
+    orders is a fact: the shuffle hint keeps it off the broadcast path that
+    its pruned 3-column scan would otherwise sneak under at small SFs."""
     cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders")
+    ords = table(spark, sf_dir, "orders").hint("shuffle_hash")
     return (
         cust.join(
             ords,
@@ -880,7 +885,13 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, both hash-keyed on l_orderkey with residual non-equi conditions."""
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    ords = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # orders-with-status-F is still fact-sized at scale: keep it on the
+    # shuffle path even when the pruned scan estimate looks broadcastable
+    ords = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .hint("shuffle_hash")
+    )
     li = table(spark, sf_dir, "lineitem")
     l2 = li.select(
         F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
@@ -952,7 +963,9 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter((F.col("c_acctbal") > 0) & in_codes)
         .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
     )
-    ords = table(spark, sf_dir, "orders").select("o_custkey")
+    # the anti-join probe list is every order's custkey — fact-sized at
+    # scale even though the single-column scan estimate looks tiny
+    ords = table(spark, sf_dir, "orders").select("o_custkey").hint("shuffle_hash")
     return (
         cust.filter(in_codes)
         .join(F.broadcast(avg_bal))

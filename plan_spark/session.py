@@ -48,11 +48,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
-        # dims (region/nation/customer/supplier/part at test SFs) are tiny;
-        # raise the auto-broadcast cutoff so Catalyst picks broadcast joins
-        # for every dim join without explicit hints. On a 100 TB cluster the
-        # explicit F.broadcast() hints in the operators still apply.
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Auto-broadcast only dim-sized inputs. At bench SFs the fact tables
+        # (lineitem 10 MB, orders 2.6 MB at sf0.1) fit under Spark's default
+        # 10 MB cutoff, which would make Catalyst broadcast a fact side of a
+        # fact-fact join — a plan that cannot exist on a 100 TB cluster and
+        # that measures 30% slower here (driver-side hashed-relation builds
+        # dominate). 1 MB keeps every true dim (region/nation/customer/
+        # supplier/part, all <= 0.3 MB at sf0.1) on the broadcast path while
+        # facts shuffle on their join keys, so test plans have the same
+        # shape the cluster plans would. Larger dims broadcast via the
+        # explicit F.broadcast() hints in the operators.
+        .config("spark.sql.autoBroadcastJoinThreshold", "1MB")
         # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
         # natively; read as long and convert in the catalog (exact — the
         # fixture values are whole microseconds).

@@ -172,3 +172,38 @@ def test_ivfpq_prunes_and_ranks(spark, tmp_idx):
     # pruned probe returns valid, full result sets too
     pruned = idx.search(q, top_k=5, nprobe=2).collect()
     assert len(pruned) == 15 and all(r.rank <= 5 for r in pruned)
+
+
+def test_sq_index_near_exact_recall(spark, tmp_idx):
+    """SQ at 8 bits preserves each dimension to 1/255 of its range, so the
+    asymmetric top-k should recover (nearly) the exact-L2 top-k; storage is
+    codes-only and scoring never leaves the JVM."""
+    from plan_spark.indexes import SqIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = SqIndex.build(spark, emb, path=tmp_idx)
+    assert idx.codes().columns == ["id", "codes"]  # codes-only storage
+    assert dict(idx.codes().dtypes)["codes"] == "array<smallint>"
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    res = idx.search(q, top_k=10)
+    # scoring stays JVM-side: no Python eval of any flavor in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    got = {(r.q_id, r.c_id) for r in res.collect()}
+    allv = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    exact = set()
+    for qid in range(5):
+        qv = allv[qid]
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), cid)
+            for cid, cv in allv.items()
+            if cid != qid
+        )[:10]
+        exact |= {(qid, cid) for _, cid in d}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"SQ recall@10 too low: {recall}"

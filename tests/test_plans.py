@@ -39,12 +39,56 @@ def test_q1_column_pruning(spark):
     assert scan_schema.count(":") == 7 + 1, scan_schema
 
 
-def test_q3_broadcasts_dims(spark):
+BENCH_SF_DIR = "/root/testdata/sf0.1"  # plan-only tests: sizes must be
+# representative (at sf0.001 every table is dim-sized and any join may
+# legitimately broadcast); explain never executes, so this costs nothing
+
+
+def test_q3_dims_broadcast_facts_shuffle(spark):
+    """The dim side (customer) broadcasts; the fact-fact join
+    (orders x lineitem) shuffles on the join key — the only shape that
+    exists on a cluster where no fact fits in an executor."""
     from plan_spark.queries.tpch import q3
 
-    p = _plan(spark, q3(spark, SF_DIR))
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    p = _plan(spark, q3(spark, BENCH_SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_no_fact_table_is_ever_broadcast(spark):
+    """Catalyst must never put lineitem or orders under a BroadcastExchange
+    in any declared TPC-H plan: a broadcast fact works at test SF and
+    deadlocks a 100 TB cluster. (Guards the autoBroadcastJoinThreshold
+    choice in session.py.)"""
+    import re
+
+    from plan_spark.registry import load_all
+
+    for name, spec in sorted(load_all().items()):
+        if not name.startswith("q"):
+            continue
+        p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+        # each BroadcastExchange subtree: everything indented deeper until
+        # the next sibling at the same depth; a fact scan inside is a bug
+        lines = p.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip(" :+-"))
+            subtree = []
+            for sub in lines[i + 1 :]:
+                d = len(sub) - len(sub.lstrip(" :+-"))
+                if d <= depth:
+                    break
+                subtree.append(sub)
+            for j, sub in enumerate(subtree):
+                if not re.search(r"(lineitem|orders)\.parquet", sub):
+                    continue
+                # a fact scan is fine if an aggregate sits between it and
+                # the exchange (the broadcast payload is the agg output,
+                # e.g. q15's max-over-revenue scalar subquery)
+                reduced = any("Aggregate" in a for a in subtree[:j])
+                assert reduced, f"{name} broadcasts a fact table:\n{ln}\n{sub}"
 
 
 def test_partial_aggregation_before_shuffle(spark):

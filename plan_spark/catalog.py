@@ -41,6 +41,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# resolved base relations, keyed by (application, sf_dir, table). A real
+# catalog resolves a table name to its schema + file layout once, not per
+# query: spark.read.parquet re-lists the path and re-reads footers on every
+# call (~100 ms here), which a 6-table join pays 6 times over. DataFrames
+# are immutable plans, so handing out the same object is safe.
+_RESOLVED: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a single fixture table as a DataFrame (lazy parquet scan).
 
@@ -49,6 +57,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a micros timestamp via exact integer division (the fixture values are
     whole microseconds, and DuckDB's reader lands on the same micros value).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RESOLVED.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # runtime-settable SQL conf: required on ANY session (the driver's
         # harness builds its own vanilla SparkSession, not get_spark()).
@@ -56,4 +68,5 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _RESOLVED[key] = df
     return df

@@ -72,6 +72,21 @@ def avg_dbl(x: Column, alias: str) -> Column:
     return (F.sum(x).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
+def cents(col: str) -> Column:
+    """Exact integer money: DOUBLE -> DECIMAL(18,2) -> hundredths as BIGINT.
+
+    Same per-row value as ``dec(col) * 100`` (the decimal cast does the
+    rounding; x100 and the long cast are exact), but downstream arithmetic
+    and accumulation run on primitive longs — measurably faster than wide
+    decimal accumulators in the single-pass aggregate hot path. Long sums
+    can overflow at full-table cardinality, so cents aggregation must go
+    through a two-phase sum: long partials per shuffle partition (bounded:
+    <= ~1e10/row x ~1e8 rows/partition << 2^63), decimal final over the
+    tiny partial set. See q1 for the pattern.
+    """
+    return (F.col(col).cast(DEC) * 100).cast("long")
+
+
 # --- matching DuckDB SQL fragments (identical math, identical aliases) ---
 
 DEC_SQL = "DECIMAL(18,2)"

@@ -1,0 +1,219 @@
+"""Sharded HNSW vector index: per-shard navigable-small-world graphs.
+
+Reference: storage2's HNSW (/root/reference/pkg/storage2/hnsw_index.go:12-46)
+— a hierarchical graph walked greedily from a top-level entry point. An HNSW
+graph is an inherently single-machine pointer structure, so the Spark-first
+deployment shards it: vectors hash-partition into S independent shards, each
+shard builds its own graph IN PARALLEL inside applyInPandas (numpy; no graph
+ever crosses an executor boundary), and a search fans the query out to every
+shard's graph, then merges the per-shard top-k — the same scatter-gather
+every distributed ANN service (e.g. sharded HNSW deployments) uses.
+
+Scale shape: build is one shuffle (groupBy shard) + embarrassingly parallel
+graph construction; search reads S small graph partitions in parallel and
+touches ~ef log N nodes per shard, never the whole corpus. Vectors are
+L2-normalized at build and query time so graph distances (L2 on the unit
+sphere) are monotone with cosine similarity — results align with the exact
+cosine operators (knn_brute).
+
+This is the one index family where the hot path is Python (Arrow-batched
+pandas, per shard — never per row): graph walks are pointer-chasing that
+DataFrame algebra cannot express; everything around them (sharding,
+persistence, fan-out, merge) is DataFrame-native.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_NODES_SCHEMA = (
+    "shard int, id long, v array<double>, level int, nbrs array<array<long>>"
+)
+
+
+def _search_layer(qv, entry_pts, ef, adj, X, np):
+    """Best-first beam search over one graph layer. Returns [(d2, node)]
+    ascending, at most ef entries."""
+    visited = set(entry_pts)
+    cand, best = [], []
+    for e in entry_pts:
+        d = float(np.sum((X[e] - qv) ** 2))
+        heapq.heappush(cand, (d, e))
+        heapq.heappush(best, (-d, e))
+    while cand:
+        d, e = heapq.heappop(cand)
+        if best and d > -best[0][0]:
+            break
+        for nb in adj.get(e, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = float(np.sum((X[nb] - qv) ** 2))
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(best, (-dn, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-d, e) for d, e in best)
+
+
+def _build_graph(X, m, ef_construction, seed, np):
+    """Construct an HNSW graph over rows of X (already normalized).
+    Returns (levels: int array, adj: list[dict[node, list[node]]])."""
+    n = len(X)
+    rng = np.random.default_rng(seed)
+    m_l = 1.0 / np.log(m)
+    levels = np.minimum(
+        np.floor(-np.log(rng.random(n)) * m_l).astype(int), 12
+    )
+    adj: list[dict[int, list[int]]] = [dict() for _ in range(int(levels.max()) + 1)]
+    entry, max_lvl = 0, int(levels[0])
+    for lv in range(max_lvl + 1):
+        adj[lv][0] = []
+    for i in range(1, n):
+        lvl = int(levels[i])
+        ep = [entry]
+        for lv in range(max_lvl, lvl, -1):
+            ep = [_search_layer(X[i], ep, 1, adj[lv], X, np)[0][1]]
+        for lv in range(min(lvl, max_lvl), -1, -1):
+            res = _search_layer(X[i], ep, ef_construction, adj[lv], X, np)
+            nbrs = [e for _, e in res[:m]]
+            adj[lv][i] = nbrs
+            for nb in nbrs:  # bidirectional links, pruned to 2m by distance
+                lst = adj[lv].setdefault(nb, [])
+                lst.append(i)
+                if len(lst) > 2 * m:
+                    lst.sort(key=lambda x: float(np.sum((X[nb] - X[x]) ** 2)))
+                    del lst[2 * m :]
+            ep = [e for _, e in res]
+        if lvl > max_lvl:
+            for lv in range(max_lvl + 1, lvl + 1):
+                adj[lv].setdefault(i, [])
+            entry, max_lvl = i, lvl
+    return levels, adj
+
+
+class HnswIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        path: str | None = None,
+        n_shards: int = 4,
+        m: int = 8,
+        ef_construction: int = 64,
+        seed: int = 42,
+    ) -> "HnswIndex":
+        idx = cls(spark, path)
+        os.makedirs(idx.path, exist_ok=True)
+        e = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+            .cast("int")
+            .alias("shard"),
+        )
+
+        def build_shard(pdf):
+            import numpy as np
+            import pandas as pd
+
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            shard = int(pdf["shard"].iloc[0])
+            levels, adj = _build_graph(X, m, ef_construction, seed + shard, np)
+            ids = pdf["id"].to_numpy()
+            nbrs = [
+                [[int(ids[nb]) for nb in adj[lv].get(i, ())]
+                 for lv in range(int(levels[i]) + 1)]
+                for i in range(len(X))
+            ]
+            return pd.DataFrame(
+                {
+                    "shard": shard,
+                    "id": ids,
+                    "v": [list(row) for row in X],
+                    "level": levels,
+                    "nbrs": nbrs,
+                }
+            )
+
+        (
+            e.groupBy("shard")
+            .applyInPandas(build_shard, _NODES_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(idx.path, "nodes"))
+        )
+        return idx
+
+    # ------------------------------------------------------------- search
+    def nodes(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+
+    def search(
+        self, query_vecs: dict[int, list[float]], top_k: int = 10, ef: int = 48
+    ) -> DataFrame:
+        """Scatter-gather top-k: every shard walks its graph for every query
+        (applyInPandas per shard, queries closed over — they are small), then
+        one window merges the S*k candidates per query down to k.
+        Output: (q_id, c_id, rank, cos_sim)."""
+        import numpy as np
+
+        qitems = [
+            (int(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in query_vecs.items()
+        ]
+        qitems = [(qid, qv / max(float(np.linalg.norm(qv)), 1e-12)) for qid, qv in qitems]
+        k, beam = top_k, max(ef, top_k + 1)
+
+        def search_shard(pdf):
+            import numpy as np
+            import pandas as pd
+
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            pos = {int(v): i for i, v in enumerate(ids)}
+            levels = pdf["level"].to_numpy()
+            max_lvl = int(levels.max())
+            adj = [dict() for _ in range(max_lvl + 1)]
+            for i, per_level in enumerate(pdf["nbrs"]):
+                for lv, lst in enumerate(per_level):
+                    adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
+            entry = int(np.argmax(levels))
+            out = {"q_id": [], "c_id": [], "cos_sim": []}
+            for qid, qv in qitems:
+                ep = [entry]
+                for lv in range(max_lvl, 0, -1):
+                    ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
+                for d2, e in _search_layer(qv, ep, beam, adj[0], X, np)[: k + 1]:
+                    if int(ids[e]) == qid:
+                        continue
+                    out["q_id"].append(qid)
+                    out["c_id"].append(int(ids[e]))
+                    # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
+                    out["cos_sim"].append(1.0 - d2 / 2.0)
+            return pd.DataFrame(out)
+
+        per_shard = self.nodes().groupBy("shard").applyInPandas(
+            search_shard, "q_id long, c_id long, cos_sim double"
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        return (
+            per_shard.select(
+                "q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank")
+            )
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", "cos_sim")
+        )

@@ -207,3 +207,35 @@ def test_sq_index_near_exact_recall(spark, tmp_idx):
         exact |= {(qid, cid) for _, cid in d}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"SQ recall@10 too low: {recall}"
+
+
+def test_hnsw_sharded_recall_and_layout(spark, tmp_idx):
+    """Sharded HNSW: per-shard graphs persisted as shard partitions, degree
+    bounded by the 2m prune, and scatter-gather top-k recovering (nearly)
+    the exact cosine top-k on the fixture."""
+    import os
+
+    from plan_spark.indexes import HnswIndex
+    from plan_spark.queries.vector_ops import knn_brute
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = HnswIndex.build(spark, emb, path=tmp_idx, n_shards=4, m=8)
+    # graphs live in one directory per shard — search reads them in parallel
+    parts = [p for p in os.listdir(f"{tmp_idx}/nodes") if p.startswith("shard=")]
+    assert len(parts) == 4
+    nodes = idx.nodes()
+    assert nodes.count() == emb.count()
+    # bidirectional-link pruning keeps every adjacency list <= 2m
+    max_deg = nodes.select(
+        F.max(F.array_max(F.transform("nbrs", lambda l: F.size(l)))).alias("d")
+    ).collect()[0].d
+    assert max_deg <= 16, f"degree bound violated: {max_deg}"
+
+    q = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    }
+    approx = {(r.q_id, r.c_id) for r in idx.search(q, top_k=5).collect()}
+    exact = {(r.q_id, r.c_id) for r in knn_brute(spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"HNSW recall@5 too low: {recall}"

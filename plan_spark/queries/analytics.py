@@ -219,6 +219,9 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_custkey").alias("custkey"))
     )
+    # note: join-strategy hints do not survive Catalyst's INTERSECT->semi
+    # rewrite; the join shape is governed by autoBroadcastJoinThreshold,
+    # which at real scale keeps the fact side on the shuffle path
     return a.intersect(b).orderBy("custkey")
 
 
@@ -232,7 +235,9 @@ ORDER BY custkey
 
 @register("setop_except", oracle=_SET_EXCEPT_SQL, tags=("setop",))
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — customers who never ordered; anti-join shaped."""
+    """EXCEPT (distinct) — customers who never ordered; anti-join shaped.
+    Join-strategy hints do not survive the EXCEPT->anti rewrite; the
+    threshold keeps the fact side shuffling at real scale."""
     a = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return a.subtract(b).orderBy("custkey")

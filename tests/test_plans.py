@@ -56,16 +56,34 @@ def test_q3_dims_broadcast_facts_shuffle(spark):
 
 
 def test_no_fact_table_is_ever_broadcast(spark):
-    """Catalyst must never put lineitem or orders under a BroadcastExchange
-    in any declared TPC-H plan: a broadcast fact works at test SF and
-    deadlocks a 100 TB cluster. (Guards the autoBroadcastJoinThreshold
-    choice in session.py.)"""
+    """Catalyst must never put an unreduced fact scan (lineitem, orders,
+    events, documents, embeddings) under a BroadcastExchange in any declared
+    plan: a broadcast fact works at test SF and deadlocks a 100 TB cluster.
+    (Guards the autoBroadcastJoinThreshold choice in session.py.)"""
     import re
 
     from plan_spark.registry import load_all
 
+    # broadcasts that are correct by construction: the broadcast side is a
+    # bounded QUERY/probe set selected from a fact table (a handful of
+    # vectors/terms), not the fact itself
+    BOUNDED_PROBE = {"knn_brute", "emb_stats"}
+    # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
+    # hints, so their shape is threshold-governed only: broadcast at test SF
+    # (orders' 1-column scan is <1MB), shuffle at any real scale. No pinned
+    # hint can force a broadcast fact here, so the risk the gate guards
+    # against does not exist.
+    HINTLESS_SETOP = {"setop_except", "setop_intersect"}
+
     for name, spec in sorted(load_all().items()):
-        if not name.startswith("q"):
+        # ds_* run dataset writes inside fn(); knn_ivf fits KMeans at plan
+        # build — both covered by their own tests
+        if (
+            name.startswith("ds_")
+            or name == "knn_ivf"
+            or name in BOUNDED_PROBE
+            or name in HINTLESS_SETOP
+        ):
             continue
         p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
         # each BroadcastExchange subtree: everything indented deeper until
@@ -82,7 +100,9 @@ def test_no_fact_table_is_ever_broadcast(spark):
                     break
                 subtree.append(sub)
             for j, sub in enumerate(subtree):
-                if not re.search(r"(lineitem|orders)\.parquet", sub):
+                if not re.search(
+                    r"(lineitem|orders|events|documents|embeddings)\.parquet", sub
+                ):
                     continue
                 # a fact scan is fine if an aggregate sits between it and
                 # the exchange (the broadcast payload is the agg output,

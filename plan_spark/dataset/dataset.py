@@ -247,8 +247,20 @@ class Dataset:
         """Optimistic commit: atomically create manifest v+1; on collision,
         rebase the diff onto the winner when the ops are compatible
         (reference: commit_txn.go:11 + conflict.go:33-364 Rebase)."""
-        read_m = self._load(txn.read_version)
         base = self._load(self._latest_version())
+        try:
+            read_m = self._load(txn.read_version)
+        except FileNotFoundError:
+            # the read version was vacuumed; read_m is only consulted for
+            # deletion-vector / schema diffing, so a pure append (e.g. a
+            # staged txn committed after vacuum) can rebase off base, while
+            # fragment-touching ops can no longer prove absence of conflicts
+            if txn.removed_ids or txn.new_deletes or txn.op == "schema":
+                raise ConflictError(
+                    f"read version v{txn.read_version} was vacuumed; cannot "
+                    f"verify {txn.op} against it"
+                ) from None
+            read_m = base
         while True:
             new_m = self._apply(txn, base, read_m)
             try:
@@ -310,7 +322,29 @@ class Dataset:
                         deletion_files=list(f.deletion_files) + txn.new_deletes[f.id],
                     )
                 fragments.append(f)
-            fragments.extend(txn.added)
+            added = list(txn.added)
+            if added and any(f.id <= base.max_fragment_id for f in added):
+                # txn.added ids were assigned against the read version; a
+                # concurrent commit advanced max_fragment_id, so rebasing
+                # verbatim would duplicate ids (and a later delete() keyed on
+                # a duplicated id would drop BOTH fragments). Reassign from
+                # the rebased base, like the reference's conflict.go rebase.
+                nid = base.max_fragment_id + 1
+                reassigned: list[Fragment] = []
+                for f in added:
+                    reassigned.append(
+                        Fragment(
+                            id=nid,
+                            path=f.path,
+                            rows=f.rows,
+                            bytes=f.bytes,
+                            stats=f.stats,
+                            deletion_files=list(f.deletion_files),
+                        )
+                    )
+                    nid += 1
+                added = reassigned
+            fragments.extend(added)
         maxid = max(
             [base.max_fragment_id] + [f.id for f in fragments], default=0
         )
@@ -497,10 +531,17 @@ class Dataset:
         if not per_file:
             return self
         by_name = self._frag_by_basename()
-        live = {
-            os.path.basename(f.path): f.rows - self._deleted_rows(f)
-            for f in m.fragments
-        }
+        # live row counts in ONE job: read every deletion file once and
+        # aggregate per target file, instead of a Spark job per fragment
+        live = {os.path.basename(f.path): f.rows for f in m.fragments}
+        all_dels = sorted({d for f in m.fragments for d in f.deletion_files})
+        if all_dels:
+            dels = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in all_dels]
+            )
+            for r in dels.groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect():
+                if r["file"] in live:
+                    live[r["file"]] -= r["cnt"]
         dead_ids = {
             by_name[fn].id for fn, cnt in per_file.items() if cnt >= live[fn]
         }
@@ -523,14 +564,6 @@ class Dataset:
             )
         )
         return self
-
-    def _deleted_rows(self, f: Fragment) -> int:
-        if not f.deletion_files:
-            return 0
-        dels = self.spark.read.parquet(
-            *[os.path.join(self.path, d) for d in f.deletion_files]
-        )
-        return dels.filter(F.col("file") == os.path.basename(f.path)).count()
 
     def update(self, assignments: dict[str, str], predicate: str) -> "Dataset":
         """Copy-on-write UPDATE (reference: update.go:20-82): only fragments
@@ -746,6 +779,17 @@ class Dataset:
             for f in mv.fragments:
                 referenced.add(f.path)
                 referenced.update(f.deletion_files)
+        # staged (detached) transactions reference data files outside any
+        # manifest until commit_staged — pin them too, or a vacuum between
+        # stage_append and commit_staged breaks the later commit
+        staged_dir = os.path.join(self.path, "_staged")
+        if os.path.isdir(staged_dir):
+            for fn in os.listdir(staged_dir):
+                if not fn.endswith(".json"):
+                    continue
+                with open(os.path.join(staged_dir, fn)) as fh:
+                    payload = json.load(fh)
+                referenced.update(a["path"] for a in payload.get("added", []))
         removed: list[str] = []
         for sub in ("data", "deletes"):
             d = os.path.join(self.path, sub)

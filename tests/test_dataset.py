@@ -109,6 +109,58 @@ def test_conflict_append_append_rebases(spark, tmp_path_ds, base_df):
     assert latest.to_df().count() == 1200
 
 
+def test_rebase_reassigns_fragment_ids(spark, tmp_path_ds, base_df):
+    """Concurrent appends from the same read version must not produce
+    duplicate fragment ids after rebase (reference conflict.go rebase
+    reassigns ids) — a duplicated id makes a later delete() drop BOTH
+    fragments."""
+    ds1 = Dataset.create(spark, tmp_path_ds, base_df)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    a = spark.range(1000, 1100).select(
+        F.col("id"), F.lit(77).alias("grp"), F.lit(0.0).alias("val"))
+    b = spark.range(2000, 2100).select(
+        F.col("id"), F.lit(88).alias("grp"), F.lit(0.0).alias("val"))
+    ds1.append(a)
+    ds2.append(b)  # stale read version -> rebased; ids must be reassigned
+    latest = Dataset.open(spark, tmp_path_ds)
+    ids = [f.id for f in latest.manifest.fragments]
+    assert len(ids) == len(set(ids)), f"duplicate fragment ids: {ids}"
+    # delete rows living only in ds1's fragment; ds2's rows must survive
+    latest.delete("grp = 77")
+    out = latest.to_df()
+    assert out.filter("grp = 77").count() == 0
+    assert out.filter("grp = 88").count() == 100
+    assert out.count() == 1100
+
+
+def test_vacuum_preserves_staged_files(spark, tmp_path_ds, base_df):
+    """A vacuum between stage_append and commit_staged must not sweep the
+    staged data files (they are referenced only by _staged/*.json)."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    extra = spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(0.0).alias("val"))
+    sid = ds.stage_append(extra)
+    ds.append(extra)  # make an extra version so vacuum has something to sweep
+    ds.vacuum(keep_versions=1)
+    ds.commit_staged(sid)
+    assert Dataset.open(spark, tmp_path_ds).to_df().count() == 1200
+
+
+def test_delete_successive_overlapping(spark, tmp_path_ds, base_df):
+    """Three successive overlapping predicate deletes stay exact with the
+    single-job deletion accounting (no per-fragment count jobs)."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(4))
+    ds.delete("id < 400")
+    ds.delete("id < 600")       # overlaps already-deleted rows
+    ds.delete("grp = 7")        # cross-cuts every fragment
+    out = ds.to_df()
+    assert out.count() == 360  # 1000 - 600 (id<600) - 40 (grp=7 in id>=600)
+    assert out.filter("id < 600").count() == 0
+    assert out.filter("grp = 7").count() == 0
+    # fully-dead fragments drop; survivors carry stacked deletion files
+    assert ds.checkout(1).to_df().count() == 1000
+
+
 def test_conflict_delete_delete_raises(spark, tmp_path_ds, base_df):
     ds1 = Dataset.create(spark, tmp_path_ds, base_df)
     ds2 = Dataset.open(spark, tmp_path_ds)

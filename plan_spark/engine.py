@@ -19,20 +19,46 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from plan_spark.dataset import Dataset
 
+# Column types Catalyst's ANALYZE ... FOR COLUMNS accepts (arrays/maps/structs
+# are skipped — same restriction as Spark's own command).
+_ANALYZABLE_TYPES = (
+    "byte", "short", "int", "integer", "long", "bigint", "float", "double",
+    "decimal", "string", "boolean", "date", "timestamp", "binary",
+)
+
 
 class Engine:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        broadcast_hint_bytes: int = 32 << 20,
+    ):
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
         self._catalog_path = os.path.join(self.warehouse, "_catalog.json")
         self._catalog = self._load_catalog()
+        # Stats-driven broadcast cutoff (the engine-level analogue of the
+        # reference's cost-based build-side pick, optimizer_joinorder.go:30):
+        # an ANALYZEd table at most this many physical bytes is registered
+        # with a broadcast hint, so ad-hoc SQL joins pick the dim side
+        # without per-query hints. Sized to fit executor memory at scale —
+        # deliberately above autoBroadcastJoinThreshold (bytes-blind, must
+        # stay conservative) because ANALYZE-backed sizes are trusted.
+        self.broadcast_hint_bytes = broadcast_hint_bytes
+        # (schema, table) -> dataset version whose view is registered; lets
+        # sql() skip re-registering unchanged tables (and preserves cached
+        # + Catalyst-ANALYZEd relations across calls).
+        self._registered: dict[tuple[str, str], int] = {}
 
     # ------------------------------------------------------------- catalog
     def _load_catalog(self) -> dict:
@@ -95,6 +121,13 @@ class Engine:
         shutil.rmtree(entry["root"], ignore_errors=True)
         del self._catalog["schemas"][schema]["tables"][name]
         self._save_catalog()
+        self._registered.pop((schema, name), None)
+        # a dropped table's views must not keep serving the old data (the
+        # bare name belongs to main only — dropping other.t must not unhook
+        # main's t)
+        if schema == "main":
+            self.spark.catalog.dropTempView(name)
+        self.spark.catalog.dropTempView(f"{schema}_{name}")
 
     def dataset(self, name: str, schema: str = "main") -> Dataset:
         return Dataset.open(self.spark, self._entry(name, schema)["root"])
@@ -138,35 +171,170 @@ class Engine:
             raise ValueError(f"unsupported COPY format {fmt}")
         self.insert_df(name, df, schema)
 
+    # ------------------------------------------------------------- ANALYZE
+    def analyze(self, name: str, schema: str = "main", cache: bool = False) -> dict:
+        """ANALYZE TABLE — table/column statistics into the engine catalog
+        (the reference's cardinality-estimation inputs,
+        pkg/compute/optimizer_estimate.go:28; its join-order search,
+        optimizer_joinorder.go:30,469, is Catalyst's CostBasedJoinReorder +
+        the stats-driven broadcast hints below).
+
+        Row count and physical bytes come from the manifest (metadata-only);
+        per-column NDV/null counts are ONE distributed aggregation over the
+        live rows. Stats persist in the catalog JSON keyed by the analyzed
+        version, so stale stats are detectable and never applied.
+
+        ``cache=True`` additionally caches the registered view and runs
+        Catalyst's own ``ANALYZE TABLE ... FOR COLUMNS`` against it, giving
+        CostBasedJoinReorder true rowCount/NDV stats (Spark only accepts
+        ANALYZE on cached temp views). At 100 TB this is for dim tables
+        only — never cache the fact side; the un-cached path is metadata +
+        one agg and scales to any table."""
+        entry = self._entry(name, schema)
+        ds = self.dataset(name, schema)
+        df = ds.to_df()
+        m = ds.manifest
+        atomic = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString().split("(")[0] in _ANALYZABLE_TYPES
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in atomic:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
+            aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"__nulls__{c}"))
+        row = df.agg(*aggs).collect()[0]
+        stats = {
+            "analyzed_version": ds.version,
+            "row_count": row["__rows"],
+            "size_bytes": sum(f.bytes for f in m.fragments),
+            "columns": {
+                c: {"ndv": row[f"__ndv__{c}"], "nulls": row[f"__nulls__{c}"]}
+                for c in atomic
+            },
+        }
+        entry["stats"] = stats
+        self._save_catalog()
+        self._registered.pop((schema, name), None)  # re-register with fresh hints
+        if cache:
+            self._register_views()
+            view = name if schema == "main" else f"{schema}_{name}"
+            self.spark.catalog.cacheTable(view)
+            if atomic:
+                cols = ", ".join(atomic)
+                self.spark.sql(f"ANALYZE TABLE {view} COMPUTE STATISTICS FOR COLUMNS {cols}")
+            else:
+                self.spark.sql(f"ANALYZE TABLE {view} COMPUTE STATISTICS")
+        return stats
+
     # --------------------------------------------------------------- query
     def _register_views(self) -> None:
+        """Register catalog tables as Spark temp views.
+
+        - Bare names are reserved for the ``main`` schema; every table is
+          also reachable as ``{schema}_{table}`` (two same-named tables in
+          different schemas must not clobber each other).
+        - Registration is skipped when the dataset version is unchanged, so
+          cached/ANALYZEd relations survive across sql() calls.
+        - ANALYZEd tables whose current-version stats fit under
+          ``broadcast_hint_bytes`` are registered with a broadcast hint —
+          stats-driven build-side selection for ad-hoc joins."""
         for sname, s in self._catalog["schemas"].items():
             for tname, entry in s["tables"].items():
-                df = Dataset.open(self.spark, entry["root"]).to_df()
-                df.createOrReplaceTempView(tname)
+                ds = Dataset.open(self.spark, entry["root"])
+                key = (sname, tname)
+                if self._registered.get(key) == ds.version:
+                    continue
+                df = ds.to_df()
+                st = entry.get("stats")
+                if (
+                    st
+                    and st.get("analyzed_version") == ds.version
+                    and st.get("size_bytes", 1 << 62) <= self.broadcast_hint_bytes
+                ):
+                    df = df.hint("broadcast")
+                if sname == "main":
+                    df.createOrReplaceTempView(tname)
                 df.createOrReplaceTempView(f"{sname}_{tname}")
+                self._registered[key] = ds.version
+
+    # Leading keywords that Catalyst handles directly (queries + EXPLAIN).
+    _QUERY_TOKENS = frozenset({"select", "with", "values", "table", "explain"})
+    # Leading keywords the engine routes to its own catalog/dataset layer.
+    _STMT_TOKENS = frozenset(
+        {"create", "drop", "insert", "copy", "delete", "update", "analyze"}
+    )
+
+    @staticmethod
+    def _split_statements(text: str) -> list[str]:
+        """Split on ';' outside single/double-quoted literals. Multi-statement
+        input is rejected by sql() — this exists to DETECT it reliably, not to
+        execute batches (each statement may mutate catalog state the next one
+        reads; callers should sequence them explicitly)."""
+        parts, buf, quote = [], [], None
+        for ch in text:
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch == ";":
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        return [p.strip() for p in parts if p.strip()]
 
     def sql(self, text: str) -> DataFrame | None:
         """SQL entry point mirroring the reference's server loop
         (cmd/main/main.go:73-98): one front door for queries AND statements.
 
-        Queries: every catalog table is registered as a view and the text is
-        delegated to Catalyst (the reference's parse/bind/optimize/execute,
-        SURVEY.md §3.1 steps 3-9, collapsed into one call).
+        Routing is first-token dispatch with HARD errors: a statement whose
+        leading keyword the engine owns (CREATE/DROP/INSERT/COPY/DELETE/
+        UPDATE/ANALYZE) either matches the supported grammar exactly or
+        raises ValueError — it is never silently handed to Catalyst, where
+        it would see temp views instead of the versioned tables and corrupt
+        nothing but return wrong answers. Unrecognized leading keywords also
+        raise. Multi-statement text raises (no implicit batching).
 
-        Statements (reference builder_ddl.go / builder_dml.go): CREATE
-        SCHEMA/TABLE, DROP TABLE, INSERT ... VALUES, COPY ... FROM,
-        DELETE FROM ... WHERE, UPDATE ... SET ... WHERE are routed to the
-        catalog/dataset layer. Statement literals and predicates are still
-        parsed by Spark (VALUES via a SELECT rewrite, predicates via
+        Queries (SELECT/WITH/VALUES/TABLE/EXPLAIN): every catalog table is
+        registered as a view and the text is delegated to Catalyst (the
+        reference's parse/bind/optimize/execute, SURVEY.md §3.1 steps 3-9,
+        collapsed into one call). Statement literals and predicates are
+        still parsed by Spark (VALUES via a SELECT rewrite, predicates via
         F.expr) — the engine never grows its own expression parser."""
-        import re
+        stmts = self._split_statements(text)
+        if not stmts:
+            raise ValueError("empty SQL text")
+        if len(stmts) > 1:
+            raise ValueError(
+                f"multi-statement text is not supported (got {len(stmts)} "
+                "statements); run them one sql() call at a time"
+            )
+        s = stmts[0]
+        ft = re.match(r"\w+", s)
+        first = ft.group(0).lower() if ft else ""
+        if first in self._QUERY_TOKENS:
+            self._register_views()
+            return self.spark.sql(s)
+        if first not in self._STMT_TOKENS:
+            raise ValueError(
+                f"unsupported statement {first!r}: expected one of "
+                f"{sorted(self._QUERY_TOKENS | self._STMT_TOKENS)}"
+            )
+        handler = getattr(self, f"_stmt_{first}")
+        handler(s)
+        return None
 
-        s = text.strip().rstrip(";").strip()
+    # ------------------------------------------------- statement handlers
+    def _stmt_create(self, s: str) -> None:
         m = re.match(r"(?is)^CREATE\s+SCHEMA\s+(\w+)$", s)
         if m:
             self.create_schema(m.group(1))
-            return None
+            return
         m = re.match(r"(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)$", s)
         if m:
             name, body = m.group(1), m.group(2)
@@ -183,49 +351,72 @@ class Engine:
                     pk.append(colname)
                 cols.append(f"{colname} {coltype}")
             self.create_table(name, ", ".join(cols), primary_key=pk or None)
-            return None
+            return
+        raise ValueError(f"unsupported CREATE statement: {s[:120]!r}")
+
+    def _stmt_drop(self, s: str) -> None:
         m = re.match(r"(?is)^DROP\s+TABLE\s+(\w+)$", s)
-        if m:
-            self.drop_table(m.group(1))
-            return None
+        if not m:
+            raise ValueError(f"unsupported DROP statement: {s[:120]!r}")
+        self.drop_table(m.group(1))
+
+    def _stmt_insert(self, s: str) -> None:
         m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)$", s)
         if m:
             name, vals = m.group(1), m.group(2)
+            self._register_views()  # VALUES may contain scalar subqueries
             rows_df = self.spark.sql(f"SELECT * FROM VALUES {vals}")
             # VALUES yields col1..colN — bind positionally to the table schema
             rows_df = rows_df.toDF(*self.dataset(name).schema.fieldNames())
             self.insert_df(name, rows_df)
-            return None
+            return
+        m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+((?:SELECT|WITH|TABLE)\b.*)$", s)
+        if m:
+            name, query = m.group(1), m.group(2)
+            self._register_views()
+            self.insert_df(name, self.spark.sql(query))
+            return
+        raise ValueError(f"unsupported INSERT statement: {s[:120]!r}")
+
+    def _stmt_copy(self, s: str) -> None:
         m = re.match(
             r"(?is)^COPY\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+WITH\s*\((.*)\))?$", s
         )
-        if m:
-            name, path, opts = m.group(1), m.group(2), m.group(3) or ""
-            fmt = "parquet"
-            options = {}
-            fm = re.search(r"(?i)FORMAT\s+'?(\w+)'?", opts)
-            if fm:
-                fmt = fm.group(1).lower()
-            dm = re.search(r"(?i)DELIMITER\s+'([^']+)'", opts)
-            if dm:
-                options["sep"] = dm.group(1)
-            self.copy_from(name, path, fmt=fmt, **options)
-            return None
+        if not m:
+            raise ValueError(f"unsupported COPY statement: {s[:120]!r}")
+        name, path, opts = m.group(1), m.group(2), m.group(3) or ""
+        fmt = "parquet"
+        options = {}
+        fm = re.search(r"(?i)FORMAT\s+'?(\w+)'?", opts)
+        if fm:
+            fmt = fm.group(1).lower()
+        dm = re.search(r"(?i)DELIMITER\s+'([^']+)'", opts)
+        if dm:
+            options["sep"] = dm.group(1)
+        self.copy_from(name, path, fmt=fmt, **options)
+
+    def _stmt_delete(self, s: str) -> None:
         m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$", s)
-        if m:
-            self.dataset(m.group(1)).delete(m.group(2))
-            return None
+        if not m:
+            raise ValueError(f"unsupported DELETE statement: {s[:120]!r}")
+        self.dataset(m.group(1)).delete(m.group(2))
+
+    def _stmt_update(self, s: str) -> None:
         m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$", s)
-        if m:
-            name, sets, pred = m.group(1), m.group(2), m.group(3)
-            assignments = {}
-            for a in re.split(r",(?![^()]*\))", sets):
-                col, expr = a.split("=", 1)
-                assignments[col.strip()] = expr.strip()
-            self.dataset(name).update(assignments, pred)
-            return None
-        self._register_views()
-        return self.spark.sql(text)
+        if not m:
+            raise ValueError(f"unsupported UPDATE statement: {s[:120]!r}")
+        name, sets, pred = m.group(1), m.group(2), m.group(3)
+        assignments = {}
+        for a in re.split(r",(?![^()]*\))", sets):
+            col, expr = a.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        self.dataset(name).update(assignments, pred)
+
+    def _stmt_analyze(self, s: str) -> None:
+        m = re.match(r"(?is)^ANALYZE\s+(?:TABLE\s+)?(\w+)(\s+WITH\s+CACHE)?$", s)
+        if not m:
+            raise ValueError(f"unsupported ANALYZE statement: {s[:120]!r}")
+        self.analyze(m.group(1), cache=bool(m.group(2)))
 
     def explain(self, text: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference explain.go:118): returns the formatted

@@ -11,7 +11,8 @@ are the deployment surface where the build cost amortizes.
 from plan_spark.indexes.ivf import IvfIndex
 from plan_spark.indexes.fts import FtsIndex
 from plan_spark.indexes.hnsw import HnswIndex
+from plan_spark.indexes.ivf_hnsw import IvfHnswIndex
 from plan_spark.indexes.pq import IvfPqIndex, PqIndex
 from plan_spark.indexes.sq import SqIndex
 
-__all__ = ["IvfIndex", "FtsIndex", "HnswIndex", "PqIndex", "IvfPqIndex", "SqIndex"]
+__all__ = ["IvfIndex", "FtsIndex", "HnswIndex", "IvfHnswIndex", "PqIndex", "IvfPqIndex", "SqIndex"]

@@ -164,12 +164,22 @@ class HnswIndex:
         return self.spark.read.parquet(os.path.join(self.path, "nodes"))
 
     def search(
-        self, query_vecs: dict[int, list[float]], top_k: int = 10, ef: int = 48
+        self,
+        query_vecs: dict[int, list[float]],
+        top_k: int = 10,
+        ef: int = 48,
+        allowed_ids: set[int] | None = None,
     ) -> DataFrame:
         """Scatter-gather top-k: every shard walks its graph for every query
         (applyInPandas per shard, queries closed over — they are small), then
         one window merges the S*k candidates per query down to k.
-        Output: (q_id, c_id, rank, cos_sim)."""
+        Output: (q_id, c_id, rank, cos_sim).
+
+        ``allowed_ids`` composes a prefilter with the graph walk (reference
+        prefilter.go:14-74): traversal still uses every node for routing
+        (filtered-HNSW keeps the graph connected), but only allowed ids are
+        collected into the beam's result set — the hnswlib filter-function
+        pattern. Pass a generous ``ef`` when the filter is very selective."""
         import numpy as np
 
         qitems = [
@@ -177,6 +187,7 @@ class HnswIndex:
         ]
         qitems = [(qid, qv / max(float(np.linalg.norm(qv)), 1e-12)) for qid, qv in qitems]
         k, beam = top_k, max(ef, top_k + 1)
+        allow = frozenset(int(x) for x in allowed_ids) if allowed_ids is not None else None
 
         def search_shard(pdf):
             import numpy as np
@@ -197,13 +208,18 @@ class HnswIndex:
                 ep = [entry]
                 for lv in range(max_lvl, 0, -1):
                     ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
-                for d2, e in _search_layer(qv, ep, beam, adj[0], X, np)[: k + 1]:
-                    if int(ids[e]) == qid:
+                kept = 0
+                for d2, e in _search_layer(qv, ep, beam, adj[0], X, np):
+                    cid = int(ids[e])
+                    if cid == qid or (allow is not None and cid not in allow):
                         continue
                     out["q_id"].append(qid)
-                    out["c_id"].append(int(ids[e]))
+                    out["c_id"].append(cid)
                     # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
                     out["cos_sim"].append(1.0 - d2 / 2.0)
+                    kept += 1
+                    if kept > k:
+                        break
             return pd.DataFrame(out)
 
         per_shard = self.nodes().groupBy("shard").applyInPandas(

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from plan_spark.localrel import local_df
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -74,6 +76,13 @@ class IvfIndex:
         (
             model.transform(feat)
             .select("id", "v", F.col("prediction").alias("cluster"))
+            # Cluster-clustered files: without this every input task writes a
+            # sliver into every cluster dir (tasks x k tiny files) and the
+            # pruned search scan pays per-file overhead. One shuffle at build
+            # time -> one file per cluster here; at 100 TB use
+            # repartition(n_files_per_cluster * k, "cluster") to keep files
+            # at target size while preserving the clustering.
+            .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
             .parquet(os.path.join(idx.path, "vectors"))
@@ -89,31 +98,55 @@ class IvfIndex:
 
     def search(
         self, queries: DataFrame, id_col: str = "q_id", vec_col: str = "qv",
-        top_k: int = 5, nprobe: int = 4,
+        top_k: int = 5, nprobe: int = 4, prefilter: DataFrame | None = None,
     ) -> DataFrame:
         """Cosine top-k per query over the nprobe closest clusters.
 
         Output: (q_id, c_id, rank, cos_sim). The cluster filter is an isin()
-        over the partition column, so the scan partition-prunes on disk."""
-        q = queries.select(
+        over the partition column, so the scan partition-prunes on disk.
+
+        ``prefilter`` composes a predicate with the index search (reference
+        prefilter.go:14-74 — the allowed-row bitmap ANDed into every index
+        probe): a one-column DataFrame of allowed ids, semi-joined against
+        the probed clusters BEFORE scoring, so disallowed vectors are never
+        scored and top-k is taken over the filtered corpus only. At scale
+        this is a shuffle-free semi join when the filter side is small
+        enough to broadcast, else a shuffled semi join on id."""
+        import numpy as np
+
+        # The probe (query -> nprobe nearest centroids) is computed driver-
+        # side: both inputs are query-sized BY CONTRACT (queries are the
+        # broadcast side of the search; centroids are k rows), never corpus-
+        # sized, and driver-side ranking saves a whole window-shuffle job per
+        # search call. The corpus itself never leaves the executors.
+        q_rows = queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv")
-        )
-        qc = q.join(F.broadcast(self.centroids())).select(
-            "q_id", "qv", "cluster", _cos(F.col("qv"), F.col("cv")).alias("c_sim")
-        )
-        wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
-        probe = (
-            qc.select("q_id", "qv", "cluster", F.row_number().over(wq).alias("r"))
-            .filter(F.col("r") <= nprobe)
-            .select("q_id", "qv", "cluster")
-        )
-        # partition pruning: restrict the on-disk scan to probed clusters
-        probed_clusters = [r.cluster for r in probe.select("cluster").distinct().collect()]
-        if not probed_clusters:  # no queries -> empty result, not an isin() error
+        ).collect()
+        if not q_rows:  # no queries -> empty result, not an isin() error
             return self.spark.createDataFrame(
                 [], "q_id long, c_id long, rank int, cos_sim double"
             )
+        c_rows = sorted(self.centroids().collect(), key=lambda r: r.cluster)
+        C = np.array([r.cv for r in c_rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        probe_rows = []
+        for r in q_rows:
+            qv = np.array(r.qv, dtype=np.float64)
+            sims = Cn @ (qv / max(float(np.linalg.norm(qv)), 1e-12))
+            # ties broken by ascending cluster id (stable argsort on -sims)
+            for j in np.argsort(-sims, kind="stable")[:nprobe]:
+                probe_rows.append((r.q_id, r.qv, int(c_rows[j].cluster)))
+        # Arrow-backed local relation (see plan_spark.localrel): the
+        # pickled-RDD path measured ~6 s to broadcast vs ~0.3 s via Arrow,
+        # and the probe is rebuilt per search call.
+        probe = local_df(
+            self.spark, probe_rows, "q_id long, qv array<double>, cluster int"
+        )
+        probed_clusters = sorted({c for _, _, c in probe_rows})
         vecs = self.vectors().filter(F.col("cluster").isin(probed_clusters))
+        if prefilter is not None:
+            allowed = prefilter.select(F.col(prefilter.columns[0]).alias("id"))
+            vecs = vecs.join(allowed, "id", "left_semi")
         sims = (
             vecs.join(F.broadcast(probe), "cluster")
             .filter(F.col("id") != F.col("q_id"))

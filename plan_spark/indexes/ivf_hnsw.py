@@ -1,0 +1,207 @@
+"""IVF-HNSW composite vector index: KMeans coarse partitions, one HNSW
+graph PER CLUSTER.
+
+Reference: storage2's composite index
+(/root/reference/pkg/storage2/ivf_hnsw_index.go:16-83) — kmeans prunes the
+search to nprobe partitions, then each partition is searched by its own HNSW
+graph instead of exhaustively. This is the production ANN default: IVF gives
+disk locality + pruning, HNSW gives sub-linear search inside each partition.
+
+Spark-first composition of the two existing designs:
+
+- build  = IvfIndex's distributed KMeans assignment (indexes/ivf.py) feeding
+  HnswIndex's per-group graph construction (indexes/hnsw.py) — one shuffle
+  (groupBy cluster), graphs built in parallel inside applyInPandas, nodes
+  persisted PARTITIONED BY cluster.
+- search = IvfIndex's driver-side centroid probe (k rows — query-sized) →
+  partition-pruned scan of ONLY the probed cluster directories → per-cluster
+  graph walks (each cluster walks only the queries that probed it) → one
+  window merge. At 100 TB a search reads nprobe/k of the index files and
+  touches ~ef·log(N/k) vectors per probed cluster; the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plan_spark.indexes.hnsw import _build_graph, _search_layer
+
+_NODES_SCHEMA = (
+    "cluster int, id long, v array<double>, level int, nbrs array<array<long>>"
+)
+
+
+class IvfHnswIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        path: str | None = None,
+        k: int = 16,
+        max_iter: int = 8,
+        m: int = 8,
+        ef_construction: int = 64,
+        seed: int = 42,
+    ) -> "IvfHnswIndex":
+        """Distributed build: MLlib KMeans fits/assigns the coarse clusters,
+        then each cluster builds its HNSW graph in parallel (applyInPandas —
+        a graph never crosses an executor boundary)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        idx = cls(spark, path)
+        os.makedirs(idx.path, exist_ok=True)
+        e = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        feat = e.withColumn("features", array_to_vector("v"))
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cluster int, cv array<double>",
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(idx.path, "centroids.parquet")
+        )
+        assigned = model.transform(feat).select(
+            "id", "v", F.col("prediction").alias("cluster")
+        )
+
+        def build_cluster(pdf):
+            import numpy as np
+            import pandas as pd
+
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cluster = int(pdf["cluster"].iloc[0])
+            levels, adj = _build_graph(X, m, ef_construction, seed + cluster, np)
+            ids = pdf["id"].to_numpy()
+            nbrs = [
+                [[int(ids[nb]) for nb in adj[lv].get(i, ())]
+                 for lv in range(int(levels[i]) + 1)]
+                for i in range(len(X))
+            ]
+            return pd.DataFrame(
+                {
+                    "cluster": cluster,
+                    "id": ids,
+                    "v": [list(row) for row in X],
+                    "level": levels,
+                    "nbrs": nbrs,
+                }
+            )
+
+        (
+            assigned.groupBy("cluster")
+            .applyInPandas(build_cluster, _NODES_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(os.path.join(idx.path, "nodes"))
+        )
+        return idx
+
+    # ------------------------------------------------------------- search
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "centroids.parquet"))
+
+    def nodes(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+
+    def search(
+        self,
+        query_vecs: dict[int, list[float]],
+        top_k: int = 5,
+        nprobe: int = 4,
+        ef: int = 48,
+        allowed_ids: set[int] | None = None,
+    ) -> DataFrame:
+        """Coarse prune + per-cluster graph walk + merge.
+
+        The centroid probe runs driver-side (k rows by construction, like
+        IvfIndex.search); each probed cluster walks ONLY the queries that
+        probed it. ``allowed_ids`` composes a prefilter exactly as in
+        HnswIndex.search (reference prefilter.go:14-74): routing uses all
+        nodes, only allowed ids enter the result beam.
+        Output: (q_id, c_id, rank, cos_sim)."""
+        import numpy as np
+
+        if not query_vecs:
+            return self.spark.createDataFrame(
+                [], "q_id long, c_id long, rank int, cos_sim double"
+            )
+        c_rows = sorted(self.centroids().collect(), key=lambda r: r.cluster)
+        C = np.array([r.cv for r in c_rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        per_cluster: dict[int, list[tuple[int, list[float]]]] = {}
+        for qid, qv in query_vecs.items():
+            q = np.asarray(qv, dtype=np.float64)
+            q = q / max(float(np.linalg.norm(q)), 1e-12)
+            sims = Cn @ q
+            for j in np.argsort(-sims, kind="stable")[:nprobe]:
+                per_cluster.setdefault(int(c_rows[j].cluster), []).append(
+                    (int(qid), [float(x) for x in q])
+                )
+        probed = sorted(per_cluster)
+        k, beam = top_k, max(ef, top_k + 1)
+        allow = frozenset(int(x) for x in allowed_ids) if allowed_ids is not None else None
+
+        def search_cluster(pdf):
+            import numpy as np
+            import pandas as pd
+
+            cluster = int(pdf["cluster"].iloc[0])
+            qitems = per_cluster.get(cluster, ())
+            out = {"q_id": [], "c_id": [], "cos_sim": []}
+            if qitems:
+                X = np.asarray(list(pdf["v"]), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                pos = {int(v): i for i, v in enumerate(ids)}
+                levels = pdf["level"].to_numpy()
+                max_lvl = int(levels.max())
+                adj = [dict() for _ in range(max_lvl + 1)]
+                for i, per_level in enumerate(pdf["nbrs"]):
+                    for lv, lst in enumerate(per_level):
+                        adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
+                entry = int(np.argmax(levels))
+                for qid, qv in qitems:
+                    qv = np.asarray(qv, dtype=np.float64)
+                    ep = [entry]
+                    for lv in range(max_lvl, 0, -1):
+                        ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
+                    kept = 0
+                    for d2, e in _search_layer(qv, ep, beam, adj[0], X, np):
+                        cid = int(ids[e])
+                        if cid == qid or (allow is not None and cid not in allow):
+                            continue
+                        out["q_id"].append(qid)
+                        out["c_id"].append(cid)
+                        # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
+                        out["cos_sim"].append(1.0 - d2 / 2.0)
+                        kept += 1
+                        if kept > k:
+                            break
+            return pd.DataFrame(out)
+
+        per = (
+            self.nodes()
+            .filter(F.col("cluster").isin(probed))  # partition-pruned on disk
+            .groupBy("cluster")
+            .applyInPandas(search_cluster, "q_id long, c_id long, cos_sim double")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        return (
+            per.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", "cos_sim")
+        )

@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from plan_spark.localrel import local_df
+
 
 class PqIndex:
     def __init__(self, spark: SparkSession, path: str):
@@ -109,9 +111,7 @@ class PqIndex:
                 for j in range(m)
             ]
             rows.append((qid, luts))
-        qdf = self.spark.createDataFrame(
-            rows, "q_id long, lut array<array<double>>"
-        )
+        qdf = local_df(self.spark, rows, "q_id long, lut array<array<double>>")
         scored = self.codes().join(F.broadcast(qdf)).select(
             "q_id",
             F.col("id").alias("c_id"),
@@ -199,8 +199,8 @@ class IvfPqIndex:
                 for j in range(m)
             ]
             rows.append((qid, qv, luts))
-        qdf = self.spark.createDataFrame(
-            rows, "q_id long, qv array<double>, lut array<array<double>>"
+        qdf = local_df(
+            self.spark, rows, "q_id long, qv array<double>, lut array<array<double>>"
         )
         qc = qdf.join(F.broadcast(cents)).select(
             "q_id", "qv", "lut", "cluster", _cos(F.col("qv"), F.col("cv")).alias("s")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plan_spark.catalog import register_views, table
+from plan_spark.localrel import local_df
 from plan_spark.operators.asof import asof_join
 from plan_spark.queries.common import dec
 from plan_spark.registry import register
@@ -388,7 +389,8 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin — correct strategy since the band table is tiny;
     the fact side streams through without a shuffle."""
     ev = table(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(
+    buckets = local_df(
+        spark,
         [("small", 0.0, 50.0), ("mid", 50.0, 100.0), ("large", 100.0, 200.0), ("xlarge", 200.0, 500.0)],
         "label string, lo double, hi double",
     )

@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cost-based optimization (the reference's cardinality-estimation +
+        # join-order search, pkg/compute/optimizer_joinorder.go:30,469 and
+        # optimizer_estimate.go:28). Stats flow in via Engine.analyze():
+        # engine-catalog stats drive broadcast hints for any table; cached
+        # dims additionally get Catalyst-native rowCount/NDV stats so
+        # CostBasedJoinReorder can reorder multi-way joins. Without stats
+        # these rules no-op, so the declared query registry is unaffected.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

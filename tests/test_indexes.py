@@ -54,6 +54,55 @@ def test_ivf_search_partition_prunes(spark, tmp_idx):
     assert "PartitionFilters: [cluster" in plan, plan[:2000]
 
 
+def test_ivf_prefilter_composes(spark, tmp_idx):
+    """Filtered ANN (reference prefilter.go:14-74): the predicate restricts
+    the corpus BEFORE scoring, so every hit satisfies it and top-k is taken
+    over the filtered corpus — compared against the exact filtered answer
+    (knn_filtered, itself driver-hash-checked)."""
+    from plan_spark.queries.vector_ops import knn_filtered
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    allowed = emb.filter(F.col("label").isin(0, 1, 2)).select("vec_id")
+    res = idx.search(q, top_k=5, nprobe=4, prefilter=allowed).collect()
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    assert res and all(r.c_id in allowed_ids for r in res)
+    # full rank lists per query (filter applied pre-ranking, not post)
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in res)
+    assert all(v == 5 for v in per_q.values())
+    exact = {(r.q_id, r.c_id) for r in knn_filtered(spark, SF_DIR).collect()}
+    approx = {(r.q_id, r.c_id) for r in res}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"filtered-IVF recall@5 too low: {recall}"
+
+
+def test_hnsw_prefilter_composes(spark, tmp_idx):
+    from plan_spark.indexes import HnswIndex
+    from plan_spark.queries.vector_ops import knn_filtered
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = HnswIndex.build(spark, emb, path=tmp_idx, n_shards=4, m=8)
+    q = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    }
+    allowed_ids = {
+        r.vec_id for r in emb.filter(F.col("label").isin(0, 1, 2)).collect()
+    }
+    res = idx.search(q, top_k=5, ef=96, allowed_ids=allowed_ids).collect()
+    assert res and all(r.c_id in allowed_ids for r in res)
+    exact = {(r.q_id, r.c_id) for r in knn_filtered(spark, SF_DIR).collect()}
+    approx = {(r.q_id, r.c_id) for r in res}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"filtered-HNSW recall@5 too low: {recall}"
+
+
 def test_fts_index_matches_adhoc_bm25(spark, tmp_idx):
     from plan_spark.queries.fts import _QUERY_TERMS, fts_bm25
 
@@ -239,3 +288,52 @@ def test_hnsw_sharded_recall_and_layout(spark, tmp_idx):
     exact = {(r.q_id, r.c_id) for r in knn_brute(spark, SF_DIR).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"HNSW recall@5 too low: {recall}"
+
+
+def test_ivf_hnsw_recall_at_least_ivf(spark, tmp_idx):
+    """Composite index (reference ivf_hnsw_index.go:16-83): same coarse
+    prune as IVF, per-cluster HNSW graphs instead of exhaustive scan.
+    Done-bar from the round-1 verdict: recall@5 >= IVF-alone at equal
+    nprobe, and the node scan partition-prunes to the probed clusters."""
+    import os
+
+    from plan_spark.indexes import IvfHnswIndex
+    from plan_spark.queries.vector_ops import knn_brute
+
+    emb = table(spark, SF_DIR, "embeddings")
+    ivf = IvfIndex.build(spark, emb, path=os.path.join(tmp_idx, "ivf"))
+    comp = IvfHnswIndex.build(spark, emb, path=os.path.join(tmp_idx, "ivf_hnsw"))
+    q_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qvecs = {r.q_id: list(r.qv) for r in q_df.collect()}
+    exact = {(r.q_id, r.c_id) for r in knn_brute(spark, SF_DIR).collect()}
+    ivf_hits = {(r.q_id, r.c_id) for r in ivf.search(q_df, top_k=5, nprobe=4).collect()}
+    comp_res = comp.search(qvecs, top_k=5, nprobe=4, ef=64)
+    comp_hits = {(r.q_id, r.c_id) for r in comp_res.collect()}
+    r_ivf = len(exact & ivf_hits) / len(exact)
+    r_comp = len(exact & comp_hits) / len(exact)
+    assert r_comp >= r_ivf, f"IVF-HNSW recall {r_comp} < IVF recall {r_ivf}"
+    # node scan partition-prunes to the probed clusters
+    plan = comp.search(qvecs, top_k=5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan, plan[:2000]
+
+
+def test_ivf_hnsw_prefilter_composes(spark, tmp_idx):
+    from plan_spark.indexes import IvfHnswIndex
+    from plan_spark.queries.vector_ops import knn_filtered
+
+    emb = table(spark, SF_DIR, "embeddings")
+    comp = IvfHnswIndex.build(spark, emb, path=tmp_idx)
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    }
+    allowed_ids = {r.vec_id for r in emb.filter(F.col("label").isin(0, 1, 2)).collect()}
+    res = comp.search(qvecs, top_k=5, nprobe=6, ef=96, allowed_ids=allowed_ids).collect()
+    assert res and all(r.c_id in allowed_ids for r in res)
+    exact = {(r.q_id, r.c_id) for r in knn_filtered(spark, SF_DIR).collect()}
+    approx = {(r.q_id, r.c_id) for r in res}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"filtered IVF-HNSW recall@5 too low: {recall}"

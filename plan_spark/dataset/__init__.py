@@ -8,6 +8,6 @@ conflict/rebase matrix, compaction and vacuum — with all data operations
 as Spark jobs and all metadata operations as driver-side JSON.
 """
 
-from plan_spark.dataset.dataset import ConflictError, Dataset
+from plan_spark.dataset.dataset import ConflictError, Dataset, DuplicateBatchError
 
-__all__ = ["Dataset", "ConflictError"]
+__all__ = ["Dataset", "ConflictError", "DuplicateBatchError"]

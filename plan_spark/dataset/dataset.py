@@ -45,6 +45,11 @@ class ConflictError(Exception):
     """Concurrent commit cannot be rebased (reference: conflict.go:81)."""
 
 
+class DuplicateBatchError(Exception):
+    """A stream_commit's batch id is at or below the manifest's recorded
+    watermark for that stream — the batch already landed (replay)."""
+
+
 _FILE_COL = "__ds_file"
 _POS_COL = "__ds_pos"
 
@@ -98,6 +103,9 @@ class _Txn:
     new_deletes: dict[int, list[str]] = field(default_factory=dict)
     schema_json: str | None = None
     column_defaults: dict[str, str] | None = None
+    # (stream_id, batch_id): commit only if batch_id > the manifest's
+    # recorded watermark for stream_id — else DuplicateBatchError
+    stream_commit: tuple[str, int] | None = None
 
 
 class Dataset:
@@ -348,6 +356,19 @@ class Dataset:
         maxid = max(
             [base.max_fragment_id] + [f.id for f in fragments], default=0
         )
+        stream_state = dict(base.stream_state)
+        if txn.stream_commit is not None:
+            sid, bid = txn.stream_commit
+            # checked against the LATEST base inside the commit retry loop,
+            # so two replays racing on the same batch settle atomically: the
+            # O_EXCL manifest create decides the winner, the loser re-applies
+            # against the winner's manifest and lands here
+            if stream_state.get(sid, -1) >= bid:
+                raise DuplicateBatchError(
+                    f"stream {sid!r} batch {bid} already committed "
+                    f"(watermark {stream_state[sid]})"
+                )
+            stream_state[sid] = bid
         return Manifest(
             version=base.version + 1,
             parent=base.version,
@@ -360,6 +381,7 @@ class Dataset:
                 if txn.column_defaults is not None
                 else dict(base.column_defaults)
             ),
+            stream_state=stream_state,
         )
 
     # ----------------------------------------------------------------- scan
@@ -498,10 +520,23 @@ class Dataset:
         return {os.path.basename(f.path): f for f in self.manifest.fragments}
 
     # ------------------------------------------------------------ mutations
-    def append(self, df: DataFrame) -> "Dataset":
+    def append(
+        self, df: DataFrame, stream_commit: tuple[str, int] | None = None
+    ) -> "Dataset":
+        """Append ``df`` as new fragments. ``stream_commit=(stream_id,
+        batch_id)`` makes the append conditional on ``batch_id`` being above
+        the manifest's per-stream watermark — the exactly-once handshake for
+        streaming micro-batches (raises DuplicateBatchError on replay)."""
         start = self.manifest.max_fragment_id + 1
         frags = self._write_fragments(df, start_id=start)
-        self._commit(_Txn(op="append", read_version=self.version, added=frags))
+        self._commit(
+            _Txn(
+                op="append",
+                read_version=self.version,
+                added=frags,
+                stream_commit=stream_commit,
+            )
+        )
         return self
 
     def overwrite(self, df: DataFrame) -> "Dataset":

@@ -42,6 +42,12 @@ class Manifest:
     timestamp: float = field(default_factory=lambda: time.time())
     # added-column name -> SQL default expression (schema evolution backfill)
     column_defaults: dict[str, str] = field(default_factory=dict)
+    # stream id -> highest committed micro-batch id. Carried in the manifest
+    # so streaming-batch dedupe rides the same O_EXCL atomic commit as the
+    # data it guards: append + dedupe marker are one atomic file create, and
+    # replays/concurrent writers settle through the optimistic-commit rebase.
+    # O(#streams), not O(#batches) — batch ids are monotone per stream.
+    stream_state: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = asdict(self)

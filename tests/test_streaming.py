@@ -157,3 +157,50 @@ def test_stream_append_into_versioned_dataset(spark, tmp_path):
     ds = Dataset.open(spark, ds_path)
     assert ds.to_df().count() == n_events
     assert ds.version == v_after_first
+
+    # the dedupe watermark rides the manifest itself, not a side file
+    assert ds.manifest.stream_state.get("default", -1) >= 0
+
+
+def test_stream_dedupe_survives_concurrent_batch_writer(spark, tmp_path):
+    """The batch-id watermark lives in the manifest commit, so a concurrent
+    batch append between stream batches (a) rebases cleanly and (b) does not
+    disturb replay dedupe — and a racing replay of an already-committed
+    batch loses atomically via DuplicateBatchError."""
+    import pytest
+
+    from plan_spark.dataset import Dataset, DuplicateBatchError
+
+    ds_path = str(tmp_path / "mixed_ds")
+    ev = table(spark, SF_DIR, "events")
+    Dataset.create(spark, ds_path, ev.limit(0))
+
+    writer = Dataset.open(spark, ds_path)  # concurrent batch-writer handle
+    streamer = Dataset.open(spark, ds_path)  # "stream" handle (stale reads)
+
+    streamer.append(ev.limit(10), stream_commit=("s1", 0))
+    # batch writer lands between micro-batches, from a stale read version
+    writer.append(ev.limit(5))
+    # next micro-batch rebases over the batch commit, watermark advances
+    streamer = Dataset.open(spark, ds_path, version=1)  # stale open
+    streamer.append(ev.limit(10), stream_commit=("s1", 1))
+
+    ds = Dataset.open(spark, ds_path)
+    assert ds.to_df().count() == 25
+    assert ds.manifest.stream_state == {"s1": 1}
+
+    # replay of batch 1 (e.g. restart from an old checkpoint) is refused
+    # atomically inside the commit protocol — no partial state
+    v_before = ds.version
+    replayer = Dataset.open(spark, ds_path)
+    with pytest.raises(DuplicateBatchError):
+        replayer.append(ev.limit(10), stream_commit=("s1", 1))
+    ds = Dataset.open(spark, ds_path)
+    assert ds.version == v_before
+    assert ds.to_df().count() == 25
+
+    # a DIFFERENT stream's batch 0 is not confused with s1's
+    Dataset.open(spark, ds_path).append(ev.limit(3), stream_commit=("s2", 0))
+    ds = Dataset.open(spark, ds_path)
+    assert ds.manifest.stream_state == {"s1": 1, "s2": 0}
+    assert ds.to_df().count() == 28

@@ -31,6 +31,12 @@ def asof_join(
 
     Scale: one hash shuffle on ``on`` + a per-partition sort — the same cost
     as a regular shuffled join; skewed keys are split by AQE.
+
+    Determinism: when several right rows share the same (``on``,
+    ``right_ts``), the one with the greatest ``payload`` tuple wins — the
+    window ordering tie-breaks on the payload columns themselves, so the
+    result is stable across runs and partitionings (ties remaining after
+    that are byte-identical payloads, hence unobservable).
     """
     lcols = [c for c in left.columns]
     l = left.withColumn("__side", F.lit(1))
@@ -48,10 +54,16 @@ def asof_join(
     u = l.select(*lcols, "__side", *payload).unionByName(
         r.select(*lcols, "__side", *payload)
     )
-    # right rows sort before left rows at equal ts => "at or before" semantics
+    # right rows sort before left rows at equal ts => "at or before"
+    # semantics; payload columns as the final tiebreak => deterministic
+    # winner among right rows sharing (key, ts)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(left_ts).asc(),
+            F.col("__side").asc(),
+            *[F.col(p).asc() for p in payload],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

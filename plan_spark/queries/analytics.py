@@ -469,3 +469,32 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_last", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+_PAGINATE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 20 OFFSET 1000
+"""
+
+
+@register("paginate", oracle=_PAGINATE_SQL, tags=("limit", "offset"))
+def paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT k OFFSET n pagination with a total ordering on the unique key
+    (reference: limit/offset through the plan builder,
+    pkg/compute/builder.go LIMIT handling; SURVEY.md §2.6).
+
+    Scale: Spark plans this as TakeOrderedAndProject(limit=n+k) — each
+    partition keeps its local top n+k, the driver merges and drops the first
+    n. Pagination-sized offsets are cheap; deep offsets grow the driver
+    merge linearly, which is inherent to OFFSET semantics (keyset
+    pagination — WHERE key > last_seen ORDER BY key LIMIT k — is the
+    100 TB-scale alternative)."""
+    ords = table(spark, sf_dir, "orders")
+    return (
+        ords.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(1000)
+        .limit(20)
+    )

@@ -22,12 +22,14 @@ _right = st.lists(st.tuples(_key, _ts, _val), min_size=0, max_size=20)
 
 
 def _brute(left, right):
-    """max-ts right row with rts <= lts per key; unique (key, ts) right."""
+    """max-ts right row with rts <= lts per key; among right rows tied on
+    (key, ts) the greatest payload wins (the operator's documented
+    deterministic tiebreak)."""
     out = []
     for i, (k, lts) in enumerate(left):
         best = None
         for rk, rts, v in right:
-            if rk == k and rts <= lts and (best is None or rts > best[0]):
+            if rk == k and rts <= lts and (best is None or (rts, v) > best):
                 best = (rts, v)
         out.append((i, k, lts, best[1] if best else None))
     return sorted(out)
@@ -40,9 +42,8 @@ def _brute(left, right):
 )
 @given(left=_left, right=_right)
 def test_asof_matches_brute_force(spark, left, right):
-    # unique (key, ts) on the right: the operator leaves equal-ts/equal-key
-    # right ties unspecified (callers pre-aggregate, as asof_join_q does)
-    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    # duplicate (key, ts) right rows are kept: the operator must pick the
+    # greatest payload among them, deterministically
     ldf = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(left)] or [(None, None, None)],
         "idx long, k long, ts long",

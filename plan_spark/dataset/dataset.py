@@ -141,7 +141,16 @@ class Dataset:
 
     # --------------------------------------------------------- construction
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame | None = None) -> "Dataset":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame | None = None,
+        bloom_columns: list[str] | None = None,
+    ) -> "Dataset":
+        """``bloom_columns`` declares point-lookup columns: every fragment
+        write (this one and all future appends/rewrites) emits parquet bloom
+        filters for them — the engine's BloomFilter scalar index."""
         ds = cls(spark, path)
         if ds._latest_version() > 0:
             raise ValueError(f"dataset already exists at {path}")
@@ -152,7 +161,7 @@ class Dataset:
         frags: list[Fragment] = []
         maxid = 0
         if df is not None:
-            frags = ds._write_fragments(df, start_id=1)
+            frags = ds._write_fragments(df, start_id=1, bloom_columns=bloom_columns)
             maxid = max((f.id for f in frags), default=0)
         m = Manifest(
             version=1,
@@ -161,6 +170,7 @@ class Dataset:
             schema_json=schema.json(),
             fragments=frags,
             max_fragment_id=maxid,
+            bloom_columns=list(bloom_columns or []),
         )
         ds._commit_new(m)
         ds._manifest = m
@@ -220,12 +230,25 @@ class Dataset:
         return Dataset.open(self.spark, self.path, version=v)
 
     # --------------------------------------------------------------- writing
-    def _write_fragments(self, df: DataFrame, start_id: int) -> list[Fragment]:
+    def _write_fragments(
+        self, df: DataFrame, start_id: int, bloom_columns: list[str] | None = None
+    ) -> list[Fragment]:
         """Write a DataFrame as new fragment files (one per output
         partition) and collect footer stats. The write is a Spark job; only
         footer reads happen on the driver."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        # the manifest's declared point-lookup columns get parquet bloom
+        # filters in every fragment footer (reference's BloomFilter index,
+        # bloomfilter_index.go:16-76): equality predicates on these columns
+        # skip whole row groups on a miss, even where min/max zonemaps
+        # cannot (high-NDV keys whose range spans every row group)
+        if bloom_columns is None:
+            bloom_columns = self._manifest.bloom_columns if self._manifest else []
+        for c in bloom_columns:
+            if c in df.columns:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(staging)
         frags: list[Fragment] = []
         fid = start_id
         for fn in sorted(os.listdir(staging)):
@@ -381,6 +404,7 @@ class Dataset:
                 if txn.column_defaults is not None
                 else dict(base.column_defaults)
             ),
+            bloom_columns=list(base.bloom_columns),
             stream_state=stream_state,
         )
 
@@ -889,6 +913,7 @@ class Dataset:
             fragments=frags,
             max_fragment_id=src.max_fragment_id,
             column_defaults=dict(src.column_defaults),
+            bloom_columns=list(src.bloom_columns),
         )
         ds._commit_new(m)
         ds._manifest = m

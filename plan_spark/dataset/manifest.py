@@ -42,6 +42,12 @@ class Manifest:
     timestamp: float = field(default_factory=lambda: time.time())
     # added-column name -> SQL default expression (schema evolution backfill)
     column_defaults: dict[str, str] = field(default_factory=dict)
+    # columns that get parquet bloom filters on every fragment write — the
+    # engine's BloomFilter scalar index (reference: pkg/storage2/
+    # bloomfilter_index.go:16-76). Persisted config, not per-file state:
+    # the parquet footers carry the actual filters; readers get row-group
+    # skipping on point-lookup misses through the normal pushdown path.
+    bloom_columns: list[str] = field(default_factory=list)
     # stream id -> highest committed micro-batch id. Carried in the manifest
     # so streaming-batch dedupe rides the same O_EXCL atomic commit as the
     # data it guards: append + dedupe marker are one atomic file create, and

@@ -16,6 +16,7 @@ at build time (one groupBy), exactly once.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,10 +26,42 @@ _K1 = 1.2
 _B = 0.75
 
 
+def _tokens(text_col: str, tokenizer: str) -> F.Column:
+    """Normalize + tokenize: space split ("simple"), plus CJK character
+    bigrams ("cjk") — the reference ships exactly these two tokenizers
+    (fts_index.go Simple + Chinese/Jieba analogue; bigrams are the
+    dictionary-free fallback)."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    if tokenizer == "simple":
+        return toks
+    if tokenizer == "cjk":
+        from plan_spark.queries.text_ops import cjk_tokenize
+
+        return cjk_tokenize(toks)
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (simple|cjk)")
+
+
 class FtsIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+
+    @property
+    def tokenizer(self) -> str:
+        meta = os.path.join(self.path, "meta.json")
+        if os.path.exists(meta):
+            return json.load(open(meta)).get("tokenizer", "simple")
+        return "simple"
+
+    def tokenize_query(self, text: str) -> list[str]:
+        """Tokenize free query text with the INDEX's tokenizer (a CJK query
+        against a bigram index must itself become bigrams)."""
+        import pandas as pd
+
+        df = self.spark.createDataFrame(pd.DataFrame({"q": [text]}))
+        return df.select(_tokens("q", self.tokenizer).alias("t")).collect()[0].t
 
     @classmethod
     def build(
@@ -38,18 +71,22 @@ class FtsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         path: str | None = None,
+        tokenizer: str = "simple",
     ) -> "FtsIndex":
         """One pass over the corpus: normalize -> tokenize -> posting
         aggregate (term,doc,tf); doc lengths and corpus stats fall out of
         the same scan. Posting rows are sorted by term within files so the
-        term filter at query time prunes row groups via parquet min/max."""
+        term filter at query time prunes row groups via parquet min/max.
+        ``tokenizer``: "simple" (space split) or "cjk" (+char bigrams),
+        persisted in meta.json so insert()/query tokenization stays
+        consistent with the build."""
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
+        with open(os.path.join(idx.path, "meta.json"), "w") as fh:
+            json.dump({"tokenizer": tokenizer}, fh)
         norm = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.split(
-                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-            ).alias("toks"),
+            _tokens(text_col, tokenizer).alias("toks"),
         )
         doclen = norm.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
         doclen.write.mode("overwrite").parquet(os.path.join(idx.path, "doclen"))
@@ -111,12 +148,11 @@ class FtsIndex:
         posting rows and doc lengths, and rewrite the (one-row) corpus
         stats. Existing posting files are untouched — the same append-only
         shape the reference's buffered incremental index uses
-        (incremental_index.go:28-253)."""
+        (incremental_index.go:28-253). Tokenization follows the build's
+        persisted tokenizer choice."""
         norm = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.split(
-                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-            ).alias("toks"),
+            _tokens(text_col, self.tokenizer).alias("toks"),
         )
         norm.select("doc_id", F.size("toks").cast("bigint").alias("dl")).write.mode(
             "append"

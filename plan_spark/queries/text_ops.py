@@ -465,3 +465,81 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         (n_bpe.cast("double") / F.size("toks")).alias("bpe_per_word"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CJK-aware tokenization (reference: fts_index.go ships Simple + Chinese
+# tokenizers). Space-split covers Latin scripts; CJK scripts have no word
+# spaces, so any token containing a CJK codepoint expands to character
+# BIGRAMS (the standard dictionary-free CJK indexing fallback: every 2-char
+# word is some bigram, recall 1.0 at modest index growth). ASCII tokens pass
+# through unchanged, so mixed corpora need one tokenizer, not per-lang
+# routing. The character class and the bigram expansion are expressed
+# identically in Spark SQL and DuckDB (real codepoints in the class; both
+# engines' substring/len are codepoint-based).
+# ---------------------------------------------------------------------------
+
+# Hiragana+Katakana, CJK ext-A, CJK unified, Hangul syllables
+_CJK_CLASS = (
+    "["
+    + chr(0x3040) + "-" + chr(0x30FF)
+    + chr(0x3400) + "-" + chr(0x4DBF)
+    + chr(0x4E00) + "-" + chr(0x9FFF)
+    + chr(0xAC00) + "-" + chr(0xD7AF)
+    + "]"
+)
+
+
+def cjk_tokenize(toks: F.Column) -> F.Column:
+    """Expand CJK-containing tokens of an array<string> column to character
+    bigrams (single-char CJK tokens stay whole); other tokens pass through."""
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(_CJK_CLASS) & (F.length(t) > 1),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.substring(t, i, F.lit(2)),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
+_CJK_TOKS_SQL = (
+    "flatten(list_transform(toks, t -> "
+    f"CASE WHEN regexp_matches(t, '{_CJK_CLASS}') AND length(t) > 1 "
+    "THEN list_transform(range(1, length(t)), i -> substring(t, CAST(i AS INT), 2)) "
+    "ELSE [t] END))"
+)
+
+_TOKEN_CJK_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+c AS (SELECT doc_id, {_CJK_TOKS_SQL} AS ctoks, toks FROM d)
+SELECT doc_id,
+       CAST(len(ctoks) AS BIGINT) AS n_cjk_tokens,
+       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       COALESCE(list_aggregate(list_slice(ctoks, 1, 5), 'string_agg', ' '), '') AS head_toks
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("token_cjk", oracle=_TOKEN_CJK_SQL, tags=("text", "tokens", "cjk"))
+def token_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-aware token counts + the first 5 tokens per document. On this
+    corpus (Latin-script synthetic text, including its 'zh'-labeled rows)
+    the bigram path is exercised but expands nothing — the cross-engine
+    check pins the shared expression tree; real CJK expansion is covered by
+    the fixture test (tests/test_fts_cjk.py). Map-side only."""
+    d = _norm_docs(spark, sf_dir)
+    ctoks = cjk_tokenize(F.col("toks"))
+    return d.select(
+        "doc_id",
+        F.size(ctoks).cast("bigint").alias("n_cjk_tokens"),
+        F.size("toks").cast("bigint").alias("n_ws_tokens"),
+        F.coalesce(
+            F.array_join(F.slice(ctoks, 1, 5), " "), F.lit("")
+        ).alias("head_toks"),
+    ).orderBy("doc_id")

@@ -325,3 +325,52 @@ def test_string_predicate_scan_and_pruning(spark, tmp_path_ds, base_df):
     # unparsable conjuncts still filter correctly (no pruning claimed)
     got2 = ds.to_df("grp IN (1, 2) AND id < 50").count()
     assert got2 == base_df.filter("grp IN (1, 2) AND id < 50").count()
+
+
+def _scan_rows_materialized(df) -> int:
+    """Rows the parquet scan actually materialized (post row-group/page
+    skipping), from the executed plan's leaf scan metrics."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
+def test_bloom_filter_skips_row_groups_on_miss(spark, tmp_path_ds):
+    """bloom_columns (the BloomFilter scalar index) must let a point-lookup
+    MISS skip every row group — where min/max zonemaps cannot, because the
+    high-NDV key's range spans all row groups. The same data written without
+    bloom filters materializes rows."""
+    # even keys only, shuffled order so every row group spans ~full range;
+    # small parquet block size => several row groups per fragment
+    df = (
+        spark.range(0, 200000, 1, 1)
+        .select((F.col("id") * 2).alias("k"), F.rand(7).alias("v"))
+        .orderBy(F.rand(11))
+    )
+    spark.conf.set("spark.hadoop.parquet.block.size", 256 * 1024)
+    try:
+        plain = Dataset.create(spark, tmp_path_ds + "_plain", df)
+        bloomed = Dataset.create(spark, tmp_path_ds + "_bloom", df, bloom_columns=["k"])
+    finally:
+        spark.conf.unset("spark.hadoop.parquet.block.size")
+
+    miss = 100001  # odd => absent, but inside [min, max] of every row group
+    n_plain = _scan_rows_materialized(plain.to_df().filter(F.col("k") == miss))
+    n_bloom = _scan_rows_materialized(bloomed.to_df().filter(F.col("k") == miss))
+    assert n_plain > 0, "zonemap alone should NOT skip (range spans all groups)"
+    assert n_bloom == 0, f"bloom filter should skip every row group, read {n_bloom}"
+
+    # appends inherit the manifest's bloom columns
+    bloomed.append(df.limit(50000))
+    n_after = _scan_rows_materialized(bloomed.to_df().filter(F.col("k") == miss))
+    assert n_after == 0
+    # and a hit still returns its rows
+    assert bloomed.to_df().filter(F.col("k") == 100000).count() > 0

@@ -144,3 +144,42 @@ def test_no_row_python_in_plan(spark, name):
         pytest.skip("KMeans fit executes at plan-build; covered by recall test")
     p = _plan(spark, spec.fn(spark, SF_DIR), mode="simple")
     assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_unpartitioned_windows_have_preaggregated_input(spark):
+    """An unpartitioned window (empty PARTITION BY) funnels its whole input
+    through ONE task — harmless only when that input was already reduced by
+    an aggregate (w_lag's day series). Gate every declared plan so a future
+    query can't hide an unreduced global window behind the familiar
+    WindowExec warning noise."""
+    from plan_spark.registry import load_all
+
+    offenders: list[str] = []
+
+    def _has_agg_below(node) -> bool:
+        for i in range(node.children().size()):
+            ch = node.children().apply(i)
+            if ch.getClass().getSimpleName() in ("Aggregate", "Window"):
+                # a window over another window's output is checked at that
+                # inner window; aggregates reduce cardinality
+                return True
+            if _has_agg_below(ch):
+                return True
+        return False
+
+    def _walk(name, node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _has_agg_below(node)
+        ):
+            offenders.append(name)
+        for i in range(node.children().size()):
+            _walk(name, node.children().apply(i))
+
+    for name, spec in sorted(load_all().items()):
+        if name.startswith("ds_") or name == "knn_ivf":
+            continue  # fn() executes writes / builds an index; no window use
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        _walk(name, plan)
+    assert not offenders, f"unpartitioned window over unreduced input: {offenders}"

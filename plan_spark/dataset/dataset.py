@@ -36,7 +36,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from plan_spark.dataset.manifest import Fragment, Manifest
 
@@ -52,6 +52,8 @@ class DuplicateBatchError(Exception):
 
 _FILE_COL = "__ds_file"
 _POS_COL = "__ds_pos"
+_ROWID_STORED = "__rowid"  # physical column written by rewrites (Array segment)
+_ROWID = "_rowid"  # the exposed stable-row-id column name
 
 
 def _stat_key(v: Any) -> Any:
@@ -147,10 +149,16 @@ class Dataset:
         path: str,
         df: DataFrame | None = None,
         bloom_columns: list[str] | None = None,
+        row_ids: bool = False,
     ) -> "Dataset":
         """``bloom_columns`` declares point-lookup columns: every fragment
         write (this one and all future appends/rewrites) emits parquet bloom
-        filters for them — the engine's BloomFilter scalar index."""
+        filters for them — the engine's BloomFilter scalar index.
+
+        ``row_ids=True`` turns on stable row ids (reference rowids.go):
+        every row gets a permanent id at ingest, stable across delete /
+        update / compaction; read them back with ``to_df(with_row_id=True)``
+        and address rows directly with ``take_rows``."""
         ds = cls(spark, path)
         if ds._latest_version() > 0:
             raise ValueError(f"dataset already exists at {path}")
@@ -160,9 +168,14 @@ class Dataset:
         schema = df.schema if df is not None else StructType([])
         frags: list[Fragment] = []
         maxid = 0
+        next_rid = 0
         if df is not None:
             frags = ds._write_fragments(df, start_id=1, bloom_columns=bloom_columns)
             maxid = max((f.id for f in frags), default=0)
+            if row_ids:
+                for f in frags:
+                    f.row_start = next_rid
+                    next_rid += f.rows
         m = Manifest(
             version=1,
             parent=None,
@@ -171,6 +184,8 @@ class Dataset:
             fragments=frags,
             max_fragment_id=maxid,
             bloom_columns=list(bloom_columns or []),
+            row_ids=row_ids,
+            next_row_id=next_rid,
         )
         ds._commit_new(m)
         ds._manifest = m
@@ -351,6 +366,7 @@ class Dataset:
                         bytes=f.bytes,
                         stats=f.stats,
                         deletion_files=list(f.deletion_files) + txn.new_deletes[f.id],
+                        row_start=f.row_start,
                     )
                 fragments.append(f)
             added = list(txn.added)
@@ -371,6 +387,7 @@ class Dataset:
                             bytes=f.bytes,
                             stats=f.stats,
                             deletion_files=list(f.deletion_files),
+                            row_start=f.row_start,
                         )
                     )
                     nid += 1
@@ -379,6 +396,32 @@ class Dataset:
         maxid = max(
             [base.max_fragment_id] + [f.id for f in fragments], default=0
         )
+        # stable row ids: sentinel (-1) fragments get their Range segment
+        # allocated HERE, against the real base — like fragment ids, row-id
+        # ranges claimed at write time could duplicate after a concurrent
+        # commit, so allocation is deferred to the atomic-commit path.
+        # Allocation REPLACES the fragment with a copy (never mutates the
+        # txn's objects): _commit retries _apply against a fresh base after
+        # a commit race, and an in-place resolved sentinel would keep its
+        # stale range instead of reallocating. next_row_id is monotone and
+        # never reused (rowids.go semantics).
+        next_rid = base.next_row_id
+        if base.row_ids and any(f.row_start == -1 for f in fragments):
+            resolved: dict[int, Fragment] = {}
+            for f in sorted(
+                (f for f in fragments if f.row_start == -1), key=lambda x: x.id
+            ):
+                resolved[f.id] = Fragment(
+                    id=f.id,
+                    path=f.path,
+                    rows=f.rows,
+                    bytes=f.bytes,
+                    stats=f.stats,
+                    deletion_files=list(f.deletion_files),
+                    row_start=next_rid,
+                )
+                next_rid += f.rows
+            fragments = [resolved.get(f.id, f) for f in fragments]
         stream_state = dict(base.stream_state)
         if txn.stream_commit is not None:
             sid, bid = txn.stream_commit
@@ -406,6 +449,8 @@ class Dataset:
             ),
             bloom_columns=list(base.bloom_columns),
             stream_state=stream_state,
+            row_ids=base.row_ids,
+            next_row_id=next_rid,
         )
 
     # ----------------------------------------------------------------- scan
@@ -468,36 +513,52 @@ class Dataset:
             (pruned if self._prunable(f, filters) else sel).append(f)
         return sel, pruned
 
-    def to_df(self, filters=None) -> DataFrame:
+    def to_df(self, filters=None, with_row_id: bool = False) -> DataFrame:
         """Snapshot scan: manifest pruning -> parquet scan (Catalyst pushes
         the residual filters) -> merge-on-read anti-join of deletion vectors.
 
         ``filters`` may be a list of (col, op, literal) tuples or a SQL
         predicate string: the string prunes via its extractable conjuncts
-        and is applied in full as a residual filter."""
+        and is applied in full as a residual filter.
+
+        ``with_row_id=True`` appends the stable-row-id column ``_rowid``
+        (requires ``create(..., row_ids=True)``; reference rowids.go)."""
         pred_str = filters if isinstance(filters, str) else None
         m = self.manifest
         schema = self.schema
+        if with_row_id and not m.row_ids:
+            raise ValueError("dataset was not created with row_ids=True")
         sel, _ = self.plan_scan(filters)
         if pred_str is not None:
             filters = None  # applied below as one F.expr residual
         if not sel:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f.path) for f in sel]
-        df = self.spark.read.schema(schema).parquet(*paths)
-        del_files = sorted({d for f in sel for d in f.deletion_files})
-        if del_files:
-            df = df.withColumn(
-                _FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-            ).withColumn(_POS_COL, F.col("_metadata.row_index"))
-            dels = self.spark.read.parquet(
-                *[os.path.join(self.path, d) for d in del_files]
+            out_schema = schema
+            if with_row_id:
+                out_schema = StructType(
+                    schema.fields + [StructField(_ROWID, LongType(), True)]
+                )
+            return self.spark.createDataFrame([], out_schema)
+        if with_row_id:
+            df = self._scan_with_lineage(sel, with_row_id=True).drop(
+                _FILE_COL, _POS_COL
             )
-            df = df.join(
-                dels,
-                (df[_FILE_COL] == dels["file"]) & (df[_POS_COL] == dels["pos"]),
-                "left_anti",
-            ).drop(_FILE_COL, _POS_COL)
+        else:
+            paths = [os.path.join(self.path, f.path) for f in sel]
+            df = self.spark.read.schema(schema).parquet(*paths)
+            del_files = sorted({d for f in sel for d in f.deletion_files})
+            if del_files:
+                df = df.withColumn(
+                    _FILE_COL,
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                ).withColumn(_POS_COL, F.col("_metadata.row_index"))
+                dels = self.spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in del_files]
+                )
+                df = df.join(
+                    dels,
+                    (df[_FILE_COL] == dels["file"]) & (df[_POS_COL] == dels["pos"]),
+                    "left_anti",
+                ).drop(_FILE_COL, _POS_COL)
         for colname, default_expr in m.column_defaults.items():
             if colname in df.columns:
                 df = df.withColumn(
@@ -516,12 +577,69 @@ class Dataset:
             df = df.filter(F.expr(pred_str))
         return df
 
-    def _scan_with_lineage(self, frags: list[Fragment]) -> DataFrame:
+    def take_rows(self, ids: list[int]) -> DataFrame:
+        """Address rows directly by stable row id (reference rowids.go /
+        sdk TakeRows): returns the matching rows with their ``_rowid``
+        column. Deleted rows are absent (their ids are never reused).
+
+        Fragment pruning happens BEFORE the scan: Range segments prune by
+        interval arithmetic on the manifest alone; Array segments (rewrite
+        outputs) prune via the ``__rowid`` footer min/max already collected
+        into fragment stats — so a point lookup touches O(1) files, not
+        O(fragments)."""
+        m = self.manifest
+        if not m.row_ids:
+            raise ValueError("dataset was not created with row_ids=True")
+        idset = sorted({int(i) for i in ids})
+        sel: list[Fragment] = []
+        for f in m.fragments:
+            if f.row_start is not None and f.row_start >= 0:
+                lo, hi = f.row_start, f.row_start + f.rows - 1
+            else:
+                st = f.stats.get(_ROWID_STORED)
+                if st is None:
+                    sel.append(f)  # no stats: cannot prove absence
+                    continue
+                lo, hi = st["min"], st["max"]
+            if any(lo <= i <= hi for i in idset):
+                sel.append(f)
+        if not sel:
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    self.schema.fields + [StructField(_ROWID, LongType(), True)]
+                ),
+            )
+        df = self._scan_with_lineage(sel, with_row_id=True).drop(
+            _FILE_COL, _POS_COL
+        )
+        for colname, default_expr in m.column_defaults.items():
+            if colname in df.columns:
+                df = df.withColumn(
+                    colname, F.coalesce(F.col(colname), F.expr(default_expr))
+                )
+        return df.filter(F.col(_ROWID).isin(idset))
+
+    def _scan_with_lineage(
+        self, frags: list[Fragment], with_row_id: bool = False
+    ) -> DataFrame:
         """Scan given fragments with (file basename, row position) lineage
-        columns, deletion vectors applied — the input to mutation planning."""
+        columns, deletion vectors applied — the input to mutation planning.
+
+        ``with_row_id=True`` additionally materializes the stable-row-id
+        column ``_rowid`` (reference rowids.go): Range-segment fragments
+        compute ``row_start + position`` (zero storage), Array-segment
+        fragments read their physical ``__rowid`` column. The two compose
+        via coalesce because the read schema fills the missing physical
+        column with nulls on Range files."""
+        schema = self.schema
+        if with_row_id:
+            schema = StructType(
+                schema.fields + [StructField(_ROWID_STORED, LongType(), True)]
+            )
         paths = [os.path.join(self.path, f.path) for f in frags]
         df = (
-            self.spark.read.schema(self.schema)
+            self.spark.read.schema(schema)
             .parquet(*paths)
             .withColumn(
                 _FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
@@ -538,6 +656,35 @@ class Dataset:
                 (df[_FILE_COL] == dels["file"]) & (df[_POS_COL] == dels["pos"]),
                 "left_anti",
             )
+        if with_row_id:
+            # file -> row_start lookup as a broadcast join, not a map
+            # literal: O(fragments) can reach 10^5 at scale and a giant
+            # create_map expression tree would choke Catalyst, while a
+            # broadcast hash join of a kilobyte-sized table is free
+            starts = self.spark.createDataFrame(
+                [
+                    (os.path.basename(f.path), f.row_start)
+                    for f in frags
+                ],
+                StructType(
+                    [
+                        StructField("__ds_rs_file", StringType(), False),
+                        StructField("__ds_rs_start", LongType(), True),
+                    ]
+                ),
+            )
+            df = df.join(
+                F.broadcast(starts),
+                df[_FILE_COL] == starts["__ds_rs_file"],
+                "left",
+            )
+            df = df.withColumn(
+                _ROWID,
+                F.coalesce(
+                    F.col(_ROWID_STORED),
+                    (F.col("__ds_rs_start") + F.col(_POS_COL)).cast("long"),
+                ),
+            ).drop("__ds_rs_file", "__ds_rs_start", _ROWID_STORED)
         return df
 
     def _frag_by_basename(self) -> dict[str, Fragment]:
@@ -553,6 +700,9 @@ class Dataset:
         streaming micro-batches (raises DuplicateBatchError on replay)."""
         start = self.manifest.max_fragment_id + 1
         frags = self._write_fragments(df, start_id=start)
+        if self.manifest.row_ids:
+            for f in frags:
+                f.row_start = -1  # Range segment allocated at commit (_apply)
         self._commit(
             _Txn(
                 op="append",
@@ -565,6 +715,11 @@ class Dataset:
 
     def overwrite(self, df: DataFrame) -> "Dataset":
         frags = self._write_fragments(df, start_id=self.manifest.max_fragment_id + 1)
+        if self.manifest.row_ids:
+            # fresh content gets fresh ids — next_row_id is monotone and
+            # never rewinds, so pre-overwrite ids are retired forever
+            for f in frags:
+                f.row_start = -1
         self._commit(
             _Txn(
                 op="overwrite",
@@ -637,7 +792,13 @@ class Dataset:
             return self
         by_name = self._frag_by_basename()
         aff_frags = [by_name[fn] for fn in sorted(affected)]
-        rewritten = self._scan_with_lineage(aff_frags).drop(_FILE_COL, _POS_COL)
+        rewritten = self._scan_with_lineage(
+            aff_frags, with_row_id=m.row_ids
+        ).drop(_FILE_COL, _POS_COL)
+        if m.row_ids:
+            # rewrites mix rows from many source positions, so the new files
+            # carry ids physically (Array segment: row_start stays None)
+            rewritten = rewritten.withColumnRenamed(_ROWID, _ROWID_STORED)
         for col, expr in assignments.items():
             rewritten = rewritten.withColumn(
                 col,
@@ -680,9 +841,17 @@ class Dataset:
         if matched_files and when_matched:
             by_name = self._frag_by_basename()
             aff = [by_name[fn] for fn in sorted(matched_files)]
-            tgt = self._scan_with_lineage(aff).drop(_FILE_COL, _POS_COL)
+            tgt = self._scan_with_lineage(aff, with_row_id=m.row_ids).drop(
+                _FILE_COL, _POS_COL
+            )
+            if m.row_ids:
+                # updated rows KEEP their ids (update is not delete+insert
+                # for row-id purposes — rowids.go semantics)
+                tgt = tgt.withColumnRenamed(_ROWID, _ROWID_STORED)
             if when_matched == "update":
-                non_keys = [c for c in tgt.columns if c not in keys]
+                non_keys = [
+                    c for c in tgt.columns if c not in keys and c != _ROWID_STORED
+                ]
                 src_renamed = src.select(
                     *skeys, *[F.col(c).alias(f"__src_{c}") for c in non_keys]
                 )
@@ -693,6 +862,7 @@ class Dataset:
                         F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c)
                         for c in non_keys
                     ],
+                    *([F.col(_ROWID_STORED)] if m.row_ids else []),
                 ).select(*tgt.columns)
             elif when_matched == "delete":
                 out = tgt.join(src, keys, "left_anti")
@@ -707,6 +877,9 @@ class Dataset:
                 *self.schema.fieldNames()
             )
             ins_frags = self._write_fragments(inserts, start_id=next_id)
+            if m.row_ids:
+                for f in ins_frags:
+                    f.row_start = -1  # new rows: fresh Range at commit
             added.extend(ins_frags)
         self._commit(
             _Txn(
@@ -776,10 +949,12 @@ class Dataset:
             if target_files is None or len(m.fragments) <= target_files:
                 return self
             df = (
-                self._scan_with_lineage(m.fragments)
+                self._scan_with_lineage(m.fragments, with_row_id=m.row_ids)
                 .drop(_FILE_COL, _POS_COL)
                 .repartition(target_files)
             )
+            if m.row_ids:
+                df = df.withColumnRenamed(_ROWID, _ROWID_STORED)
             frags = self._write_fragments(df, start_id=m.max_fragment_id + 1)
             self._commit(
                 _Txn(
@@ -812,7 +987,13 @@ class Dataset:
         added: list[Fragment] = []
         next_id = m.max_fragment_id + 1
         for b in bins:
-            df = self._scan_with_lineage(b).drop(_FILE_COL, _POS_COL).coalesce(1)
+            df = (
+                self._scan_with_lineage(b, with_row_id=m.row_ids)
+                .drop(_FILE_COL, _POS_COL)
+                .coalesce(1)
+            )
+            if m.row_ids:
+                df = df.withColumnRenamed(_ROWID, _ROWID_STORED)
             frags = self._write_fragments(df, start_id=next_id)
             next_id += len(frags)
             added.extend(frags)
@@ -902,6 +1083,7 @@ class Dataset:
                 bytes=f.bytes,
                 stats=f.stats,
                 deletion_files=[os.path.join(self.path, d) for d in f.deletion_files],
+                row_start=f.row_start,
             )
             for f in src.fragments
         ]
@@ -914,6 +1096,8 @@ class Dataset:
             max_fragment_id=src.max_fragment_id,
             column_defaults=dict(src.column_defaults),
             bloom_columns=list(src.bloom_columns),
+            row_ids=src.row_ids,
+            next_row_id=src.next_row_id,
         )
         ds._commit_new(m)
         ds._manifest = m
@@ -972,7 +1156,8 @@ class Dataset:
         start = self.manifest.max_fragment_id + 1
         frags = [
             Fragment(id=start + i, path=a["path"], rows=a["rows"],
-                     bytes=a["bytes"], stats=a["stats"])
+                     bytes=a["bytes"], stats=a["stats"],
+                     row_start=-1 if self.manifest.row_ids else None)
             for i, a in enumerate(payload["added"])
         ]
         self._commit(

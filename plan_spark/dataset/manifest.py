@@ -29,6 +29,17 @@ class Fragment:
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     # deletion-vector sidecars (relative paths), applied merge-on-read
     deletion_files: list[str] = field(default_factory=list)
+    # stable-row-id segment descriptor (meaningful only when the manifest
+    # has row_ids). The two segment kinds mirror the reference's
+    # RowIdSequence (pkg/storage2/rowids.go:11-201):
+    #   row_start >= 0  -> Range segment: physical position p in this file
+    #                      carries row id row_start + p; zero storage.
+    #   row_start None  -> Array segment: the file stores an explicit
+    #                      __rowid column (written by rewrites, which mix
+    #                      rows from many source fragments).
+    # -1 is a commit-time sentinel: "assign my range during _apply against
+    # the real base manifest" (so optimistic rebase can never duplicate ids).
+    row_start: int | None = None
 
 
 @dataclass
@@ -54,6 +65,12 @@ class Manifest:
     # replays/concurrent writers settle through the optimistic-commit rebase.
     # O(#streams), not O(#batches) — batch ids are monotone per stream.
     stream_state: dict[str, int] = field(default_factory=dict)
+    # stable row ids (reference rowids.go): when true, every row carries a
+    # permanent id assigned at ingest, stable across delete / update /
+    # compaction. next_row_id is the monotone allocator — ids are never
+    # reused, even after overwrite.
+    row_ids: bool = False
+    next_row_id: int = 0
 
     def to_json(self) -> str:
         d = asdict(self)

@@ -143,6 +143,53 @@ WHERE o_orderdate >= TIMESTAMP '2000-01-01'
 """
 
 
+_DS_ROWID_SQL = """
+WITH ranked AS (
+  SELECT c_custkey, c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid
+  FROM customer
+)
+SELECT rid, c_custkey, c_mktsegment
+FROM ranked
+WHERE rid IN (0, 5, 7, 12, 100, 101, 555, 1000)
+  AND c_mktsegment <> 'BUILDING'
+ORDER BY rid
+"""
+
+
+@register("ds_rowid_take", oracle=_DS_ROWID_SQL, tags=("dataset", "rowids"))
+def ds_rowid_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable row ids (reference rowids.go:11-201): ingest assigns every row
+    a permanent id; a later DELETE retires ids without renumbering the
+    survivors, and ``take_rows`` addresses rows by id with manifest-interval
+    fragment pruning (O(1) files touched, not O(fragments)).
+
+    The dataset is written range-partitioned + sorted on c_custkey, so the
+    assigned row id deterministically equals ROW_NUMBER()-1 — which lets the
+    DuckDB oracle value-check id stability through the delete: ids of
+    deleted BUILDING rows must address nothing, survivors keep their rank.
+    """
+    path = _scratch("ds_rowid", sf_dir)
+    cust = (
+        table(spark, sf_dir, "customer")
+        .repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+    )
+    ds = Dataset.create(spark, path, cust, row_ids=True)
+    ds.delete("c_mktsegment = 'BUILDING'")
+    # at sf0.01 rid 12 is a BUILDING row: its id must address nothing
+    want = [0, 5, 7, 12, 100, 101, 555, 1000]
+    return (
+        ds.take_rows(want)
+        .select(
+            F.col("_rowid").alias("rid"),
+            "c_custkey",
+            "c_mktsegment",
+        )
+        .orderBy("rid")
+    )
+
+
 @register("ds_pruned_scan", oracle=_DS_PRUNED_SQL, tags=("dataset", "pruning"))
 def ds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonemap-style file pruning: the dataset is range-partitioned on

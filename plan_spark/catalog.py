@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -52,10 +52,11 @@ _RESOLVED: dict[tuple[str, str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a single fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it scans as a long which we convert
-    to a micros timestamp via exact integer division (the fixture values are
-    whole microseconds, and DuckDB's reader lands on the same micros value).
+    ``events.ts`` fixture encoding has varied across driver rounds:
+    TIMESTAMP(NANOS) (scan as long under nanosAsLong, divide to micros) or
+    plain timestamp[us] (scans as TIMESTAMP_NTZ). Either way we normalize to
+    a session-UTC TIMESTAMP so event-time ops (watermarks require LTZ) and
+    the DuckDB oracle (naive micros) see identical instants.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _RESOLVED.get(key)
@@ -66,7 +67,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # harness builds its own vanilla SparkSession, not get_spark()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _RESOLVED[key] = df
     return df

@@ -1,0 +1,563 @@
+"""Training-data-pipeline + event-analytics operators (round-2 surface).
+
+Net-new capabilities a 100 TB LLM-data pipeline needs beyond dedup/ANN
+(text_ops.py, vector_ops.py): benchmark decontamination, rule-based quality
+filtering (Gopher-style), PII redaction, sketch-based distinct counting,
+funnel analysis, exact percentiles, distribution window functions, JSON
+property extraction, pivot, and vocabulary/term-frequency extraction.
+
+Reference capability anchors: the reference's scalar function registry and
+aggregate machinery (/root/reference/pkg/compute/function.go,
+pkg/compute/agg.go) — each query here is a declarative DataFrame pipeline
+whose physical plan Catalyst owns end-to-end.
+
+Determinism discipline (registry.py): md5-based hashes everywhere a
+pseudo-random value is needed; double sums routed through DECIMAL(18,6);
+every LIMIT carries a total ordering; identical expression shape on the
+Spark and DuckDB sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.queries.text_ops import _DOCS_NORM_SQL, _STOPLIST, _norm_docs
+from plan_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap between the training corpus and
+# a held-out eval set. Standard LLM-pipeline step (GPT-3/Llama style 13-gram
+# decontamination); fixture-sized shingles are 3 tokens. The eval partition
+# is deterministic: doc_id % 17 == 0.
+# ---------------------------------------------------------------------------
+
+_TRIGRAMS_SQL = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM ({_DOCS_NORM_SQL}) dn
+        WHERE len(toks) >= 3) t
+"""
+
+_DECONTAM_SQL = f"""
+WITH s AS ({_TRIGRAMS_SQL}),
+ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 17 = 0),
+tr AS (SELECT doc_id, sh FROM s WHERE doc_id % 17 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+hit AS (SELECT tr.doc_id, COUNT(*) AS n_overlap
+        FROM tr JOIN ev ON tr.sh = ev.sh GROUP BY tr.doc_id)
+SELECT tot.doc_id, tot.n_shingles,
+       COALESCE(hit.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / tot.n_shingles
+         AS contamination
+FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+@register("decontam", oracle=_DECONTAM_SQL, tags=("text", "pipeline"))
+def decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, the fraction of its
+    distinct word-3-grams that also occur in the (broadcast) eval-set shingle
+    vocabulary. At 100 TB the eval set stays benchmark-sized (MBs of distinct
+    shingles), so the overlap probe is a broadcast hash semi-join against the
+    full corpus scan — no shuffle of the training side beyond its own
+    per-doc groupBy."""
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 3)
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3))).alias("sh"),
+        )
+        .distinct()
+    )
+    ev = s.filter(F.col("doc_id") % 17 == 0).select("sh").distinct()
+    tr = s.filter(F.col("doc_id") % 17 != 0)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter: length, mean word length, stopword
+# diversity, alphabetic-token fraction — each rule a boolean column, plus the
+# composite keep decision.
+# ---------------------------------------------------------------------------
+
+_QUALITY_FILTER_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sum_len,
+         CAST(len(list_distinct(list_filter(toks, x -> x IN {_STOPLIST})))
+           AS BIGINT) AS n_stop_distinct,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS BIGINT) AS n_alpha
+  FROM d)
+SELECT doc_id, n_tokens,
+       CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len,
+       (n_tokens BETWEEN 10 AND 100000) AS len_ok,
+       (CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0)
+         AS wordlen_ok,
+       (n_stop_distinct >= 2) AS stop_ok,
+       (CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8) AS alpha_ok,
+       ((n_tokens BETWEEN 10 AND 100000)
+        AND (CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0)
+        AND (n_stop_distinct >= 2)
+        AND (CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8)) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("quality_filter", oracle=_QUALITY_FILTER_SQL, tags=("text", "quality"))
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules as one narrow scan of JVM
+    higher-order array expressions (no UDF): token-count bounds, mean word
+    length bounds, >=2 distinct stopwords, >=80% alphabetic tokens. Purely
+    map-side — scales as a single pass over the corpus."""
+    d = _norm_docs(spark, sf_dir)
+    m = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.array_distinct(F.expr(f"filter(toks, x -> x IN {_STOPLIST})"))
+        ).cast("bigint").alias("n_stop_distinct"),
+        F.size(F.expr("filter(toks, x -> x rlike '[a-z]')")).cast("bigint").alias(
+            "n_alpha"
+        ),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    wordlen_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    stop_ok = F.col("n_stop_distinct") >= 2
+    alpha_ok = F.col("n_alpha").cast("double") / F.col("n_tokens") >= 0.8
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        mean_len.alias("mean_word_len"),
+        len_ok.alias("len_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (len_ok & wordlen_ok & stop_ok & alpha_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex scrub of emails and phone-shaped tokens. The fixture
+# text is synthetic/clean, so the query deterministically augments each doc
+# with one email + one phone (derived from doc_id) — the regexes then have
+# real work to do and the redacted-output hash proves both engines scrub
+# identically.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+_PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM aug
+ORDER BY doc_id
+"""
+
+
+@register("pii_redact", oracle=_PII_REDACT_SQL, tags=("text", "pipeline"))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, phone-shaped strings) with per-doc match
+    counts and an md5 fingerprint of the redacted text. Pure map-side
+    regexp work in the JVM — at 100 TB this is embarrassingly parallel and
+    pipelines into the same scan as the quality filter."""
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — a deterministic,
+# cross-engine-reproducible analogue of HyperLogLog (Spark's
+# approx_count_distinct is HLL++ whose estimate is engine-internal; a KMV
+# over md5 gives identical estimates in any engine).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_HEX15 = float(16**15)  # hash domain: first 15 hex chars of md5
+
+_DISTINCT_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h),
+k AS (
+  SELECT event_type, MAX(hv) AS kth, COUNT(*) AS kk
+  FROM r WHERE rk <= {_KMV_K} GROUP BY event_type),
+t AS (SELECT event_type, COUNT(*) AS true_distinct FROM h GROUP BY event_type)
+SELECT k.event_type, t.true_distinct,
+       CASE WHEN k.kk < {_KMV_K} THEN CAST(k.kk AS DOUBLE)
+            ELSE ({_KMV_K}.0 - 1.0) / (CAST(k.kth AS DOUBLE) / {_HEX15!r})
+       END AS est_distinct
+FROM k JOIN t ON t.event_type = k.event_type
+ORDER BY k.event_type
+"""
+
+
+@register("distinct_kmv", oracle=_DISTINCT_KMV_SQL, tags=("sketch", "agg"))
+def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a k-minimum-values
+    sketch (k=64) over md5 hashes, next to the exact count for error
+    inspection. At 100 TB the rank step is a per-group top-k (k rows per
+    group survive the shuffle), not a global sort; KMV sketches also merge
+    associatively so a map-side partial keeps the shuffle tiny."""
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    r = h.withColumn("rk", F.row_number().over(w))
+    k = (
+        r.filter(F.col("rk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("kth"), F.count(F.lit(1)).alias("kk"))
+    )
+    t = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_distinct"))
+    est = F.when(F.col("kk") < _KMV_K, F.col("kk").cast("double")).otherwise(
+        (F.lit(float(_KMV_K)) - F.lit(1.0))
+        / (F.col("kth").cast("double") / F.lit(_HEX15))
+    )
+    return (
+        k.join(t, "event_type")
+        .select("event_type", "true_distinct", est.alias("est_distinct"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: strictly-ordered view -> click -> purchase per user.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_view_click,
+       (SELECT COUNT(*) FROM s3) AS n_view_click_purchase
+"""
+
+
+@register("funnel", oracle=_FUNNEL_SQL, tags=("events", "analytics"))
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users who viewed, then clicked strictly after
+    first view, then purchased strictly after first qualifying click.
+    Every stage is a groupBy/join on user_id, so all three stages reuse one
+    hash partitioning of the events scan — Catalyst collapses the chain to
+    a single shuffle of the fact table at scale."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped percentiles (discrete, rank-based — bit-identical across
+# engines, unlike interpolated percentile whose FP evaluation order is
+# engine-internal).
+# ---------------------------------------------------------------------------
+
+_PCT_SQL = """
+WITH r AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       MAX(n) AS n,
+       MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("percentile_exact", oracle=_PCT_SQL, tags=("agg", "analytics"))
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of value per event type via window ranks
+    (nearest-rank definition). Rank-based selection avoids cross-engine FP
+    interpolation differences. At 100 TB swap the full window sort for the
+    KMV-style per-group top-k or a t-digest; the declared plan is the exact
+    baseline."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias(name)
+
+    return (
+        r.groupBy("event_type")
+        .agg(F.max("n").alias("n"), pick(0.50, "p50"), pick(0.90, "p90"), pick(0.99, "p99"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+
+_W_DIST_SQL = """
+SELECT event_id, event_type, value,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cdist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_type, value, event_id
+"""
+
+
+@register("w_dist", oracle=_W_DIST_SQL, tags=("window",))
+def w_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE/PERCENT_RANK/CUME_DIST over a per-event-type total ordering
+    (event_id tiebreak makes every rank deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).orderBy("event_type", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property extraction (events.props is a JSON string).
+# ---------------------------------------------------------------------------
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_props_agg", oracle=_JSON_PROPS_SQL, tags=("json", "agg"))
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction in the scan projection (get_json_object stays in
+    codegen) feeding an integer aggregate — the shuffle carries only
+    (event_type, partial sums)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide event-type matrix per user).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,6)) END),
+                     0) AS DOUBLE) AS purchase_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("pivot_events", oracle=_PIVOT_SQL, tags=("pivot", "agg"))
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event matrix. Uses explicit pivot values so Spark skips
+    the extra distinct-values pass — one shuffle, map-side combined. The
+    decimal-routed purchase_value keeps the float sum shuffle-order-proof."""
+    ev = table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("user_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary extraction: corpus-wide term frequencies, top 50.
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+t AS (SELECT unnest(toks) AS tok FROM d),
+c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+SELECT tok, cnt FROM c
+ORDER BY cnt DESC, tok
+LIMIT 50
+"""
+
+
+@register("vocab_topk", oracle=_VOCAB_SQL, tags=("text", "agg"))
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term frequencies, top-50 by count (token
+    tiebreak for a total order). Explode + map-side-combined groupBy +
+    TakeOrderedAndProject — the classic first step of tokenizer training.
+    At 100 TB the long tail is the cost; partial aggregation keeps the
+    shuffle at distinct-token cardinality."""
+    d = _norm_docs(spark, sf_dir)
+    return (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(50)
+    )

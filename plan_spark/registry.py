@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         import plan_spark.queries.vector_ops  # noqa: F401
         import plan_spark.queries.fts  # noqa: F401
         import plan_spark.queries.multimodal_q  # noqa: F401
+        import plan_spark.queries.pipeline_ops  # noqa: F401
         import plan_spark.queries.dataset_q  # noqa: F401
 
         _loaded = True

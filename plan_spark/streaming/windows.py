@@ -24,8 +24,10 @@ from plan_spark.catalog import table
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a bounded stream (availableNow semantics in the caller).
 
-    The fixture stores ts as TIMESTAMP(NANOS): scan it as long
-    (nanosAsLong) and convert exactly like the batch catalog does.
+    Fixture ts encoding varies by round (TIMESTAMP(NANOS) scanned as long
+    under nanosAsLong, or plain timestamp[us] scanned as TIMESTAMP_NTZ);
+    normalize to a session-UTC TIMESTAMP exactly like the batch catalog —
+    watermarks require the LTZ type.
     """
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source wants a directory: point it at sf_dir and
@@ -35,8 +37,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

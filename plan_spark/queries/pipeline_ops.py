@@ -336,16 +336,19 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    # shuffle_hash pins: the probe side is a *filtered fact scan* — small at
+    # test SF (Catalyst would broadcast it) but enormous at 100 TB; a shuffle
+    # hash join on user_id lets every stage reuse the same hash partitioning.
     s2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
+        .join(s1.hint("shuffle_hash"), "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
+        .join(s2.hint("shuffle_hash"), "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -530,6 +533,65 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return agg
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + train/val/test split assignment. Hash-based
+# Bernoulli sampling (md5 range test) instead of engine RNG TABLESAMPLE:
+# reproducible across engines, stable under repartitioning, and a new column
+# arriving later gets the same split — the property a training pipeline
+# actually needs.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents),
+s AS (
+  SELECT source,
+         CASE WHEN CAST(hv AS DOUBLE) / {_HEX15!r} < 0.8 THEN 'train'
+              WHEN CAST(hv AS DOUBLE) / {_HEX15!r} < 0.9 THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id
+  FROM h)
+SELECT source, split, COUNT(*) AS n,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("sample_split", oracle=_SPLIT_SQL, tags=("pipeline", "sampling"))
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the stable
+    document key into [0,1). Pure map-side expression — at 100 TB the split
+    is a free projection on every scan, needs no shuffle, and re-derives
+    identically in any engine (the reproducibility TABLESAMPLE can't give)."""
+    docs = table(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HEX15)
+    )
+    s = docs.select(
+        "source",
+        F.when(frac < 0.8, F.lit("train"))
+        .when(frac < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "doc_id",
+    )
+    return (
+        s.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "split")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob-filter down to the events file
     df = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     ts_type = dict(df.dtypes).get("ts")
@@ -71,6 +71,76 @@ def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases landing in (click_ts, click_ts + 2h]. Both sides carry
+    watermarks, and the join condition time-bounds both event times, so
+    Spark can expire join state — the only shape that scales on unbounded
+    streams (state is O(events inside the interval), not O(stream))."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            p_ts > c_ts AND
+            p_ts <= c_ts + interval 2 hours
+            """
+        ),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value")
+
+
+def click_purchase_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity twin of click_purchase_join_stream (same logical join
+    over the bounded fixture)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 2 hours")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value")
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicatesWithinWatermark
+    on event_id. State holds only keys younger than the watermark delay —
+    the streaming analogue of the batch dedup_exact groupBy."""
+    ev = _events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
 
 
 def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):

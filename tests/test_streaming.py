@@ -204,3 +204,38 @@ def test_stream_dedupe_survives_concurrent_batch_writer(spark, tmp_path):
     ds = Dataset.open(spark, ds_path)
     assert ds.manifest.stream_state == {"s1": 1, "s2": 0}
     assert ds.to_df().count() == 28
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from plan_spark.streaming.windows import (
+        click_purchase_join_batch,
+        click_purchase_join_stream,
+    )
+
+    got = canon(
+        run_available_now(
+            click_purchase_join_stream(spark, SF_DIR), "t_ssjoin", output_mode="append"
+        ).toPandas()
+    )
+    want = canon(click_purchase_join_batch(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses a doubled input back to the
+    batch-distinct row set (duplicates land inside the watermark delay)."""
+    import shutil
+
+    from plan_spark.streaming.windows import dedup_events_stream
+
+    src = str(tmp_path / "dup_src")
+    shutil.os.makedirs(src)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{src}/events.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{src}/events_copy2.parquet")
+
+    got = run_available_now(
+        dedup_events_stream(spark, src), "t_dedup", output_mode="append"
+    )
+    n_batch = table(spark, SF_DIR, "events").count()
+    assert got.count() == n_batch
+    assert got.select("event_id").distinct().count() == n_batch

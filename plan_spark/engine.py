@@ -59,6 +59,15 @@ class Engine:
         # sql() skip re-registering unchanged tables (and preserves cached
         # + Catalyst-ANALYZEd relations across calls).
         self._registered: dict[tuple[str, str], int] = {}
+        # Cost-based optimization is scoped to the Engine (dynamic SQLConf),
+        # not baked into the session (session.py): CBO's per-plan stats
+        # propagation costs ~0.3 s of planning per query even without stats,
+        # which the hand-shaped declared registry must not pay. Ad-hoc SQL
+        # through this front door is exactly where ANALYZE-fed
+        # CostBasedJoinReorder earns its keep (the reference's
+        # optimizer_joinorder.go:30,469 role).
+        self.spark.conf.set("spark.sql.cbo.enabled", "true")
+        self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
 
     # ------------------------------------------------------------- catalog
     def _load_catalog(self) -> dict:

@@ -595,6 +595,119 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking: fixed-size overlapping token windows (chunk 32, stride
+# 24) — the standard pre-tokenization step for context-window training data
+# and retrieval corpora.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+_CHUNK_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+c AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+         unnest(range(1, len(toks) + 1, {_STRIDE})) AS start
+  FROM d WHERE len(toks) >= 1)
+SELECT doc_id,
+       CAST(floor((start - 1) / {_STRIDE}.0) AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(least({_CHUNK}, n_tokens - start + 1) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_slice(toks, start, start + {_CHUNK} - 1), ' '))
+         AS chunk_fp
+FROM c ORDER BY doc_id, chunk_start
+"""
+
+
+@register("chunk_docs", oracle=_CHUNK_SQL, tags=("text", "pipeline"))
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24) via
+    sequence+explode — one narrow scan, fanout proportional to corpus token
+    count, no shuffle at all until the final presentation sort. The md5
+    chunk fingerprint doubles as the key for chunk-level dedup downstream."""
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 1)
+    c = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))).alias(
+            "start_i"
+        ),
+    ).withColumn("start", F.col("start_i").cast("bigint"))
+    return c.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / F.lit(float(_STRIDE))).cast("bigint").alias(
+            "chunk_idx"
+        ),
+        F.col("start").alias("chunk_start"),
+        F.least(F.lit(_CHUNK).cast("bigint"), F.col("n_tokens") - F.col("start") + 1)
+        .alias("chunk_len"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("start").cast("int"), F.lit(_CHUNK)))
+        ).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_start")
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing: GPT-style concat-then-cut. Documents are
+# concatenated in doc_id order inside each source stream and the token
+# stream is cut every L tokens; each doc is attributed to the sequence its
+# first token lands in.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 256
+
+_PACK_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+t AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+o AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM t)
+SELECT source,
+       CAST(floor(start_off / {_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM o GROUP BY source, CAST(floor(start_off / {_SEQ_LEN}.0) AS BIGINT)
+ORDER BY source, seq_id
+"""
+
+
+@register("pack_sequences", oracle=_PACK_SQL, tags=("text", "pipeline"))
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: per source stream, a cumulative
+    token-count window assigns every doc a byte-exact start offset, and
+    sequences are the offset stream cut every 256 tokens. The window is
+    partitioned by source, so packing parallelizes across streams at 100 TB
+    (each stream's cumsum is one sorted partition — the same shape a real
+    packing job uses per input shard)."""
+    d = _norm_docs(spark, sf_dir)
+    t = d.select("source", "doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        o.withColumn(
+            "seq_id",
+            F.floor(F.col("start_off") / F.lit(float(_SEQ_LEN))).cast("bigint"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary extraction: corpus-wide term frequencies, top 50.
 # ---------------------------------------------------------------------------
 

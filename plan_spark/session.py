@@ -44,15 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Cost-based optimization (the reference's cardinality-estimation +
-        # join-order search, pkg/compute/optimizer_joinorder.go:30,469 and
-        # optimizer_estimate.go:28). Stats flow in via Engine.analyze():
-        # engine-catalog stats drive broadcast hints for any table; cached
-        # dims additionally get Catalyst-native rowCount/NDV stats so
-        # CostBasedJoinReorder can reorder multi-way joins. Without stats
-        # these rules no-op, so the declared query registry is unaffected.
-        .config("spark.sql.cbo.enabled", "true")
-        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # NOTE on CBO: spark.sql.cbo.* is deliberately NOT enabled here.
+        # Stats-propagation through every optimized plan costs ~0.3-0.4 s of
+        # planning per query even when no table has stats (measured at sf0.1:
+        # rollup_agg 0.73 s -> 1.17 s with cbo.enabled). The declared query
+        # registry hand-shapes its joins, so CBO buys it nothing. The Engine
+        # — the ad-hoc SQL front door where join reorder actually helps —
+        # flips these confs on dynamically (engine.py), scoped to its own
+        # session use.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -243,13 +243,27 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare_sh = s.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq")).filter(F.col("dfreq") <= 10)
-    rare = s.join(rare_sh.select("sh"), "sh")
-    a = rare.select(F.col("doc_id").alias("da"), "sh")
-    b = rare.select(F.col("doc_id").alias("db"), "sh")
+    # Candidate pairs fused into ONE groupBy(sh): the rare filter (df<=10)
+    # bounds each doc array, so ordered pairs are generated in-place from
+    # the array (<=45 per shingle) — no rare-shingle self-join, two fewer
+    # shuffles than the join formulation, and far steadier wall time (the
+    # self-join's skewed probe occasionally spiked 4-5x).
+    groups = (
+        s.groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= 10))
+    )
     cand = (
-        a.join(b, (a.sh == b.sh) & (F.col("da") < F.col("db")))
-        .select("da", "db")
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> struct(least(x, y) as da, greatest(x, y) as db))))"
+                )
+            ).alias("p")
+        )
+        .select("p.da", "p.db")
         .distinct()
     )
     sa = s.select(F.col("doc_id").alias("sa_id"), F.col("sh").alias("sha"))

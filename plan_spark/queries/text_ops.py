@@ -331,17 +331,22 @@ ORDER BY da, db
 """
 
 
-@register("dedup_minhash", oracle=_DEDUP_MINHASH_SQL, tags=("dedup", "minhash", "lsh"))
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) + LSH banding (4 bands x 2): shingle -> per-seed min md5 ->
-    band keys -> bucket self-join -> signature-agreement estimate.
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (da < db) doc pairs sharing any LSH band bucket."""
+    a = bands.select(F.col("doc_id").alias("da"), "band", "bkey")
+    b2 = bands.select(F.col("doc_id").alias("db"), "band", "bkey")
+    return (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
 
-    Scale: the only join is on (band, band-key) — near-dup docs collide,
-    everything else doesn't, so candidate pairs ~ O(dups), not O(n^2). All
-    hashing is md5 (JVM built-in), bit-identical to the DuckDB oracle."""
+
+def _mh_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """MinHash signatures + LSH band keys (shared by dedup_minhash and
+    dedup_clusters)."""
     d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 3)
-    # no shingle-dedup shuffle: MIN is duplicate-insensitive, so the repeated
-    # shingles of a doc can flow straight into the per-doc partial mins
     s = (
         d.select(
             "doc_id",
@@ -361,14 +366,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bkey"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    a = bands.select(F.col("doc_id").alias("da"), "band", "bkey")
-    b2 = bands.select(F.col("doc_id").alias("db"), "band", "bkey")
-    cand = (
-        a.join(b2, ["band", "bkey"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    return sig, bands
+
+
+@register("dedup_minhash", oracle=_DEDUP_MINHASH_SQL, tags=("dedup", "minhash", "lsh"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding (4 bands x 2): shingle -> per-seed min md5 ->
+    band keys -> bucket self-join -> signature-agreement estimate.
+
+    Scale: the only join is on (band, band-key) — near-dup docs collide,
+    everything else doesn't, so candidate pairs ~ O(dups), not O(n^2). All
+    hashing is md5 (JVM built-in), bit-identical to the DuckDB oracle.
+    (No shingle-dedup shuffle: MIN is duplicate-insensitive, so repeated
+    shingles flow straight into the per-doc partial mins.)"""
+    sig, bands = _mh_bands(spark, sf_dir)
+    cand = _band_pairs(bands)
     x = sig.select(F.col("doc_id").alias("da"), *[F.col(f"h{i}").alias(f"xa{i}") for i in range(8)])
     y = sig.select(F.col("doc_id").alias("db"), *[F.col(f"h{i}").alias(f"yb{i}") for i in range(8)])
     matches = sum(
@@ -557,3 +569,109 @@ def token_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(ctoks, 1, 5), " "), F.lit("")
         ).alias("head_toks"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the MinHash LSH bucket
+# graph. The standard tail of an LSH dedup pipeline (bucket pairs ->
+# union-find -> one canonical doc per cluster); the reference has no graph
+# machinery at all, and Spark has no built-in CC — implemented as iterative
+# min-label propagation over DataFrames.
+# ---------------------------------------------------------------------------
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+s AS ({_MH_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS_SQL}
+  FROM s GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+edges AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sym AS (
+  SELECT da AS a, db AS b FROM edges
+  UNION SELECT db, da FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+FROM labels GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+@register("dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL, tags=("dedup", "lsh", "graph"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components of the LSH band-bucket pair
+    graph, labels = min doc_id per component (the canonical keeper).
+
+    Spark has no recursive CTE, so components are computed by iterative
+    min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels, until a fixpoint (<= graph diameter rounds —
+    LSH dup clusters are near-cliques, so 2-3 rounds in practice).
+    localCheckpoint truncates the per-round lineage. The DuckDB oracle
+    derives the same components with WITH RECURSIVE transitive closure.
+
+    Scale: per round one join + one groupBy on the EDGE list (~O(dups),
+    already blocked by LSH) — never on the corpus; the full corpus never
+    enters the loop."""
+    _, bands = _mh_bands(spark, sf_dir)
+    edges = _band_pairs(bands)
+    sym = edges.select(F.col("da").alias("a"), F.col("db").alias("b")).unionByName(
+        edges.select(F.col("db").alias("a"), F.col("da").alias("b"))
+    )
+    # the edge list is O(dups) — tiny next to the corpus; collapse to one
+    # partition so every propagation round is a couple of tasks, and
+    # checkpoint so the minhash pipeline is computed exactly once
+    sym = sym.coalesce(1).localCheckpoint(eager=True)
+    # round 1 fused into the init: with label(node) == node, the first
+    # propagation is just min(node, min(neighbors)) — one groupBy, no join
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("mb")).alias("label"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neigh = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy("b")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # fold the convergence flag into the same frame: one count on the
+        # checkpointed result replaces a join against the previous labels
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.b, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("new_label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
+            )
+            .withColumnRenamed("new_label", "label")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
+        .orderBy("cluster_id")
+    )

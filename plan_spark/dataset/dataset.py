@@ -929,11 +929,55 @@ class Dataset:
         return self
 
     # ------------------------------------------------------ maintenance
+    def _zvalue(self, df: DataFrame, columns: list[str]):
+        """Bit-interleaved z-order key over rank-normalized columns.
+
+        Each column is linearly mapped onto a 10-bit bucket via its global
+        min/max (one metadata-sized agg job), then the bucket bits are
+        interleaved so files sorted by the key have tight min/max stats on
+        EVERY clustered column. Linear mapping (vs exact quantiles) trades
+        skew-resistance for a zero-extra-pass build; the zonemap pruning it
+        feeds stays correct either way."""
+        from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
+
+        def as_num(c: str):
+            t = df.schema[c].dataType
+            if isinstance(t, NumericType):
+                return F.col(c).cast("double")
+            if isinstance(t, DateType):
+                return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            if isinstance(t, (TimestampType, TimestampNTZType)):
+                # NTZ has no direct long cast; go through TIMESTAMP (seconds)
+                return F.col(c).cast("timestamp").cast("long").cast("double")
+            raise ValueError(f"zorder_by column {c!r} has unsupported type {t}")
+
+        bounds = df.agg(
+            *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(columns)],
+            *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(columns)],
+        ).collect()[0]
+        k = len(columns)
+        z = F.lit(0).cast("bigint")
+        for i, c in enumerate(columns):
+            lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+            span = (hi - lo) or 1.0
+            bucket = F.least(
+                F.lit(1023),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((as_num(c) - F.lit(lo)) / F.lit(span) * 1024).cast("int"),
+                ),
+            )
+            for j in range(10):
+                bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1)).cast("bigint")
+                z = z + F.shiftleft(bit, j * k + i)
+        return z
+
     def compact(
         self,
         target_bytes: int = 128 * 1024 * 1024,
         strategy: str = "binpack",
         target_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> "Dataset":
         """Compaction (reference compaction_planner.go:34-254, strategies
         BinPacking/Size/Count): rewrite groups of fragments as fewer files,
@@ -943,8 +987,38 @@ class Dataset:
         - "binpack": greedily pack fragments smaller than target_bytes into
           ~target_bytes bins (the default maintenance pass).
         - "count": rewrite ALL fragments into target_files files — the
-          table-level re-layout (e.g. before a bucketed publish)."""
+          table-level re-layout (e.g. before a bucketed publish).
+        - "zorder": rewrite ALL fragments range-partitioned + sorted on a
+          bit-interleaved key over ``zorder_by``, so the manifest zonemaps
+          prune files on every clustered column at once (the multi-column
+          locality lever a 100 TB table needs; single-column sorting only
+          helps the leading column)."""
         m = self.manifest
+        if strategy == "zorder":
+            if not zorder_by:
+                raise ValueError("zorder compaction requires zorder_by columns")
+            nf = target_files or max(1, len(m.fragments))
+            df = self._scan_with_lineage(m.fragments, with_row_id=m.row_ids).drop(
+                _FILE_COL, _POS_COL
+            )
+            df = (
+                df.withColumn("__z", self._zvalue(df, zorder_by))
+                .repartitionByRange(nf, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            if m.row_ids:
+                df = df.withColumnRenamed(_ROWID, _ROWID_STORED)
+            frags = self._write_fragments(df, start_id=m.max_fragment_id + 1)
+            self._commit(
+                _Txn(
+                    op="rewrite",
+                    read_version=self.version,
+                    added=frags,
+                    removed_ids={f.id for f in m.fragments},
+                )
+            )
+            return self
         if strategy == "count":
             if target_files is None or len(m.fragments) <= target_files:
                 return self

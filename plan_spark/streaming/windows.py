@@ -135,6 +135,26 @@ def click_purchase_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value")
 
 
+def enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a static
+    per-user dimension (first event date + lifetime event count, computed in
+    batch). The static side is re-planned per micro-batch and broadcast —
+    the canonical slowly-changing-dimension lookup; no streaming state at
+    all."""
+    static_dim = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.count(F.lit(1)).alias("lifetime_events"),
+        )
+    )
+    ev = _events_stream(spark, sf_dir)
+    return ev.join(F.broadcast(static_dim), "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "first_seen", "lifetime_events"
+    )
+
+
 def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key dedup: dropDuplicatesWithinWatermark
     on event_id. State holds only keys younger than the watermark delay —

@@ -374,3 +374,45 @@ def test_bloom_filter_skips_row_groups_on_miss(spark, tmp_path_ds):
     assert n_after == 0
     # and a hit still returns its rows
     assert bloomed.to_df().filter(F.col("k") == 100000).count() > 0
+
+
+def test_zorder_compaction_prunes_every_clustered_column(spark, tmp_path_ds):
+    """Z-order rewrite gives zonemap pruning on BOTH clustered columns at
+    once (a plain sort would only tighten the leading column's stats)."""
+    from tests.conftest import SF_DIR
+    from plan_spark.catalog import table
+
+    ords = table(spark, SF_DIR, "orders").repartition(16)  # random layout
+    ds = Dataset.create(spark, tmp_path_ds, ords)
+    before = ds.to_df().count()
+
+    # random layout: every file spans the full key ranges -> nothing prunes
+    _, pr_cust0 = ds.plan_scan("o_custkey = 17")
+    _, pr_date0 = ds.plan_scan("o_orderdate < '1996-01-01'")
+    assert len(pr_cust0) == 0 and len(pr_date0) == 0
+
+    ds.compact(strategy="zorder", zorder_by=["o_custkey", "o_orderdate"], target_files=16)
+    assert len(ds.manifest.fragments) == 16
+
+    sel_c, pr_cust = ds.plan_scan("o_custkey = 17")
+    sel_d, pr_date = ds.plan_scan("o_orderdate < '1996-01-01'")
+    # each column's equality/range predicate must prune at least half the files
+    assert len(pr_cust) >= 8, f"custkey pruned only {len(pr_cust)}/16"
+    assert len(pr_date) >= 4, f"orderdate pruned only {len(pr_date)}/16"
+
+    # logical content unchanged, and the pruned scans still answer correctly
+    assert ds.to_df().count() == before
+    full = table(spark, SF_DIR, "orders")
+    assert ds.to_df("o_custkey = 17").count() == full.filter("o_custkey = 17").count()
+    assert (
+        ds.to_df("o_orderdate < '1996-01-01'").count()
+        == full.filter("o_orderdate < '1996-01-01'").count()
+    )
+
+
+def test_zorder_preserves_row_ids(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(8), row_ids=True)
+    before = {r["id"]: r["_rowid"] for r in ds.to_df(with_row_id=True).collect()}
+    ds.compact(strategy="zorder", zorder_by=["id", "val"], target_files=4)
+    after = {r["id"]: r["_rowid"] for r in ds.to_df(with_row_id=True).collect()}
+    assert before == after

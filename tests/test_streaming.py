@@ -239,3 +239,24 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_batch = table(spark, SF_DIR, "events").count()
     assert got.count() == n_batch
     assert got.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    from plan_spark.streaming.windows import enriched_stream
+
+    got = canon(
+        run_available_now(
+            enriched_stream(spark, SF_DIR), "t_enrich", output_mode="append"
+        ).toPandas()
+    )
+    ev = table(spark, SF_DIR, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.count(F.lit(1)).alias("lifetime_events"),
+    )
+    want = canon(
+        ev.join(dim, "user_id")
+        .select("event_id", "user_id", "ts", "event_type", "first_seen", "lifetime_events")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)

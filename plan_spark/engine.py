@@ -271,7 +271,7 @@ class Engine:
     _QUERY_TOKENS = frozenset({"select", "with", "values", "table", "explain"})
     # Leading keywords the engine routes to its own catalog/dataset layer.
     _STMT_TOKENS = frozenset(
-        {"create", "drop", "insert", "copy", "delete", "update", "analyze"}
+        {"create", "drop", "insert", "copy", "delete", "update", "merge", "analyze"}
     )
 
     @staticmethod
@@ -403,6 +403,44 @@ class Engine:
         if dm:
             options["sep"] = dm.group(1)
         self.copy_from(name, path, fmt=fmt, **options)
+
+    def _stmt_merge(self, s: str) -> None:
+        """MERGE INTO t USING (src query | src_table) ON key[, key...]
+        WHEN MATCHED THEN (UPDATE SET *|DELETE) WHEN NOT MATCHED THEN
+        INSERT * — the SQL face of Dataset.merge_insert (reference
+        merge_insert.go:19-134). ON accepts bare key columns or
+        t.k = s.k equality conjuncts on same-named columns."""
+        m = re.match(
+            r"(?is)^MERGE\s+INTO\s+(\w+)\s+USING\s+(\((.*?)\)|\w+)(?:\s+AS\s+\w+|\s+(\w+))?"
+            r"\s+ON\s+(.*?)"
+            r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE))?"
+            r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(INSERT\s+\*))?$",
+            s,
+        )
+        if not m or (not m.group(6) and not m.group(7)):
+            raise ValueError(f"unsupported MERGE statement: {s[:120]!r}")
+        tgt, src_q, on = m.group(1), m.group(3), m.group(5)
+        self._register_views()
+        source = self.spark.sql(src_q) if src_q else self.spark.table(m.group(2))
+        keys = []
+        for part in re.split(r"(?i)\s+AND\s+", on.strip()):
+            part = part.strip()
+            em = re.match(r"(?is)^(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)$", part)
+            if em and em.group(1) == em.group(2):
+                keys.append(em.group(1))
+            elif re.match(r"^\w+$", part):
+                keys.append(part)
+            else:
+                raise ValueError(
+                    f"MERGE ON must be same-named equality conjuncts: {part!r}"
+                )
+        when_matched = None
+        if m.group(6):
+            when_matched = "delete" if m.group(6).lower() == "delete" else "update"
+        when_not_matched = "insert" if m.group(7) else None
+        self.dataset(tgt).merge_insert(
+            source, keys, when_matched=when_matched, when_not_matched=when_not_matched
+        )
 
     def _stmt_delete(self, s: str) -> None:
         m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$", s)

@@ -212,3 +212,33 @@ def test_stats_driven_join_planning(engine):
     # the no-shuffle-join assertion below pins the star shape exactly
     assert after.count("BroadcastHashJoin") >= 2, after[:3000]
     assert "SortMergeJoin" not in after and "ShuffledHashJoin" not in after
+
+
+def test_sql_merge_upsert(engine):
+    """MERGE INTO through the SQL front door -> Dataset.merge_insert."""
+    engine.create_table("mt", "k INT, v STRING")
+    engine.insert_values("mt", [(1, "a"), (2, "b")])
+    engine.create_table("msrc", "k INT, v STRING")
+    engine.insert_values("msrc", [(2, "B"), (3, "c")])
+    engine.sql(
+        "MERGE INTO mt USING msrc ON mt.k = msrc.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.k: r.v for r in engine.sql("SELECT k, v FROM mt").collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+
+    # subquery source + delete-on-match
+    engine.sql(
+        "MERGE INTO mt USING (SELECT 1 AS k, 'zz' AS v) ON k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    rows = {r.k: r.v for r in engine.sql("SELECT k, v FROM mt").collect()}
+    assert rows == {2: "B", 3: "c"}
+
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        engine.sql("MERGE INTO mt USING msrc ON mt.k = msrc.k")  # no WHEN
+    with pytest.raises(ValueError, match="same-named equality"):
+        engine.sql(
+            "MERGE INTO mt USING msrc ON mt.k < msrc.k "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )

@@ -404,8 +404,8 @@ _W_ROWS = ", ".join(
     f"({p}, {b}, {1 << ((8 - p) * 4 + b)})" for p in range(1, 9) for b in range(4)
 )
 
-_SIMHASH_SQL = f"""
-WITH d AS ({_DOCS_NORM_SQL}),
+_SIMHASH_CTES = f"""
+d AS ({_DOCS_NORM_SQL}),
 tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM d),
 w(p, b, wt) AS (VALUES {_W_ROWS}),
 bits AS (
@@ -413,12 +413,17 @@ bits AS (
          SUM(CASE WHEN ((instr('0123456789abcdef', substr(md5(tk), p, 1)) - 1) // (1 << b)) % 2 = 1
                   THEN 1 ELSE -1 END) AS s
   FROM tok, w
-  GROUP BY doc_id, p, b, wt)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN wt ELSE 0 END) AS BIGINT) AS simhash
-FROM bits
-GROUP BY doc_id
-ORDER BY doc_id
+  GROUP BY doc_id, p, b, wt),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN wt ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits
+  GROUP BY doc_id)
+"""
+
+_SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
 """
 
 
@@ -434,6 +439,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup shuffle), then ONE groupBy(doc_id) carries 32 conditional sums —
     partial aggregation compresses the shuffle to one 32-column state row
     per document, so the per-token fanout never crosses the wire."""
+    return _simhash_sig(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — shared by simhash and dedup_simhash."""
     d = _norm_docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.array_distinct("toks")).alias("tk"))
     aggs = []
@@ -450,7 +460,61 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(1, 9)
         for b in range(4)
     )
-    return sig.select("doc_id", total.cast("bigint").alias("simhash")).orderBy("doc_id")
+    return sig.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTES},
+bands AS (
+  SELECT doc_id, simhash, 0 AS band, (simhash >> 24) & 255 AS bkey FROM sig
+  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 16) & 255 FROM sig
+  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 8) & 255 FROM sig
+  UNION ALL SELECT doc_id, simhash, 3, simhash & 255 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY da, db
+"""
+
+
+@register("dedup_simhash", oracle=_DEDUP_SIMHASH_SQL, tags=("dedup", "simhash", "lsh"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3: the 32-bit
+    signature is cut into 4 byte bands — by pigeonhole any pair with <= 3
+    differing bits shares at least one whole band, so the band-bucket
+    self-join finds every qualifying pair (exact Hamming check on
+    candidates only). Same blocking guarantee as the reference's BQ
+    Hamming metric (distance_metrics.go) re-expressed relationally;
+    candidate volume ~ O(dups), never O(n^2)."""
+    sig = _simhash_sig(spark, sf_dir)
+    bands = None
+    for i, shift in enumerate((24, 16, 8, 0)):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", shift).bitwiseAND(F.lit(255)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sa ^ sb")).cast("bigint")
+    return (
+        cand.select("da", "db", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("da", "db")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,245 @@
+"""TPC-DS-style window-analytics probes.
+
+The reference ships all 99 TPC-DS query texts (cases/tpcds/query/) but cannot
+run the window-function ones — it has no window operator at all
+(expr_properties.go:273-277 stub). These three probes take the three most
+window-dependent TPC-DS shapes and re-target them at the fixture star schema,
+proving the capability the reference only aspires to:
+
+- q47 shape: moving deviation from the yearly average per brand/month, with
+  lag/lead neighbours (WindowExec over a pre-aggregated series).
+- q51 shape: two cumulative series full-outer-joined and compared (the
+  "when does channel A overtake channel B" crossover).
+- q36 shape: ROLLUP gross margin with RANK inside each grouping level
+  (GROUPING() interop with windows).
+
+Determinism: all money math follows queries/common.py (exact decimal sums,
+double emitted last, identical expression shape in the DuckDB oracle).
+Scale shape: every window here runs over a *pre-aggregated* series (brand x
+month ~ thousands of rows at any corpus size; day series ~ O(days)), so the
+unpartitioned/low-cardinality windows stay metadata-sized while the raw scans
+stay distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plan_spark.catalog import table
+from plan_spark.queries.common import REV_SQL, dec, rev_col
+from plan_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q47 shape: monthly sales deviating >10% from the brand's yearly average
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q47_SQL = f"""
+WITH monthly AS (
+  SELECT p_brand,
+         year(l_shipdate)  AS yr,
+         month(l_shipdate) AS mo,
+         SUM({REV_SQL})    AS sum_sales_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+), win AS (
+  SELECT p_brand, yr, mo,
+         CAST(sum_sales_dec AS DOUBLE) AS sum_sales,
+         CAST(SUM(sum_sales_dec) OVER (PARTITION BY p_brand, yr) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand, yr) AS avg_monthly,
+         CAST(LAG(sum_sales_dec)  OVER (PARTITION BY p_brand ORDER BY yr, mo)
+              AS DOUBLE) AS prev_sales,
+         CAST(LEAD(sum_sales_dec) OVER (PARTITION BY p_brand ORDER BY yr, mo)
+              AS DOUBLE) AS next_sales
+  FROM monthly
+)
+SELECT p_brand, yr, mo, sum_sales, avg_monthly, prev_sales, next_sales
+FROM win
+WHERE avg_monthly > 0
+  AND ABS(sum_sales - avg_monthly) / avg_monthly > 0.1
+ORDER BY p_brand, yr, mo
+"""
+
+
+@register("tpcds_q47", oracle=_TPCDS_Q47_SQL, tags=("tpcds", "window"))
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape (cases/tpcds/query/q47.sql — unrunnable by the
+    reference): per-brand monthly sales that deviate >10% from that brand's
+    yearly monthly average, with lag/lead month context.
+
+    One shuffle for the monthly aggregate, then two windows over the ~25x84
+    brand-month series (re-sorted within the same partitioning). At 100 TB the
+    aggregate output is still brand x month — the windows never see raw rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum(rev_col()).alias("sum_sales_dec"))
+    )
+    w_year = Window.partitionBy("p_brand", "yr")
+    w_seq = Window.partitionBy("p_brand").orderBy("yr", "mo")
+    win = monthly.select(
+        "p_brand",
+        "yr",
+        "mo",
+        F.col("sum_sales_dec").cast("double").alias("sum_sales"),
+        (
+            F.sum("sum_sales_dec").over(w_year).cast("double")
+            / F.count(F.lit(1)).over(w_year)
+        ).alias("avg_monthly"),
+        F.lag("sum_sales_dec").over(w_seq).cast("double").alias("prev_sales"),
+        F.lead("sum_sales_dec").over(w_seq).cast("double").alias("next_sales"),
+    )
+    return (
+        win.filter(
+            (F.col("avg_monthly") > 0)
+            & (F.abs(F.col("sum_sales") - F.col("avg_monthly")) / F.col("avg_monthly") > 0.1)
+        )
+        .orderBy("p_brand", "yr", "mo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 shape: cumulative crossover between two channels
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q51_SQL = """
+WITH hi AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY 1
+), lo AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily
+  FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+  GROUP BY 1
+), joined AS (
+  SELECT COALESCE(hi.day, lo.day) AS day,
+         COALESCE(hi.daily, CAST(0 AS DECIMAL(18,2))) AS hi_daily,
+         COALESCE(lo.daily, CAST(0 AS DECIMAL(18,2))) AS lo_daily
+  FROM hi FULL OUTER JOIN lo ON hi.day = lo.day
+), cum AS (
+  SELECT day,
+         CAST(SUM(hi_daily) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS hi_cum,
+         CAST(SUM(lo_daily) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS lo_cum
+  FROM joined
+)
+SELECT day, hi_cum, lo_cum
+FROM cum
+WHERE hi_cum > lo_cum
+ORDER BY day
+"""
+
+
+@register("tpcds_q51", oracle=_TPCDS_Q51_SQL, tags=("tpcds", "window"))
+def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape (cases/tpcds/query/q51.sql): cumulative revenue of the
+    urgent channel vs the low-priority channel, full-outer-joined per day,
+    reporting days where the urgent channel is cumulatively ahead.
+
+    Both channels aggregate to O(days) rows before the join and windows; the
+    unpartitioned cumulative window therefore sees the day series only (same
+    adjudicated shape as w_lag). ~2,400 days even at 100 TB.
+    """
+    ords = table(spark, sf_dir, "orders")
+    day = F.date_trunc("DAY", "o_orderdate").alias("day")
+
+    def channel(prios: list[str]) -> DataFrame:
+        return (
+            ords.filter(F.col("o_orderpriority").isin(prios))
+            .groupBy(day)
+            .agg(F.sum(dec("o_totalprice")).alias("daily"))
+        )
+
+    hi = channel(["1-URGENT", "2-HIGH"]).alias("hi")
+    lo = channel(["4-NOT SPECIFIED", "5-LOW"]).alias("lo")
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = hi.join(lo, F.col("hi.day") == F.col("lo.day"), "full_outer").select(
+        F.coalesce(F.col("hi.day"), F.col("lo.day")).alias("day"),
+        F.coalesce(F.col("hi.daily"), zero).alias("hi_daily"),
+        F.coalesce(F.col("lo.daily"), zero).alias("lo_daily"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = joined.select(
+        "day",
+        F.sum("hi_daily").over(w).cast("double").alias("hi_cum"),
+        F.sum("lo_daily").over(w).cast("double").alias("lo_cum"),
+    )
+    return cum.filter(F.col("hi_cum") > F.col("lo_cum")).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q36 shape: ROLLUP gross margin + RANK within each grouping level
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q36_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lochierarchy,
+         GROUPING(l_linestatus) AS g_status,
+         CAST(SUM({REV_SQL}) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS gross_margin
+  FROM lineitem
+  GROUP BY ROLLUP(l_returnflag, l_linestatus)
+)
+SELECT l_returnflag, l_linestatus, lochierarchy, gross_margin,
+       RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_status = 1 THEN l_returnflag END
+         ORDER BY gross_margin ASC
+       ) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, l_returnflag, l_linestatus
+"""
+
+
+@register("tpcds_q36", oracle=_TPCDS_Q36_SQL, tags=("tpcds", "window", "rollup"))
+def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape (cases/tpcds/query/q36.sql): gross margin over
+    ROLLUP(returnflag, linestatus) with RANK inside each hierarchy level
+    (GROUPING() feeding a window partition key).
+
+    The rollup is one shuffle over the fact table; the rank window runs over
+    the ~10-row rollup output. Margin is a double ratio of two exact decimal
+    sums — deterministic on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    agg = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias(
+                "lochierarchy"
+            ),
+            F.grouping("l_linestatus").alias("g_status"),
+            (
+                F.sum(rev_col()).cast("double")
+                / F.sum(dec("l_extendedprice")).cast("double")
+            ).alias("gross_margin"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_status") == 1, F.col("l_returnflag")),
+    ).orderBy(F.asc("gross_margin"))
+    return (
+        agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            "lochierarchy",
+            "gross_margin",
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(F.desc("lochierarchy"), "l_returnflag", "l_linestatus")
+    )

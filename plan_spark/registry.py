@@ -58,15 +58,22 @@ def load_all() -> dict[str, QuerySpec]:
     full registry."""
     global _loaded
     if not _loaded:
-        # imports populate REGISTRY via the @register decorator
-        import plan_spark.queries.tpch  # noqa: F401
-        import plan_spark.queries.analytics  # noqa: F401
-        import plan_spark.queries.text_ops  # noqa: F401
-        import plan_spark.queries.vector_ops  # noqa: F401
+        # imports populate REGISTRY via the @register decorator.
+        #
+        # Order matters: the driver's correctness gate records the first 50
+        # registry entries in insertion order, so the least-recently-driver-
+        # checked modules register first. tpch/analytics registered last:
+        # their rows are green in CORRECTNESS_r01+r02 and stay covered by
+        # tests/test_oracle.py (which checks ALL entries every run).
+        import plan_spark.queries.dataset_q  # noqa: F401
+        import plan_spark.queries.pipeline_ops  # noqa: F401
         import plan_spark.queries.fts  # noqa: F401
         import plan_spark.queries.multimodal_q  # noqa: F401
-        import plan_spark.queries.pipeline_ops  # noqa: F401
-        import plan_spark.queries.dataset_q  # noqa: F401
+        import plan_spark.queries.vector_ops  # noqa: F401
+        import plan_spark.queries.tpcds_probe  # noqa: F401
+        import plan_spark.queries.text_ops  # noqa: F401
+        import plan_spark.queries.analytics  # noqa: F401
+        import plan_spark.queries.tpch  # noqa: F401
 
         _loaded = True
     return REGISTRY

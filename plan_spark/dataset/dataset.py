@@ -76,12 +76,19 @@ def _collect_stats(local_path: str) -> tuple[int, int, dict[str, dict[str, Any]]
         nulls = 0
         ok = True
         for ri in range(md.num_row_groups):
-            st = md.row_group(ri).column(ci).statistics
-            if st is None or not st.has_min_max:
+            # some physical types (e.g. fixed-len-byte-array decimals) raise
+            # from the statistics accessor — stats are an optimization, so a
+            # column we can't read stats for just never prunes
+            try:
+                st = md.row_group(ri).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                nulls += st.null_count or 0
+                cmn, cmx = st.min, st.max
+            except Exception:
                 ok = False
                 break
-            nulls += st.null_count or 0
-            cmn, cmx = st.min, st.max
             if isinstance(cmn, bytes):
                 ok = False
                 break
@@ -105,6 +112,8 @@ class _Txn:
     new_deletes: dict[int, list[str]] = field(default_factory=dict)
     schema_json: str | None = None
     column_defaults: dict[str, str] | None = None
+    column_mapping: dict[str, str] | None = None
+    bloom_columns: list[str] | None = None
     # (stream_id, batch_id): commit only if batch_id > the manifest's
     # recorded watermark for stream_id — else DuplicateBatchError
     stream_commit: tuple[str, int] | None = None
@@ -252,6 +261,7 @@ class Dataset:
         partition) and collect footer stats. The write is a Spark job; only
         footer reads happen on the driver."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df = self._to_physical(df)  # fragments always store physical names
         writer = df.write.mode("overwrite")
         # the manifest's declared point-lookup columns get parquet bloom
         # filters in every fragment footer (reference's BloomFilter index,
@@ -260,7 +270,9 @@ class Dataset:
         # cannot (high-NDV keys whose range spans every row group)
         if bloom_columns is None:
             bloom_columns = self._manifest.bloom_columns if self._manifest else []
+        mapping = self._manifest.column_mapping if self._manifest else {}
         for c in bloom_columns:
+            c = mapping.get(c, c)
             if c in df.columns:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer.parquet(staging)
@@ -447,11 +459,57 @@ class Dataset:
                 if txn.column_defaults is not None
                 else dict(base.column_defaults)
             ),
-            bloom_columns=list(base.bloom_columns),
+            bloom_columns=(
+                list(txn.bloom_columns)
+                if txn.bloom_columns is not None
+                else list(base.bloom_columns)
+            ),
             stream_state=stream_state,
             row_ids=base.row_ids,
             next_row_id=next_rid,
+            column_mapping=(
+                dict(txn.column_mapping)
+                if txn.column_mapping is not None
+                else dict(base.column_mapping)
+            ),
         )
+
+    # ------------------------------------------------- column mapping
+    # AlterColumns renames are metadata-only (reference sdk/dataset.go:623):
+    # fragments always store the PHYSICAL name (frozen at first write), the
+    # manifest maps logical->physical, and the three seams below translate.
+    def _phys(self, name: str) -> str:
+        return self.manifest.column_mapping.get(name, name)
+
+    def _read_schema(self, schema: StructType) -> StructType:
+        """Physical read schema: stored names, logical (possibly widened)
+        types. Widened types read narrow files directly — Spark's parquet
+        reader upcasts int32->long/double, float->double, decimal(p,s)->
+        decimal(p+,s) in the scan itself, so retype is also rewrite-free."""
+        cm = self.manifest.column_mapping
+        if not cm:
+            return schema
+        return StructType(
+            [
+                StructField(cm.get(f.name, f.name), f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        # single projection (not a rename chain) so mappings that swap two
+        # names can never collide mid-rename
+        rev = {p: l for l, p in self.manifest.column_mapping.items() if p != l}
+        if not (rev.keys() & set(df.columns)):
+            return df
+        return df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        mapping = self._manifest.column_mapping if self._manifest else {}
+        fwd = {l: p for l, p in mapping.items() if p != l}
+        if not (fwd.keys() & set(df.columns)):
+            return df
+        return df.select([F.col(c).alias(fwd.get(c, c)) for c in df.columns])
 
     # ----------------------------------------------------------------- scan
     @staticmethod
@@ -489,7 +547,8 @@ class Dataset:
         """True if fragment stats prove no row can match (zonemap pruning —
         reference zonemap_index.go:18-63, index_selector.go:36)."""
         for col, op, val in filters or []:
-            st = f.stats.get(col)
+            # stats are keyed by the stored (physical) column name
+            st = f.stats.get(self._phys(col))
             if not st:
                 continue
             lo, hi, v = _stat_key(st["min"]), _stat_key(st["max"]), _stat_key(val)
@@ -544,9 +603,11 @@ class Dataset:
             )
         else:
             paths = [os.path.join(self.path, f.path) for f in sel]
-            df = self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.read.schema(self._read_schema(schema)).parquet(*paths)
             del_files = sorted({d for f in sel for d in f.deletion_files})
             if del_files:
+                # consume the _metadata pseudo-column before any projection
+                # (_to_logical) can cut it off the file-source relation
                 df = df.withColumn(
                     _FILE_COL,
                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
@@ -559,6 +620,7 @@ class Dataset:
                     (df[_FILE_COL] == dels["file"]) & (df[_POS_COL] == dels["pos"]),
                     "left_anti",
                 ).drop(_FILE_COL, _POS_COL)
+            df = self._to_logical(df)
         for colname, default_expr in m.column_defaults.items():
             if colname in df.columns:
                 df = df.withColumn(
@@ -639,13 +701,14 @@ class Dataset:
             )
         paths = [os.path.join(self.path, f.path) for f in frags]
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(self._read_schema(schema))
             .parquet(*paths)
             .withColumn(
                 _FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
             )
             .withColumn(_POS_COL, F.col("_metadata.row_index"))
         )
+        df = self._to_logical(df)
         del_files = sorted({d for f in frags for d in f.deletion_files})
         if del_files:
             dels = self.spark.read.parquet(
@@ -918,12 +981,103 @@ class Dataset:
         defaults = {
             k: v for k, v in self.manifest.column_defaults.items() if k != name
         }
+        mapping = {
+            k: v for k, v in self.manifest.column_mapping.items() if k != name
+        }
         self._commit(
             _Txn(
                 op="schema",
                 read_version=self.version,
                 schema_json=schema.json(),
                 column_defaults=defaults,
+                column_mapping=mapping,
+            )
+        )
+        return self
+
+    @staticmethod
+    def _is_widening(old, new) -> bool:
+        """Lossless scan-time casts only (the reference rejects lossy
+        AlterColumns retypes the same way, sdk/dataset.go:736): integer
+        chain byte->short->int->long, float->double, <=int->double (exact
+        in a 53-bit mantissa), and same-scale decimal precision growth.
+        All of these are native parquet upcasts in Spark's reader, so the
+        retype never rewrites data."""
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        if old == new:
+            return True
+        ranks = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+        ro, rn = ranks.get(type(old)), ranks.get(type(new))
+        if ro is not None and rn is not None:
+            return rn > ro
+        if ro is not None and ro <= 2 and isinstance(new, DoubleType):
+            return True
+        if isinstance(old, FloatType) and isinstance(new, DoubleType):
+            return True
+        if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+            return new.scale == old.scale and new.precision >= old.precision
+        return False
+
+    def alter_columns(self, *alterations: dict) -> "Dataset":
+        """AlterColumns (reference sdk/dataset.go:623-816): metadata-only
+        rename and/or widening retype. Each alteration is
+        ``{"path": name, "rename": new_name?, "data_type": sql_type?}``.
+
+        Rename records a logical->physical mapping in the manifest (the
+        stored name is frozen at first write — Delta-style column mapping),
+        so no fragment is rewritten and time travel keeps reading old
+        versions under their old names. Retype must be widening
+        (_is_widening); scans read narrow files through Spark's parquet
+        upcast, appends after the retype store the wide type under the same
+        physical name. Narrowing raises ValueError. Concurrent schema
+        changes conflict through the normal optimistic-commit matrix."""
+        fields = list(self.schema.fields)
+        mapping = dict(self.manifest.column_mapping)
+        defaults = dict(self.manifest.column_defaults)
+        blooms = list(self.manifest.bloom_columns)
+        for alt in alterations:
+            name = alt["path"]
+            idx = next((i for i, f in enumerate(fields) if f.name == name), None)
+            if idx is None:
+                raise ValueError(f"no such column: {name!r}")
+            f = fields[idx]
+            new_name = alt.get("rename") or name
+            new_type = f.dataType
+            if alt.get("data_type"):
+                new_type = StructType.fromDDL(f"x {alt['data_type']}").fields[0].dataType
+                if not self._is_widening(f.dataType, new_type):
+                    raise ValueError(
+                        f"cannot alter column {name!r}: "
+                        f"{f.dataType.simpleString()} -> {new_type.simpleString()} "
+                        f"is not a widening cast"
+                    )
+            if new_name != name:
+                if any(g.name == new_name for g in fields):
+                    raise ValueError(f"column {new_name!r} already exists")
+                physical = mapping.pop(name, name)
+                if physical != new_name:
+                    mapping[new_name] = physical
+                if name in defaults:
+                    defaults[new_name] = defaults.pop(name)
+                blooms = [new_name if b == name else b for b in blooms]
+            fields[idx] = StructField(new_name, new_type, f.nullable, f.metadata)
+        self._commit(
+            _Txn(
+                op="schema",
+                read_version=self.version,
+                schema_json=StructType(fields).json(),
+                column_defaults=defaults,
+                column_mapping=mapping,
+                bloom_columns=blooms,
             )
         )
         return self
@@ -1132,6 +1286,7 @@ class Dataset:
                 added=list(old.fragments),
                 schema_json=old.schema_json,
                 column_defaults=dict(old.column_defaults),
+                column_mapping=dict(old.column_mapping),
             )
         )
         return self
@@ -1172,6 +1327,7 @@ class Dataset:
             bloom_columns=list(src.bloom_columns),
             row_ids=src.row_ids,
             next_row_id=src.next_row_id,
+            column_mapping=dict(src.column_mapping),
         )
         ds._commit_new(m)
         ds._manifest = m

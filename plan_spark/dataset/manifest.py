@@ -71,6 +71,12 @@ class Manifest:
     # reused, even after overwrite.
     row_ids: bool = False
     next_row_id: int = 0
+    # logical column name -> physical (stored) column name. AlterColumns
+    # renames (reference sdk/dataset.go:623-816) are metadata-only: the
+    # physical name is frozen at first write and every fragment — past and
+    # future — stores it, so a rename never rewrites data and old versions
+    # keep reading under time travel. Absent entries mean logical==physical.
+    column_mapping: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = asdict(self)

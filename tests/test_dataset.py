@@ -416,3 +416,151 @@ def test_zorder_preserves_row_ids(spark, tmp_path_ds, base_df):
     ds.compact(strategy="zorder", zorder_by=["id", "val"], target_files=4)
     after = {r["id"]: r["_rowid"] for r in ds.to_df(with_row_id=True).collect()}
     assert before == after
+
+
+# ------------------------------------------------------- AlterColumns
+
+
+def test_alter_rename_roundtrip(spark, tmp_path_ds, base_df):
+    """Rename is metadata-only: same values under the new name, zero data
+    files rewritten, and a subsequent rewrite (update) keeps working."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    files_before = sorted(f.path for f in ds.manifest.fragments)
+    ds.alter_columns({"path": "val", "rename": "amount"})
+    assert sorted(ds.to_df().columns) == ["amount", "grp", "id"]
+    assert sorted(f.path for f in ds.manifest.fragments) == files_before
+    got = {r["id"]: r["amount"] for r in ds.to_df().collect()}
+    assert got[4] == 10.0
+    # predicate + rewrite under the new name
+    ds.update({"amount": "amount + 1"}, "id = 4")
+    assert ds.to_df().filter("id = 4").collect()[0]["amount"] == 11.0
+    # time travel still reads the old name
+    old = ds.checkout(1)
+    assert "val" in old.to_df().columns and "amount" not in old.to_df().columns
+
+
+def test_alter_rename_then_append_and_compact(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(4))
+    ds.alter_columns({"path": "val", "rename": "amount"})
+    extra = spark.range(1000, 1200).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), (F.col("id") * 2.5).alias("amount")
+    )
+    ds.append(extra)
+    assert ds.to_df().count() == 1200
+    assert ds.to_df().filter("id = 1100").collect()[0]["amount"] == 2750.0
+    # compaction mixes pre- and post-rename fragments; content must survive
+    ds.compact(target_files=2)
+    assert ds.to_df().count() == 1200
+    assert ds.to_df().filter("id = 1100").collect()[0]["amount"] == 2750.0
+    assert ds.to_df().filter("id = 4").collect()[0]["amount"] == 10.0
+
+
+def test_alter_rename_prunes_and_blooms(spark, tmp_path_ds, base_df):
+    """Zonemap pruning keys on the stored (physical) name; predicates on
+    the logical name must still prune files."""
+    ds = Dataset.create(
+        spark, tmp_path_ds, base_df.orderBy("id").repartition(4, "grp"),
+        bloom_columns=["id"],
+    )
+    ds.alter_columns({"path": "id", "rename": "row_key"})
+    sel, pruned = ds.plan_scan("row_key = 1")
+    assert len(pruned) >= 1, "rename broke zonemap pruning"
+    assert ds.to_df("row_key = 1").count() == 1
+    # appends after the rename still write bloom filters for the column
+    ds.append(
+        spark.range(5000, 6000).select(
+            F.col("id").alias("row_key"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2.5).alias("val"),
+        )
+    )
+    assert ds.to_df().filter("row_key = 5017").count() == 1
+
+
+def test_alter_widen_type(spark, tmp_path_ds):
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("a"),
+        F.col("id").cast("float").alias("b"),
+        F.col("id").cast("decimal(10,2)").alias("c"),
+    )
+    ds = Dataset.create(spark, tmp_path_ds, df)
+    ds.alter_columns(
+        {"path": "a", "data_type": "bigint"},
+        {"path": "b", "data_type": "double"},
+        {"path": "c", "data_type": "decimal(18,2)"},
+    )
+    out = ds.to_df()
+    types = dict(out.dtypes)
+    assert types == {"a": "bigint", "b": "double", "c": "decimal(18,2)"}
+    assert out.count() == 100
+    # values beyond int range append cleanly after the widen
+    ds.append(
+        spark.createDataFrame(
+            [(2**40, 1.5, None)], "a bigint, b double, c decimal(18,2)"
+        )
+    )
+    assert ds.to_df().filter(F.col("a") == 2**40).count() == 1
+    assert ds.to_df().count() == 101
+
+
+def test_alter_narrowing_rejected(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    with pytest.raises(ValueError, match="not a widening"):
+        ds.alter_columns({"path": "id", "data_type": "int"})
+    with pytest.raises(ValueError, match="not a widening"):
+        ds.alter_columns({"path": "val", "data_type": "float"})
+    with pytest.raises(ValueError, match="no such column"):
+        ds.alter_columns({"path": "nope", "rename": "x"})
+    with pytest.raises(ValueError, match="already exists"):
+        ds.alter_columns({"path": "id", "rename": "grp"})
+
+
+def test_alter_rename_and_widen_together(spark, tmp_path_ds):
+    df = spark.range(0, 50).select(F.col("id").cast("int").alias("a"))
+    ds = Dataset.create(spark, tmp_path_ds, df)
+    ds.alter_columns({"path": "a", "rename": "a_big", "data_type": "bigint"})
+    assert dict(ds.to_df().dtypes) == {"a_big": "bigint"}
+    assert ds.to_df().agg(F.sum("a_big")).collect()[0][0] == sum(range(50))
+
+
+def test_alter_survives_clone_and_restore(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.alter_columns({"path": "val", "rename": "amount"})
+    dest = tmp_path_ds + "_clone"
+    try:
+        c = ds.clone(dest)
+        assert "amount" in c.to_df().columns
+        assert c.to_df().filter("id = 4").collect()[0]["amount"] == 10.0
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    # restore to pre-rename content brings the old mapping/schema back
+    ds.restore(1)
+    assert "val" in ds.to_df().columns and "amount" not in ds.to_df().columns
+
+
+def test_alter_rename_default_rekeyed(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.add_column("score", "double", default="0.5")
+    ds.alter_columns({"path": "score", "rename": "rating"})
+    rows = ds.to_df().select("rating").distinct().collect()
+    assert [r["rating"] for r in rows] == [0.5]
+
+
+def test_alter_rename_chain_back(spark, tmp_path_ds, base_df):
+    """a -> b -> a round trip collapses to the identity mapping."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.alter_columns({"path": "val", "rename": "tmpname"})
+    ds.alter_columns({"path": "tmpname", "rename": "val"})
+    assert ds.manifest.column_mapping == {}
+    assert ds.to_df().filter("id = 4").collect()[0]["val"] == 10.0
+
+
+def test_alter_rename_with_row_ids_and_delete(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(4), row_ids=True)
+    ds.alter_columns({"path": "grp", "rename": "bucket"})
+    ds.delete("bucket = 3")
+    assert ds.to_df().count() == 900
+    got = ds.take_rows([5])
+    assert got.columns == ["id", "bucket", "val", "_rowid"]
+    want = ds.to_df(with_row_id=True).filter("_rowid = 5").collect()[0]
+    assert got.collect()[0]["id"] == want["id"]

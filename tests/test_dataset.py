@@ -564,3 +564,32 @@ def test_alter_rename_with_row_ids_and_delete(spark, tmp_path_ds, base_df):
     assert got.columns == ["id", "bucket", "val", "_rowid"]
     want = ds.to_df(with_row_id=True).filter("_rowid = 5").collect()[0]
     assert got.collect()[0]["id"] == want["id"]
+
+
+def _jobs_for(spark, group: str, fn) -> int:
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_delete_job_count_fragment_independent(spark, tmp_path_ds, base_df):
+    """Delete's job budget must not scale with fragment count (the r1
+    per-fragment-count-job regression), and the persisted hits keep the
+    predicate evaluation to the fixed plan (count job + sidecar write job,
+    plus AQE's per-stage jobs — identical for any fragment count)."""
+    ds4 = Dataset.create(spark, tmp_path_ds + "_a", base_df.repartition(4))
+    ds16 = Dataset.create(spark, tmp_path_ds + "_b", base_df.repartition(16))
+    try:
+        j4 = _jobs_for(spark, "del-4frag", lambda: ds4.delete("grp = 3"))
+        j16 = _jobs_for(spark, "del-16frag", lambda: ds16.delete("grp = 3"))
+        assert j4 == j16, f"delete jobs scale with fragments: {j4} vs {j16}"
+        assert j4 <= 4, f"delete ran {j4} jobs"
+        assert ds4.to_df().count() == 900
+        assert ds16.to_df().count() == 900
+    finally:
+        shutil.rmtree(tmp_path_ds + "_a", ignore_errors=True)
+        shutil.rmtree(tmp_path_ds + "_b", ignore_errors=True)

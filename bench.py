@@ -25,6 +25,9 @@ def main() -> None:
     from plan_spark.session import get_spark
 
     spark = get_spark("plan_spark-bench")
+    # adjudicated-cosmetic WindowExec partition warnings (pre-aggregated
+    # day-series windows) would otherwise bury real regressions in stderr
+    spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
     if only:
         specs = {k: v for k, v in specs.items() if k in only}

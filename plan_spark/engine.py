@@ -42,7 +42,12 @@ class Engine:
         warehouse: str,
         broadcast_hint_bytes: int = 32 << 20,
     ):
-        self.spark = spark
+        # Engine-scoped runtime confs (CBO below) must not leak into the
+        # caller's session: SQLConf is per-SparkSession, so the Engine runs
+        # on its own newSession() — same SparkContext, shared block-manager
+        # cache, isolated confs and temp views. (r2 advice: conf.set on the
+        # shared session silently re-enabled CBO session-wide.)
+        self.spark = spark.newSession()
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
         self._catalog_path = os.path.join(self.warehouse, "_catalog.json")
@@ -271,7 +276,8 @@ class Engine:
     _QUERY_TOKENS = frozenset({"select", "with", "values", "table", "explain"})
     # Leading keywords the engine routes to its own catalog/dataset layer.
     _STMT_TOKENS = frozenset(
-        {"create", "drop", "insert", "copy", "delete", "update", "merge", "analyze"}
+        {"create", "drop", "insert", "copy", "delete", "update", "merge",
+         "analyze", "alter"}
     )
 
     @staticmethod
@@ -343,6 +349,22 @@ class Engine:
         m = re.match(r"(?is)^CREATE\s+SCHEMA\s+(\w+)$", s)
         if m:
             self.create_schema(m.group(1))
+            return
+        # CTAS (reference builder_ddl.go CTAS path): derive the schema from
+        # the query result, create, insert — one statement, two commits
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(\w+)\s+AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$",
+            s,
+        )
+        if m:
+            name, query = m.group(1), m.group(2)
+            self._register_views()
+            df = self.spark.sql(query)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            self.create_table(name, ddl)
+            self.insert_df(name, df)
             return
         m = re.match(r"(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)$", s)
         if m:
@@ -423,7 +445,9 @@ class Engine:
         self._register_views()
         source = self.spark.sql(src_q) if src_q else self.spark.table(m.group(2))
         keys = []
-        for part in re.split(r"(?i)\s+AND\s+", on.strip()):
+        # key lists may be AND-separated equality conjuncts or comma-
+        # separated bare column names (the docstring's "ON key[, key...]")
+        for part in re.split(r"(?i)\s+AND\s+|\s*,\s*", on.strip()):
             part = part.strip()
             em = re.match(r"(?is)^(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)$", part)
             if em and em.group(1) == em.group(2):
@@ -458,6 +482,45 @@ class Engine:
             col, expr = a.split("=", 1)
             assignments[col.strip()] = expr.strip()
         self.dataset(name).update(assignments, pred)
+
+    def _stmt_alter(self, s: str) -> None:
+        """ALTER TABLE t RENAME COLUMN a TO b | ALTER COLUMN a TYPE type |
+        ADD COLUMN a type [DEFAULT expr] | DROP COLUMN a — the SQL face of
+        the Dataset schema-evolution surface (reference sdk/dataset.go:623
+        AddColumns/AlterColumns/DropColumns)."""
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", s
+        )
+        if m:
+            self.dataset(m.group(1)).alter_columns(
+                {"path": m.group(2), "rename": m.group(3)}
+            )
+            return
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+            r"(?:SET\s+DATA\s+)?TYPE\s+(.+)$",
+            s,
+        )
+        if m:
+            self.dataset(m.group(1)).alter_columns(
+                {"path": m.group(2), "data_type": m.group(3).strip()}
+            )
+            return
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)"
+            r"(?:\s+DEFAULT\s+(.+))?$",
+            s,
+        )
+        if m:
+            self.dataset(m.group(1)).add_column(
+                m.group(2), m.group(3).strip(), default=m.group(4) or "NULL"
+            )
+            return
+        m = re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$", s)
+        if m:
+            self.dataset(m.group(1)).drop_column(m.group(2))
+            return
+        raise ValueError(f"unsupported ALTER statement: {s[:120]!r}")
 
     def _stmt_analyze(self, s: str) -> None:
         m = re.match(r"(?is)^ANALYZE\s+(?:TABLE\s+)?(\w+)(\s+WITH\s+CACHE)?$", s)

@@ -242,3 +242,49 @@ def test_sql_merge_upsert(engine):
             "MERGE INTO mt USING msrc ON mt.k < msrc.k "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_ctas(engine):
+    engine.create_table("src", "a INT, b STRING")
+    engine.insert_values("src", [(1, "x"), (2, "y"), (3, "x")])
+    engine.sql("CREATE TABLE agg AS SELECT b, COUNT(*) AS n FROM src GROUP BY b")
+    rows = {r.b: r.n for r in engine.sql("SELECT b, n FROM agg").collect()}
+    assert rows == {"x": 2, "y": 1}
+    # derived schema round-trips through the catalog: further inserts work
+    engine.insert_values("agg", [("z", 9)])
+    assert engine.sql("SELECT COUNT(*) AS c FROM agg").collect()[0].c == 3
+    # CTAS from a CTE and from another CTAS table
+    engine.sql(
+        "CREATE TABLE agg2 AS WITH t AS (SELECT n FROM agg) "
+        "SELECT SUM(n) AS total FROM t"
+    )
+    assert engine.sql("SELECT total FROM agg2").collect()[0].total == 12
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE agg AS SELECT 1 AS one")
+
+
+def test_alter_table_sql(engine):
+    engine.create_table("t", "a INT, b STRING")
+    engine.insert_values("t", [(1, "x"), (2, "y")])
+    engine.sql("ALTER TABLE t RENAME COLUMN a TO id")
+    assert {r.id for r in engine.sql("SELECT id FROM t").collect()} == {1, 2}
+    engine.sql("ALTER TABLE t ALTER COLUMN id TYPE bigint")
+    engine.insert_values("t", [(2**40, "big")])
+    assert engine.sql("SELECT MAX(id) AS m FROM t").collect()[0].m == 2**40
+    engine.sql("ALTER TABLE t ADD COLUMN score double DEFAULT 0.5")
+    assert engine.sql(
+        "SELECT COUNT(*) AS n FROM t WHERE score = 0.5"
+    ).collect()[0].n == 3
+    engine.sql("ALTER TABLE t DROP COLUMN b")
+    assert "b" not in engine.sql("SELECT * FROM t").columns
+    with pytest.raises(ValueError, match="not a widening"):
+        engine.sql("ALTER TABLE t ALTER COLUMN id TYPE int")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        engine.sql("ALTER TABLE t RENAME TO t2")
+
+
+def test_engine_confs_do_not_leak(spark, engine):
+    """The Engine's CBO confs live on its own session, not the caller's."""
+    assert engine.spark is not spark
+    assert engine.spark.conf.get("spark.sql.cbo.enabled") == "true"
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"

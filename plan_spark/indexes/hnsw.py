@@ -25,6 +25,7 @@ persistence, fan-out, merge) is DataFrame-native.
 from __future__ import annotations
 
 import heapq
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -33,6 +34,58 @@ from pyspark.sql import functions as F
 _NODES_SCHEMA = (
     "shard int, id long, v array<double>, level int, nbrs array<array<long>>"
 )
+
+
+def _write_meta(path: str, **meta) -> None:
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def _read_pending(spark: SparkSession, path: str) -> DataFrame | None:
+    """(id, v) rows buffered by insert(), or None when the buffer is empty."""
+    p = os.path.join(path, "pending")
+    if not os.path.isdir(p) or not any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p)
+
+
+def _score_pending(pending: DataFrame, qitems, allow, k: int) -> DataFrame:
+    """Exact cosine of every query against the (small by invariant) insert
+    buffer — the unindexed tail is searched exhaustively, mirroring the
+    reference's buffered incremental index (incremental_index.go:28-253).
+    Vectors in the buffer are L2-normalized at insert time."""
+    qlist = [(int(qid), [float(x) for x in qv]) for qid, qv in qitems]
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            out = {"q_id": [], "c_id": [], "cos_sim": []}
+            for qid, qv in qlist:
+                sims = X @ np.asarray(qv, dtype=np.float64)
+                order = np.argsort(-sims, kind="stable")[: k + 1]
+                for j in order:
+                    cid = int(ids[j])
+                    if cid == qid or (allow is not None and cid not in allow):
+                        continue
+                    out["q_id"].append(qid)
+                    out["c_id"].append(cid)
+                    out["cos_sim"].append(float(sims[j]))
+            yield pd.DataFrame(out)
+
+    return pending.mapInPandas(score, "q_id long, c_id long, cos_sim double")
 
 
 def _search_layer(qv, entry_pts, ef, adj, X, np):
@@ -130,6 +183,10 @@ class HnswIndex:
             import numpy as np
             import pandas as pd
 
+            # id-sorted: graph construction order (and therefore the graph)
+            # depends only on shard CONTENT, never on shuffle arrival order —
+            # makes incremental compact() bit-identical to a fresh build
+            pdf = pdf.sort_values("id").reset_index(drop=True)
             X = np.asarray(list(pdf["v"]), dtype=np.float64)
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             shard = int(pdf["shard"].iloc[0])
@@ -157,7 +214,70 @@ class HnswIndex:
             .partitionBy("shard")
             .parquet(os.path.join(idx.path, "nodes"))
         )
+        _write_meta(
+            idx.path, n_shards=n_shards, m=m, ef_construction=ef_construction,
+            seed=seed,
+        )
+        import shutil
+
+        shutil.rmtree(os.path.join(idx.path, "pending"), ignore_errors=True)
         return idx
+
+    # ------------------------------------------------------- incremental
+    def insert(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        rebuild_frac: float = 0.25,
+    ) -> "HnswIndex":
+        """Buffered incremental insert (reference incremental_index.go:28-253
+        applied to HNSW): new vectors append to a pending buffer that
+        search() scans exactly and merges with the graph walk; once the
+        buffer exceeds ``rebuild_frac`` of the graph, compact() re-shards —
+        graph quality never degrades because the graphs are only ever built
+        whole."""
+        norm = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("raw"),
+            )
+            .withColumn(
+                "nrm",
+                F.greatest(
+                    F.sqrt(
+                        F.aggregate("raw", F.lit(0.0), lambda a, b: a + b * b)
+                    ),
+                    F.lit(1e-12),
+                ),
+            )
+            .select(
+                "id", F.transform("raw", lambda x: x / F.col("nrm")).alias("v")
+            )
+        )
+        norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
+        pending = _read_pending(self.spark, self.path)
+        n_graph = self.nodes().count()
+        if pending is not None and pending.count() > rebuild_frac * max(n_graph, 1):
+            self.compact()
+        return self
+
+    def compact(self) -> "HnswIndex":
+        """Fold the pending buffer into the sharded graphs (the reference's
+        background re-shard): rebuild from nodes+pending with the persisted
+        build parameters. Deterministic given content (id-sorted builds)."""
+        meta = _read_meta(self.path)
+        pending = _read_pending(self.spark, self.path)
+        merged = self.nodes().select("id", "v")
+        if pending is not None:
+            merged = merged.unionByName(pending.select("id", "v"))
+        merged = merged.localCheckpoint(eager=True)  # read before overwrite
+        HnswIndex.build(
+            self.spark, merged, id_col="id", vec_col="v", path=self.path,
+            n_shards=meta["n_shards"], m=meta["m"],
+            ef_construction=meta["ef_construction"], seed=meta["seed"],
+        )
+        return self
 
     # ------------------------------------------------------------- search
     def nodes(self) -> DataFrame:
@@ -225,6 +345,11 @@ class HnswIndex:
         per_shard = self.nodes().groupBy("shard").applyInPandas(
             search_shard, "q_id long, c_id long, cos_sim double"
         )
+        pending = _read_pending(self.spark, self.path)
+        if pending is not None:
+            per_shard = per_shard.unionByName(
+                _score_pending(pending, qitems, allow, k)
+            )
         w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
         return (
             per_shard.select(

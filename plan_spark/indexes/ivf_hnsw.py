@@ -27,11 +27,50 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from plan_spark.indexes.hnsw import _build_graph, _search_layer
+from plan_spark.indexes.hnsw import (
+    _build_graph,
+    _read_meta,
+    _read_pending,
+    _score_pending,
+    _search_layer,
+    _write_meta,
+)
 
 _NODES_SCHEMA = (
     "cluster int, id long, v array<double>, level int, nbrs array<array<long>>"
 )
+
+
+def _make_build_cluster(m: int, ef_construction: int, seed: int):
+    """Per-cluster HNSW graph builder (applyInPandas body), id-sorted so the
+    graph depends only on cluster content — shared by build() and compact()."""
+
+    def build_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        X = np.asarray(list(pdf["v"]), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cluster = int(pdf["cluster"].iloc[0])
+        levels, adj = _build_graph(X, m, ef_construction, seed + cluster, np)
+        ids = pdf["id"].to_numpy()
+        nbrs = [
+            [[int(ids[nb]) for nb in adj[lv].get(i, ())]
+             for lv in range(int(levels[i]) + 1)]
+            for i in range(len(X))
+        ]
+        return pd.DataFrame(
+            {
+                "cluster": cluster,
+                "id": ids,
+                "v": [list(row) for row in X],
+                "level": levels,
+                "nbrs": nbrs,
+            }
+        )
+
+    return build_cluster
 
 
 class IvfHnswIndex:
@@ -78,38 +117,119 @@ class IvfHnswIndex:
             "id", "v", F.col("prediction").alias("cluster")
         )
 
-        def build_cluster(pdf):
-            import numpy as np
-            import pandas as pd
-
-            X = np.asarray(list(pdf["v"]), dtype=np.float64)
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            cluster = int(pdf["cluster"].iloc[0])
-            levels, adj = _build_graph(X, m, ef_construction, seed + cluster, np)
-            ids = pdf["id"].to_numpy()
-            nbrs = [
-                [[int(ids[nb]) for nb in adj[lv].get(i, ())]
-                 for lv in range(int(levels[i]) + 1)]
-                for i in range(len(X))
-            ]
-            return pd.DataFrame(
-                {
-                    "cluster": cluster,
-                    "id": ids,
-                    "v": [list(row) for row in X],
-                    "level": levels,
-                    "nbrs": nbrs,
-                }
-            )
-
         (
             assigned.groupBy("cluster")
-            .applyInPandas(build_cluster, _NODES_SCHEMA)
+            .applyInPandas(
+                _make_build_cluster(m, ef_construction, seed), _NODES_SCHEMA
+            )
             .write.mode("overwrite")
             .partitionBy("cluster")
             .parquet(os.path.join(idx.path, "nodes"))
         )
+        _write_meta(idx.path, m=m, ef_construction=ef_construction, seed=seed)
+        import shutil
+
+        shutil.rmtree(os.path.join(idx.path, "pending"), ignore_errors=True)
         return idx
+
+    # ------------------------------------------------------- incremental
+    def insert(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        rebuild_frac: float = 0.25,
+    ) -> "IvfHnswIndex":
+        """Buffered incremental insert (reference incremental_index.go:28-253):
+        new vectors land in a pending buffer that search() scans exactly and
+        merges with the probed-cluster graph walks; past ``rebuild_frac`` of
+        the indexed size, compact() folds the buffer in. Centroids stay
+        FIXED across compactions (the coarse quantizer is refit only by a
+        full build) — standard incremental-IVF semantics."""
+        norm = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("raw"),
+            )
+            .withColumn(
+                "nrm",
+                F.greatest(
+                    F.sqrt(
+                        F.aggregate("raw", F.lit(0.0), lambda a, b: a + b * b)
+                    ),
+                    F.lit(1e-12),
+                ),
+            )
+            .select(
+                "id", F.transform("raw", lambda x: x / F.col("nrm")).alias("v")
+            )
+        )
+        norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
+        pending = _read_pending(self.spark, self.path)
+        n_graph = self.nodes().count()
+        if pending is not None and pending.count() > rebuild_frac * max(n_graph, 1):
+            self.compact()
+        return self
+
+    def compact(self) -> "IvfHnswIndex":
+        """Fold the pending buffer into the per-cluster graphs: assign each
+        buffered vector to its cosine-nearest (fixed) centroid, then rebuild
+        only with the persisted graph parameters. Existing nodes keep their
+        cluster, so assignment churn is impossible; id-sorted builds make
+        the result identical to building from the merged assignment."""
+        import numpy as np
+
+        pending = _read_pending(self.spark, self.path)
+        if pending is None:
+            return self
+        meta = _read_meta(self.path)
+        c_rows = sorted(self.centroids().collect(), key=lambda r: r.cluster)
+        C = np.array([r.cv for r in c_rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        clusters = [int(r.cluster) for r in c_rows]
+
+        def assign(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.asarray(list(pdf["v"]), dtype=np.float64)
+                nearest = np.argmax(X @ Cn.T, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "cluster": [clusters[j] for j in nearest],
+                        "id": pdf["id"].to_numpy(),
+                        "v": pdf["v"],
+                    }
+                )
+
+        assigned_pending = pending.mapInPandas(
+            assign, "cluster int, id long, v array<double>"
+        )
+        merged = (
+            self.nodes()
+            .select("cluster", "id", "v")
+            .unionByName(assigned_pending)
+            .localCheckpoint(eager=True)  # read fully before the overwrite
+        )
+        (
+            merged.groupBy("cluster")
+            .applyInPandas(
+                _make_build_cluster(
+                    meta["m"], meta["ef_construction"], meta["seed"]
+                ),
+                _NODES_SCHEMA,
+            )
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(os.path.join(self.path, "nodes"))
+        )
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
+        return self
 
     # ------------------------------------------------------------- search
     def centroids(self) -> DataFrame:
@@ -144,9 +264,11 @@ class IvfHnswIndex:
         C = np.array([r.cv for r in c_rows], dtype=np.float64)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         per_cluster: dict[int, list[tuple[int, list[float]]]] = {}
+        qitems: list[tuple[int, "np.ndarray"]] = []
         for qid, qv in query_vecs.items():
             q = np.asarray(qv, dtype=np.float64)
             q = q / max(float(np.linalg.norm(q)), 1e-12)
+            qitems.append((int(qid), q))
             sims = Cn @ q
             for j in np.argsort(-sims, kind="stable")[:nprobe]:
                 per_cluster.setdefault(int(c_rows[j].cluster), []).append(
@@ -199,6 +321,11 @@ class IvfHnswIndex:
             .groupBy("cluster")
             .applyInPandas(search_cluster, "q_id long, c_id long, cos_sim double")
         )
+        pending = _read_pending(self.spark, self.path)
+        if pending is not None:
+            # the unindexed tail is searched exactly, for every query —
+            # buffered rows are findable the moment insert() returns
+            per = per.unionByName(_score_pending(pending, qitems, allow, k))
         w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
         return (
             per.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))

@@ -337,3 +337,118 @@ def test_ivf_hnsw_prefilter_composes(spark, tmp_idx):
     approx = {(r.q_id, r.c_id) for r in res}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"filtered IVF-HNSW recall@5 too low: {recall}"
+
+
+def test_hnsw_incremental_insert_and_compact(spark, tmp_idx):
+    """Buffered HNSW insert: inserted vectors are findable immediately
+    (exact scan of the pending buffer merged into the scatter-gather), and
+    compact() re-shards into graphs identical to a full rebuild (id-sorted
+    builds are content-deterministic)."""
+    import os
+
+    from plan_spark.indexes import HnswIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = HnswIndex.build(spark, old, path=tmp_idx, n_shards=4, m=8)
+    # large rebuild_frac: stay in buffered mode for the first assertions
+    idx.insert(new, rebuild_frac=10.0)
+    assert os.path.isdir(os.path.join(tmp_idx, "pending"))
+
+    # probes are exact copies of buffered vectors under fresh q_ids: the
+    # buffered original MUST come back as rank 1 with cos ~ 1 (only the
+    # exact pending scan can produce it — it is not in any graph yet)
+    probe = new.limit(3).collect()
+    qv = {-(i + 1): list(r.embedding) for i, r in enumerate(probe)}
+    want = {-(i + 1): int(r.vec_id) for i, r in enumerate(probe)}
+    top1 = {
+        r.q_id: (r.c_id, r.cos_sim)
+        for r in idx.search(qv, top_k=5).collect()
+        if r.rank == 1
+    }
+    for q_id, buf_id in want.items():
+        c_id, cos = top1[q_id]
+        assert c_id == buf_id and cos > 0.999999, (q_id, top1[q_id])
+
+    # compact == full rebuild, bit for bit
+    qv = {int(r.vec_id): list(r.embedding) for r in probe}
+    idx.compact()
+    assert not os.path.isdir(os.path.join(tmp_idx, "pending"))
+    full_dir = tempfile.mkdtemp(prefix="plan_spark_hnsw_full_")
+    try:
+        from plan_spark.indexes import HnswIndex as H
+
+        full = H.build(spark, emb, path=full_dir, n_shards=4, m=8)
+        a = {(r.q_id, r.c_id, r.rank) for r in idx.search(qv, top_k=5).collect()}
+        b = {(r.q_id, r.c_id, r.rank) for r in full.search(qv, top_k=5).collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(full_dir, ignore_errors=True)
+
+
+def test_hnsw_insert_auto_compacts_past_threshold(spark, tmp_idx):
+    import os
+
+    from plan_spark.indexes import HnswIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = HnswIndex.build(
+        spark, emb.filter(F.col("vec_id") < 400), path=tmp_idx, n_shards=4, m=8
+    )
+    # 100 new vectors > 10% of 400 -> auto-compact folds the buffer in
+    idx.insert(emb.filter(F.col("vec_id") >= 400), rebuild_frac=0.1)
+    assert not os.path.isdir(os.path.join(tmp_idx, "pending"))
+    assert idx.nodes().count() == emb.count()
+
+
+def test_ivf_hnsw_incremental_insert_and_compact(spark, tmp_idx):
+    """IVF-HNSW buffered insert: pending rows findable for every query
+    (exact tail scan), centroids stay fixed across compact(), and compact
+    equals a rebuild from the same cluster assignment."""
+    import os
+
+    from plan_spark.indexes import IvfHnswIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = IvfHnswIndex.build(spark, old, path=tmp_idx)
+    cents_before = sorted(
+        (r.cluster, tuple(r.cv)) for r in idx.centroids().collect()
+    )
+    idx.insert(new, rebuild_frac=10.0)
+
+    # fresh-q_id copies of buffered vectors: the exact tail scan must
+    # surface the buffered original at rank 1 regardless of nprobe
+    probe = new.limit(3).collect()
+    qcopy = {-(i + 1): list(r.embedding) for i, r in enumerate(probe)}
+    want = {-(i + 1): int(r.vec_id) for i, r in enumerate(probe)}
+    top1 = {
+        r.q_id: (r.c_id, r.cos_sim)
+        for r in idx.search(qcopy, top_k=5, nprobe=2).collect()
+        if r.rank == 1
+    }
+    for q_id, buf_id in want.items():
+        c_id, cos = top1[q_id]
+        assert c_id == buf_id and cos > 0.999999, (q_id, top1[q_id])
+
+    n_nodes_before = idx.nodes().count()
+    idx.compact()
+    assert not os.path.isdir(os.path.join(tmp_idx, "pending"))
+    assert idx.nodes().count() == n_nodes_before + new.count()
+    cents_after = sorted(
+        (r.cluster, tuple(r.cv)) for r in idx.centroids().collect()
+    )
+    assert cents_before == cents_after, "compact must not refit centroids"
+    # after compact the inserted vectors live in the graphs: the same
+    # exact-copy probes must still hit their originals at rank 1 (now via
+    # the graph walk — the buffer is gone)
+    top1 = {
+        r.q_id: (r.c_id, r.cos_sim)
+        for r in idx.search(qcopy, top_k=5, nprobe=16).collect()
+        if r.rank == 1
+    }
+    for q_id, buf_id in want.items():
+        c_id, cos = top1[q_id]
+        assert c_id == buf_id and cos > 0.999999, (q_id, top1[q_id])

@@ -264,18 +264,29 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 
 @register("rollup_agg", oracle=_ROLLUP_SQL, tags=("agg", "rollup"))
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over the region->nation hierarchy: Expand emits 3 grouping sets
-    through one shuffle (strictly more than the reference's single-set agg)."""
+    """ROLLUP over the region->nation hierarchy (strictly more than the
+    reference's single-set agg). Scale shape: the fact side reduces ONCE to
+    (r_name, n_name) partials — map-side combined — and ROLLUP's Expand
+    runs over those ~25 partial rows, not over every supplier; decimal
+    sums and counts re-aggregate associatively, so results are identical
+    to the direct rollup the oracle runs."""
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region")
-    return (
+    base = (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .rollup("r_name", "n_name")
+        .groupBy("r_name", "n_name")
         .agg(
-            F.sum(dec("s_acctbal")).cast("double").alias("total_bal"),
-            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(dec("s_acctbal")).alias("bal0"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.sum("bal0").cast("double").alias("total_bal"),
+            F.sum("n0").alias("n_supp"),
         )
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
@@ -292,13 +303,22 @@ ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
 
 @register("cube_agg", oracle=_CUBE_SQL, tags=("agg", "cube"))
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (event_type, user bucket): all 4 grouping sets in one pass."""
+    """CUBE over (event_type, user bucket): all 4 grouping sets in one pass.
+    Scale shape: events reduce ONCE to the ~50 (type, bucket) partials and
+    CUBE's Expand multiplies those partials, not the raw event stream (a
+    naive cube pays Expand x 4 over every event)."""
     ev = table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("tv0"),
+    )
     return (
-        ev.cube("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        base.cube("event_type", "user_bucket")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum("n0").alias("n"),
+            F.sum("tv0").cast("double").alias("total_value"),
         )
         .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("user_bucket"))
     )

@@ -211,22 +211,29 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROLLUP(returnflag, linestatus) with RANK inside each hierarchy level
     (GROUPING() feeding a window partition key).
 
-    The rollup is one shuffle over the fact table; the rank window runs over
-    the ~10-row rollup output. Margin is a double ratio of two exact decimal
-    sums — deterministic on both engines.
+    Scale shape: the fact table is reduced ONCE by a plain (flag, status)
+    aggregate — map-side combined, 6 output rows — and ROLLUP's Expand runs
+    over those partials, not over raw rows (a naive rollup pays Expand x
+    #grouping-sets over the whole fact table: 3x the scan CPU here, 3x 100 TB
+    at scale). Decimal sums re-aggregate associatively, so the margins are
+    bit-identical to the direct rollup the oracle runs. Rank window runs
+    over the ~10-row rollup output.
     """
     li = table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(rev_col()).alias("rev"),
+        F.sum(dec("l_extendedprice")).alias("price"),
+    )
     agg = (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
             (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias(
                 "lochierarchy"
             ),
             F.grouping("l_linestatus").alias("g_status"),
-            (
-                F.sum(rev_col()).cast("double")
-                / F.sum(dec("l_extendedprice")).cast("double")
-            ).alias("gross_margin"),
+            (F.sum("rev").cast("double") / F.sum("price").cast("double")).alias(
+                "gross_margin"
+            ),
         )
     )
     w = Window.partitionBy(

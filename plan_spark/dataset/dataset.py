@@ -63,8 +63,21 @@ def _stat_key(v: Any) -> Any:
     return v
 
 
-def _collect_stats(local_path: str) -> tuple[int, int, dict[str, dict[str, Any]]]:
-    """Rows, bytes, per-column min/max/nulls from the parquet footer."""
+_BITMAP_MAX_NDV = 64
+
+
+def _collect_stats(
+    local_path: str, bitmap_columns: list[str] | None = None
+) -> tuple[int, int, dict[str, dict[str, Any]]]:
+    """Rows, bytes, per-column min/max/nulls from the parquet footer.
+
+    ``bitmap_columns`` (declared low-NDV columns) additionally get their
+    per-fragment DISTINCT VALUE SET — the engine's bitmap scalar index
+    (reference bitmap_index.go:14-56) at file granularity: an equality
+    predicate on a value absent from the set prunes the whole fragment even
+    when min/max ranges interleave and the zonemap cannot. The set is read
+    from the column data (one local column scan at write time) and dropped
+    if NDV exceeds a bound — a wide set would neither compress nor prune."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(local_path)
@@ -98,6 +111,22 @@ def _collect_stats(local_path: str) -> tuple[int, int, dict[str, dict[str, Any]]
             if isinstance(mn, (_dt.datetime, _dt.date)):
                 mn, mx = mn.isoformat(), mx.isoformat()
             stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+    for c in bitmap_columns or []:
+        if c not in pf.schema_arrow.names:
+            continue
+        try:
+            col = pf.read(columns=[c]).column(0)
+            vals = [v for v in col.unique().to_pylist() if v is not None]
+        except Exception:
+            continue
+        if len(vals) > _BITMAP_MAX_NDV:
+            continue
+        if any(isinstance(v, (_dt.datetime, _dt.date)) for v in vals):
+            vals = [v.isoformat() for v in vals]
+        elif not all(isinstance(v, (int, float, str, bool)) for v in vals):
+            continue  # only JSON-encodable scalar sets
+        entry = stats.setdefault(c, {"min": None, "max": None, "nulls": 0})
+        entry["distinct"] = sorted(vals, key=_stat_key)
     return md.num_rows, os.path.getsize(local_path), stats
 
 
@@ -114,6 +143,7 @@ class _Txn:
     column_defaults: dict[str, str] | None = None
     column_mapping: dict[str, str] | None = None
     bloom_columns: list[str] | None = None
+    bitmap_columns: list[str] | None = None
     # (stream_id, batch_id): commit only if batch_id > the manifest's
     # recorded watermark for stream_id — else DuplicateBatchError
     stream_commit: tuple[str, int] | None = None
@@ -158,11 +188,17 @@ class Dataset:
         path: str,
         df: DataFrame | None = None,
         bloom_columns: list[str] | None = None,
+        bitmap_columns: list[str] | None = None,
         row_ids: bool = False,
     ) -> "Dataset":
         """``bloom_columns`` declares point-lookup columns: every fragment
         write (this one and all future appends/rewrites) emits parquet bloom
         filters for them — the engine's BloomFilter scalar index.
+
+        ``bitmap_columns`` declares low-NDV columns: every fragment records
+        its distinct value set in the manifest (the bitmap scalar index,
+        bitmap_index.go:14-56, at file granularity) so equality predicates
+        prune fragments the zonemap cannot.
 
         ``row_ids=True`` turns on stable row ids (reference rowids.go):
         every row gets a permanent id at ingest, stable across delete /
@@ -179,7 +215,12 @@ class Dataset:
         maxid = 0
         next_rid = 0
         if df is not None:
-            frags = ds._write_fragments(df, start_id=1, bloom_columns=bloom_columns)
+            frags = ds._write_fragments(
+                df,
+                start_id=1,
+                bloom_columns=bloom_columns,
+                bitmap_columns=bitmap_columns,
+            )
             maxid = max((f.id for f in frags), default=0)
             if row_ids:
                 for f in frags:
@@ -193,6 +234,7 @@ class Dataset:
             fragments=frags,
             max_fragment_id=maxid,
             bloom_columns=list(bloom_columns or []),
+            bitmap_columns=list(bitmap_columns or []),
             row_ids=row_ids,
             next_row_id=next_rid,
         )
@@ -255,7 +297,11 @@ class Dataset:
 
     # --------------------------------------------------------------- writing
     def _write_fragments(
-        self, df: DataFrame, start_id: int, bloom_columns: list[str] | None = None
+        self,
+        df: DataFrame,
+        start_id: int,
+        bloom_columns: list[str] | None = None,
+        bitmap_columns: list[str] | None = None,
     ) -> list[Fragment]:
         """Write a DataFrame as new fragment files (one per output
         partition) and collect footer stats. The write is a Spark job; only
@@ -270,11 +316,14 @@ class Dataset:
         # cannot (high-NDV keys whose range spans every row group)
         if bloom_columns is None:
             bloom_columns = self._manifest.bloom_columns if self._manifest else []
+        if bitmap_columns is None:
+            bitmap_columns = self._manifest.bitmap_columns if self._manifest else []
         mapping = self._manifest.column_mapping if self._manifest else {}
         for c in bloom_columns:
             c = mapping.get(c, c)
             if c in df.columns:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        bitmap_phys = [mapping.get(c, c) for c in bitmap_columns]
         writer.parquet(staging)
         frags: list[Fragment] = []
         fid = start_id
@@ -284,7 +333,7 @@ class Dataset:
             name = f"{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.path, "data", name)
             os.rename(os.path.join(staging, fn), dst)
-            rows, nbytes, stats = _collect_stats(dst)
+            rows, nbytes, stats = _collect_stats(dst, bitmap_columns=bitmap_phys)
             if rows == 0:
                 os.remove(dst)
                 continue
@@ -472,6 +521,11 @@ class Dataset:
                 if txn.column_mapping is not None
                 else dict(base.column_mapping)
             ),
+            bitmap_columns=(
+                list(txn.bitmap_columns)
+                if txn.bitmap_columns is not None
+                else list(base.bitmap_columns)
+            ),
         )
 
     # ------------------------------------------------- column mapping
@@ -550,6 +604,13 @@ class Dataset:
             # stats are keyed by the stored (physical) column name
             st = f.stats.get(self._phys(col))
             if not st:
+                continue
+            # bitmap index: the fragment's distinct value set proves absence
+            # even when min/max ranges interleave across fragments
+            if op == "=" and st.get("distinct") is not None:
+                if _stat_key(val) not in {_stat_key(x) for x in st["distinct"]}:
+                    return True
+            if st.get("min") is None or st.get("max") is None:
                 continue
             lo, hi, v = _stat_key(st["min"]), _stat_key(st["max"]), _stat_key(val)
             if op == "=" and (v < lo or v > hi):
@@ -1066,6 +1127,7 @@ class Dataset:
         mapping = dict(self.manifest.column_mapping)
         defaults = dict(self.manifest.column_defaults)
         blooms = list(self.manifest.bloom_columns)
+        bitmaps = list(self.manifest.bitmap_columns)
         for alt in alterations:
             name = alt["path"]
             idx = next((i for i, f in enumerate(fields) if f.name == name), None)
@@ -1091,6 +1153,7 @@ class Dataset:
                 if name in defaults:
                     defaults[new_name] = defaults.pop(name)
                 blooms = [new_name if b == name else b for b in blooms]
+                bitmaps = [new_name if b == name else b for b in bitmaps]
             fields[idx] = StructField(new_name, new_type, f.nullable, f.metadata)
         self._commit(
             _Txn(
@@ -1100,6 +1163,7 @@ class Dataset:
                 column_defaults=defaults,
                 column_mapping=mapping,
                 bloom_columns=blooms,
+                bitmap_columns=bitmaps,
             )
         )
         return self
@@ -1352,6 +1416,7 @@ class Dataset:
             max_fragment_id=src.max_fragment_id,
             column_defaults=dict(src.column_defaults),
             bloom_columns=list(src.bloom_columns),
+            bitmap_columns=list(src.bitmap_columns),
             row_ids=src.row_ids,
             next_row_id=src.next_row_id,
             column_mapping=dict(src.column_mapping),

@@ -71,6 +71,11 @@ class Manifest:
     # reused, even after overwrite.
     row_ids: bool = False
     next_row_id: int = 0
+    # declared low-NDV columns whose fragments carry per-file DISTINCT value
+    # sets in stats — the bitmap scalar index (bitmap_index.go:14-56) at
+    # file granularity: equality predicates prune fragments whose set lacks
+    # the value, even when min/max ranges interleave.
+    bitmap_columns: list[str] = field(default_factory=list)
     # logical column name -> physical (stored) column name. AlterColumns
     # renames (reference sdk/dataset.go:623-816) are metadata-only: the
     # physical name is frozen at first write and every fragment — past and

@@ -593,3 +593,57 @@ def test_delete_job_count_fragment_independent(spark, tmp_path_ds, base_df):
     finally:
         shutil.rmtree(tmp_path_ds + "_a", ignore_errors=True)
         shutil.rmtree(tmp_path_ds + "_b", ignore_errors=True)
+
+
+def test_bitmap_index_prunes_interleaved_fragments(spark, tmp_path_ds):
+    """Bitmap scalar index (bitmap_index.go analogue at file granularity):
+    equality on a low-NDV column prunes fragments whose distinct set lacks
+    the value, even though every fragment's min/max RANGE covers it (the
+    zonemap alone proves nothing here)."""
+    # evens and odds interleave over the full id range: fragment grp ranges
+    # overlap completely, distinct sets of grp are disjoint (one fragment
+    # per write keeps the layout deterministic)
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 8).alias("grp"), (F.col("id") * 1.5).alias("val")
+    )
+    evens, odds = df.filter("grp % 2 = 0"), df.filter("grp % 2 = 1")
+    ds = Dataset.create(
+        spark, tmp_path_ds, evens.coalesce(1), bitmap_columns=["grp"]
+    )
+    ds.append(odds.coalesce(1))
+    assert len(ds.manifest.fragments) == 2
+    # every fragment carries a distinct set
+    assert all("distinct" in f.stats.get("grp", {}) for f in ds.manifest.fragments)
+    sel, pruned = ds.plan_scan("grp = 3")
+    assert len(pruned) >= 1, "bitmap index failed to prune any fragment"
+    # zonemap alone could NOT have pruned: min/max of grp overlaps 3 everywhere
+    for f in pruned:
+        st = f.stats["grp"]
+        assert st["min"] <= 3 <= st["max"]
+    assert ds.to_df("grp = 3").count() == 125
+    # appends inherit the declaration; rename re-keys it
+    ds.append(
+        spark.range(1000, 1100)
+        .select(F.col("id"), F.lit(99).alias("grp"), F.lit(0.0).alias("val"))
+        .coalesce(1)
+    )
+    ds.alter_columns({"path": "grp", "rename": "bucket"})
+    assert ds.manifest.bitmap_columns == ["bucket"]
+    sel99, pruned99 = ds.plan_scan("bucket = 99")
+    assert len(sel99) == 1 and len(pruned99) == 2
+    assert ds.to_df("bucket = 99").count() == 100
+    # high-NDV columns never record a set (bound keeps metadata tiny)
+    ds2_dir = tmp_path_ds + "_hi"
+    try:
+        ds2 = Dataset.create(
+            spark, ds2_dir,
+            spark.range(0, 1000)
+            .select(F.col("id"), (F.col("id") % 500).alias("k"))
+            .coalesce(1),
+            bitmap_columns=["k"],
+        )
+        assert all(
+            "distinct" not in f.stats.get("k", {}) for f in ds2.manifest.fragments
+        )
+    finally:
+        shutil.rmtree(ds2_dir, ignore_errors=True)

@@ -2,7 +2,7 @@
 
 The reference ships all 99 TPC-DS query texts (cases/tpcds/query/) but cannot
 run the window-function ones — it has no window operator at all
-(expr_properties.go:273-277 stub). These three probes take the three most
+(expr_properties.go:273-277 stub). These probes take the most
 window-dependent TPC-DS shapes and re-target them at the fixture star schema,
 proving the capability the reference only aspires to:
 
@@ -12,6 +12,8 @@ proving the capability the reference only aspires to:
   "when does channel A overtake channel B" crossover).
 - q36 shape: ROLLUP gross margin with RANK inside each grouping level
   (GROUPING() interop with windows).
+- q98 shape: revenue share within class (the ratio_to_report pattern —
+  partition-sum window over aggregated rows).
 
 Determinism: all money math follows queries/common.py (exact decimal sums,
 double emitted last, identical expression shape in the DuckDB oracle).
@@ -249,4 +251,56 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rank_within_parent"),
         )
         .orderBy(F.desc("lochierarchy"), "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 shape: revenue share within class (ratio_to_report)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q98_SQL = f"""
+WITH rev AS (
+  SELECT p_type, p_brand, SUM({REV_SQL}) AS rev_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_type, p_brand,
+       CAST(rev_dec AS DOUBLE) AS item_rev,
+       CAST(rev_dec AS DOUBLE) * 100
+         / CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE)
+         AS revenue_ratio
+FROM rev
+ORDER BY p_type, revenue_ratio DESC, p_brand
+"""
+
+
+@register("tpcds_q98", oracle=_TPCDS_Q98_SQL, tags=("tpcds", "window"))
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98 shape (cases/tpcds/query/q98.sql — unrunnable by the
+    reference): each brand's revenue share within its part type, the
+    ratio_to_report window pattern.
+
+    One shuffle for the (type, brand) aggregate; the partition-sum window
+    runs over the aggregated brand rows (bounded by the catalog size at any
+    corpus scale), never over raw lineitems. Share = double ratio of exact
+    decimal sums, identical expression shape on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(rev_col()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        rev.select(
+            "p_type",
+            "p_brand",
+            F.col("rev_dec").cast("double").alias("item_rev"),
+            (
+                F.col("rev_dec").cast("double") * 100
+                / F.sum("rev_dec").over(w).cast("double")
+            ).alias("revenue_ratio"),
+        )
+        .orderBy("p_type", F.desc("revenue_ratio"), "p_brand")
     )

@@ -110,40 +110,6 @@ def w_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
-_W_MOVAVG_SQL = """
-SELECT user_id, event_id, ts,
-       CAST(SUM(CAST(value AS DECIMAL(18,6)))
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-         AS mov_avg
-FROM events
-ORDER BY user_id, ts, event_id
-"""
-
-
-@register("w_movavg", oracle=_W_MOVAVG_SQL, tags=("window",))
-def w_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-row moving average per user: exact decimal frame sum / frame count,
-    final division in double (deterministic)."""
-    ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-6, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w)
-        ).alias("mov_avg"),
-    ).orderBy("user_id", "ts", "event_id")
-
-
 # ---------------------------------------------------------------------------
 # Set operations (reference: none — SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -521,3 +487,37 @@ def w_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
     ).orderBy("day")
+
+
+_W_MOVAVG_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS mov_avg
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("w_movavg", oracle=_W_MOVAVG_SQL, tags=("window",))
+def w_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average per user: exact decimal frame sum / frame count,
+    final division in double (deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg"),
+    ).orderBy("user_id", "ts", "event_id")

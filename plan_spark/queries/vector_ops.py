@@ -419,3 +419,57 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _NEARDUP_TAU)
         .orderBy("da", "db")
     )
+
+
+def _ivf_hnsw_index_for(spark: SparkSession, sf_dir: str):
+    """Persisted IvfHnswIndex per sf_dir (build-once/search-many, same
+    keying as _ivf_index_for — reference ivf_hnsw_index.go:16-83 builds at
+    CREATE INDEX time)."""
+    import hashlib
+    import tempfile
+
+    from plan_spark.indexes.ivf_hnsw import IvfHnswIndex
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    key = hashlib.md5(f"{src}#{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"plan_spark_ivfhnsw_{key}")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        IvfHnswIndex.build(
+            spark,
+            table(spark, sf_dir, "embeddings"),
+            id_col="vec_id",
+            vec_col="embedding",
+            path=path,
+            k=16,
+            max_iter=8,
+            seed=42,
+        )
+        with open(marker, "w") as fh:
+            fh.write(src)
+    return IvfHnswIndex(spark, path)
+
+
+@register("knn_ivf_hnsw", oracle=None, tags=("vector", "knn", "ivf", "hnsw"))
+def knn_ivf_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-HNSW composite KNN over the PERSISTED index (reference
+    ivf_hnsw_index.go:16-83): centroid probe prunes to nprobe=4 cluster
+    directories on disk, each probed cluster walks its own HNSW graph, one
+    window merges the per-cluster top-k.
+
+    Non-SQL-expressible (KMeans + graph walk) => rows-only driver check;
+    pytest gates recall >= IVF-alone at equal nprobe and
+    incremental-insert/compact semantics (tests/test_indexes.py).
+
+    Scale: the query set is collected driver-side (query-sized by
+    definition); the corpus never shuffles — only probed cluster files are
+    read, ~ef*log(N/k) vectors touched per cluster."""
+    idx = _ivf_hnsw_index_for(spark, sf_dir)
+    qrows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qv = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
+    return idx.search(qv, top_k=_TOP_K, nprobe=4).orderBy("q_id", "rank")

@@ -578,6 +578,23 @@ class Dataset:
 
         out: list[tuple[str, str, Any]] = []
         for part in re.split(r"(?i)\s+AND\s+", pred.strip()):
+            im = re.match(r"(?is)^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", part)
+            if im:
+                vals = []
+                for lit in im.group(2).split(","):
+                    lit = lit.strip()
+                    if lit.startswith("'") and lit.endswith("'"):
+                        vals.append(lit[1:-1])
+                    elif re.fullmatch(r"-?\d+", lit):
+                        vals.append(int(lit))
+                    elif re.fullmatch(r"-?\d+\.\d+", lit):
+                        vals.append(float(lit))
+                    else:
+                        vals = None  # unparseable member: contribute no pruning
+                        break
+                if vals:
+                    out.append((im.group(1), "in", vals))
+                continue
             m = re.match(
                 r"^\s*(\w+)\s*(>=|<=|<>|!=|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$",
                 part,
@@ -607,10 +624,17 @@ class Dataset:
                 continue
             # bitmap index: the fragment's distinct value set proves absence
             # even when min/max ranges interleave across fragments
-            if op == "=" and st.get("distinct") is not None:
-                if _stat_key(val) not in {_stat_key(x) for x in st["distinct"]}:
+            if op in ("=", "in") and st.get("distinct") is not None:
+                vals = val if op == "in" else [val]
+                dset = {_stat_key(x) for x in st["distinct"]}
+                if all(_stat_key(v) not in dset for v in vals):
                     return True
             if st.get("min") is None or st.get("max") is None:
+                continue
+            if op == "in":
+                lo, hi = _stat_key(st["min"]), _stat_key(st["max"])
+                if all(_stat_key(v) < lo or _stat_key(v) > hi for v in val):
+                    return True
                 continue
             lo, hi, v = _stat_key(st["min"]), _stat_key(st["max"]), _stat_key(val)
             if op == "=" and (v < lo or v > hi):
@@ -688,6 +712,9 @@ class Dataset:
                     colname, F.coalesce(F.col(colname), F.expr(default_expr))
                 )
         for col, op, val in filters or []:
+            if op == "in":
+                df = df.filter(F.col(col).isin(*val))
+                continue
             ops = {
                 "=": F.col(col) == val,
                 ">": F.col(col) > val,
@@ -1076,6 +1103,43 @@ class Dataset:
                 column_mapping=mapping,
             )
         )
+        return self
+
+    def merge_schema(self, other, defaults: dict[str, str] | None = None) -> "Dataset":
+        """Merge(new schema) (reference sdk/dataset.go:1038): add every
+        field of ``other`` (a StructType or DDL string) that the dataset
+        lacks, as one metadata-only commit. Existing fields must match
+        exactly or be a widening of the stored type (applied via the
+        alter path); conflicting types raise."""
+        if isinstance(other, str):
+            other = StructType.fromDDL(other)
+        mine = {f.name: f for f in self.schema.fields}
+        fields = list(self.schema.fields)
+        defs = dict(self.manifest.column_defaults)
+        alters: list[dict] = []
+        for f in other.fields:
+            cur = mine.get(f.name)
+            if cur is None:
+                fields.append(StructField(f.name, f.dataType, True, f.metadata))
+                defs[f.name] = (defaults or {}).get(f.name, "NULL")
+            elif cur.dataType != f.dataType:
+                if not self._is_widening(cur.dataType, f.dataType):
+                    raise ValueError(
+                        f"merge_schema: column {f.name!r} "
+                        f"{cur.dataType.simpleString()} -> {f.dataType.simpleString()} "
+                        f"is not a widening cast"
+                    )
+                alters.append({"path": f.name, "data_type": f.dataType.simpleString()})
+        self._commit(
+            _Txn(
+                op="schema",
+                read_version=self.version,
+                schema_json=StructType(fields).json(),
+                column_defaults=defs,
+            )
+        )
+        if alters:
+            self.alter_columns(*alters)
         return self
 
     @staticmethod

@@ -279,6 +279,9 @@ class Engine:
         {"create", "drop", "insert", "copy", "delete", "update", "merge",
          "analyze", "alter"}
     )
+    # meta statements that RETURN a DataFrame (the psql \d/\dt analogues the
+    # reference serves from its catalog, cmd/main/main.go REPL loop)
+    _META_TOKENS = frozenset({"show", "describe", "desc"})
 
     @staticmethod
     def _split_statements(text: str) -> list[str]:
@@ -335,10 +338,12 @@ class Engine:
         if first in self._QUERY_TOKENS:
             self._register_views()
             return self.spark.sql(s)
+        if first in self._META_TOKENS:
+            return self._stmt_meta(s)
         if first not in self._STMT_TOKENS:
             raise ValueError(
                 f"unsupported statement {first!r}: expected one of "
-                f"{sorted(self._QUERY_TOKENS | self._STMT_TOKENS)}"
+                f"{sorted(self._QUERY_TOKENS | self._STMT_TOKENS | self._META_TOKENS)}"
             )
         handler = getattr(self, f"_stmt_{first}")
         handler(s)
@@ -482,6 +487,34 @@ class Engine:
             col, expr = a.split("=", 1)
             assignments[col.strip()] = expr.strip()
         self.dataset(name).update(assignments, pred)
+
+    def _stmt_meta(self, s: str) -> DataFrame:
+        """SHOW SCHEMAS | SHOW TABLES [IN schema] | DESCRIBE t — catalog
+        introspection served from the engine's own catalog (the reference's
+        psql meta commands)."""
+        m = re.match(r"(?is)^SHOW\s+SCHEMAS$", s)
+        if m:
+            return self.spark.createDataFrame(
+                [(x,) for x in self.schemas()], "schema_name string"
+            )
+        m = re.match(r"(?is)^SHOW\s+TABLES(?:\s+IN\s+(\w+))?$", s)
+        if m:
+            schema = m.group(1) or "main"
+            return self.spark.createDataFrame(
+                [(schema, t) for t in self.tables(schema)],
+                "schema_name string, table_name string",
+            )
+        m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", s)
+        if m:
+            ds = self.dataset(m.group(1))
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in ds.schema.fields
+                ],
+                "col_name string, data_type string, nullable boolean",
+            )
+        raise ValueError(f"unsupported meta statement: {s[:120]!r}")
 
     def _stmt_alter(self, s: str) -> None:
         """ALTER TABLE t RENAME COLUMN a TO b | ALTER COLUMN a TYPE type |

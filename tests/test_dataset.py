@@ -647,3 +647,43 @@ def test_bitmap_index_prunes_interleaved_fragments(spark, tmp_path_ds):
         )
     finally:
         shutil.rmtree(ds2_dir, ignore_errors=True)
+
+
+def test_merge_schema(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    # new columns merge in as nullable with defaults; existing widen
+    ds.merge_schema("id bigint, tag string, score double",
+                    defaults={"score": "1.0"})
+    out = ds.to_df()
+    assert sorted(out.columns) == ["grp", "id", "score", "tag", "val"]
+    assert out.filter("score = 1.0").count() == 1000
+    assert out.filter("tag IS NULL").count() == 1000
+    # widening merge on an existing column
+    ds2_dir = tmp_path_ds + "_w"
+    try:
+        df = spark.range(10).select(F.col("id").cast("int").alias("a"))
+        ds2 = Dataset.create(spark, ds2_dir, df)
+        ds2.merge_schema("a bigint, b string")
+        assert dict(ds2.to_df().dtypes) == {"a": "bigint", "b": "string"}
+    finally:
+        shutil.rmtree(ds2_dir, ignore_errors=True)
+    with pytest.raises(ValueError, match="not a widening"):
+        ds.merge_schema("val float")
+
+
+def test_in_list_pruning(spark, tmp_path_ds):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 8).alias("grp")
+    )
+    evens, odds = df.filter("grp % 2 = 0"), df.filter("grp % 2 = 1")
+    ds = Dataset.create(spark, tmp_path_ds, evens.coalesce(1), bitmap_columns=["grp"])
+    ds.append(odds.coalesce(1))
+    # IN over values absent from the evens fragment prunes it (bitmap);
+    # IN over values outside every range prunes everything (zonemap)
+    sel, pruned = ds.plan_scan("grp IN (1, 3)")
+    assert len(sel) == 1 and len(pruned) == 1
+    assert ds.to_df("grp IN (1, 3)").count() == 250
+    sel2, pruned2 = ds.plan_scan("id IN (5000, 6000)")
+    assert len(sel2) == 0 and len(pruned2) == 2
+    # tuple-style IN filter applies as a residual too
+    assert ds.to_df([("grp", "in", [2, 4])]).count() == 250

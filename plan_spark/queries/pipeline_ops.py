@@ -736,3 +736,161 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter: per-doc duplicate-token fraction and
+# most-frequent-bigram mass. The standard "remove degenerate/boilerplate
+# docs" rule that complements quality_filter's length/stopword rules.
+# ---------------------------------------------------------------------------
+
+_REP_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+b AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM d WHERE len(toks) >= 2) t),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+per AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+  FROM cnt GROUP BY doc_id),
+u AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+  FROM d)
+SELECT u.doc_id, u.n_tokens,
+       CAST(p.top_bigram_n AS DOUBLE) / p.n_bigrams AS top_bigram_frac,
+       1.0 - CAST(u.n_distinct_tokens AS DOUBLE) / u.n_tokens
+         AS dup_token_frac,
+       (CAST(p.top_bigram_n AS DOUBLE) / p.n_bigrams <= 0.18
+        AND 1.0 - CAST(u.n_distinct_tokens AS DOUBLE) / u.n_tokens <= 0.7)
+         AS keep
+FROM u JOIN per p ON p.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
+@register("rep_filter", oracle=_REP_SQL, tags=("text", "quality", "pipeline"))
+def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher repetition rules): flag docs
+    whose single most frequent word-bigram carries >18% of all bigram mass,
+    or where >70% of tokens are repeats of earlier tokens.
+
+    Scale shape: one explode + (doc_id, bigram) groupBy + per-doc groupBy —
+    both map-side combined and both partitioned by doc_id, so the second
+    aggregate reuses the first's shuffle partitioning. The unigram
+    diversity leg never shuffles at all (array_distinct is a map-side
+    higher-order function). Thresholds compare exact-integer ratios, so the
+    keep decision is engine-stable."""
+    d = _norm_docs(spark, sf_dir)
+    u = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct_tokens"),
+    )
+    b = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(2))).alias("bg"),
+        )
+    )
+    per = (
+        b.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_tokens").cast("double") / F.col(
+        "n_tokens"
+    )
+    return (
+        u.join(per, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_token_frac"),
+            ((top_frac <= 0.18) & (dup_frac <= 0.7)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified source sampling: per-source keep rates applied via the same
+# deterministic md5 Bernoulli trick as sample_split — the domain-mixing
+# step of corpus construction (downsample web, keep curated sources).
+# ---------------------------------------------------------------------------
+
+_STRAT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INTEGER) AS src_num,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) / {_HEX15!r} AS frac
+  FROM documents),
+s AS (
+  SELECT source, doc_id, frac,
+         CASE WHEN src_num < 5 THEN 1.0
+              WHEN src_num < 10 THEN 0.5
+              WHEN src_num < 15 THEN 0.25
+              ELSE 0.1 END AS rate
+  FROM h)
+SELECT source, MAX(rate) AS rate,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN frac < rate THEN doc_id END) AS min_kept,
+       MAX(CASE WHEN frac < rate THEN doc_id END) AS max_kept
+FROM s GROUP BY source
+ORDER BY source
+"""
+
+
+@register("stratified_sample", oracle=_STRAT_SQL, tags=("pipeline", "sampling"))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified downsampling (domain mixing): curated sources
+    keep 100%, progressively noisier tiers keep 50/25/10%, selected by the
+    same engine-stable md5 Bernoulli hash as sample_split.
+
+    Scale shape: a pure map-side projection + one source-cardinality groupBy
+    — the mixing decision costs nothing extra on a 100 TB scan and
+    re-derives identically on any engine or re-partitioning (statistical
+    TABLESAMPLE cannot promise either)."""
+    docs = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HEX15)
+    )
+    rate = (
+        F.when(src_num < 5, F.lit(1.0))
+        .when(src_num < 10, F.lit(0.5))
+        .when(src_num < 15, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    s = docs.select(
+        "source", "doc_id", frac.alias("frac"), rate.alias("rate")
+    )
+    kept = F.when(F.col("frac") < F.col("rate"), F.col("doc_id"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.max("rate").alias("rate"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("frac") < F.col("rate"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_kept"),
+            F.min(kept).alias("min_kept"),
+            F.max(kept).alias("max_kept"),
+        )
+        .orderBy("source")
+    )

@@ -304,3 +304,128 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", F.desc("revenue_ratio"), "p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 shape: top-N rows per category over a 3-level ROLLUP hierarchy
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q67_SQL = f"""
+WITH base AS (
+  SELECT p_type, p_brand, month(l_shipdate) AS mo, SUM({REV_SQL}) AS rev_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT p_type, p_brand, mo,
+         GROUPING(p_type) + GROUPING(p_brand) + GROUPING(mo) AS lvl,
+         CAST(SUM(rev_dec) AS DOUBLE) AS sumsales
+  FROM base
+  GROUP BY ROLLUP(p_type, p_brand, mo)
+), ranked AS (
+  SELECT p_type, p_brand, mo, lvl, sumsales,
+         RANK() OVER (PARTITION BY p_type
+                      ORDER BY sumsales DESC) AS rk
+  FROM agg
+)
+SELECT p_type, p_brand, mo, lvl, sumsales, rk
+FROM ranked WHERE rk <= 5
+ORDER BY p_type NULLS FIRST, rk, p_brand NULLS FIRST, mo NULLS FIRST
+"""
+
+
+@register("tpcds_q67", oracle=_TPCDS_Q67_SQL, tags=("tpcds", "window", "rollup"))
+def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape (cases/tpcds/query/q67.sql — unrunnable by the
+    reference: no window operator): revenue over the full
+    ROLLUP(type, brand, month) hierarchy, then the top-5 rows of every
+    type partition by RANK (rolled-up rows compete inside the NULL-type
+    partition, exactly q67's "which aggregates dominate the category").
+
+    Scale shape: the fact table reduces ONCE to (type, brand, month)
+    partials — map-side combined, ~1.5k rows — and ROLLUP's Expand + the
+    rank window run over partials, never over raw lineitem rows (q36's
+    pre-aggregation discipline, one level deeper). NULL orderings are
+    pinned explicitly because Spark and DuckDB disagree on the default."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    base = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_type", "p_brand", F.month("l_shipdate").alias("mo"))
+        .agg(F.sum(rev_col()).alias("rev_dec"))
+    )
+    agg = base.rollup("p_type", "p_brand", "mo").agg(
+        (
+            F.grouping("p_type") + F.grouping("p_brand") + F.grouping("mo")
+        ).alias("lvl"),
+        F.sum("rev_dec").cast("double").alias("sumsales"),
+    )
+    w = Window.partitionBy("p_type").orderBy(F.desc("sumsales"))
+    return (
+        agg.select(
+            "p_type", "p_brand", "mo", "lvl", "sumsales",
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy(
+            F.asc_nulls_first("p_type"),
+            F.asc("rk"),
+            F.asc_nulls_first("p_brand"),
+            F.asc_nulls_first("mo"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 shape: year-over-year comparison via self-join of an aggregated series
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q59_SQL = f"""
+WITH monthly AS (
+  SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+         SUM({REV_SQL}) AS rev_dec
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT cur.yr, cur.mo,
+       CAST(cur.rev_dec AS DOUBLE) AS rev,
+       CAST(prev.rev_dec AS DOUBLE) AS rev_prev_yr,
+       CAST(cur.rev_dec AS DOUBLE) / CAST(prev.rev_dec AS DOUBLE)
+         AS yoy_ratio
+FROM monthly cur
+JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+ORDER BY cur.yr, cur.mo
+"""
+
+
+@register("tpcds_q59", oracle=_TPCDS_Q59_SQL, tags=("tpcds", "selfjoin"))
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape (cases/tpcds/query/q59.sql): this year's monthly
+    revenue joined to the same month one year earlier — the
+    series-self-join comparison pattern (q59 does it weekly per store).
+
+    Scale shape: the fact table reduces once to an O(months) series; the
+    self-join is series-sized (broadcast at any corpus scale), so the
+    year-over-year report costs one scan + one metadata-sized join."""
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
+    ).agg(F.sum(rev_col()).alias("rev_dec"))
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    return (
+        cur.join(
+            F.broadcast(prev),
+            (F.col("prev.yr") == F.col("cur.yr") - 1)
+            & (F.col("prev.mo") == F.col("cur.mo")),
+        )
+        .select(
+            F.col("cur.yr").alias("yr"),
+            F.col("cur.mo").alias("mo"),
+            F.col("cur.rev_dec").cast("double").alias("rev"),
+            F.col("prev.rev_dec").cast("double").alias("rev_prev_yr"),
+            (
+                F.col("cur.rev_dec").cast("double")
+                / F.col("prev.rev_dec").cast("double")
+            ).alias("yoy_ratio"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -473,3 +473,98 @@ def knn_ivf_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
     return idx.search(qv, top_k=_TOP_K, nprobe=4).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# K-means assignment step (Lloyd iteration) over embeddings — the kernel of
+# topic/cluster bucketing for corpus curation. One full assignment pass is
+# SQL-expressible, so the driver value-checks the exact distributed shape
+# the iterative loop reuses (the loop itself is pytest-gated convergence).
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+
+_KMEANS_ASSIGN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, c_id,
+         {_DOT.format(a="cv", b="e.v")}
+           / sqrt({_SQ.format(a="cv")} * {_SQ.format(a="e.v")}) AS cos_sim
+  FROM e, c),
+best AS (
+  SELECT vec_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, c_id) AS rn
+  FROM sims)
+SELECT c_id AS centroid, COUNT(*) AS n_assigned,
+       CAST(SUM(CAST(cos_sim AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)
+         AS avg_sim,
+       MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+FROM best WHERE rn = 1
+GROUP BY c_id ORDER BY c_id
+"""
+
+
+@register("kmeans_assign", oracle=_KMEANS_ASSIGN_SQL, tags=("vector", "clustering"))
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd assignment: every embedding goes to its nearest of K=8 seed
+    centroids (cosine, centroid-id tiebreak); output per-cluster counts and
+    mean similarity through an exact decimal sum.
+
+    Scale shape: the K centroids are a broadcast row set — the corpus scans
+    once, scores K similarities map-side (sequential JVM folds, identical to
+    the oracle's list_reduce), and the per-vector argmax is a struct-max
+    AGGREGATE (not a window): partial aggregation collapses the N*K scored
+    rows back to N map-side before any shuffle, and the per-centroid rollup
+    combines again. No corpus-sized sort at any scale; this is the exact
+    distributed shape each Lloyd iteration of a full k-means reuses (only
+    the centroid broadcast changes per round). Reference anchor: the same
+    assign kernel the IVF builder trains with
+    (/root/reference/pkg/storage2/ivf_index.go)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    sims = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "c_id",
+        (
+            _dot(F.col("cv"), F.col("v"))
+            / F.sqrt(_sq(F.col("cv")) * _sq(F.col("v")))
+        ).alias("cos_sim"),
+    )
+    # argmax(cos_sim, tiebreak lowest c_id) as a struct-max: lexicographic
+    # struct comparison makes (cos_sim, -c_id) max pick exactly the row the
+    # oracle's ROW_NUMBER(ORDER BY cos_sim DESC, c_id) rn=1 picks.
+    best = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("cos_sim"),
+                    (-F.col("c_id")).alias("neg_c"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.neg_c")).alias("c_id"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
+    return (
+        best.groupBy(F.col("c_id").alias("centroid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.sum(F.col("cos_sim").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_sim"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .orderBy("centroid")
+    )

@@ -62,6 +62,15 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "cube_agg",  # same change
 )
 
+# Complementary: names pushed to the very END of the registry — queries
+# whose implementation is unchanged and already holds green driver rows
+# from earlier rounds (still hash-checked every pytest run), freeing
+# window slots for never-driver-checked or just-changed queries.
+_WINDOW_LAST: tuple[str, ...] = (
+    "text_stats",  # green r1+r2, unchanged
+    "lang_id",  # green r1+r2, unchanged
+)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (triggering registration) and return the
@@ -87,9 +96,11 @@ def load_all() -> dict[str, QuerySpec]:
         import plan_spark.queries.tpch  # noqa: F401
 
         front = {n: REGISTRY[n] for n in _WINDOW_FIRST if n in REGISTRY}
-        rest = {n: s for n, s in REGISTRY.items() if n not in front}
+        back = {n: REGISTRY[n] for n in _WINDOW_LAST if n in REGISTRY}
+        rest = {n: s for n, s in REGISTRY.items() if n not in front and n not in back}
         REGISTRY.clear()
         REGISTRY.update(front)
         REGISTRY.update(rest)
+        REGISTRY.update(back)
         _loaded = True
     return REGISTRY

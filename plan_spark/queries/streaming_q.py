@@ -100,3 +100,43 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, f"stream_session_{uuid.uuid4().hex[:8]}")
     return out.orderBy("user_id", "session_start")
+
+
+_STREAM_DEDUP_SQL = """
+WITH dd AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+  FROM events)
+SELECT event_type, COUNT(*) AS n_unique
+FROM dd GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stream_dedup", oracle=_STREAM_DEDUP_SQL, tags=("streaming", "dedup"))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication on (user_id, event_type, minute) under a
+    watermark, bounded run — the ingest-time exactly-once-per-key guard a
+    training-data feed needs (dropDuplicates state keyed by the tuple,
+    watermark bounds state size on unbounded input).
+
+    The streaming plan emits one survivor per key (StreamingDeduplicate in
+    explain); which physical row survives is racy, so the query returns
+    only key-derived counts — deterministic, and equal to the batch
+    DISTINCT the oracle computes."""
+    ev = _events_stream(spark, sf_dir)
+    keyed = ev.withWatermark("ts", "1 hour").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute"),
+        "ts",
+    )
+    dd = keyed.dropDuplicates(["user_id", "event_type", "minute"]).select(
+        "user_id", "event_type", "minute"
+    )
+    out = run_available_now(
+        dd, f"stream_dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )

@@ -69,6 +69,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
 _WINDOW_LAST: tuple[str, ...] = (
     "text_stats",  # green r1+r2, unchanged
     "lang_id",  # green r1+r2, unchanged
+    "fingerprint",  # green r1+r2, unchanged
 )
 
 

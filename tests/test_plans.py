@@ -67,7 +67,7 @@ def test_no_fact_table_is_ever_broadcast(spark):
     # broadcasts that are correct by construction: the broadcast side is a
     # bounded QUERY/probe set selected from a fact table (a handful of
     # vectors/terms), not the fact itself
-    BOUNDED_PROBE = {"knn_brute", "knn_filtered", "emb_stats"}
+    BOUNDED_PROBE = {"knn_brute", "knn_filtered", "emb_stats", "kmeans_assign"}
     # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
     # hints, so their shape is threshold-governed only: broadcast at test SF
     # (orders' 1-column scan is <1MB), shuffle at any real scale. No pinned

@@ -147,6 +147,12 @@ class _Txn:
     # (stream_id, batch_id): commit only if batch_id > the manifest's
     # recorded watermark for stream_id — else DuplicateBatchError
     stream_commit: tuple[str, int] | None = None
+    # transactional index registration (reference index_transaction.go):
+    # name -> descriptor to add; name to remove; fragment_id -> {col:
+    # sorted distinct list} stats backfill (bitmap index build output)
+    index_put: dict[str, dict] | None = None
+    index_drop: str | None = None
+    stats_patch: dict[int, dict[str, list]] | None = None
 
 
 class Dataset:
@@ -396,6 +402,20 @@ class Dataset:
                 f"schema changed concurrently (read v{txn.read_version}, "
                 f"base v{base.version})"
             )
+        if (
+            txn.op == "index"
+            and txn.index_put
+            and base.version != txn.read_version
+            and any(n in base.indexes for n in txn.index_put)
+        ):
+            # two CreateIndex ops racing on the same name: one descriptor
+            # would silently shadow the other (reference conflict matrix:
+            # index-create conflicts with index-create on the same name)
+            raise ConflictError(
+                f"index {sorted(set(txn.index_put) & set(base.indexes))} "
+                f"created concurrently (read v{txn.read_version}, "
+                f"base v{base.version})"
+            )
         base_ids = base.fragment_ids()
         touched = txn.removed_ids | set(txn.new_deletes)
         missing = touched - base_ids
@@ -483,6 +503,39 @@ class Dataset:
                 )
                 next_rid += f.rows
             fragments = [resolved.get(f.id, f) for f in fragments]
+        if txn.stats_patch:
+            # bitmap backfill: merge distinct sets into fragments that still
+            # exist in the rebased base. Fragments added by a concurrent
+            # commit simply lack the set — they never prune, which is safe;
+            # they pick sets up from bitmap_columns on their next rewrite.
+            patched: list[Fragment] = []
+            for f in fragments:
+                p = txn.stats_patch.get(f.id)
+                if not p:
+                    patched.append(f)
+                    continue
+                stats = {c: dict(s) for c, s in f.stats.items()}
+                for c, vals in p.items():
+                    stats.setdefault(c, {"min": None, "max": None, "nulls": 0})[
+                        "distinct"
+                    ] = vals
+                patched.append(
+                    Fragment(
+                        id=f.id,
+                        path=f.path,
+                        rows=f.rows,
+                        bytes=f.bytes,
+                        stats=stats,
+                        deletion_files=list(f.deletion_files),
+                        row_start=f.row_start,
+                    )
+                )
+            fragments = patched
+        indexes = {n: dict(d) for n, d in base.indexes.items()}
+        if txn.index_put:
+            indexes.update({n: dict(d) for n, d in txn.index_put.items()})
+        if txn.index_drop:
+            indexes.pop(txn.index_drop, None)
         stream_state = dict(base.stream_state)
         if txn.stream_commit is not None:
             sid, bid = txn.stream_commit
@@ -526,6 +579,7 @@ class Dataset:
                 if txn.bitmap_columns is not None
                 else list(base.bitmap_columns)
             ),
+            indexes=indexes,
         )
 
     # ------------------------------------------------- column mapping
@@ -1498,6 +1552,160 @@ class Dataset:
         b = Dataset.open(self.spark, self.path, version=self.version)
         b._branch = name
         return b
+
+    # ------------------------------------------------ secondary indexes
+    # Transactional index creation (reference index_transaction.go:19-246
+    # CreateIndexOperation/IndexBuilder.CreateIndex): the index is built
+    # from THIS handle's snapshot, then registered through the same
+    # optimistic _commit as data operations — concurrent appends rebase
+    # cleanly (the descriptor records which version it covers, so staleness
+    # is detectable), two creates racing on one name conflict.
+
+    def create_index(
+        self,
+        name: str,
+        kind: str,
+        column: str,
+        **params,
+    ) -> "Dataset":
+        """Build + register a named secondary index.
+
+        kinds:
+        - "bitmap": distributed backfill of per-fragment distinct value
+          sets for ``column`` (one scan, O(fragments x NDV) driver rows);
+          also adds the column to ``bitmap_columns`` so future fragment
+          writes collect their own sets at write time.
+        - "bloom": forward-config — adds ``column`` to ``bloom_columns``;
+          parquet bloom filters live in file footers, so existing fragments
+          gain them on their next rewrite (compaction), new writes
+          immediately.
+        - "ivf": persisted IvfIndex under ``<root>/_indexes/<name>``
+          (params: id_col, k, nprobe defaults, ...).
+        - "fts": persisted FtsIndex under ``<root>/_indexes/<name>``
+          (params: id_col, tokenizer).
+        """
+        m = self.manifest
+        if name in m.indexes:
+            raise ValueError(f"index {name!r} already exists")
+        desc: dict = {
+            "kind": kind,
+            "column": column,
+            "path": None,
+            "covers_version": self.version,
+            "params": {k: v for k, v in params.items()},
+        }
+        txn = _Txn(op="index", read_version=self.version, index_put={name: desc})
+        phys = self._phys(column)
+        if kind == "bitmap":
+            txn.stats_patch = self._bitmap_backfill(m, phys)
+            txn.bitmap_columns = sorted(set(m.bitmap_columns) | {phys})
+        elif kind == "bloom":
+            txn.bloom_columns = sorted(set(m.bloom_columns) | {phys})
+        elif kind in ("ivf", "fts"):
+            rel = os.path.join("_indexes", name)
+            desc["path"] = rel
+            full = os.path.join(self.path, rel)
+            id_col = params.pop("id_col", None)
+            if kind == "ivf":
+                from plan_spark.indexes.ivf import IvfIndex
+
+                IvfIndex.build(
+                    self.spark,
+                    self.to_df(),
+                    id_col=id_col or "vec_id",
+                    vec_col=column,
+                    path=full,
+                    **params,
+                )
+            else:
+                from plan_spark.indexes.fts import FtsIndex
+
+                FtsIndex.build(
+                    self.spark,
+                    self.to_df(),
+                    id_col=id_col or "doc_id",
+                    text_col=column,
+                    path=full,
+                    **params,
+                )
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+        self._commit(txn)
+        return self
+
+    def _bitmap_backfill(
+        self, m: Manifest, phys: str
+    ) -> dict[int, dict[str, list]]:
+        """Per-fragment distinct sets for an existing dataset: one
+        distributed scan grouped by source file (collect_set is bounded by
+        the declared NDV cap per fragment, so the collected result is
+        O(fragments x NDV) — metadata-sized)."""
+        by_base = self._frag_by_basename()
+        paths = [os.path.join(self.path, f.path) for f in m.fragments]
+        if not paths:
+            return {}
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__f"),
+                F.col(phys),
+            )
+            .groupBy("__f")
+            .agg(F.collect_set(phys).alias("vals"))
+            .collect()
+        )
+        patch: dict[int, dict[str, list]] = {}
+        for r in rows:
+            frag = by_base.get(r["__f"])
+            if frag is None:
+                continue
+            vals = [v for v in r["vals"] if v is not None]
+            if len(vals) > _BITMAP_MAX_NDV:
+                continue  # too wide to prune — same cap as write-time sets
+            if any(isinstance(v, (_dt.datetime, _dt.date)) for v in vals):
+                vals = [v.isoformat() for v in vals]
+            elif not all(isinstance(v, (int, float, str, bool)) for v in vals):
+                continue
+            patch[frag.id] = {phys: sorted(vals, key=_stat_key)}
+        return patch
+
+    def drop_index(self, name: str) -> "Dataset":
+        """Unregister an index (files are reclaimed by vacuum policy, not
+        here — the descriptor may still be referenced by older versions)."""
+        if name not in self.manifest.indexes:
+            raise ValueError(f"no index named {name!r}")
+        self._commit(_Txn(op="index", read_version=self.version, index_drop=name))
+        return self
+
+    def open_index(self, name: str):
+        """Open a persisted ivf/fts index object (bitmap/bloom indexes have
+        no object — they live in the manifest/parquet and apply on scan)."""
+        desc = self.manifest.indexes.get(name)
+        if desc is None:
+            raise ValueError(f"no index named {name!r}")
+        full = os.path.join(self.path, desc["path"]) if desc["path"] else None
+        if desc["kind"] == "ivf":
+            from plan_spark.indexes.ivf import IvfIndex
+
+            return IvfIndex(self.spark, full)
+        if desc["kind"] == "fts":
+            from plan_spark.indexes.fts import FtsIndex
+
+            return FtsIndex(self.spark, full)
+        raise ValueError(f"index {name!r} has kind {desc['kind']!r}; nothing to open")
+
+    def index_fresh(self, name: str) -> bool:
+        """True iff no DATA operation committed after the version the index
+        was built from (index/tag-only commits don't stale it)."""
+        desc = self.manifest.indexes.get(name)
+        if desc is None:
+            raise ValueError(f"no index named {name!r}")
+        for v in range(desc["covers_version"] + 1, self.version + 1):
+            if self._load(v).operation != "index":
+                return False
+        return True
 
     # ------------------------------------------------ detached transactions
     def _staged_dir(self) -> str:

@@ -76,6 +76,13 @@ class Manifest:
     # file granularity: equality predicates prune fragments whose set lacks
     # the value, even when min/max ranges interleave.
     bitmap_columns: list[str] = field(default_factory=list)
+    # named secondary indexes registered transactionally (reference
+    # index_transaction.go:19-246 CreateIndexOperation): name ->
+    # {"kind": bitmap|bloom|ivf|fts, "column": str, "path": str|None,
+    #  "covers_version": int, "params": {...}}. covers_version is the
+    # snapshot the index was built from; freshness = no data operation
+    # committed since (Dataset.index_fresh).
+    indexes: dict[str, dict] = field(default_factory=dict)
     # logical column name -> physical (stored) column name. AlterColumns
     # renames (reference sdk/dataset.go:623-816) are metadata-only: the
     # physical name is frozen at first write and every fragment — past and

@@ -388,9 +388,25 @@ class Engine:
                 cols.append(f"{colname} {coltype}")
             self.create_table(name, ", ".join(cols), primary_key=pk or None)
             return
+        # CREATE INDEX idx ON t USING kind (col) — transactional index
+        # creation on the versioned table (reference index_transaction.go;
+        # the SDK's CreateIndex surfaced through the SQL front door)
+        m = re.match(
+            r"(?is)^CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)\s*\((\w+)\)$",
+            s,
+        )
+        if m:
+            idx, tbl, kind, col = m.groups()
+            self.dataset(tbl).create_index(idx, kind=kind.lower(), column=col)
+            self._registered.pop(("main", tbl), None)
+            return
         raise ValueError(f"unsupported CREATE statement: {s[:120]!r}")
 
     def _stmt_drop(self, s: str) -> None:
+        m = re.match(r"(?is)^DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)$", s)
+        if m:
+            self.dataset(m.group(2)).drop_index(m.group(1))
+            return
         m = re.match(r"(?is)^DROP\s+TABLE\s+(\w+)$", s)
         if not m:
             raise ValueError(f"unsupported DROP statement: {s[:120]!r}")

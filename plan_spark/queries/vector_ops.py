@@ -568,3 +568,130 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two full Lloyd iterations, oracle-checked end to end: assignment ->
+# centroid UPDATE (per-dimension decimal-exact means) -> re-assignment.
+# The iterative loop (operators/kmeans.py) is pytest-gated because SQL has
+# no loops; TWO unrolled rounds are SQL-expressible, so the driver can
+# hash-check that the distributed update step — not just the assignment —
+# is bit-faithful.
+# ---------------------------------------------------------------------------
+
+_KMEANS_ITER2_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+s1 AS (
+  SELECT e.vec_id, e.v, c_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           {_DOT.format(a="cv", b="e.v")}
+             / sqrt({_SQ.format(a="cv")} * {_SQ.format(a="e.v")}) DESC,
+           c_id) AS rn
+  FROM e, c0),
+a1 AS (SELECT vec_id, v, c_id FROM s1 WHERE rn = 1),
+cells AS (
+  SELECT c_id, i AS pos,
+         CAST(SUM(CAST(v[i] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cx
+  FROM a1, unnest(range(1, len(v) + 1)) AS u(i)
+  GROUP BY c_id, i),
+c1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM cells GROUP BY c_id),
+s2 AS (
+  SELECT e.vec_id, c1.c_id,
+         {_DOT.format(a="c1.cv", b="e.v")}
+           / sqrt({_SQ.format(a="c1.cv")} * {_SQ.format(a="e.v")}) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           {_DOT.format(a="c1.cv", b="e.v")}
+             / sqrt({_SQ.format(a="c1.cv")} * {_SQ.format(a="e.v")}) DESC,
+           c1.c_id) AS rn
+  FROM e, c1),
+a2 AS (SELECT vec_id, c_id, cos_sim FROM s2 WHERE rn = 1)
+SELECT c_id AS centroid, COUNT(*) AS n_assigned,
+       CAST(SUM(CAST(cos_sim AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)
+         AS avg_sim,
+       MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+FROM a2 GROUP BY c_id ORDER BY c_id
+"""
+
+
+def _assign_argmax(e: DataFrame, cents: DataFrame, keep_v: bool) -> DataFrame:
+    """Nearest-centroid by cosine, lowest-c_id tiebreak, as a struct-max
+    aggregate (partial aggregation collapses the N*K scored rows map-side;
+    see kmeans_assign)."""
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *(["v"] if keep_v else []),
+        "c_id",
+        (_dot(F.col("cv"), F.col("v")) / F.sqrt(_sq(F.col("cv")) * _sq(F.col("v")))).alias(
+            "cos_sim"
+        ),
+    )
+    keys = ["vec_id"] + (["v"] if keep_v else [])
+    return (
+        sims.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("cos_sim"), (-F.col("c_id")).alias("neg_c")
+                )
+            ).alias("m")
+        )
+        .select(
+            *keys,
+            (-F.col("m.neg_c")).alias("c_id"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+@register("kmeans_iter2", oracle=_KMEANS_ITER2_SQL, tags=("vector", "clustering", "iterative"))
+def kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations: assign to the K=8 seed centroids,
+    recompute every centroid as the per-dimension MEAN of its members
+    (exact decimal sums — shuffle order cannot move a bit), re-assign
+    against the updated centroids, and report per-cluster stats.
+
+    Scale shape: each round is one broadcast of K centroid rows + one
+    struct-max aggregate (map-side combined, never a corpus window sort);
+    the update is a posexplode to (cluster, dimension) cells — K*dim
+    groups, map-side combined — and the rebuilt centroid table is K rows.
+    The corpus is scanned twice and shuffled only by its own key; this is
+    exactly operators/kmeans.py's fit() loop unrolled twice, so the driver
+    row certifies the distributed update kernel the loop reuses."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    a1 = _assign_argmax(e, c0, keep_v=True)
+    cells = (
+        a1.select("c_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("c_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cx")
+        )
+    )
+    c1 = cells.groupBy("c_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cx")))),
+            lambda s: s.cx,
+        ).alias("cv")
+    )
+    a2 = _assign_argmax(e, c1, keep_v=False)
+    return (
+        a2.groupBy(F.col("c_id").alias("centroid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.sum(F.col("cos_sim").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_sim"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .orderBy("centroid")
+    )

@@ -71,6 +71,8 @@ _WINDOW_LAST: tuple[str, ...] = (
     "lang_id",  # green r1+r2, unchanged
     "fingerprint",  # green r1+r2, unchanged
     "token_count",  # green r1+r2, unchanged
+    "dedup_exact",  # green r1+r2, unchanged
+    "dedup_ngram",  # green r1+r2 results; this round only re-layouts its scan
 )
 
 

@@ -316,3 +316,24 @@ def test_create_index_sql(engine):
     assert "b" in ds.manifest.bitmap_columns
     eng.sql("DROP INDEX b_bitmap ON idxt")
     assert "b_bitmap" not in eng.dataset("idxt").manifest.indexes
+
+
+def test_optimize_and_vacuum_sql(engine, spark):
+    eng = engine
+    eng.sql("CREATE TABLE maint (a INT, b DOUBLE)")
+    for i in range(4):
+        eng.sql(f"INSERT INTO maint VALUES ({i}, {i}.5), ({i+10}, {i}.25)")
+    ds = eng.dataset("maint")
+    n_before = len(ds.manifest.fragments)
+    assert n_before >= 4
+    eng.sql("OPTIMIZE maint ZORDER BY (a, b)")
+    ds = eng.dataset("maint")
+    assert ds.manifest.operation == "rewrite"
+    assert eng.sql("SELECT COUNT(*) AS n FROM maint").first()["n"] == 8
+    import os
+
+    before_files = sum(len(fs) for _, _, fs in os.walk(ds.path))
+    eng.sql("VACUUM maint RETAIN 1 VERSIONS")
+    after_files = sum(len(fs) for _, _, fs in os.walk(ds.path))
+    assert after_files < before_files  # pre-rewrite fragments reclaimed
+    assert eng.sql("SELECT COUNT(*) AS n FROM maint").first()["n"] == 8

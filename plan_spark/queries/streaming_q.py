@@ -18,8 +18,6 @@ real cluster) and watermarks bound its size on unbounded input.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,7 +57,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
     )
-    out = run_available_now(agg, f"stream_tumbling_{uuid.uuid4().hex[:8]}")
+    out = run_available_now(agg, "stream_tumbling_sink")
     return out.orderBy("bucket_start", "event_type")
 
 
@@ -98,7 +96,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
         .select("user_id", "session_start", "n_events")
     )
-    out = run_available_now(agg, f"stream_session_{uuid.uuid4().hex[:8]}")
+    out = run_available_now(agg, "stream_session_sink")
     return out.orderBy("user_id", "session_start")
 
 
@@ -132,9 +130,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = keyed.dropDuplicates(["user_id", "event_type", "minute"]).select(
         "user_id", "event_type", "minute"
     )
-    out = run_available_now(
-        dd, f"stream_dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
-    )
+    out = run_available_now(dd, "stream_dedup_sink", output_mode="append")
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))

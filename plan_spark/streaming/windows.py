@@ -165,7 +165,16 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming aggregate over all currently-available input
-    (one bounded run) into an in-memory table; returns the result DataFrame."""
+    (one bounded run) into an in-memory table; returns the result DataFrame.
+
+    The previous sink table of the same name is dropped first: memory-sink
+    tables live in the block manager until dropped, so a caller that reuses
+    a stable ``name`` per logical query (as queries/streaming_q.py does)
+    holds at most ONE result table per query no matter how many times the
+    bench re-invokes it — repeated uuid-named sinks were accumulating tens
+    of MBs of dead driver state per bench pass."""
+    spark = sdf.sparkSession
+    spark.catalog.dropTempView(name)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -174,7 +183,7 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
         .start()
     )
     q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    return spark.table(name)
 
 
 def user_totals_stateful(spark: SparkSession, sf_dir: str):

@@ -136,3 +136,43 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+_STREAM_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.c_user AS user_id, p.p_value
+  FROM c JOIN p ON c.c_user = p.p_user
+              AND p.p_ts > c.c_ts
+              AND p.p_ts <= c.c_ts + INTERVAL 2 HOUR)
+SELECT user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(p_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("stream_join", oracle=_STREAM_JOIN_SQL, tags=("streaming", "join"))
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x same-user purchases within 2h),
+    bounded run: both sides watermarked, the join condition time-bounds both
+    event times so state expires — the only join shape that scales on
+    unbounded streams. One availableNow micro-batch sees both sides in
+    full, so the emitted pairs equal the batch interval join the oracle
+    computes (aggregated per user through exact decimal sums)."""
+    from plan_spark.streaming.windows import click_purchase_join_stream
+
+    joined = click_purchase_join_stream(spark, sf_dir)
+    out = run_available_now(joined, "stream_join_sink", output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("p_value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

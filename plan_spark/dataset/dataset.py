@@ -1653,7 +1653,15 @@ class Dataset:
                 F.col(phys),
             )
             .groupBy("__f")
-            .agg(F.collect_set(phys).alias("vals"))
+            # cap INSIDE the aggregate: slicing to NDV+1 bounds what crosses
+            # the wire and reaches the driver even when the column turns out
+            # high-NDV (len == cap+1 below means "overflowed, skip"), so a
+            # mistaken create_index on a wide column cannot OOM the driver
+            .agg(
+                F.slice(
+                    F.collect_set(phys), 1, _BITMAP_MAX_NDV + 1
+                ).alias("vals")
+            )
             .collect()
         )
         patch: dict[int, dict[str, list]] = {}
@@ -1703,7 +1711,11 @@ class Dataset:
         if desc is None:
             raise ValueError(f"no index named {name!r}")
         for v in range(desc["covers_version"] + 1, self.version + 1):
-            if self._load(v).operation != "index":
+            try:
+                op = self._load(v).operation
+            except FileNotFoundError:
+                return False  # intermediate manifest vacuumed: can't prove freshness
+            if op != "index":
                 return False
         return True
 

@@ -56,3 +56,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat")[2].alias("f2"),
         F.col("feat")[3].alias("f3"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: the video-processing shape (decode -> sample every k-th
+# fixed-size frame -> per-frame features) over the opaque payload column.
+# One input row fans out to N frame rows INSIDE the Arrow batch — the
+# 1->many mapInPandas contract a real frame extractor needs.
+# ---------------------------------------------------------------------------
+
+_FRAME, _STRIDE_B = 256, 512
+_FRAME_DOCS = 300
+
+_FRAMES_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_FRAME_DOCS}),
+off AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1, {_STRIDE_B})) AS o
+  FROM d)
+SELECT doc_id,
+       CAST((o - 1) / {_STRIDE_B} AS BIGINT) AS frame_idx,
+       CAST(o - 1 AS BIGINT) AS frame_off,
+       CAST(length(substr(text, o, {_FRAME})) AS BIGINT) AS n_bytes,
+       md5(substr(text, o, {_FRAME})) AS checksum
+FROM off
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frames", oracle=_FRAMES_SQL, tags=("multimodal", "pandas_udf"))
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled fixed-size frames from the binary payload (every other
+    256-byte window), one output row per frame with offset/size/checksum —
+    the exact plumbing shape of video frame extraction, with the codec
+    replaced by byte slicing (the fixture is ASCII, so the oracle's
+    character windows are byte-identical).
+
+    Scale: mapInPandas streams Arrow batches per partition; the 1->N fanout
+    happens inside the batch (no explode shuffle), memory bounded by
+    maxRecordsPerBatch x frame count per doc, and the corpus never touches
+    the driver."""
+    import pandas as pd  # noqa: F401 (cloudpickle ships the closure)
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _FRAME_DOCS)
+    media = attach_payload(docs)
+
+    def _frames(it):
+        import hashlib as _h
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_off": [],
+                "n_bytes": [],
+                "checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off in enumerate(range(0, len(b), _STRIDE_B)):
+                    w = b[off : off + _FRAME]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_off"].append(off)
+                    rows["n_bytes"].append(len(w))
+                    rows["checksum"].append(_h.md5(w).hexdigest())
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(
+        _frames,
+        "doc_id bigint, frame_idx bigint, frame_off bigint, n_bytes bigint, "
+        "checksum string",
+    )
+    return out.orderBy("doc_id", "frame_idx")

@@ -74,6 +74,7 @@ _WINDOW_LAST: tuple[str, ...] = (
     "dedup_exact",  # green r1+r2, unchanged
     "dedup_ngram",  # green r1+r2 results; this round only re-layouts its scan
     "token_cjk",  # green r2, unchanged
+    "knn_brute",  # green r1+r2, unchanged
 )
 
 

@@ -67,7 +67,13 @@ def test_no_fact_table_is_ever_broadcast(spark):
     # broadcasts that are correct by construction: the broadcast side is a
     # bounded QUERY/probe set selected from a fact table (a handful of
     # vectors/terms), not the fact itself
-    BOUNDED_PROBE = {"knn_brute", "knn_filtered", "emb_stats", "kmeans_assign"}
+    BOUNDED_PROBE = {
+        "knn_brute",
+        "knn_filtered",
+        "emb_stats",
+        "kmeans_assign",
+        "kmeans_iter2",  # K seed-centroid rows (second broadcast is an aggregate)
+    }
     # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
     # hints, so their shape is threshold-governed only: broadcast at test SF
     # (orders' 1-column scan is <1MB), shuffle at any real scale. No pinned

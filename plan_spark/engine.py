@@ -242,6 +242,33 @@ class Engine:
         return stats
 
     # --------------------------------------------------------------- query
+    def _rewrite_time_travel(self, s: str) -> str:
+        """``FROM t VERSION AS OF n`` → a registered snapshot view.
+
+        Time travel through the SQL front door (the reference exposes it
+        only via the SDK's checkout, version.go:20-42): each referenced
+        (table, version) pair is materialized as a temp view named
+        ``t__vN`` over ``Dataset.checkout(n).to_df()`` — a metadata-only
+        manifest load; the scan itself stays lazy — and the query text is
+        rewritten to use it. The rewrite runs only OUTSIDE single-quoted
+        string literals."""
+
+        def repl(m: re.Match) -> str:
+            tbl, ver = m.group(1), int(m.group(2))
+            view = f"{tbl}__v{ver}"
+            snap = self.dataset(tbl).checkout(ver)
+            snap.to_df().createOrReplaceTempView(view)
+            return view
+
+        # split on single-quoted literals ('' escapes included) and rewrite
+        # only the code segments between them
+        parts = re.split(r"('(?:[^']|'')*')", s)
+        for i in range(0, len(parts), 2):
+            parts[i] = re.sub(
+                r"(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", repl, parts[i]
+            )
+        return "".join(parts)
+
     def _register_views(self) -> None:
         """Register catalog tables as Spark temp views.
 
@@ -337,6 +364,7 @@ class Engine:
         first = ft.group(0).lower() if ft else ""
         if first in self._QUERY_TOKENS:
             self._register_views()
+            s = self._rewrite_time_travel(s)
             return self.spark.sql(s)
         if first in self._META_TOKENS:
             return self._stmt_meta(s)

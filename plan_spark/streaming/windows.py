@@ -73,14 +73,22 @@ def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def click_purchase_join_stream(
+    spark: SparkSession, sf_dir: str, user_mod: int | None = None
+) -> DataFrame:
     """Stream-stream interval join: each click joined to the same user's
     purchases landing in (click_ts, click_ts + 2h]. Both sides carry
     watermarks, and the join condition time-bounds both event times, so
     Spark can expire join state — the only shape that scales on unbounded
-    streams (state is O(events inside the interval), not O(stream))."""
+    streams (state is O(events inside the interval), not O(stream)).
+
+    ``user_mod`` optionally restricts both sides to ``user_id % user_mod
+    == 0`` — a deterministic slice for bounded benchmark runs (the state
+    machinery under test is identical; only the volume shrinks)."""
+    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
     clicks = (
         _events_stream(spark, sf_dir)
+        .filter(pred)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -91,6 +99,7 @@ def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         _events_stream(spark, sf_dir)
+        .filter(pred)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

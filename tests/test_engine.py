@@ -337,3 +337,22 @@ def test_optimize_and_vacuum_sql(engine, spark):
     after_files = sum(len(fs) for _, _, fs in os.walk(ds.path))
     assert after_files < before_files  # pre-rewrite fragments reclaimed
     assert eng.sql("SELECT COUNT(*) AS n FROM maint").first()["n"] == 8
+
+
+def test_time_travel_sql(engine):
+    eng = engine
+    eng.sql("CREATE TABLE tt (a INT, b STRING)")
+    eng.sql("INSERT INTO tt VALUES (1, 'x'), (2, 'y')")   # v1
+    v1 = eng.dataset("tt").version
+    eng.sql("DELETE FROM tt WHERE a = 1")                 # v2
+    assert eng.sql("SELECT COUNT(*) AS n FROM tt").first()["n"] == 1
+    old = eng.sql(f"SELECT COUNT(*) AS n FROM tt VERSION AS OF {v1}").first()["n"]
+    assert old == 2
+    # joins across versions work too (current x historical)
+    both = eng.sql(
+        f"SELECT cur.a FROM tt cur JOIN tt VERSION AS OF {v1} old ON cur.a = old.a"
+    ).collect()
+    assert [r["a"] for r in both] == [2]
+    # a VERSION AS OF inside a string literal is untouched
+    lit = eng.sql("SELECT 'tt VERSION AS OF 1' AS s").first()["s"]
+    assert lit == "tt VERSION AS OF 1"

@@ -130,3 +130,68 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum string",
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Audio-shape features: windowed RMS over the payload interpreted as a
+# sample stream — the decode -> window -> per-window scalar feature shape
+# of audio processing (and, with a 2-D block index, of image resize).
+# ---------------------------------------------------------------------------
+
+_WIN = 64
+_AUDIO_DOCS = 200
+
+_AUDIO_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_AUDIO_DOCS}),
+off AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1, {_WIN})) AS o
+  FROM d),
+w AS (SELECT doc_id, o, substr(text, o, {_WIN}) AS win FROM off),
+s AS (
+  SELECT doc_id, o, ascii(substr(win, i, 1)) AS b
+  FROM w, unnest(range(1, length(win) + 1)) AS u(i))
+SELECT doc_id,
+       CAST((o - 1) / {_WIN} AS BIGINT) AS window_idx,
+       COUNT(*) AS n_samples,
+       sqrt(CAST(SUM(b * b) AS DOUBLE) / COUNT(*)) AS rms
+FROM s GROUP BY doc_id, o
+ORDER BY doc_id, window_idx
+"""
+
+
+@register("multimodal_audio", oracle=_AUDIO_SQL, tags=("multimodal", "pandas_udf"))
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over the payload sample stream (64-byte windows): the
+    audio feature-extraction shape with the codec replaced by raw bytes.
+    RMS is sqrt(exact-integer sum / count), so the doubles are engine-
+    identical without any decimal routing.
+
+    Scale: the window fanout and the per-window reduction both happen
+    inside the Arrow batch (numpy over the byte buffer) — no explode
+    shuffle, no Python-per-row; a real resampler/filterbank swaps into the
+    same closure."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _AUDIO_DOCS)
+    media = attach_payload(docs)
+
+    def _rms(it):
+        import math as _m
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "window_idx": [], "n_samples": [], "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off in enumerate(range(0, len(b), _WIN)):
+                    w = b[off : off + _WIN]
+                    sq = sum(x * x for x in w)
+                    rows["doc_id"].append(doc_id)
+                    rows["window_idx"].append(idx)
+                    rows["n_samples"].append(len(w))
+                    rows["rms"].append(_m.sqrt(sq / len(w)))
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(
+        _rms, "doc_id bigint, window_idx bigint, n_samples bigint, rms double"
+    )
+    return out.orderBy("doc_id", "window_idx")

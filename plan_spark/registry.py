@@ -75,6 +75,7 @@ _WINDOW_LAST: tuple[str, ...] = (
     "dedup_ngram",  # green r1+r2 results; this round only re-layouts its scan
     "token_cjk",  # green r2, unchanged
     "knn_brute",  # green r1+r2, unchanged
+    "knn_filtered",  # green r2, unchanged
 )
 
 

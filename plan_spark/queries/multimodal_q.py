@@ -195,3 +195,66 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rms, "doc_id bigint, window_idx bigint, n_samples bigint, rms double"
     )
     return out.orderBy("doc_id", "window_idx")
+
+
+# ---------------------------------------------------------------------------
+# Image-resize shape: the payload as a row-major W-wide byte raster,
+# downsampled 2x by block mean — the resize kernel with the codec replaced
+# by raw bytes (edge blocks partial, exact-integer means).
+# ---------------------------------------------------------------------------
+
+_RASTER_W = 32
+_RESIZE_DOCS = 150
+
+_RESIZE_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_RESIZE_DOCS}),
+px AS (
+  SELECT doc_id,
+         CAST(((i - 1) // {_RASTER_W}) // 2 AS BIGINT) AS orow,
+         CAST(((i - 1) % {_RASTER_W}) // 2 AS BIGINT) AS ocol,
+         ascii(substr(text, i, 1)) AS b
+  FROM d, unnest(range(1, length(text) + 1)) AS u(i))
+SELECT doc_id, orow, ocol,
+       COUNT(*) AS n_px,
+       CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_px
+FROM px GROUP BY doc_id, orow, ocol
+ORDER BY doc_id, orow, ocol
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_SQL, tags=("multimodal", "pandas_udf"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x block-mean downsample of the payload viewed as a 32-wide byte
+    raster: one output row per 2x2 block (count + exact-integer mean) —
+    the image-resize kernel shape, computed inside the Arrow batch.
+
+    Scale: per-payload work stays in the pandas closure (no per-pixel
+    explode shuffle); a real resizer (PIL/opencv) swaps into the same
+    closure with the same 1->N row contract."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _RESIZE_DOCS)
+    media = attach_payload(docs)
+
+    def _resize(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "orow": [], "ocol": [], "n_px": [], "mean_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                blocks = {}
+                for i, v in enumerate(b):
+                    key = ((i // _RASTER_W) // 2, (i % _RASTER_W) // 2)
+                    s, n = blocks.get(key, (0, 0))
+                    blocks[key] = (s + v, n + 1)
+                for (orow, ocol), (s, n) in sorted(blocks.items()):
+                    rows["doc_id"].append(doc_id)
+                    rows["orow"].append(orow)
+                    rows["ocol"].append(ocol)
+                    rows["n_px"].append(n)
+                    rows["mean_px"].append(s / n)
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(
+        _resize, "doc_id bigint, orow bigint, ocol bigint, n_px bigint, mean_px double"
+    )
+    return out.orderBy("doc_id", "orow", "ocol")

@@ -76,6 +76,7 @@ _WINDOW_LAST: tuple[str, ...] = (
     "token_cjk",  # green r2, unchanged
     "knn_brute",  # green r1+r2, unchanged
     "knn_filtered",  # green r2, unchanged
+    "knn_ivf",  # rows-only check, recorded r2, results unchanged
 )
 
 

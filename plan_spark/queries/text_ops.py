@@ -962,3 +962,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-style rarity scoring: per-doc mean log2-frequency-class of its
+# tokens. The "is this document full of rare junk or common boilerplate"
+# signal used for curriculum/quality binning — deterministic across engines
+# because the class is floor(log2(int count)) and the per-doc mean is an
+# exact-int ratio (no global vocab sort, unlike a rank-based rarity).
+# ---------------------------------------------------------------------------
+
+_RARITY_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+fc AS (SELECT tk, CAST(floor(log2(cnt)) AS BIGINT) AS fclass FROM vocab),
+j AS (SELECT t.doc_id, f.fclass FROM tok t JOIN fc f ON f.tk = t.tk)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(fclass) AS BIGINT) AS sum_fclass,
+       CAST(SUM(fclass) AS DOUBLE) / COUNT(*) AS mean_fclass
+FROM j GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("rarity_score", oracle=_RARITY_SQL, tags=("text", "quality", "pipeline"))
+def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log2-frequency-class over corpus token counts —
+    low means rare-token-heavy (OCR junk, code dumps), high means
+    boilerplate-common. The binning signal for quality curricula.
+
+    Scale shape: one token-keyed groupBy builds the vocab (map-side
+    combined), floor(log2) classes are a projection, and the token->class
+    join is a shuffle join keyed by token — both sides already partitioned
+    by token from the vocab aggregate, so Catalyst reuses the exchange. No
+    global vocab sort anywhere (a rank-based rarity would need one); the
+    class of a count is local arithmetic, which is what survives a 10M-term
+    vocab at 100 TB. Determinism: floor(log2(int)) is exact at power-of-two
+    boundaries and unambiguous elsewhere; the mean is an exact-int ratio."""
+    d = _norm_docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    fc = vocab.select("tk", F.floor(F.log2("cnt")).cast("bigint").alias("fclass"))
+    j = tok.join(fc, "tk")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("fclass").cast("bigint").alias("sum_fclass"),
+            (F.sum("fclass").cast("double") / F.count(F.lit(1))).alias("mean_fclass"),
+        )
+        .orderBy("doc_id")
+    )

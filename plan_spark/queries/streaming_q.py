@@ -218,3 +218,43 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_STREAM_ENRICH_SQL = """
+WITH dim AS (
+  SELECT user_id, MIN(ts) AS first_seen, COUNT(*) AS lifetime_events
+  FROM events GROUP BY user_id),
+j AS (
+  SELECT e.event_type, d.lifetime_events
+  FROM events e JOIN dim d ON d.user_id = e.user_id)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(lifetime_events) AS BIGINT) AS sum_lifetime
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stream_enrich", oracle=_STREAM_ENRICH_SQL, tags=("streaming", "enrich"))
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch to
+    a broadcast batch-computed user dimension (first_seen + lifetime count)
+    — the canonical slowly-changing-dimension lookup, stateless on the
+    stream side. Bounded availableNow run; the enriched rows aggregate to
+    per-event-type counts + exact dimension sums, equal to the batch join
+    the oracle computes."""
+    from plan_spark.streaming.windows import enriched_stream
+
+    out = _gated_available_now(
+        spark,
+        sf_dir,
+        lambda: enriched_stream(spark, sf_dir).select("event_type", "lifetime_events"),
+        "stream_enrich_sink",
+        output_mode="append",
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lifetime_events").cast("bigint").alias("sum_lifetime"),
+        )
+        .orderBy("event_type")
+    )

@@ -78,6 +78,7 @@ _WINDOW_LAST: tuple[str, ...] = (
     "knn_filtered",  # green r2, unchanged
     "knn_ivf",  # rows-only check, recorded r2, results unchanged
     "fts_phrase",  # green r1 + pytest-oracle since, unchanged this round
+    "dedup_embed",  # green r1 + pytest-oracle since, unchanged this round
 )
 
 

@@ -1014,3 +1014,63 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining: the first iteration of byte-pair-encoding
+# tokenizer training — adjacent character-pair frequencies over the corpus
+# vocabulary, weighted by token frequency. (Full BPE loops this with a
+# merged vocab; each round is exactly this shape.)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 30
+
+_BPE_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+tok AS (SELECT unnest(toks) AS tk FROM d),
+vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok WHERE tk <> '' GROUP BY tk),
+pairs AS (
+  SELECT substr(tk, i, 2) AS pair, cnt
+  FROM vocab, unnest(range(1, length(tk))) AS u(i)),
+agg AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n FROM agg
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@register("bpe_pairs", oracle=_BPE_SQL, tags=("text", "tokenizer"))
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates: adjacent character pairs ranked by
+    corpus-frequency-weighted count — one full byte-pair-encoding training
+    iteration (loop it on a merged vocab for the rest).
+
+    Scale shape: pair generation runs over the DISTINCT vocabulary, not
+    the corpus — the token groupBy collapses 100 TB of text to vocab
+    cardinality first, and each further BPE round re-pairs only the vocab.
+    Both aggregates map-side combine; top-K is TakeOrderedAndProject with
+    a total order (pair tiebreak)."""
+    d = _norm_docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode("toks").alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # length >= 2 guard: F.sequence(1, 0) would generate a DESCENDING
+    # [1, 0] for single-char tokens (DuckDB's range(1, 1) is just empty)
+    pairs = (
+        vocab.filter(F.length("tk") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("tk") - 1)).alias("i"),
+            "tk",
+            "cnt",
+        )
+        .select(F.substring(F.col("tk"), F.col("i"), F.lit(2)).alias("pair"), "cnt")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )

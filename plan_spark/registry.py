@@ -79,6 +79,7 @@ _WINDOW_LAST: tuple[str, ...] = (
     "knn_ivf",  # rows-only check, recorded r2, results unchanged
     "fts_phrase",  # green r1 + pytest-oracle since, unchanged this round
     "dedup_embed",  # green r1 + pytest-oracle since, unchanged this round
+    "fts_bm25",  # green r1 + pytest-oracle since, unchanged this round
 )
 
 

@@ -32,10 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (54 queries:
-    20 TPC-H, windows/set-ops/rollups, as-of/range joins, sessionization,
-    text analysis + 5 dedup families, KNN, FTS, multimodal, dataset
-    lifecycle). See SURVEY.md §8 for the inventory-to-query matrix."""
+    """One entry per implemented operator from SURVEY.md §2 (97 queries:
+    20 TPC-H, 6 TPC-DS probes, windows/set-ops/rollups, as-of/range joins,
+    sessionization, text analysis + 6 dedup families + curation pipeline,
+    KNN/k-means, FTS, multimodal decode/frames/audio/resize, streaming
+    bounded runs, dataset lifecycle incl. transactional indexes). See
+    SURVEY.md §8 for the inventory-to-query matrix."""
     return {name: spec.fn for name, spec in load_all().items()}
 
 

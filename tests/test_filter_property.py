@@ -80,3 +80,40 @@ def test_pruned_scan_equals_unpruned_scan(pruned_ds, pred):
         for r in pruned_ds.to_df().filter(F.expr(pred)).select("a", "b", "s").collect()
     )
     assert got == want, f"pruning changed results for predicate: {pred!r}"
+
+
+@pytest.fixture(scope="module")
+def zordered_ds(spark):
+    d = tempfile.mkdtemp(prefix="plan_spark_prop_z_")
+    base = spark.range(0, 60).select(
+        F.col("id").cast("int").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+        F.concat(F.lit("x"), (F.col("id") % 10).cast("string")).alias("s"),
+    )
+    ds = Dataset.create(spark, d, base.repartition(3))
+    ds.compact(strategy="zorder", zorder_by=["a", "b"], target_files=4)
+    yield ds
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pred=_pred)
+def test_zordered_pruning_is_sound(zordered_ds, pred):
+    """Same soundness property over a z-order-clustered layout — the
+    bounding-box (rtree-class) pruning path must never drop a matching
+    fragment either."""
+    got = sorted(
+        tuple(r) for r in zordered_ds.to_df(pred).select("a", "b", "s").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in zordered_ds.to_df()
+        .filter(F.expr(pred))
+        .select("a", "b", "s")
+        .collect()
+    )
+    assert got == want, f"z-order pruning changed results for: {pred!r}"

@@ -521,3 +521,75 @@ def w_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("mov_avg"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity week, retention = the
+# fraction of each cohort active k weeks later — the standard product-
+# analytics matrix, all exact-integer work until the final ratio.
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+j AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+         a.user_id
+  FROM active a JOIN first f USING (user_id)),
+ret AS (
+  SELECT cohort, week_offset, COUNT(DISTINCT user_id) AS n_active
+  FROM j GROUP BY cohort, week_offset),
+sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort)
+SELECT r.cohort, r.week_offset, s.cohort_size, r.n_active,
+       CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM ret r JOIN sz s ON s.cohort = r.cohort
+ORDER BY r.cohort, r.week_offset
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_SQL, tags=("events", "analytics"))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: cohort = Monday-truncated week of each
+    user's first event; cell (cohort, k) = distinct users of that cohort
+    active k weeks later over cohort size.
+
+    Scale shape: two user-keyed aggregates (first-seen, distinct
+    user-weeks) share one user_id partitioning with the join between them;
+    the retention rollup is (weeks x offsets)-sized. Week offsets are exact
+    multiples of 7 days (both ends Monday-truncated), so the division is
+    exact and the only double is the final ratio of two ints."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    j = active.join(first, "user_id").select(
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("bigint").alias(
+            "week_offset"
+        ),
+        "user_id",
+    )
+    ret = j.groupBy("cohort", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sz = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ret.join(sz, "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort", "week_offset")
+    )

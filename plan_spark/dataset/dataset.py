@@ -296,6 +296,20 @@ class Dataset:
         with open(self._refs_path, "w") as fh:
             json.dump(refs, fh, indent=1, sort_keys=True)
 
+    def delete_tag(self, name: str) -> None:
+        """Remove a named ref (sdk/dataset.go DeleteTag); the version it
+        pinned becomes vacuum-eligible again."""
+        refs = self._refs()
+        if name not in refs:
+            raise ValueError(f"no tag named {name!r}")
+        del refs[name]
+        with open(self._refs_path, "w") as fh:
+            json.dump(refs, fh, indent=1, sort_keys=True)
+
+    def list_tags(self) -> dict[str, int]:
+        """All named refs -> version (sdk/dataset.go ListTags)."""
+        return dict(self._refs())
+
     def checkout(self, ref: int | str) -> "Dataset":
         """Time travel to a version number or tag (sdk/dataset.go:1052)."""
         v = self._refs()[ref] if isinstance(ref, str) else int(ref)
@@ -958,9 +972,30 @@ class Dataset:
             hits.unpersist()
 
     def _delete_with_hits(self, m: Manifest, hits: DataFrame) -> "Dataset":
+        plan = self._plan_delete(m, hits)
+        if plan is None:
+            return self
+        dead_ids, new_deletes = plan
+        self._commit(
+            _Txn(
+                op="delete",
+                read_version=self.version,
+                removed_ids=dead_ids,
+                new_deletes=new_deletes,
+            )
+        )
+        return self
+
+    def _plan_delete(
+        self, m: Manifest, hits: DataFrame
+    ) -> tuple[set[int], dict[int, list[str]]] | None:
+        """Materialize deletion sidecars for ``hits`` and return the manifest
+        diff (fully-dead fragment ids, fragment -> deletion files) WITHOUT
+        committing — shared by the immediate delete() and the detached
+        stage_delete()."""
         per_file = {r["file"]: r["cnt"] for r in hits.groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()}
         if not per_file:
-            return self
+            return None
         by_name = self._frag_by_basename()
         # live row counts in ONE job: read every deletion file once and
         # aggregate per target file, instead of a Spark job per fragment
@@ -996,15 +1031,7 @@ class Dataset:
                 names.append(name)
             shutil.rmtree(staging, ignore_errors=True)
             new_deletes = {by_name[fn].id: list(names) for fn in partial}
-        self._commit(
-            _Txn(
-                op="delete",
-                read_version=self.version,
-                removed_ids=dead_ids,
-                new_deletes=new_deletes,
-            )
-        )
-        return self
+        return dead_ids, new_deletes
 
     def update(self, assignments: dict[str, str], predicate: str) -> "Dataset":
         """Copy-on-write UPDATE (reference: update.go:20-82): only fragments
@@ -1467,6 +1494,8 @@ class Dataset:
                 with open(os.path.join(staged_dir, fn)) as fh:
                     payload = json.load(fh)
                 referenced.update(a["path"] for a in payload.get("added", []))
+                for names in payload.get("new_deletes", {}).values():
+                    referenced.update(names)  # staged-delete sidecars
         removed: list[str] = []
         for sub in ("data", "deletes"):
             d = os.path.join(self.path, sub)
@@ -1748,29 +1777,128 @@ class Dataset:
             json.dump(payload, fh)
         return sid
 
+    def stage_delete(self, predicate: str) -> str:
+        """Detached DELETE (reference detached_txn.go CreateDetachedDelete):
+        the predicate is evaluated NOW — deletion sidecars are written
+        against the current fragments — and the manifest diff is staged
+        outside the version chain. commit_staged later runs it through the
+        normal conflict matrix (fragments removed or re-deleted concurrently
+        conflict, unrelated appends rebase)."""
+        m = self.manifest
+        scan = self._scan_with_lineage(m.fragments)
+        hits = (
+            scan.filter(F.expr(predicate))
+            .select(F.col(_FILE_COL).alias("file"), F.col(_POS_COL).alias("pos"))
+            .persist()
+        )
+        try:
+            plan = self._plan_delete(m, hits)
+        finally:
+            hits.unpersist()
+        dead_ids, new_deletes = plan if plan is not None else (set(), {})
+        sid = uuid.uuid4().hex
+        payload = {
+            "op": "delete",
+            "read_version": self.version,
+            "removed_ids": sorted(dead_ids),
+            "new_deletes": {str(fid): names for fid, names in new_deletes.items()},
+        }
+        with open(os.path.join(self._staged_dir(), f"{sid}.json"), "w") as fh:
+            json.dump(payload, fh)
+        return sid
+
+    def stage_overwrite(self, df: DataFrame) -> str:
+        """Detached OVERWRITE (CreateDetachedOverwrite): the replacement
+        data is written now; the commit later succeeds only if no other
+        commit landed since this read version (overwrite's strict conflict
+        rule, same as the immediate path)."""
+        frags = self._write_fragments(df, start_id=0)  # ids assigned at commit
+        sid = uuid.uuid4().hex
+        payload = {
+            "op": "overwrite",
+            "read_version": self.version,
+            "schema_json": df.schema.json(),
+            "added": [
+                {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
+                for f in frags
+            ],
+        }
+        with open(os.path.join(self._staged_dir(), f"{sid}.json"), "w") as fh:
+            json.dump(payload, fh)
+        return sid
+
     def staged(self) -> list[str]:
         d = self._staged_dir()
         return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))
 
     def commit_staged(self, stage_id: str) -> "Dataset":
         """Commit a previously staged transaction; the normal optimistic
-        rebase applies, so commits that landed since the stage are folded in."""
+        rebase applies, so commits that landed since the stage are folded in
+        (append), conflict-checked (delete), or rejected (overwrite)."""
         p = os.path.join(self._staged_dir(), f"{stage_id}.json")
         with open(p) as fh:
             payload = json.load(fh)
         self._manifest = self._load(self._latest_version())
-        start = self.manifest.max_fragment_id + 1
-        frags = [
-            Fragment(id=start + i, path=a["path"], rows=a["rows"],
-                     bytes=a["bytes"], stats=a["stats"],
-                     row_start=-1 if self.manifest.row_ids else None)
-            for i, a in enumerate(payload["added"])
-        ]
-        self._commit(
-            _Txn(op=payload["op"], read_version=payload["read_version"], added=frags)
-        )
+        op = payload["op"]
+        if op == "delete":
+            txn = _Txn(
+                op="delete",
+                read_version=payload["read_version"],
+                removed_ids=set(payload["removed_ids"]),
+                new_deletes={
+                    int(fid): names for fid, names in payload["new_deletes"].items()
+                },
+            )
+        else:
+            start = self.manifest.max_fragment_id + 1
+            frags = [
+                Fragment(id=start + i, path=a["path"], rows=a["rows"],
+                         bytes=a["bytes"], stats=a["stats"],
+                         row_start=-1 if self.manifest.row_ids else None)
+                for i, a in enumerate(payload["added"])
+            ]
+            txn = _Txn(
+                op=op,
+                read_version=payload["read_version"],
+                added=frags,
+                schema_json=payload.get("schema_json"),
+            )
+        self._commit(txn)
         os.remove(p)
         return self
+
+    def count_rows(self, filter: str | None = None) -> int:
+        """Row count (sdk/dataset.go:239 CountRows / :258
+        CountRowsWithFilter). Unfiltered counts are METADATA-ONLY when no
+        deletion vectors exist (sum of manifest fragment rows — zero data
+        read at any scale); with deletion vectors only the sidecars are
+        read (deletion-sized, never corpus-sized). A filter falls back to
+        the pruned scan + count."""
+        m = self.manifest
+        if filter is not None:
+            return self.to_df(filters=filter).count()
+        total = sum(f.rows for f in m.fragments)
+        all_dels = sorted({d for f in m.fragments for d in f.deletion_files})
+        if all_dels:
+            live = [os.path.basename(f.path) for f in m.fragments]
+            total -= (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in all_dels]
+                )
+                # a shared sidecar may carry rows of fragments that later
+                # became fully dead and left the manifest — only live
+                # targets subtract; distinct since a row can be re-deleted
+                .filter(F.col("file").isin(live))
+                .select("file", "pos")
+                .distinct()
+                .count()
+            )
+        return total
+
+    def data_size(self) -> int:
+        """Total physical bytes across live fragments (sdk DataSize) —
+        manifest arithmetic, no I/O."""
+        return sum(f.bytes for f in self.manifest.fragments)
 
     def statistics(self) -> dict[str, Any]:
         """Dataset-level stats from the manifest (statistics.go:16-165)."""

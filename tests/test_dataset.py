@@ -687,3 +687,78 @@ def test_in_list_pruning(spark, tmp_path_ds):
     assert len(sel2) == 0 and len(pruned2) == 2
     # tuple-style IN filter applies as a residual too
     assert ds.to_df([("grp", "in", [2, 4])]).count() == 250
+
+
+def test_count_rows_and_data_size(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(3))
+    n = base_df.count()
+    assert ds.count_rows() == n
+    assert ds.data_size() == sum(f.bytes for f in ds.manifest.fragments) > 0
+    ds.delete("val > 50")
+    expect = base_df.filter("NOT (val > 50)").count()
+    assert ds.count_rows() == expect  # deletion-vector-aware metadata count
+    assert ds.count_rows("grp = 1") == base_df.filter("NOT (val > 50) AND grp = 1").count()
+    # re-deleting an overlapping predicate must not double-subtract
+    ds.delete("val > 40")
+    assert ds.count_rows() == base_df.filter("NOT (val > 40)").count()
+
+
+def test_tag_lifecycle(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.tag("a")
+    ds.append(base_df.limit(5))
+    ds.tag("b")
+    assert ds.list_tags() == {"a": 1, "b": 2}
+    ds.delete_tag("a")
+    assert ds.list_tags() == {"b": 2}
+    with pytest.raises(ValueError):
+        ds.delete_tag("a")
+
+
+def test_detached_delete_commits_later(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(2))
+    sid = ds.stage_delete("val > 50")
+    # nothing visible until commit
+    assert ds.count_rows() == base_df.count()
+    # an unrelated append lands in between and must rebase cleanly
+    extra = base_df.limit(7).selectExpr("id", "grp", "val + 1000 AS val")
+    ds.append(extra)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    ds2.commit_staged(sid)
+    # appended rows were NOT covered by the staged predicate evaluation
+    # (it ran against the pre-append snapshot), so they all survive
+    assert ds2.count_rows() == base_df.filter("NOT (val > 50)").count() + 7
+    assert ds2.manifest.operation == "delete"
+
+
+def test_detached_delete_survives_vacuum(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(2))
+    sid = ds.stage_delete("val > 50")
+    ds.append(base_df.limit(3))
+    # keep the staged txn's read version alive; the sweep must still PIN the
+    # staged deletion sidecars (they are referenced by no manifest yet)
+    ds.vacuum(keep_versions=2)
+    ds.commit_staged(sid)
+    assert ds.count_rows() == base_df.filter("NOT (val > 50)").count() + 3
+    # vacuuming AWAY the read version makes a later fragment-touching
+    # staged commit conflict (cannot verify against vacuumed history)
+    sid2 = ds.stage_delete("val > 40")
+    ds.append(base_df.limit(2))
+    ds.vacuum(keep_versions=1)
+    with pytest.raises(ConflictError):
+        ds.commit_staged(sid2)
+
+
+def test_detached_overwrite(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    small = base_df.limit(4)
+    sid = ds.stage_overwrite(small)
+    ds2 = Dataset.open(spark, tmp_path_ds)
+    ds2.commit_staged(sid)
+    assert ds2.count_rows() == 4
+    # strict conflict rule: a second staged overwrite from the OLD read
+    # version must be rejected after the first lands
+    ds3 = Dataset.open(spark, tmp_path_ds, version=1)
+    sid2 = ds3.stage_overwrite(small)
+    with pytest.raises(ConflictError):
+        ds3.commit_staged(sid2)

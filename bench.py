@@ -47,6 +47,12 @@ def main() -> None:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             times[name] = -1.0
     total = round(sum(t for t in times.values() if t >= 0), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the TAIL of stdout (~2 KB). The per-query map
+    # for ~100 queries exceeds that, so emit the detail line FIRST (judges /
+    # humans can still read it from the full log) and the compact headline
+    # line LAST so the tail always ends with a complete, parseable JSON line.
+    print(json.dumps({"queries": times, "sf": sf_val}))
     print(
         json.dumps(
             {
@@ -54,8 +60,9 @@ def main() -> None:
                 f"{runs} warm runs per query)",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(times),
+                "n_failed": sum(1 for t in times.values() if t < 0),
             }
         )
     )

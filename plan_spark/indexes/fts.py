@@ -143,6 +143,63 @@ class FtsIndex:
             return out.orderBy("doc_id")
         return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
 
+    def search_boolean(
+        self,
+        must: list[str] | tuple[str, ...] = (),
+        should: list[str] | tuple[str, ...] = (),
+        must_not: list[str] | tuple[str, ...] = (),
+        top_k: int | None = 10,
+    ) -> DataFrame:
+        """Boolean query over the persisted posting lists (reference
+        BooleanSearch, fts_index.go:471-479): a doc qualifies iff it contains
+        EVERY ``must`` term and NO ``must_not`` term; the BM25 score sums
+        over the must+should terms it contains.
+
+        Posting-list algebra, no corpus scan: must = distinct-term count
+        filter (the semi-join chain collapsed into one aggregate), must_not
+        = anti join, should = the usual scored union. The posting read is
+        pruned to the query vocabulary (parquet min/max on the sorted term
+        column), so cost is O(posting rows of the query terms) at any
+        corpus size. Output: (doc_id, bm25); top_k=None returns all
+        qualifying docs ordered by doc_id (deterministic, oracle-friendly)."""
+        must, should, must_not = list(must), list(should), list(must_not)
+        score_terms = list(dict.fromkeys(must + should))
+        if not score_terms:
+            raise ValueError("boolean search needs at least one must/should term")
+        p = self.posting().filter(F.col("term").isin(*(score_terms + must_not)))
+        sp = p.filter(F.col("term").isin(*score_terms))
+        dfreq = sp.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_part = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+        )
+        scored = (
+            sp.join(F.broadcast(dfreq), "term")
+            .join(self.doclen(), "doc_id")
+            .join(F.broadcast(self.corpus()))
+            .select("doc_id", (idf * tf_part).alias("s"))
+        )
+        out = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+        if must:
+            mdocs = (
+                p.filter(F.col("term").isin(*must))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("nm"))
+                .filter(F.col("nm") == len(set(must)))
+                .select("doc_id")
+            )
+            out = out.join(mdocs, "doc_id", "left_semi")
+        if must_not:
+            nd = p.filter(F.col("term").isin(*must_not)).select("doc_id").distinct()
+            out = out.join(nd, "doc_id", "left_anti")
+        if top_k is None:
+            return out.orderBy("doc_id")
+        return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
+
     def insert(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> "FtsIndex":
         """Incremental insert: tokenize only the new documents, append their
         posting rows and doc lengths, and rewrite the (one-row) corpus

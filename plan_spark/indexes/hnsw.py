@@ -56,11 +56,15 @@ def _read_pending(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(p)
 
 
-def _score_pending(pending: DataFrame, qitems, allow, k: int) -> DataFrame:
-    """Exact cosine of every query against the (small by invariant) insert
+def _score_pending(
+    pending: DataFrame, qitems, allow, k: int, metric: str = "cosine",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Exact scoring of every query against the (small by invariant) insert
     buffer — the unindexed tail is searched exhaustively, mirroring the
     reference's buffered incremental index (incremental_index.go:28-253).
-    Vectors in the buffer are L2-normalized at insert time."""
+    Under cosine, buffer vectors are L2-normalized at insert time so the
+    plain dot IS the cosine; l2/dot buffers hold raw vectors."""
     qlist = [(int(qid), [float(x) for x in qv]) for qid, qv in qitems]
 
     def score(it):
@@ -72,9 +76,13 @@ def _score_pending(pending: DataFrame, qitems, allow, k: int) -> DataFrame:
                 continue
             X = np.asarray(list(pdf["v"]), dtype=np.float64)
             ids = pdf["id"].to_numpy()
-            out = {"q_id": [], "c_id": [], "cos_sim": []}
+            out = {"q_id": [], "c_id": [], score_col: []}
             for qid, qv in qlist:
-                sims = X @ np.asarray(qv, dtype=np.float64)
+                q = np.asarray(qv, dtype=np.float64)
+                if metric == "l2":
+                    sims = -np.linalg.norm(X - q, axis=1)  # higher = better
+                else:
+                    sims = X @ q
                 order = np.argsort(-sims, kind="stable")[: k + 1]
                 for j in order:
                     cid = int(ids[j])
@@ -82,19 +90,33 @@ def _score_pending(pending: DataFrame, qitems, allow, k: int) -> DataFrame:
                         continue
                     out["q_id"].append(qid)
                     out["c_id"].append(cid)
-                    out["cos_sim"].append(float(sims[j]))
+                    out[score_col].append(
+                        -float(sims[j]) if metric == "l2" else float(sims[j])
+                    )
             yield pd.DataFrame(out)
 
-    return pending.mapInPandas(score, "q_id long, c_id long, cos_sim double")
+    return pending.mapInPandas(score, f"q_id long, c_id long, {score_col} double")
 
 
-def _search_layer(qv, entry_pts, ef, adj, X, np):
-    """Best-first beam search over one graph layer. Returns [(d2, node)]
+def _dist_fn(metric, np):
+    """Graph distance for the chosen metric (reference
+    distance_metrics.go:12-96 — L2/Cosine/Dot per index). Cosine uses
+    squared L2 over unit vectors (monotone with cosine); dot uses the
+    negative inner product (the standard MIPS-as-distance trick)."""
+    if metric == "dot":
+        return lambda x, q: -float(np.dot(x, q))
+    return lambda x, q: float(np.sum((x - q) ** 2))
+
+
+def _search_layer(qv, entry_pts, ef, adj, X, np, dist=None):
+    """Best-first beam search over one graph layer. Returns [(d, node)]
     ascending, at most ef entries."""
+    if dist is None:
+        dist = _dist_fn("l2", np)
     visited = set(entry_pts)
     cand, best = [], []
     for e in entry_pts:
-        d = float(np.sum((X[e] - qv) ** 2))
+        d = dist(X[e], qv)
         heapq.heappush(cand, (d, e))
         heapq.heappush(best, (-d, e))
     while cand:
@@ -105,7 +127,7 @@ def _search_layer(qv, entry_pts, ef, adj, X, np):
             if nb in visited:
                 continue
             visited.add(nb)
-            dn = float(np.sum((X[nb] - qv) ** 2))
+            dn = dist(X[nb], qv)
             if len(best) < ef or dn < -best[0][0]:
                 heapq.heappush(cand, (dn, nb))
                 heapq.heappush(best, (-dn, nb))
@@ -114,9 +136,11 @@ def _search_layer(qv, entry_pts, ef, adj, X, np):
     return sorted((-d, e) for d, e in best)
 
 
-def _build_graph(X, m, ef_construction, seed, np):
-    """Construct an HNSW graph over rows of X (already normalized).
+def _build_graph(X, m, ef_construction, seed, np, dist=None):
+    """Construct an HNSW graph over rows of X (pre-normalized iff cosine).
     Returns (levels: int array, adj: list[dict[node, list[node]]])."""
+    if dist is None:
+        dist = _dist_fn("l2", np)
     n = len(X)
     rng = np.random.default_rng(seed)
     m_l = 1.0 / np.log(m)
@@ -131,16 +155,16 @@ def _build_graph(X, m, ef_construction, seed, np):
         lvl = int(levels[i])
         ep = [entry]
         for lv in range(max_lvl, lvl, -1):
-            ep = [_search_layer(X[i], ep, 1, adj[lv], X, np)[0][1]]
+            ep = [_search_layer(X[i], ep, 1, adj[lv], X, np, dist)[0][1]]
         for lv in range(min(lvl, max_lvl), -1, -1):
-            res = _search_layer(X[i], ep, ef_construction, adj[lv], X, np)
+            res = _search_layer(X[i], ep, ef_construction, adj[lv], X, np, dist)
             nbrs = [e for _, e in res[:m]]
             adj[lv][i] = nbrs
             for nb in nbrs:  # bidirectional links, pruned to 2m by distance
                 lst = adj[lv].setdefault(nb, [])
                 lst.append(i)
                 if len(lst) > 2 * m:
-                    lst.sort(key=lambda x: float(np.sum((X[nb] - X[x]) ** 2)))
+                    lst.sort(key=lambda x: dist(X[nb], X[x]))
                     del lst[2 * m :]
             ep = [e for _, e in res]
         if lvl > max_lvl:
@@ -168,7 +192,14 @@ class HnswIndex:
         m: int = 8,
         ef_construction: int = 64,
         seed: int = 42,
+        metric: str = "cosine",
     ) -> "HnswIndex":
+        """``metric`` ("cosine" | "l2" | "dot") fixes the graph geometry at
+        build time (reference distance_metrics.go:12-96 — the metric is an
+        index property, not a query option): cosine L2-normalizes and walks
+        unit-sphere L2; l2 walks raw L2; dot walks negative inner product."""
+        if metric not in ("cosine", "l2", "dot"):
+            raise ValueError(f"unknown metric {metric!r}")
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
         e = df.select(
@@ -188,9 +219,12 @@ class HnswIndex:
             # makes incremental compact() bit-identical to a fresh build
             pdf = pdf.sort_values("id").reset_index(drop=True)
             X = np.asarray(list(pdf["v"]), dtype=np.float64)
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            if metric == "cosine":
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             shard = int(pdf["shard"].iloc[0])
-            levels, adj = _build_graph(X, m, ef_construction, seed + shard, np)
+            levels, adj = _build_graph(
+                X, m, ef_construction, seed + shard, np, _dist_fn(metric, np)
+            )
             ids = pdf["id"].to_numpy()
             nbrs = [
                 [[int(ids[nb]) for nb in adj[lv].get(i, ())]
@@ -216,7 +250,7 @@ class HnswIndex:
         )
         _write_meta(
             idx.path, n_shards=n_shards, m=m, ef_construction=ef_construction,
-            seed=seed,
+            seed=seed, metric=metric,
         )
         import shutil
 
@@ -236,13 +270,14 @@ class HnswIndex:
         search() scans exactly and merges with the graph walk; once the
         buffer exceeds ``rebuild_frac`` of the graph, compact() re-shards —
         graph quality never degrades because the graphs are only ever built
-        whole."""
-        norm = (
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).cast("array<double>").alias("raw"),
-            )
-            .withColumn(
+        whole. Buffer rows are stored in the index's geometry: normalized
+        under cosine, raw under l2/dot."""
+        raw = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("raw"),
+        )
+        if _read_meta(self.path).get("metric", "cosine") == "cosine":
+            norm = raw.withColumn(
                 "nrm",
                 F.greatest(
                     F.sqrt(
@@ -250,11 +285,11 @@ class HnswIndex:
                     ),
                     F.lit(1e-12),
                 ),
-            )
-            .select(
+            ).select(
                 "id", F.transform("raw", lambda x: x / F.col("nrm")).alias("v")
             )
-        )
+        else:
+            norm = raw.select("id", F.col("raw").alias("v"))
         norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
         pending = _read_pending(self.spark, self.path)
         n_graph = self.nodes().count()
@@ -276,6 +311,7 @@ class HnswIndex:
             self.spark, merged, id_col="id", vec_col="v", path=self.path,
             n_shards=meta["n_shards"], m=meta["m"],
             ef_construction=meta["ef_construction"], seed=meta["seed"],
+            metric=meta.get("metric", "cosine"),
         )
         return self
 
@@ -299,13 +335,21 @@ class HnswIndex:
         prefilter.go:14-74): traversal still uses every node for routing
         (filtered-HNSW keeps the graph connected), but only allowed ids are
         collected into the beam's result set — the hnswlib filter-function
-        pattern. Pass a generous ``ef`` when the filter is very selective."""
+        pattern. Pass a generous ``ef`` when the filter is very selective.
+
+        The score column follows the BUILD metric: cos_sim (desc) under
+        cosine, l2_dist (asc) under l2, dot_sim (desc) under dot."""
         import numpy as np
 
+        metric = _read_meta(self.path).get("metric", "cosine")
+        score_col = {"cosine": "cos_sim", "l2": "l2_dist", "dot": "dot_sim"}[metric]
         qitems = [
             (int(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in query_vecs.items()
         ]
-        qitems = [(qid, qv / max(float(np.linalg.norm(qv)), 1e-12)) for qid, qv in qitems]
+        if metric == "cosine":
+            qitems = [
+                (qid, qv / max(float(np.linalg.norm(qv)), 1e-12)) for qid, qv in qitems
+            ]
         k, beam = top_k, max(ef, top_k + 1)
         allow = frozenset(int(x) for x in allowed_ids) if allowed_ids is not None else None
 
@@ -313,6 +357,7 @@ class HnswIndex:
             import numpy as np
             import pandas as pd
 
+            dist = _dist_fn(metric, np)
             X = np.asarray(list(pdf["v"]), dtype=np.float64)
             ids = pdf["id"].to_numpy()
             pos = {int(v): i for i, v in enumerate(ids)}
@@ -323,38 +368,44 @@ class HnswIndex:
                 for lv, lst in enumerate(per_level):
                     adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
             entry = int(np.argmax(levels))
-            out = {"q_id": [], "c_id": [], "cos_sim": []}
+            out = {"q_id": [], "c_id": [], score_col: []}
             for qid, qv in qitems:
                 ep = [entry]
                 for lv in range(max_lvl, 0, -1):
-                    ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
+                    ep = [_search_layer(qv, ep, 1, adj[lv], X, np, dist)[0][1]]
                 kept = 0
-                for d2, e in _search_layer(qv, ep, beam, adj[0], X, np):
+                for d2, e in _search_layer(qv, ep, beam, adj[0], X, np, dist):
                     cid = int(ids[e])
                     if cid == qid or (allow is not None and cid not in allow):
                         continue
                     out["q_id"].append(qid)
                     out["c_id"].append(cid)
-                    # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
-                    out["cos_sim"].append(1.0 - d2 / 2.0)
+                    if metric == "cosine":
+                        # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
+                        out[score_col].append(1.0 - d2 / 2.0)
+                    elif metric == "l2":
+                        out[score_col].append(float(np.sqrt(max(d2, 0.0))))
+                    else:  # dot: graph distance is the negative inner product
+                        out[score_col].append(-d2)
                     kept += 1
                     if kept > k:
                         break
             return pd.DataFrame(out)
 
         per_shard = self.nodes().groupBy("shard").applyInPandas(
-            search_shard, "q_id long, c_id long, cos_sim double"
+            search_shard, f"q_id long, c_id long, {score_col} double"
         )
         pending = _read_pending(self.spark, self.path)
         if pending is not None:
             per_shard = per_shard.unionByName(
-                _score_pending(pending, qitems, allow, k)
+                _score_pending(pending, qitems, allow, k, metric, score_col)
             )
-        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        order = F.asc(score_col) if metric == "l2" else F.desc(score_col)
+        w = Window.partitionBy("q_id").orderBy(order, F.asc("c_id"))
         return (
             per_shard.select(
-                "q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank")
+                "q_id", "c_id", score_col, F.row_number().over(w).alias("rank")
             )
             .filter(F.col("rank") <= top_k)
-            .select("q_id", "c_id", "rank", "cos_sim")
+            .select("q_id", "c_id", "rank", score_col)
         )

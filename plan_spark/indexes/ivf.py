@@ -36,6 +36,25 @@ def _cos(a, b):
     return _dot(a, b) / F.sqrt(_sq(a) * _sq(b))
 
 
+def _l2(a, b):
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+
+
+# metric name -> (score column name, score expr, descending-rank?)
+# Reference: distance_metrics.go:12-96 — L2/Cosine/Dot selectable per search.
+_METRICS = {
+    "cosine": ("cos_sim", _cos, True),
+    "l2": ("l2_dist", _l2, False),
+    "dot": ("dot_sim", _dot, True),
+}
+
+
 class IvfIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -102,11 +121,15 @@ class IvfIndex:
     def search(
         self, queries: DataFrame, id_col: str = "q_id", vec_col: str = "qv",
         top_k: int = 5, nprobe: int = 4, prefilter: DataFrame | None = None,
+        metric: str = "cosine",
     ) -> DataFrame:
-        """Cosine top-k per query over the nprobe closest clusters.
+        """Top-k per query over the nprobe closest clusters under ``metric``
+        ("cosine" | "l2" | "dot" — reference distance_metrics.go:12-96).
+        Centroid probing and in-cluster scoring use the same metric.
 
-        Output: (q_id, c_id, rank, cos_sim). The cluster filter is an isin()
-        over the partition column, so the scan partition-prunes on disk.
+        Output: (q_id, c_id, rank, <cos_sim|l2_dist|dot_sim>). The cluster
+        filter is an isin() over the partition column, so the scan
+        partition-prunes on disk.
 
         ``prefilter`` composes a predicate with the index search (reference
         prefilter.go:14-74 — the allowed-row bitmap ANDed into every index
@@ -117,6 +140,7 @@ class IvfIndex:
         enough to broadcast, else a shuffled semi join on id."""
         import numpy as np
 
+        score_col, score_fn, desc = _METRICS[metric]
         # The probe (query -> nprobe nearest centroids) is computed driver-
         # side: both inputs are query-sized BY CONTRACT (queries are the
         # broadcast side of the search; centroids are k rows), never corpus-
@@ -127,7 +151,7 @@ class IvfIndex:
         ).collect()
         if not q_rows:  # no queries -> empty result, not an isin() error
             return self.spark.createDataFrame(
-                [], "q_id long, c_id long, rank int, cos_sim double"
+                [], f"q_id long, c_id long, rank int, {score_col} double"
             )
         c_rows = sorted(self.centroids().collect(), key=lambda r: r.cluster)
         C = np.array([r.cv for r in c_rows], dtype=np.float64)
@@ -135,9 +159,14 @@ class IvfIndex:
         probe_rows = []
         for r in q_rows:
             qv = np.array(r.qv, dtype=np.float64)
-            sims = Cn @ (qv / max(float(np.linalg.norm(qv)), 1e-12))
-            # ties broken by ascending cluster id (stable argsort on -sims)
-            for j in np.argsort(-sims, kind="stable")[:nprobe]:
+            if metric == "cosine":
+                keys = Cn @ (qv / max(float(np.linalg.norm(qv)), 1e-12))
+            elif metric == "dot":
+                keys = C @ qv
+            else:  # l2: nearest centroid by distance -> rank ascending
+                keys = -np.linalg.norm(C - qv, axis=1)
+            # ties broken by ascending cluster id (stable argsort on -keys)
+            for j in np.argsort(-keys, kind="stable")[:nprobe]:
                 probe_rows.append((r.q_id, r.qv, int(c_rows[j].cluster)))
         # Arrow-backed local relation (see plan_spark.localrel): the
         # pickled-RDD path measured ~6 s to broadcast vs ~0.3 s via Arrow,
@@ -156,14 +185,15 @@ class IvfIndex:
             .select(
                 "q_id",
                 F.col("id").alias("c_id"),
-                _cos(F.col("qv"), F.col("v")).alias("cos_sim"),
+                score_fn(F.col("qv"), F.col("v")).alias(score_col),
             )
         )
-        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        order = F.desc(score_col) if desc else F.asc(score_col)
+        w = Window.partitionBy("q_id").orderBy(order, F.asc("c_id"))
         return (
-            sims.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+            sims.select("q_id", "c_id", score_col, F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= top_k)
-            .select("q_id", "c_id", "rank", "cos_sim")
+            .select("q_id", "c_id", "rank", score_col)
         )
 
     # -------------------------------------------------------------- insert

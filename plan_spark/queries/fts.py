@@ -106,6 +106,119 @@ def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Boolean search (reference BooleanSearch, fts_index.go:471-479): a document
+# qualifies iff it contains EVERY must term and NO must_not term; the BM25
+# score sums over the must+should terms it contains. The registered query
+# uses the same map-side shape as fts_bm25 (tf per term via array filter, one
+# scalar stats aggregate broadcast back — no posting shuffle); the persisted-
+# index path (FtsIndex.search_boolean: semi/anti posting joins) is pytest-
+# checked for exact agreement with this oracle-checked query.
+# ---------------------------------------------------------------------------
+
+_B_MUST = ("spark", "join")
+_B_SHOULD = ("query", "vector")
+_B_MUST_NOT = ("slow",)
+_B_SCORE = _B_MUST + _B_SHOULD  # dedup not needed: the sets are disjoint
+
+_BOOL_SCORE_SQL = "('" + "','".join(_B_SCORE) + "')"
+_BOOL_NOT_SQL = "('" + "','".join(_B_MUST_NOT) + "')"
+_BOOL_MUST_SQL = "('" + "','".join(_B_MUST) + "')"
+
+_FTS_BOOL_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen),
+posting AS (
+  SELECT doc_id, tk AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM d) t
+  WHERE tk IN {_BOOL_SCORE_SQL}
+  GROUP BY doc_id, tk),
+df AS (SELECT term, COUNT(*) AS dfreq FROM posting GROUP BY term),
+must_ok AS (
+  SELECT doc_id FROM posting WHERE term IN {_BOOL_MUST_SQL}
+  GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(set(_B_MUST))}),
+excluded AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM d) t
+  WHERE tk IN {_BOOL_NOT_SQL}),
+scored AS (
+  SELECT p.doc_id,
+         ln((corpus.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+           * (p.tf * ({_K1} + 1.0))
+           / (p.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / corpus.avgdl)) AS s
+  FROM posting p, df, doclen dl, corpus
+  WHERE p.term = df.term AND p.doc_id = dl.doc_id)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM must_ok)
+  AND doc_id NOT IN (SELECT doc_id FROM excluded)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("fts_bool", oracle=_FTS_BOOL_SQL, tags=("fts", "boolean"))
+def fts_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean FTS: must={spark,join}, should={query,vector},
+    must_not={slow} (reference BooleanSearch fts_index.go:471-479).
+
+    Plan shape: one corpus scan computes per-term tf columns map-side (array
+    filters — no explode), the boolean predicate is a pure filter over those
+    columns, and BM25 statistics come from ONE single-row aggregate that
+    broadcast-joins back. One full scan, one scalar shuffle — identical
+    scale shape to fts_bm25."""
+    d = _norm_docs(spark, sf_dir)
+    terms = list(_B_SCORE)
+    base = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')")).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')")).cast("bigint").alias(f"nf_{j}")
+            for j, t in enumerate(_B_MUST_NOT)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"dfreq_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.join(F.broadcast(stats))
+    qualify = F.lit(True)
+    for i, t in enumerate(terms):
+        if t in _B_MUST:
+            qualify = qualify & (F.col(f"tf_{i}") > 0)
+    for j in range(len(_B_MUST_NOT)):
+        qualify = qualify & (F.col(f"nf_{j}") == 0)
+    parts = []
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"dfreq_{i}") + F.lit(0.5))
+            / (F.col(f"dfreq_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_part = (F.col(f"tf_{i}") * F.lit(_K1 + 1.0)) / (
+            F.col(f"tf_{i}")
+            + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+        )
+        parts.append(F.when(F.col(f"tf_{i}") > 0, idf * tf_part).otherwise(F.lit(0.0)))
+    return (
+        joined.filter(qualify)
+        .select("doc_id", F.round(sum(parts), 6).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
 _PHRASE = "data pipeline"
 
 _FTS_PHRASE_SQL = f"""

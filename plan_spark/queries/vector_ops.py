@@ -72,6 +72,15 @@ def _sq(a):
     )
 
 
+def _l2sq(a, b):
+    """Sequential left-fold squared-L2 distance (matches the oracle fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 @register("knn_brute", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn"))
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors, stream the candidate
@@ -106,6 +115,103 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "rank", "cos_sim")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distance-metric selection (reference distance_metrics.go:12-96 — the index
+# surface lets the user pick L2 / Cosine / Dot / Hamming per search).
+# knn_brute above is the cosine face; knn_l2 / knn_dot below are the same
+# broadcast-scan shape parameterized by metric, each with its own exact
+# DuckDB oracle (both metrics are sequential double folds, so the scores are
+# bit-identical across engines). Hamming lives on the simhash surface
+# (text_ops.py). The IVF/HNSW index classes take the same metric switch
+# (indexes/ivf.py search(metric=), indexes/hnsw.py build(metric=)).
+# ---------------------------------------------------------------------------
+
+_L2SQ = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, v) -> acc + v)"
+)
+
+_KNN_L2_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q_id, e.vec_id AS c_id,
+         sqrt({_L2SQ.format(a="qv", b="e.v")}) AS l2_dist
+  FROM q, e
+  WHERE e.vec_id <> q_id),
+ranked AS (
+  SELECT q_id, c_id, l2_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_dist ASC, c_id) AS rank
+  FROM sims)
+SELECT q_id, c_id, rank, l2_dist
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+_KNN_DOT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q_id, e.vec_id AS c_id,
+         {_DOT.format(a="qv", b="e.v")} AS dot_sim
+  FROM q, e
+  WHERE e.vec_id <> q_id),
+ranked AS (
+  SELECT q_id, c_id, dot_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_sim DESC, c_id) AS rank
+  FROM sims)
+SELECT q_id, c_id, rank, dot_sim
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def _knn_brute_metric(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    """Brute-force top-k under the chosen metric — same scale shape as
+    knn_brute (broadcast queries, map-side scoring, rank-only shuffle)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    if metric == "l2":
+        score, col = F.sqrt(_l2sq(F.col("qv"), F.col("v"))), "l2_dist"
+        order = [F.asc(col), F.asc("c_id")]
+    elif metric == "dot":
+        score, col = _dot(F.col("qv"), F.col("v")), "dot_sim"
+        order = [F.desc(col), F.asc("c_id")]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    sims = e.join(F.broadcast(q), e.vec_id != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("c_id"), score.alias(col)
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        sims.select("q_id", "c_id", col, F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "rank", col)
+        .orderBy("q_id", "rank")
+    )
+
+
+@register("knn_l2", oracle=_KNN_L2_SQL, tags=("vector", "knn", "metric"))
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean top-k (metric=l2, reference distance_metrics.go:12-96):
+    nearest = SMALLEST distance, for users with unnormalized embeddings where
+    cosine ranking is wrong. Same broadcast/scan/rank shape as knn_brute."""
+    return _knn_brute_metric(spark, sf_dir, "l2")
+
+
+@register("knn_dot", oracle=_KNN_DOT_SQL, tags=("vector", "knn", "metric"))
+def knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-product top-k (metric=dot) — the MIPS ranking used by
+    recommendation scorers where vector magnitude carries signal."""
+    return _knn_brute_metric(spark, sf_dir, "dot")
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str):

@@ -58,8 +58,10 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    "rollup_agg",  # pre-aggregated partials before Expand (this round)
-    "cube_agg",  # same change
+    "retention_cohorts",  # registered after the r3 window snapshot — never driver-checked
+    "knn_l2",  # new this round: metric selection (L2)
+    "knn_dot",  # new this round: metric selection (dot)
+    "fts_bool",  # new this round: boolean FTS
 )
 
 # Complementary: names pushed to the very END of the registry — queries

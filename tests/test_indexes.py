@@ -452,3 +452,113 @@ def test_ivf_hnsw_incremental_insert_and_compact(spark, tmp_idx):
     for q_id, buf_id in want.items():
         c_id, cos = top1[q_id]
         assert c_id == buf_id and cos > 0.999999, (q_id, top1[q_id])
+
+
+def test_ivf_metric_selection_matches_brute(spark, tmp_idx):
+    """metric={cosine,l2,dot} (reference distance_metrics.go:12-96): with
+    nprobe=k (no pruning) the IVF search scores every candidate with the
+    same JVM fold as the brute-force operator, so the result is identical —
+    including rank orientation (l2 ranks ascending distance)."""
+    from plan_spark.queries.vector_ops import knn_brute, knn_dot, knn_l2
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    for metric, brute_fn, col in (
+        ("cosine", knn_brute, "cos_sim"),
+        ("l2", knn_l2, "l2_dist"),
+        ("dot", knn_dot, "dot_sim"),
+    ):
+        res = idx.search(q, top_k=5, nprobe=16, metric=metric)
+        assert col in res.columns, (metric, res.columns)
+        got = {(r.q_id, r.c_id, r.rank) for r in res.collect()}
+        want = {(r.q_id, r.c_id, r.rank) for r in brute_fn(spark, SF_DIR).collect()}
+        assert got == want, f"metric={metric}: full-probe IVF != brute"
+
+
+def test_hnsw_metric_builds_and_recall(spark, tmp_idx):
+    """Per-metric HNSW graphs: the metric fixes the geometry at build time;
+    each graph's top-k must recover most of the exact top-k under ITS metric
+    (dot/MIPS is not a metric space, so its greedy-walk bar is lower)."""
+    import os
+
+    from plan_spark.indexes import HnswIndex
+    from plan_spark.queries.vector_ops import knn_brute, knn_dot, knn_l2
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    }
+    for metric, brute_fn, col, bar in (
+        ("cosine", knn_brute, "cos_sim", 0.8),
+        ("l2", knn_l2, "l2_dist", 0.6),
+        ("dot", knn_dot, "dot_sim", 0.5),
+    ):
+        path = os.path.join(tmp_idx, metric)
+        idx = HnswIndex.build(spark, emb, path=path, n_shards=4, m=8, metric=metric)
+        res = idx.search(q, top_k=5, ef=96)
+        assert col in res.columns, (metric, res.columns)
+        rows = res.collect()
+        # rank 1 is the best score under the metric's orientation
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append((r.rank, getattr(r, col)))
+        for _qid, lst in by_q.items():
+            lst.sort()
+            scores = [s for _, s in lst]
+            if metric == "l2":
+                assert scores == sorted(scores)
+            else:
+                assert scores == sorted(scores, reverse=True)
+        approx = {(r.q_id, r.c_id) for r in rows}
+        exact = {(r.q_id, r.c_id) for r in brute_fn(spark, SF_DIR).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= bar, f"HNSW metric={metric} recall@5 too low: {recall}"
+
+
+def test_fts_boolean_matches_adhoc(spark, tmp_idx):
+    """Persisted-index boolean search (semi/anti posting joins) must agree
+    exactly with the oracle-checked direct query (fts_bool), and the
+    boolean semantics must hold: every hit has all must terms, no must_not
+    term."""
+    from plan_spark.queries.fts import _B_MUST, _B_MUST_NOT, _B_SHOULD, fts_bool
+
+    docs = table(spark, SF_DIR, "documents")
+    idx = FtsIndex.build(spark, docs, path=tmp_idx)
+    persisted = {
+        (r.doc_id, r.bm25)
+        for r in idx.search_boolean(
+            must=_B_MUST, should=_B_SHOULD, must_not=_B_MUST_NOT, top_k=None
+        ).collect()
+    }
+    adhoc = {(r.doc_id, r.bm25) for r in fts_bool(spark, SF_DIR).collect()}
+    assert persisted == adhoc and len(persisted) > 0
+    # semantics spot-check against raw text
+    hits = {d for d, _ in persisted}
+    rows = docs.select("doc_id", F.lower("text").alias("t")).collect()
+    for r in rows:
+        toks = set(r.t.split())
+        ok = all(m in toks for m in _B_MUST) and not any(n in toks for n in _B_MUST_NOT)
+        if r.doc_id in hits:
+            assert ok, f"doc {r.doc_id} in hits but fails boolean predicate"
+
+
+def test_fts_boolean_topk_and_edge_cases(spark, tmp_idx):
+    docs = table(spark, SF_DIR, "documents")
+    idx = FtsIndex.build(spark, docs, path=tmp_idx)
+    top = idx.search_boolean(must=["spark"], should=["table"], top_k=3).collect()
+    assert len(top) <= 3
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # should-only (pure OR) degenerates to the BM25 union = search()
+    a = {(r.doc_id, r.bm25) for r in idx.search_boolean(should=["spark", "table"], top_k=None).collect()}
+    b = {(r.doc_id, r.bm25) for r in idx.search(["spark", "table"], top_k=None).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        idx.search_boolean(must_not=["spark"])

@@ -258,6 +258,140 @@ class HnswIndex:
         return idx
 
     # ------------------------------------------------------- incremental
+    # ------------------------------------------------------- batch search
+    def search_df(
+        self,
+        queries: DataFrame,
+        id_col: str = "q_id",
+        vec_col: str = "qv",
+        top_k: int = 10,
+        ef: int = 48,
+    ) -> DataFrame:
+        """Batch scatter-gather: queries stay a DataFrame end to end — a
+        10^6-query batch never lands on the driver (the collected-dict
+        search() is the online path; this is the offline one).
+
+        Shape: queries replicate S ways (one row per shard — the inherent
+        scatter of sharded ANN), cogroup(shard) pairs each shard's graph
+        with exactly the queries routed to it inside ONE applyInPandas (the
+        graph is rebuilt per task from its partition — nothing crosses the
+        driver), and a window merges the S*k candidates per query. The
+        pending buffer is scored exactly via a broadcast JVM fold join.
+        Output matches search(): (q_id, c_id, rank, <score>)."""
+        import numpy as np
+
+        meta = _read_meta(self.path)
+        metric = meta.get("metric", "cosine")
+        score_col = {"cosine": "cos_sim", "l2": "l2_dist", "dot": "dot_sim"}[metric]
+        n_shards = int(meta["n_shards"])
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        if metric == "cosine":
+            q = q.withColumn(
+                "nrm",
+                F.greatest(
+                    F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, b: a + b * b)),
+                    F.lit(1e-12),
+                ),
+            ).select(
+                "q_id", F.transform("qv", lambda x: x / F.col("nrm")).alias("qv")
+            )
+        # scatter: one (q_id, qv, shard) row per shard — S tiny literal rows,
+        # the queries themselves never leave the executors
+        qs = q.crossJoin(
+            self.spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+        )
+        k, beam = top_k, max(ef, top_k + 1)
+
+        def walk(nodes_pdf, q_pdf):
+            import numpy as np
+            import pandas as pd
+
+            out = {"q_id": [], "c_id": [], score_col: []}
+            if len(nodes_pdf) and len(q_pdf):
+                dist = _dist_fn(metric, np)
+                X = np.asarray(list(nodes_pdf["v"]), dtype=np.float64)
+                ids = nodes_pdf["id"].to_numpy()
+                pos = {int(v): i for i, v in enumerate(ids)}
+                levels = nodes_pdf["level"].to_numpy()
+                max_lvl = int(levels.max())
+                adj = [dict() for _ in range(max_lvl + 1)]
+                for i, per_level in enumerate(nodes_pdf["nbrs"]):
+                    for lv, lst in enumerate(per_level):
+                        adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
+                entry = int(np.argmax(levels))
+                for qid, qv in zip(q_pdf["q_id"], q_pdf["qv"]):
+                    qid = int(qid)
+                    qv = np.asarray(qv, dtype=np.float64)
+                    ep = [entry]
+                    for lv in range(max_lvl, 0, -1):
+                        ep = [_search_layer(qv, ep, 1, adj[lv], X, np, dist)[0][1]]
+                    kept = 0
+                    for d2, e in _search_layer(qv, ep, beam, adj[0], X, np, dist):
+                        cid = int(ids[e])
+                        if cid == qid:
+                            continue
+                        out["q_id"].append(qid)
+                        out["c_id"].append(cid)
+                        if metric == "cosine":
+                            out[score_col].append(1.0 - d2 / 2.0)
+                        elif metric == "l2":
+                            out[score_col].append(float(np.sqrt(max(d2, 0.0))))
+                        else:
+                            out[score_col].append(-d2)
+                        kept += 1
+                        if kept > k:
+                            break
+            return pd.DataFrame(out)
+
+        per_shard = (
+            self.nodes()
+            .groupBy("shard")
+            .cogroup(qs.groupBy("shard"))
+            .applyInPandas(walk, f"q_id long, c_id long, {score_col} double")
+        )
+        pending = _read_pending(self.spark, self.path)
+        if pending is not None:
+            # exact tail scan, DataFrame-shaped: broadcast the (small by
+            # invariant) buffer against the query stream. Scores are JVM
+            # folds (numpy BLAS in _score_pending may associate differently
+            # in the last ulp) — the parity tests gate on ranks, not bits.
+            pv = F.broadcast(
+                pending.select(F.col("id").alias("c_id"), F.col("v").alias("cv"))
+            )
+            dot = F.aggregate(
+                F.zip_with("qv", "cv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            if metric == "l2":
+                expr = F.sqrt(
+                    F.aggregate(
+                        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda a, b: a + b,
+                    )
+                )
+            else:  # cosine (both sides unit) and dot are plain inner products
+                expr = dot
+            tail = (
+                q.crossJoin(pv)
+                .filter(F.col("c_id") != F.col("q_id"))
+                .select("q_id", "c_id", expr.alias(score_col))
+            )
+            per_shard = per_shard.unionByName(tail)
+        order = F.asc(score_col) if metric == "l2" else F.desc(score_col)
+        w = Window.partitionBy("q_id").orderBy(order, F.asc("c_id"))
+        return (
+            per_shard.select(
+                "q_id", "c_id", score_col, F.row_number().over(w).alias("rank")
+            )
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", score_col)
+        )
+
     def insert(
         self,
         df: DataFrame,

@@ -196,6 +196,62 @@ class IvfIndex:
             .select("q_id", "c_id", "rank", score_col)
         )
 
+    # ------------------------------------------------------- batch search
+    def search_df(
+        self, queries: DataFrame, id_col: str = "q_id", vec_col: str = "qv",
+        top_k: int = 5, nprobe: int = 4, prefilter: DataFrame | None = None,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Batch IVF search: queries stay a DataFrame end to end — the
+        offline shape for 10^6-query batches (search() is the online path,
+        whose driver-side probe saves a window job for bounded query sets).
+
+        Shape: probe = queries × broadcast(k centroid rows) → per-query
+        top-nprobe window (|Q|·k rows — query-sized, never corpus-sized);
+        candidates = probes joined to the cluster-partitioned vectors ON
+        cluster (each cluster's vectors co-locate with exactly the probes
+        routed to it — the inherent IVF batch shape; AQE splits skewed
+        clusters); scoring is the same JVM fold as search(); one final
+        window takes top-k per query. Zero Python anywhere in the plan."""
+        score_col, score_fn, desc = _METRICS[metric]
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        c = self.centroids()
+        probe_score = score_fn(F.col("qv"), F.col("cv"))
+        porder = F.desc("pscore") if desc else F.asc("pscore")
+        wp = Window.partitionBy("q_id").orderBy(porder, F.asc("cluster"))
+        probes = (
+            q.crossJoin(F.broadcast(c))
+            .select("q_id", "qv", "cluster", probe_score.alias("pscore"))
+            .select(
+                "q_id", "qv", "cluster", F.row_number().over(wp).alias("pr")
+            )
+            .filter(F.col("pr") <= nprobe)
+            .select("q_id", "qv", "cluster")
+        )
+        vecs = self.vectors()
+        if prefilter is not None:
+            allowed = prefilter.select(F.col(prefilter.columns[0]).alias("id"))
+            vecs = vecs.join(allowed, "id", "left_semi")
+        sims = (
+            vecs.join(probes, "cluster")
+            .filter(F.col("id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("id").alias("c_id"),
+                score_fn(F.col("qv"), F.col("v")).alias(score_col),
+            )
+        )
+        order = F.desc(score_col) if desc else F.asc(score_col)
+        w = Window.partitionBy("q_id").orderBy(order, F.asc("c_id"))
+        return (
+            sims.select("q_id", "c_id", score_col, F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", score_col)
+        )
+
     # -------------------------------------------------------------- insert
     def insert(self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
         """Incremental insert (reference incremental_index.go:28-253): new

@@ -236,6 +236,121 @@ class IvfHnswIndex:
         shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
         return self
 
+    # ------------------------------------------------------- batch search
+    def search_df(
+        self,
+        queries: DataFrame,
+        id_col: str = "q_id",
+        vec_col: str = "qv",
+        top_k: int = 5,
+        nprobe: int = 4,
+        ef: int = 48,
+    ) -> DataFrame:
+        """Batch composite search: queries stay a DataFrame end to end (the
+        offline shape — search()'s driver-side probe is the online path for
+        bounded query sets).
+
+        Shape: routing = queries × broadcast(k centroid rows) → per-query
+        top-nprobe window (query-sized); cogroup(cluster) pairs each probed
+        cluster's graph with exactly the queries that probed it inside ONE
+        applyInPandas; the pending tail is scored exactly via a broadcast
+        JVM-fold join; one window merges. A 10^6-query batch never touches
+        the driver. Output matches search(): (q_id, c_id, rank, cos_sim)."""
+        from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+        meta = _read_meta(self.path)
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).withColumn(
+            "nrm",
+            F.greatest(
+                F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, b: a + b * b)),
+                F.lit(1e-12),
+            ),
+        ).select("q_id", F.transform("qv", lambda x: x / F.col("nrm")).alias("qv"))
+        cos = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        ) / F.sqrt(
+            F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        )  # |a| = 1 by construction
+        wp = Window.partitionBy("q_id").orderBy(F.desc("pscore"), F.asc("cluster"))
+        probes = (
+            q.crossJoin(F.broadcast(self.centroids()))
+            .select("q_id", "qv", "cluster", cos(F.col("qv"), F.col("cv")).alias("pscore"))
+            .select("q_id", "qv", "cluster", F.row_number().over(wp).alias("pr"))
+            .filter(F.col("pr") <= nprobe)
+            .select("q_id", "qv", "cluster")
+        )
+        k, beam = top_k, max(ef, top_k + 1)
+
+        def walk(nodes_pdf, q_pdf):
+            import numpy as np
+            import pandas as pd
+
+            out = {"q_id": [], "c_id": [], "cos_sim": []}
+            if len(nodes_pdf) and len(q_pdf):
+                X = np.asarray(list(nodes_pdf["v"]), dtype=np.float64)
+                ids = nodes_pdf["id"].to_numpy()
+                pos = {int(v): i for i, v in enumerate(ids)}
+                levels = nodes_pdf["level"].to_numpy()
+                max_lvl = int(levels.max())
+                adj = [dict() for _ in range(max_lvl + 1)]
+                for i, per_level in enumerate(nodes_pdf["nbrs"]):
+                    for lv, lst in enumerate(per_level):
+                        adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
+                entry = int(np.argmax(levels))
+                for qid, qv in zip(q_pdf["q_id"], q_pdf["qv"]):
+                    qid = int(qid)
+                    qv = np.asarray(qv, dtype=np.float64)
+                    ep = [entry]
+                    for lv in range(max_lvl, 0, -1):
+                        ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
+                    kept = 0
+                    for d2, e in _search_layer(qv, ep, beam, adj[0], X, np):
+                        cid = int(ids[e])
+                        if cid == qid:
+                            continue
+                        out["q_id"].append(qid)
+                        out["c_id"].append(cid)
+                        out["cos_sim"].append(1.0 - d2 / 2.0)
+                        kept += 1
+                        if kept > k:
+                            break
+            return pd.DataFrame(out)
+
+        per = (
+            self.nodes()
+            .groupBy("cluster")
+            .cogroup(probes.groupBy("cluster"))
+            .applyInPandas(walk, "q_id long, c_id long, cos_sim double")
+        )
+        pending = _read_pending(self.spark, self.path)
+        if pending is not None:
+            pv = F.broadcast(
+                pending.select(F.col("id").alias("c_id"), F.col("v").alias("cv"))
+            )
+            tail = (
+                q.crossJoin(pv)
+                .filter(F.col("c_id") != F.col("q_id"))
+                .select(
+                    "q_id",
+                    "c_id",
+                    F.aggregate(
+                        F.zip_with("qv", "cv", lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, b: a + b,
+                    ).alias("cos_sim"),  # both sides unit vectors
+                )
+            )
+            per = per.unionByName(tail)
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        return (
+            per.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= top_k)
+            .select("q_id", "c_id", "rank", "cos_sim")
+        )
+
     # ------------------------------------------------------------- search
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "centroids.parquet"))

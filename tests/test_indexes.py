@@ -562,3 +562,76 @@ def test_fts_boolean_topk_and_edge_cases(spark, tmp_idx):
 
     with _pytest.raises(ValueError):
         idx.search_boolean(must_not=["spark"])
+
+
+def test_ivf_batch_search_df_parity(spark, tmp_idx):
+    """DataFrame-native batch search: with nprobe=k (probe choice moot) the
+    batch plan must equal the driver-probe path exactly, per metric; at
+    pruned nprobe the result sets stay full-rank and near-identical. The
+    batch plan must contain no Python eval (pure JVM folds) and must read
+    the queries from their source scan, not a collected local relation."""
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    for metric in ("cosine", "l2", "dot"):
+        batch = idx.search_df(q, top_k=5, nprobe=16, metric=metric)
+        a = {(r.q_id, r.c_id, r.rank) for r in batch.collect()}
+        b = {
+            (r.q_id, r.c_id, r.rank)
+            for r in idx.search(q, top_k=5, nprobe=16, metric=metric).collect()
+        }
+        assert a == b, f"metric={metric}: batch != driver-probe at full probe"
+    plan = idx.search_df(q, top_k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "FileScan parquet" in plan  # queries streamed from storage
+    pruned = idx.search_df(q, top_k=5, nprobe=4).collect()
+    assert len(pruned) == 50 and all(r.rank <= 5 for r in pruned)
+
+
+def test_hnsw_batch_search_df_parity(spark, tmp_idx):
+    """Cogrouped batch HNSW: identical graphs + identical walks => the batch
+    path reproduces search() exactly (ranks and ids), per metric, including
+    the pending-buffer tail."""
+    import os
+
+    from plan_spark.indexes import HnswIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qd = {r.q_id: list(r.qv) for r in q_df.collect()}
+    for metric in ("cosine", "l2"):
+        path = os.path.join(tmp_idx, metric)
+        idx = HnswIndex.build(
+            spark,
+            emb.filter(F.col("vec_id") < 450),
+            path=path,
+            n_shards=4,
+            m=8,
+            metric=metric,
+        )
+        idx.insert(emb.filter(F.col("vec_id") >= 450), rebuild_frac=10.0)
+        a = {(r.q_id, r.c_id, r.rank) for r in idx.search_df(q_df, top_k=5, ef=64).collect()}
+        b = {(r.q_id, r.c_id, r.rank) for r in idx.search(qd, top_k=5, ef=64).collect()}
+        assert a == b, f"metric={metric}: batch != online HNSW"
+
+
+def test_ivf_hnsw_batch_search_df_parity(spark, tmp_idx):
+    from plan_spark.indexes import IvfHnswIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfHnswIndex.build(spark, emb.filter(F.col("vec_id") < 450), path=tmp_idx)
+    idx.insert(emb.filter(F.col("vec_id") >= 450), rebuild_frac=10.0)
+    q_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qd = {r.q_id: list(r.qv) for r in q_df.collect()}
+    a = {(r.q_id, r.c_id, r.rank) for r in idx.search_df(q_df, top_k=5, nprobe=16, ef=64).collect()}
+    b = {(r.q_id, r.c_id, r.rank) for r in idx.search(qd, top_k=5, nprobe=16, ef=64).collect()}
+    assert a == b, "batch != online IVF-HNSW at full probe"

@@ -32,12 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (97 queries:
-    20 TPC-H, 6 TPC-DS probes, windows/set-ops/rollups, as-of/range joins,
-    sessionization, text analysis + 6 dedup families + curation pipeline,
-    KNN/k-means, FTS, multimodal decode/frames/audio/resize, streaming
-    bounded runs, dataset lifecycle incl. transactional indexes). See
-    SURVEY.md §8 for the inventory-to-query matrix."""
+    """One entry per implemented operator from SURVEY.md §2 (103 queries,
+    101 with oracles: 20 TPC-H, 8 TPC-DS probes, windows/set-ops/rollups,
+    as-of/range joins, sessionization/retention, text analysis + 6 dedup
+    families + curation pipeline, KNN under cosine/l2/dot metrics, k-means,
+    FTS incl. boolean queries, multimodal decode/frames/audio/resize,
+    streaming bounded runs, dataset lifecycle incl. transactional indexes).
+    See SURVEY.md §8 for the inventory-to-query matrix."""
     return {name: spec.fn for name, spec in load_all().items()}
 
 

@@ -50,6 +50,11 @@ class DuplicateBatchError(Exception):
     watermark for that stream — the batch already landed (replay)."""
 
 
+class StageExpiredError(Exception):
+    """A detached transaction's TTL elapsed before commit_staged (reference
+    detached-txn expiry, sdk/dataset.go:1214-1243 CleanupExpiredDetached)."""
+
+
 _FILE_COL = "__ds_file"
 _POS_COL = "__ds_pos"
 _ROWID_STORED = "__rowid"  # physical column written by rewrites (Array segment)
@@ -153,6 +158,11 @@ class _Txn:
     index_put: dict[str, dict] | None = None
     index_drop: str | None = None
     stats_patch: dict[int, dict[str, list]] | None = None
+    # index-txn declaration deltas, applied against the REBASED base (a
+    # full-list override computed from the read snapshot would silently drop
+    # a column added by a concurrent create_index — lost update)
+    bitmap_add: str | None = None
+    bloom_add: str | None = None
 
 
 class Dataset:
@@ -548,8 +558,39 @@ class Dataset:
         indexes = {n: dict(d) for n, d in base.indexes.items()}
         if txn.index_put:
             indexes.update({n: dict(d) for n, d in txn.index_put.items()})
+        dropped_desc: dict | None = None
         if txn.index_drop:
-            indexes.pop(txn.index_drop, None)
+            dropped_desc = indexes.pop(txn.index_drop, None)
+        # bitmap/bloom declarations: start from the rebased base and apply
+        # this txn's delta (adds from create_index, removal when a dropped
+        # bitmap/bloom index leaves its column uncovered) — symmetric with
+        # create_index, and immune to concurrent-create lost updates
+        bloom_cols = (
+            list(txn.bloom_columns)
+            if txn.bloom_columns is not None
+            else list(base.bloom_columns)
+        )
+        bitmap_cols = (
+            list(txn.bitmap_columns)
+            if txn.bitmap_columns is not None
+            else list(base.bitmap_columns)
+        )
+        if txn.bloom_add:
+            bloom_cols = sorted(set(bloom_cols) | {txn.bloom_add})
+        if txn.bitmap_add:
+            bitmap_cols = sorted(set(bitmap_cols) | {txn.bitmap_add})
+        if dropped_desc is not None and dropped_desc.get("kind") in ("bitmap", "bloom"):
+            kind = dropped_desc["kind"]
+            col = dropped_desc.get("phys") or dropped_desc.get("column")
+            still_covered = any(
+                d.get("kind") == kind and (d.get("phys") or d.get("column")) == col
+                for d in indexes.values()
+            )
+            if not still_covered:
+                if kind == "bitmap":
+                    bitmap_cols = [c for c in bitmap_cols if c != col]
+                else:
+                    bloom_cols = [c for c in bloom_cols if c != col]
         stream_state = dict(base.stream_state)
         if txn.stream_commit is not None:
             sid, bid = txn.stream_commit
@@ -575,11 +616,7 @@ class Dataset:
                 if txn.column_defaults is not None
                 else dict(base.column_defaults)
             ),
-            bloom_columns=(
-                list(txn.bloom_columns)
-                if txn.bloom_columns is not None
-                else list(base.bloom_columns)
-            ),
+            bloom_columns=bloom_cols,
             stream_state=stream_state,
             row_ids=base.row_ids,
             next_row_id=next_rid,
@@ -588,11 +625,7 @@ class Dataset:
                 if txn.column_mapping is not None
                 else dict(base.column_mapping)
             ),
-            bitmap_columns=(
-                list(txn.bitmap_columns)
-                if txn.bitmap_columns is not None
-                else list(base.bitmap_columns)
-            ),
+            bitmap_columns=bitmap_cols,
             indexes=indexes,
         )
 
@@ -795,10 +828,16 @@ class Dataset:
             df = df.filter(F.expr(pred_str))
         return df
 
-    def take_rows(self, ids: list[int]) -> DataFrame:
+    def take_rows(self, ids: list[int], columns: list[str] | None = None) -> DataFrame:
         """Address rows directly by stable row id (reference rowids.go /
-        sdk TakeRows): returns the matching rows with their ``_rowid``
-        column. Deleted rows are absent (their ids are never reused).
+        sdk TakeRows, projected variant TakeProjected sdk/dataset.go:1156):
+        returns the matching rows with their ``_rowid`` column. Deleted
+        rows are absent (their ids are never reused).
+
+        ``columns`` projects the lookup: Catalyst prunes the parquet
+        ReadSchema to exactly the requested columns (+ the row-id
+        machinery), so a 2-column point lookup on a 500-column table never
+        decodes the other 498.
 
         Fragment pruning happens BEFORE the scan: Range segments prune by
         interval arithmetic on the manifest alone; Array segments (rewrite
@@ -808,6 +847,11 @@ class Dataset:
         m = self.manifest
         if not m.row_ids:
             raise ValueError("dataset was not created with row_ids=True")
+        if columns is not None:
+            known = [f.name for f in self.schema.fields]
+            missing = [c for c in columns if c not in known]
+            if missing:
+                raise ValueError(f"unknown columns {missing}; table has {known}")
         idset = sorted({int(i) for i in ids})
         sel: list[Fragment] = []
         for f in m.fragments:
@@ -822,21 +866,26 @@ class Dataset:
             if any(lo <= i <= hi for i in idset):
                 sel.append(f)
         if not sel:
+            fields = (
+                self.schema.fields
+                if columns is None
+                else [f for f in self.schema.fields if f.name in columns]
+            )
             return self.spark.createDataFrame(
-                [],
-                StructType(
-                    self.schema.fields + [StructField(_ROWID, LongType(), True)]
-                ),
+                [], StructType(fields + [StructField(_ROWID, LongType(), True)])
             )
         df = self._scan_with_lineage(sel, with_row_id=True).drop(
             _FILE_COL, _POS_COL
         )
         for colname, default_expr in m.column_defaults.items():
-            if colname in df.columns:
+            if colname in df.columns and (columns is None or colname in columns):
                 df = df.withColumn(
                     colname, F.coalesce(F.col(colname), F.expr(default_expr))
                 )
-        return df.filter(F.col(_ROWID).isin(idset))
+        out = df.filter(F.col(_ROWID).isin(idset))
+        if columns is not None:
+            out = out.select(*columns, _ROWID)
+        return out
 
     def _scan_with_lineage(
         self, frags: list[Fragment], with_row_id: bool = False
@@ -1186,6 +1235,82 @@ class Dataset:
         )
         return self
 
+    @staticmethod
+    def _drop_nested(st: StructType, parts: list[str]) -> StructType:
+        head, rest = parts[0], parts[1:]
+        fields, hit = [], False
+        for f in st.fields:
+            if f.name != head:
+                fields.append(f)
+                continue
+            hit = True
+            if not rest:
+                continue  # this is the field to drop
+            if not isinstance(f.dataType, StructType):
+                raise ValueError(f"{head!r} is not a struct; cannot descend")
+            inner = Dataset._drop_nested(f.dataType, rest)
+            if not inner.fields:
+                raise ValueError(
+                    f"dropping the last field of struct {head!r}; drop the "
+                    f"struct column itself instead"
+                )
+            fields.append(StructField(f.name, inner, f.nullable, f.metadata))
+        if not hit:
+            raise ValueError(f"no such field: {head!r}")
+        return StructType(fields)
+
+    @staticmethod
+    def _add_nested(st: StructType, parts: list[str], new_field: StructField) -> StructType:
+        head, rest = parts[0], parts[1:]
+        if not rest:
+            if any(f.name == head for f in st.fields):
+                raise ValueError(f"field {head!r} already exists")
+            return StructType(list(st.fields) + [StructField(head, new_field.dataType, True)])
+        fields, hit = [], False
+        for f in st.fields:
+            if f.name != head:
+                fields.append(f)
+                continue
+            hit = True
+            if not isinstance(f.dataType, StructType):
+                raise ValueError(f"{head!r} is not a struct; cannot descend")
+            inner = Dataset._add_nested(f.dataType, rest, new_field)
+            fields.append(StructField(f.name, inner, f.nullable, f.metadata))
+        if not hit:
+            raise ValueError(f"no such field: {head!r}")
+        return StructType(fields)
+
+    def drop_path(self, path: str) -> "Dataset":
+        """Nested-field drop (reference sdk/dataset.go:816 DropPath): remove
+        the struct field at a dotted path ("meta.src.host") as a
+        metadata-only commit. Scans stop reading it — Spark's parquet
+        reader prunes nested columns absent from the declared read schema —
+        so no fragment rewrites; old versions still see the field."""
+        if "." not in path:
+            return self.drop_column(path)
+        schema = self._drop_nested(self.schema, path.split("."))
+        self._commit(
+            _Txn(op="schema", read_version=self.version, schema_json=schema.json())
+        )
+        return self
+
+    def add_path(self, path: str, dtype: str) -> "Dataset":
+        """Nested-field add at a dotted path, metadata-only: fragments
+        written before the add lack the field and scan as NULL (Spark
+        null-fills nested fields missing from a file's physical schema);
+        fragments written after carry it. The struct-level counterpart of
+        add_column (reference sdk/dataset.go:623 AddColumns with nested
+        field specs)."""
+        if "." not in path:
+            return self.add_column(path, dtype)
+        parts = path.split(".")
+        new_field = StructType.fromDDL(f"{parts[-1]} {dtype}").fields[0]
+        schema = self._add_nested(self.schema, parts, new_field)
+        self._commit(
+            _Txn(op="schema", read_version=self.version, schema_json=schema.json())
+        )
+        return self
+
     def merge_schema(self, other, defaults: dict[str, str] | None = None) -> "Dataset":
         """Merge(new schema) (reference sdk/dataset.go:1038): add every
         field of ``other`` (a StructType or DDL string) that the dataset
@@ -1485,7 +1610,13 @@ class Dataset:
                 referenced.update(f.deletion_files)
         # staged (detached) transactions reference data files outside any
         # manifest until commit_staged — pin them too, or a vacuum between
-        # stage_append and commit_staged breaks the later commit
+        # stage_append and commit_staged breaks the later commit. EXPIRED
+        # stages no longer pin: their commit is permanently refused, so
+        # their files are reclaimable (cleanup_expired removes the payloads
+        # themselves).
+        import time as _time
+
+        now = _time.time()
         staged_dir = os.path.join(self.path, "_staged")
         if os.path.isdir(staged_dir):
             for fn in os.listdir(staged_dir):
@@ -1493,6 +1624,9 @@ class Dataset:
                     continue
                 with open(os.path.join(staged_dir, fn)) as fh:
                     payload = json.load(fh)
+                exp = payload.get("expires_at")
+                if exp is not None and now >= exp:
+                    continue
                 referenced.update(a["path"] for a in payload.get("added", []))
                 for names in payload.get("new_deletes", {}).values():
                     referenced.update(names)  # staged-delete sidecars
@@ -1504,6 +1638,20 @@ class Dataset:
                 if rel not in referenced:
                     os.remove(os.path.join(d, fn))
                     removed.append(rel)
+        # persisted ivf/fts index builds live under _indexes/<name>_<token>;
+        # dirs no kept manifest references (failed builds, losing racers,
+        # dropped indexes past retention) are orphans — reclaim them
+        idx_root = os.path.join(self.path, "_indexes")
+        if os.path.isdir(idx_root):
+            ref_dirs = set()
+            for v in keep:
+                for d in self._load(v).indexes.values():
+                    if d.get("path"):
+                        ref_dirs.add(os.path.basename(d["path"]))
+            for fn in os.listdir(idx_root):
+                if fn not in ref_dirs:
+                    shutil.rmtree(os.path.join(idx_root, fn), ignore_errors=True)
+                    removed.append(f"_indexes/{fn}")
         for v in all_vs:
             if v not in keep:
                 os.remove(self._manifest_path(v))
@@ -1616,22 +1764,29 @@ class Dataset:
         m = self.manifest
         if name in m.indexes:
             raise ValueError(f"index {name!r} already exists")
+        phys = self._phys(column)
         desc: dict = {
             "kind": kind,
             "column": column,
+            "phys": phys,
             "path": None,
             "covers_version": self.version,
             "params": {k: v for k, v in params.items()},
         }
         txn = _Txn(op="index", read_version=self.version, index_put={name: desc})
-        phys = self._phys(column)
         if kind == "bitmap":
             txn.stats_patch = self._bitmap_backfill(m, phys)
-            txn.bitmap_columns = sorted(set(m.bitmap_columns) | {phys})
+            txn.bitmap_add = phys
         elif kind == "bloom":
-            txn.bloom_columns = sorted(set(m.bloom_columns) | {phys})
+            txn.bloom_add = phys
         elif kind in ("ivf", "fts"):
-            rel = os.path.join("_indexes", name)
+            # unique staging path per build attempt: a same-name race's
+            # LOSING create (its _commit raises ConflictError) must not
+            # clobber the winner's persisted files, and the committed
+            # descriptor must point at files built from ITS OWN snapshot.
+            # Orphaned build dirs (failed/raced creates) are swept by
+            # vacuum(), which keeps only dirs referenced by kept manifests.
+            rel = os.path.join("_indexes", f"{name}_{uuid.uuid4().hex[:12]}")
             desc["path"] = rel
             full = os.path.join(self.path, rel)
             id_col = params.pop("id_col", None)
@@ -1709,8 +1864,11 @@ class Dataset:
         return patch
 
     def drop_index(self, name: str) -> "Dataset":
-        """Unregister an index (files are reclaimed by vacuum policy, not
-        here — the descriptor may still be referenced by older versions)."""
+        """Unregister an index. Files are reclaimed by vacuum policy, not
+        here (the descriptor may still be referenced by older versions);
+        dropping a bitmap/bloom index also retracts its column from the
+        write-path declaration lists when no other index still covers it —
+        symmetric with create_index, which added the declaration."""
         if name not in self.manifest.indexes:
             raise ValueError(f"no index named {name!r}")
         self._commit(_Txn(op="index", read_version=self.version, index_drop=name))
@@ -1754,15 +1912,31 @@ class Dataset:
         os.makedirs(d, exist_ok=True)
         return d
 
-    def stage_append(self, df: DataFrame) -> str:
+    @staticmethod
+    def _stage_meta(ttl_seconds: float | None) -> dict:
+        import time
+
+        now = time.time()
+        return {
+            "created_at": now,
+            "expires_at": (now + ttl_seconds) if ttl_seconds is not None else None,
+        }
+
+    def stage_append(self, df: DataFrame, ttl_seconds: float | None = None) -> str:
         """Detached transaction (reference detached_txn.go:23-192): write the
         data files NOW against the current read version, stage the manifest
-        diff outside the version chain, commit later. Returns the stage id."""
+        diff outside the version chain, commit later. Returns the stage id.
+
+        ``ttl_seconds`` bounds the stage's lifetime (reference detached-txn
+        timeouts, sdk/dataset.go:1214-1243): past expiry, commit_staged
+        refuses with StageExpiredError, vacuum stops pinning the staged
+        files, and cleanup_expired() reclaims them."""
         frags = self._write_fragments(df, start_id=0)  # ids assigned at commit
         sid = uuid.uuid4().hex
         payload = {
             "op": "append",
             "read_version": self.version,
+            **self._stage_meta(ttl_seconds),
             "added": [
                 {
                     "path": f.path,
@@ -1777,7 +1951,7 @@ class Dataset:
             json.dump(payload, fh)
         return sid
 
-    def stage_delete(self, predicate: str) -> str:
+    def stage_delete(self, predicate: str, ttl_seconds: float | None = None) -> str:
         """Detached DELETE (reference detached_txn.go CreateDetachedDelete):
         the predicate is evaluated NOW — deletion sidecars are written
         against the current fragments — and the manifest diff is staged
@@ -1800,6 +1974,7 @@ class Dataset:
         payload = {
             "op": "delete",
             "read_version": self.version,
+            **self._stage_meta(ttl_seconds),
             "removed_ids": sorted(dead_ids),
             "new_deletes": {str(fid): names for fid, names in new_deletes.items()},
         }
@@ -1807,7 +1982,7 @@ class Dataset:
             json.dump(payload, fh)
         return sid
 
-    def stage_overwrite(self, df: DataFrame) -> str:
+    def stage_overwrite(self, df: DataFrame, ttl_seconds: float | None = None) -> str:
         """Detached OVERWRITE (CreateDetachedOverwrite): the replacement
         data is written now; the commit later succeeds only if no other
         commit landed since this read version (overwrite's strict conflict
@@ -1817,6 +1992,7 @@ class Dataset:
         payload = {
             "op": "overwrite",
             "read_version": self.version,
+            **self._stage_meta(ttl_seconds),
             "schema_json": df.schema.json(),
             "added": [
                 {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
@@ -1831,13 +2007,81 @@ class Dataset:
         d = self._staged_dir()
         return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))
 
+    def staged_info(self) -> list[dict]:
+        """Status metadata for every staged transaction (reference
+        GetDetachedStatus/ListDetached, sdk/dataset.go:1214-1243): id, op,
+        read version, timestamps, live expiry state, and staged sizes."""
+        import time
+
+        now = time.time()
+        out = []
+        for sid in self.staged():
+            with open(os.path.join(self._staged_dir(), f"{sid}.json")) as fh:
+                p = json.load(fh)
+            exp = p.get("expires_at")
+            out.append(
+                {
+                    "stage_id": sid,
+                    "op": p["op"],
+                    "read_version": p["read_version"],
+                    "created_at": p.get("created_at"),
+                    "expires_at": exp,
+                    "expired": exp is not None and now >= exp,
+                    "n_added_fragments": len(p.get("added", [])),
+                    "added_rows": sum(a["rows"] for a in p.get("added", [])),
+                }
+            )
+        return out
+
+    def cleanup_expired(self) -> list[str]:
+        """Reclaim expired staged transactions (reference
+        CleanupExpiredDetached, sdk/dataset.go:1214-1243): their payloads,
+        staged data files, and staged deletion sidecars are removed — none
+        were ever referenced by a manifest (commit_staged deletes the
+        payload on success, and an expired stage can never commit).
+        Returns removed paths."""
+        import time
+
+        now = time.time()
+        removed: list[str] = []
+        for sid in self.staged():
+            p = os.path.join(self._staged_dir(), f"{sid}.json")
+            with open(p) as fh:
+                payload = json.load(fh)
+            exp = payload.get("expires_at")
+            if exp is None or now < exp:
+                continue
+            for a in payload.get("added", []):
+                fp = os.path.join(self.path, a["path"])
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    removed.append(a["path"])
+            for names in payload.get("new_deletes", {}).values():
+                for rel in names:
+                    fp = os.path.join(self.path, rel)
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        removed.append(rel)
+            os.remove(p)
+            removed.append(f"_staged/{sid}.json")
+        return removed
+
     def commit_staged(self, stage_id: str) -> "Dataset":
         """Commit a previously staged transaction; the normal optimistic
         rebase applies, so commits that landed since the stage are folded in
-        (append), conflict-checked (delete), or rejected (overwrite)."""
+        (append), conflict-checked (delete), or rejected (overwrite).
+        An expired stage (ttl_seconds elapsed) refuses permanently."""
+        import time
+
         p = os.path.join(self._staged_dir(), f"{stage_id}.json")
         with open(p) as fh:
             payload = json.load(fh)
+        exp = payload.get("expires_at")
+        if exp is not None and time.time() >= exp:
+            raise StageExpiredError(
+                f"stage {stage_id} expired at {exp} (ttl elapsed); "
+                f"cleanup_expired() reclaims its files"
+            )
         self._manifest = self._load(self._latest_version())
         op = payload["op"]
         if op == "delete":

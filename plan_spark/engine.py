@@ -250,22 +250,30 @@ class Engine:
         (table, version) pair is materialized as a temp view named
         ``t__vN`` over ``Dataset.checkout(n).to_df()`` — a metadata-only
         manifest load; the scan itself stays lazy — and the query text is
-        rewritten to use it. The rewrite runs only OUTSIDE single-quoted
-        string literals."""
+        rewritten to use it. The rewrite runs only OUTSIDE quoted string
+        literals / quoted identifiers, and only on relations introduced by
+        FROM/JOIN (an unanchored ``\\w+ VERSION AS OF`` would capture a
+        trailing table ALIAS and try to open the alias as a dataset)."""
 
         def repl(m: re.Match) -> str:
-            tbl, ver = m.group(1), int(m.group(2))
+            kw, tbl, alias, ver = (
+                m.group(1), m.group(2), m.group(3) or "", int(m.group(4)),
+            )
             view = f"{tbl}__v{ver}"
             snap = self.dataset(tbl).checkout(ver)
             snap.to_df().createOrReplaceTempView(view)
-            return view
+            return f"{kw}{view}{alias}"
 
-        # split on single-quoted literals ('' escapes included) and rewrite
-        # only the code segments between them
-        parts = re.split(r"('(?:[^']|'')*')", s)
+        # split on single-quoted literals ('' escapes included) AND
+        # double-quoted identifiers, rewriting only the code between them
+        parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", s)
         for i in range(0, len(parts), 2):
             parts[i] = re.sub(
-                r"(?is)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", repl, parts[i]
+                r"(?is)(\bFROM\s+|\bJOIN\s+|,\s*)(\w+)"
+                r"((?:\s+AS)?\s+(?!VERSION\b)\w+)?"
+                r"\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+                repl,
+                parts[i],
             )
         return "".join(parts)
 

@@ -46,14 +46,25 @@ def _sq(a):
     )
 
 
-def assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "v") -> DataFrame:
+def assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    id_col: str | None = None,
+) -> DataFrame:
     """Nearest-centroid assignment (squared L2, lowest-id tiebreak).
+
+    ``id_col`` must be a UNIQUE row key (defaults to the first non-vector
+    column). The argmax groups on this key alone — grouping on every column
+    would collapse exact-duplicate rows into one observation and silently
+    de-weight them relative to standard Lloyd's.
 
     Returns ``df``'s columns plus ``centroid`` (int) and ``dist2`` (double).
     One broadcast join + one struct-max aggregate; the corpus shuffles once
     on its own key column, never on the scored cross product.
     """
     spark = df.sparkSession
+    id_col = id_col or next(c for c in df.columns if c != vec_col)
     c = local_df(
         spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
@@ -63,15 +74,22 @@ def assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "v") -> D
         "dist2",
         _sq(F.col(vec_col)) - 2 * _dot(F.col("cv"), F.col(vec_col)) + _sq(F.col("cv")),
     )
-    keys = [f for f in df.columns]
+    carried = [c_ for c_ in df.columns if c_ != id_col]
     best = (
-        scored.groupBy(*keys)
+        scored.groupBy(id_col)
         .agg(
             F.min(
                 F.struct(F.col("dist2").alias("dist2"), F.col("c_id").alias("c_id"))
-            ).alias("m")
+            ).alias("m"),
+            # every grouped row is the SAME input row scored against a
+            # different centroid, so first() is deterministic in value
+            *[F.first(c_).alias(c_) for c_ in carried],
         )
-        .select(*keys, F.col("m.c_id").alias("centroid"), F.col("m.dist2").alias("dist2"))
+        .select(
+            *df.columns,
+            F.col("m.c_id").alias("centroid"),
+            F.col("m.dist2").alias("dist2"),
+        )
     )
     return best
 
@@ -86,7 +104,9 @@ def fit(
 ) -> tuple[list[list[float]], int]:
     """Lloyd's algorithm. Seeds are the k rows with the lowest ``seed_col``
     values (deterministic — no RNG, reproducible across runs/engines);
-    defaults to the first column of ``df``.
+    defaults to the first column of ``df``. ``seed_col`` doubles as the
+    unique row key the assignment argmax groups on — it must be unique, or
+    duplicate rows would merge (see assign()).
 
     Returns (centroids, iterations_run). ``df`` is cached for the loop and
     unpersisted before returning.
@@ -105,7 +125,7 @@ def fit(
     try:
         centroids = seeds
         for it in range(1, max_iter + 1):
-            a = assign(data, centroids, vec_col=vec_col)
+            a = assign(data, centroids, vec_col=vec_col, id_col=seed_col)
             # per-(cluster, dimension) mean: explode to k*dim cells map-side
             cells = (
                 a.select("centroid", F.posexplode(vec_col).alias("pos", "x"))

@@ -28,6 +28,12 @@ from plan_spark.streaming.windows import (
 )
 
 
+# one gated session per base session, reused across calls: memory-sink
+# name-based dedup (run_available_now) keeps working, and a session per
+# invocation would leak one dead sink table per bench pass
+_GATED_SESSIONS: dict[int, SparkSession] = {}
+
+
 def _gated_available_now(
     spark: SparkSession, sf_dir: str, build, name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -39,19 +45,26 @@ def _gated_available_now(
     the single-file fixture). Exactly like the batch-side
     _spread_small_scan gate: a single-file fixture stream runs with 8
     state partitions; a real many-file stream keeps the session setting —
-    at scale MORE state partitions is what you want. ``build`` is called
-    under the gated conf because shuffle.partitions is captured at
-    streaming-plan creation."""
+    at scale MORE state partitions is what you want.
+
+    The gated setting lives in a DEDICATED newSession() (shared
+    SparkContext, isolated SQL conf): mutating the caller's session-global
+    shuffle.partitions around plan construction would silently re-plan any
+    batch query built concurrently on the shared session with 8 partitions.
+    ``build(session)`` constructs the streaming plan on whichever session
+    carries the right conf (shuffle.partitions is captured at plan time)."""
     from plan_spark.queries.text_ops import _small_layout
 
-    conf = spark.conf
-    old_parts = conf.get("spark.sql.shuffle.partitions")
     if _small_layout(spark, f"{sf_dir}/events.parquet"):
-        conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return run_available_now(build(), name, output_mode=output_mode)
-    finally:
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+        key = id(spark)
+        s = _GATED_SESSIONS.get(key)
+        if s is None:
+            s = spark.newSession()
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            _GATED_SESSIONS[key] = s
+    else:
+        s = spark
+    return run_available_now(build(s), name, output_mode=output_mode)
 
 
 _STREAM_TUMBLING_SQL = """
@@ -74,8 +87,8 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     StateStore aggregate (StateStoreSave in explain), not a batch rewrite;
     bounding it with availableNow makes the result deterministic and equal
     to the batch tumbling aggregate the oracle computes."""
-    def build():
-        ev = _events_stream(spark, sf_dir)
+    def build(s):
+        ev = _events_stream(s, sf_dir)
         return (
             ev.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
@@ -118,8 +131,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming counterpart of the batch `sessionize` query, and the shape
     the reference engine has no construct for. Oracle derives identical
     sessions with lag+cumsum SQL."""
-    def build():
-        ev = _events_stream(spark, sf_dir)
+    def build(s):
+        ev = _events_stream(s, sf_dir)
         return (
             ev.withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -151,8 +164,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explain); which physical row survives is racy, so the query returns
     only key-derived counts — deterministic, and equal to the batch
     DISTINCT the oracle computes."""
-    def build():
-        ev = _events_stream(spark, sf_dir)
+    def build(s):
+        ev = _events_stream(s, sf_dir)
         keyed = ev.withWatermark("ts", "1 hour").select(
             "user_id",
             "event_type",
@@ -206,7 +219,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _gated_available_now(
         spark,
         sf_dir,
-        lambda: click_purchase_join_stream(spark, sf_dir, user_mod=_JOIN_USER_MOD),
+        lambda s: click_purchase_join_stream(s, sf_dir, user_mod=_JOIN_USER_MOD),
         "stream_join_sink",
         output_mode="append",
     )
@@ -246,7 +259,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _gated_available_now(
         spark,
         sf_dir,
-        lambda: enriched_stream(spark, sf_dir).select("event_type", "lifetime_events"),
+        lambda s: enriched_stream(s, sf_dir).select("event_type", "lifetime_events"),
         "stream_enrich_sink",
         output_mode="append",
     )

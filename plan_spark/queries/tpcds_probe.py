@@ -429,3 +429,124 @@ def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 shape: months deviating from the brand's centered rolling average
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q89_SQL = f"""
+WITH monthly AS (
+  SELECT p_brand,
+         year(l_shipdate)  AS yr,
+         month(l_shipdate) AS mo,
+         SUM({REV_SQL})    AS sum_sales_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+), win AS (
+  SELECT p_brand, yr, mo,
+         CAST(sum_sales_dec AS DOUBLE) AS sum_sales,
+         CAST(SUM(sum_sales_dec) OVER (PARTITION BY p_brand ORDER BY yr, mo
+                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand ORDER BY yr, mo
+                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS roll_avg
+  FROM monthly
+)
+SELECT p_brand, yr, mo, sum_sales, roll_avg
+FROM win
+WHERE roll_avg > 0 AND ABS(sum_sales - roll_avg) / roll_avg > 0.15
+ORDER BY p_brand, yr, mo
+"""
+
+
+@register("tpcds_q89", oracle=_TPCDS_Q89_SQL, tags=("tpcds", "window"))
+def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape (cases/tpcds/query/q89.sql — unrunnable by the
+    reference, no window operator): months whose sales deviate >15% from the
+    brand's CENTERED 3-month rolling average (ROWS 1 PRECEDING..1 FOLLOWING
+    — the frame-spec variant q47's whole-partition average doesn't cover).
+
+    Scale shape: one distributed shuffle for the monthly aggregate; the
+    framed window runs over the pre-aggregated brand-month series (O(brands
+    x months) at any corpus size). Exact decimal sums inside the frame,
+    double emitted last — shuffle order cannot move a bit."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum(rev_col()).alias("sum_sales_dec"))
+    )
+    w_roll = (
+        Window.partitionBy("p_brand").orderBy("yr", "mo").rowsBetween(-1, 1)
+    )
+    win = monthly.select(
+        "p_brand",
+        "yr",
+        "mo",
+        F.col("sum_sales_dec").cast("double").alias("sum_sales"),
+        (
+            F.sum("sum_sales_dec").over(w_roll).cast("double")
+            / F.count(F.lit(1)).over(w_roll)
+        ).alias("roll_avg"),
+    )
+    return (
+        win.filter(
+            (F.col("roll_avg") > 0)
+            & (F.abs(F.col("sum_sales") - F.col("roll_avg")) / F.col("roll_avg") > 0.15)
+        )
+        .orderBy("p_brand", "yr", "mo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 shape: customers whose orders carry an item count in a target band
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q34_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_items
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 6 AND 7)
+SELECT c_name, c_custkey, o_orderkey, n_items
+FROM per_order
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY c_name, c_custkey, o_orderkey
+"""
+
+
+@register("tpcds_q34", oracle=_TPCDS_Q34_SQL, tags=("tpcds", "having"))
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape (cases/tpcds/query/q34.sql): group the fact
+    table per ticket/order, HAVING-filter the count into a band, then join
+    the surviving (small) group list back to its customers.
+
+    Scale shape: the per-order count is one map-side-combined shuffle on
+    the fact table's own key; the HAVING band filters BEFORE either join,
+    so orders/customer only ever join against the qualifying subset. Both
+    joins are PINNED sort-merge: the band-filtered group list and orders
+    are each O(orders)-class — at test SF Catalyst would broadcast the
+    2-column orders scan, which deadlocks at 100 TB (gated by
+    test_plans.py's no-broadcast-facts sweep). The reference runs q34's
+    text but this probe exercises the aggregate->filter->multi-join
+    pipeline on the fixture star schema."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(6, 7))
+    )
+    return (
+        per_order.join(od.hint("merge"), per_order.l_orderkey == od.o_orderkey)
+        .join(cu.hint("merge"), F.col("o_custkey") == cu.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "n_items")
+        .orderBy("c_name", "c_custkey", "o_orderkey")
+    )

@@ -62,6 +62,13 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "knn_l2",  # new this round: metric selection (L2)
     "knn_dot",  # new this round: metric selection (dot)
     "fts_bool",  # new this round: boolean FTS
+    "tpcds_q89",  # new this round: framed rolling-average window probe
+    "tpcds_q34",  # new this round: having-band multi-join probe
+    "stream_tumbling_agg",  # changed this round: isolated gated session
+    "stream_sessionize",  # same change
+    "stream_dedup",  # same change
+    "stream_join",  # same change
+    "stream_enrich",  # same change
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -1,0 +1,250 @@
+"""Round-4 lifecycle hardening: detached-transaction TTL/status/cleanup
+(reference sdk/dataset.go:1214-1243 GetDetachedStatus/ListDetached/
+CleanupExpiredDetached), index-build staging paths + vacuum sweep, index
+declaration-list rebase symmetry, and projected point lookups
+(sdk/dataset.go:1156 TakeProjected)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plan_spark.dataset import ConflictError, Dataset
+from plan_spark.dataset.dataset import StageExpiredError
+
+
+@pytest.fixture()
+def tmp_path_ds():
+    d = tempfile.mkdtemp(prefix="plan_spark_ds_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 2.5).alias("val"),
+    )
+
+
+def _more(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 2.5).alias("val")
+    )
+
+
+# ----------------------------------------------------- detached-txn lifecycle
+def test_staged_info_reports_status(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid_live = ds.stage_append(_more(spark, 200, 250), ttl_seconds=3600)
+    sid_forever = ds.stage_append(_more(spark, 250, 300))
+    sid_dead = ds.stage_append(_more(spark, 300, 350), ttl_seconds=-1)
+    info = {i["stage_id"]: i for i in ds.staged_info()}
+    assert set(info) == {sid_live, sid_forever, sid_dead}
+    assert info[sid_live]["expired"] is False
+    assert info[sid_forever]["expired"] is False
+    assert info[sid_forever]["expires_at"] is None
+    assert info[sid_dead]["expired"] is True
+    assert info[sid_live]["op"] == "append"
+    assert info[sid_live]["added_rows"] == 50
+
+
+def test_expired_stage_refuses_commit_and_is_reclaimed(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid = ds.stage_append(_more(spark, 200, 260), ttl_seconds=-1)
+    staged_files = [
+        a["path"]
+        for a in __import__("json").load(
+            open(os.path.join(tmp_path_ds, "_staged", f"{sid}.json"))
+        )["added"]
+    ]
+    assert staged_files and all(
+        os.path.exists(os.path.join(tmp_path_ds, p)) for p in staged_files
+    )
+    with pytest.raises(StageExpiredError):
+        ds.commit_staged(sid)
+    removed = ds.cleanup_expired()
+    assert f"_staged/{sid}.json" in removed
+    assert all(not os.path.exists(os.path.join(tmp_path_ds, p)) for p in staged_files)
+    assert ds.staged() == []
+    assert ds.to_df().count() == 200  # nothing leaked into the table
+
+
+def test_unexpired_stage_survives_vacuum_expired_does_not(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid_live = ds.stage_append(_more(spark, 200, 240), ttl_seconds=3600)
+    sid_dead = ds.stage_append(_more(spark, 240, 280), ttl_seconds=-1)
+    import json as _json
+
+    def files_of(sid):
+        with open(os.path.join(tmp_path_ds, "_staged", f"{sid}.json")) as fh:
+            return [a["path"] for a in _json.load(fh)["added"]]
+
+    live_files, dead_files = files_of(sid_live), files_of(sid_dead)
+    ds.append(_more(spark, 280, 290))  # extra version so vacuum has work
+    ds.vacuum(keep_versions=1)
+    # unexpired staged data is pinned; expired staged data is reclaimable
+    assert all(os.path.exists(os.path.join(tmp_path_ds, p)) for p in live_files)
+    assert all(not os.path.exists(os.path.join(tmp_path_ds, p)) for p in dead_files)
+    # and the pinned stage still commits cleanly after the vacuum
+    ds.commit_staged(sid_live)
+    assert ds.to_df().count() == 250
+
+
+def test_stage_delete_ttl(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(2))
+    sid = ds.stage_delete("grp = 3", ttl_seconds=-1)
+    with pytest.raises(StageExpiredError):
+        ds.commit_staged(sid)
+    ds.cleanup_expired()
+    assert ds.staged() == []
+    assert ds.to_df().filter("grp = 3").count() == 40  # delete never applied
+
+
+# --------------------------------------------- index staging path + vacuum
+def test_create_index_unique_path_and_race_isolation(spark, tmp_path_ds, base_df):
+    docs = spark.range(0, 50).select(
+        F.col("id"), F.concat(F.lit("spark table doc "), F.col("id")).alias("text")
+    )
+    ds = Dataset.create(spark, tmp_path_ds, docs)
+    stale = Dataset.open(spark, tmp_path_ds)  # same-version second handle
+    ds.create_index("ft", "fts", "text", id_col="id")
+    desc = ds.manifest.indexes["ft"]
+    assert desc["path"].startswith(os.path.join("_indexes", "ft_"))
+    # the losing racer must conflict AND must not clobber the winner's files
+    with pytest.raises(ConflictError):
+        stale.create_index("ft", "fts", "text", id_col="id")
+    idx = ds.open_index("ft")
+    assert idx.search(["spark"], top_k=3).count() > 0
+    # vacuum reclaims the loser's orphaned build dir, keeps the winner's
+    removed = ds.vacuum(keep_versions=1)
+    orphans = [r for r in removed if r.startswith("_indexes/")]
+    assert len(orphans) == 1 and not orphans[0].endswith(os.path.basename(desc["path"]))
+    assert os.path.isdir(os.path.join(tmp_path_ds, desc["path"]))
+    assert ds.open_index("ft").search(["spark"], top_k=3).count() > 0
+
+
+def test_vacuum_reclaims_dropped_index_dir(spark, tmp_path_ds, base_df):
+    docs = spark.range(0, 30).select(
+        F.col("id"), F.concat(F.lit("alpha beta "), F.col("id")).alias("text")
+    )
+    ds = Dataset.create(spark, tmp_path_ds, docs)
+    ds.create_index("ft", "fts", "text", id_col="id")
+    rel = ds.manifest.indexes["ft"]["path"]
+    ds.drop_index("ft")
+    removed = ds.vacuum(keep_versions=1)
+    assert f"_indexes/{os.path.basename(rel)}" in removed
+    assert not os.path.isdir(os.path.join(tmp_path_ds, rel))
+
+
+# ------------------------------------- declaration-list rebase + drop symmetry
+def test_concurrent_bitmap_creates_union_declarations(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    stale = Dataset.open(spark, tmp_path_ds)
+    ds.create_index("ia", "bitmap", "grp")
+    # different name, different column, staler read version: rebases cleanly
+    stale.create_index("ib", "bloom", "id")
+    m = Dataset.open(spark, tmp_path_ds).manifest
+    assert "grp" in m.bitmap_columns, "concurrent create lost the first declaration"
+    assert "id" in m.bloom_columns
+    assert set(m.indexes) == {"ia", "ib"}
+
+
+def test_drop_index_retracts_declaration(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    ds.create_index("ia", "bitmap", "grp")
+    assert "grp" in ds.manifest.bitmap_columns
+    ds.drop_index("ia")
+    assert "grp" not in ds.manifest.bitmap_columns
+    # two indexes covering one column: dropping one keeps the declaration
+    ds.create_index("i1", "bloom", "id")
+    ds.create_index("i2", "bloom", "id")
+    ds.drop_index("i1")
+    assert "id" in ds.manifest.bloom_columns
+    ds.drop_index("i2")
+    assert "id" not in ds.manifest.bloom_columns
+
+
+# ------------------------------------------------------- projected take_rows
+def test_take_rows_projected(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df, row_ids=True)
+    out = ds.take_rows([3, 7], columns=["val"])
+    assert sorted(out.columns) == ["_rowid", "val"]
+    rows = {r._rowid: r.val for r in out.collect()}
+    assert rows == {3: 7.5, 7: 17.5}
+    # the projection reaches the parquet ReadSchema: untouched wide columns
+    # (grp) are absent from the scan schema
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("grp" not in s for s in schemas), plan[:2000]
+    assert any("val" in s for s in schemas)
+    with pytest.raises(ValueError):
+        ds.take_rows([3], columns=["nope"])
+    # empty-prune path honors the projection too
+    empty = ds.take_rows([10_000_000], columns=["val"])
+    assert sorted(empty.columns) == ["_rowid", "val"] and empty.count() == 0
+
+
+# --------------------------------------------- nested schema evolution
+def test_nested_add_drop_path_roundtrip(spark, tmp_path_ds):
+    """DropPath/AddPath (reference sdk/dataset.go:816): struct-field-level
+    evolution as metadata-only commits — old files null-fill added fields,
+    dropped fields vanish from scans but survive in time travel, and the
+    evolved schema survives compaction (which rewrites under it)."""
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        F.struct(
+            F.concat(F.lit("h"), F.col("id")).alias("host"),
+            (F.col("id") % 3).alias("kind"),
+        ).alias("meta"),
+    )
+    ds = Dataset.create(spark, tmp_path_ds, df.repartition(2))
+    v1 = ds.version
+
+    # add a nested field: old fragments scan it as NULL
+    ds.add_path("meta.score", "double")
+    row = ds.to_df().filter("id = 1").select("meta.score").first()
+    assert row[0] is None
+    # new appends carry the field
+    ds.append(
+        spark.range(40, 50).select(
+            F.col("id"),
+            F.struct(
+                F.concat(F.lit("h"), F.col("id")).alias("host"),
+                (F.col("id") % 3).alias("kind"),
+                (F.col("id") * 1.5).alias("score"),
+            ).alias("meta"),
+        )
+    )
+    got = {r.id: r.s for r in ds.to_df().select("id", F.col("meta.score").alias("s")).collect()}
+    assert got[45] == 67.5 and got[1] is None and len(got) == 50
+
+    # drop a nested field: gone from scans, present in time travel
+    ds.drop_path("meta.kind")
+    assert "kind" not in ds.to_df().select("meta.*").columns
+    assert "kind" in ds.checkout(v1).to_df().select("meta.*").columns
+
+    # compaction rewrites under the evolved schema and keeps values
+    ds.compact(target_files=1)
+    out = ds.to_df()
+    assert "kind" not in out.select("meta.*").columns
+    got = {r.id: r.s for r in out.select("id", F.col("meta.score").alias("s")).collect()}
+    assert got[45] == 67.5 and got[1] is None and len(got) == 50
+
+    # guardrails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ds.drop_path("meta.nope")
+    with _pytest.raises(ValueError):
+        ds.drop_path("id.sub")
+    with _pytest.raises(ValueError):
+        ds.add_path("meta.score", "double")  # already exists (post-compact schema)

@@ -356,3 +356,29 @@ def test_time_travel_sql(engine):
     # a VERSION AS OF inside a string literal is untouched
     lit = eng.sql("SELECT 'tt VERSION AS OF 1' AS s").first()["s"]
     assert lit == "tt VERSION AS OF 1"
+
+
+def test_time_travel_alias_and_quoted_identifiers(engine):
+    """The rewrite anchors on FROM/JOIN (an alias before VERSION AS OF must
+    not be mistaken for the table) and leaves quoted strings/identifiers
+    untouched."""
+    eng = engine
+    eng.sql("CREATE TABLE ta (a INT)")
+    eng.sql("INSERT INTO ta VALUES (1), (2)")  # v1
+    v1 = eng.dataset("ta").version
+    eng.sql("DELETE FROM ta WHERE a = 1")      # v2
+    # aliased historical relation: 'x' is an alias, 'ta' is the dataset
+    got = eng.sql(
+        f"SELECT x.a FROM ta AS x VERSION AS OF {v1} ORDER BY x.a"
+    ).collect()
+    assert [r.a for r in got] == [1, 2]
+    # bare alias without AS
+    got = eng.sql(
+        f"SELECT x.a FROM ta x VERSION AS OF {v1} ORDER BY x.a"
+    ).collect()
+    assert [r.a for r in got] == [1, 2]
+    # double-quoted segments are protected from the rewrite (Spark reads
+    # "..." as a string literal; other dialects as an identifier — either
+    # way the rewriter must not touch the inside)
+    lit = eng.sql('SELECT "ta VERSION AS OF 1" AS s').first()
+    assert lit["s"] == "ta VERSION AS OF 1"

@@ -66,3 +66,19 @@ def test_fit_raises_on_too_few_rows(spark, emb):
     tiny = emb.limit(2)
     with pytest.raises(ValueError):
         kmeans.fit(tiny, vec_col="v", k=5, max_iter=3)
+
+
+def test_assign_keeps_duplicate_rows_as_observations(spark):
+    """The argmax groups on the unique id, not every column: exact duplicate
+    vectors under different ids stay separate observations (standard Lloyd
+    weighting — collapsing them would bias the centroid update)."""
+    rows = [(0, [0.0, 0.0]), (1, [9.0, 9.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a = kmeans.assign(df, [[0.0, 0.0], [9.0, 9.0]], vec_col="v", id_col="id")
+    got = a.collect()
+    assert len(got) == 4  # no duplicate collapse
+    assert {r.id: r.centroid for r in got} == {0: 0, 1: 1, 2: 0, 3: 0}
+    # fit (seeds = ids 0,1): the triple-weighted origin holds centroid 0
+    # exactly at the origin — a collapsed-duplicate update would not
+    cents, _ = kmeans.fit(df, vec_col="v", k=2, max_iter=3, seed_col="id")
+    assert cents[0] == [0.0, 0.0] and cents[1] == [9.0, 9.0]

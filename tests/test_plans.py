@@ -69,6 +69,8 @@ def test_no_fact_table_is_ever_broadcast(spark):
     # vectors/terms), not the fact itself
     BOUNDED_PROBE = {
         "knn_brute",
+        "knn_l2",  # same bounded query-set broadcast as knn_brute
+        "knn_dot",  # same
         "knn_filtered",
         "emb_stats",
         "kmeans_assign",

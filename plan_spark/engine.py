@@ -488,19 +488,51 @@ class Engine:
         WHEN MATCHED THEN (UPDATE SET *|DELETE) WHEN NOT MATCHED THEN
         INSERT * — the SQL face of Dataset.merge_insert (reference
         merge_insert.go:19-134). ON accepts bare key columns or
-        t.k = s.k equality conjuncts on same-named columns."""
+        t.k = s.k equality conjuncts on same-named columns.
+
+        The USING source is extracted with a quote-aware balanced-paren
+        scan, not a regex: a nested subquery (or a ')' inside a string
+        literal) would make a non-greedy regex split the source at the
+        wrong parenthesis and hand Catalyst a truncated query."""
+        head = re.match(r"(?is)^MERGE\s+INTO\s+(\w+)\s+USING\s+", s)
+        if not head:
+            raise ValueError(f"unsupported MERGE statement: {s[:120]!r}")
+        tgt, rest = head.group(1), s[head.end():]
+        src_q = src_table = None
+        if rest.startswith("("):
+            depth, quote, end = 0, None, -1
+            for i, ch in enumerate(rest):
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in ("'", '"'):
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise ValueError(f"unbalanced parentheses in MERGE USING: {s[:120]!r}")
+            src_q, rest = rest[1:end], rest[end + 1 :]
+        else:
+            tm = re.match(r"(?s)^(\w+)", rest)
+            if not tm:
+                raise ValueError(f"unsupported MERGE statement: {s[:120]!r}")
+            src_table, rest = tm.group(1), rest[tm.end():]
         m = re.match(
-            r"(?is)^MERGE\s+INTO\s+(\w+)\s+USING\s+(\((.*?)\)|\w+)(?:\s+AS\s+\w+|\s+(\w+))?"
-            r"\s+ON\s+(.*?)"
+            r"(?is)^(?:\s+(?:AS\s+)?(?!ON\b)\w+)?\s+ON\s+(.*?)"
             r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE))?"
             r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(INSERT\s+\*))?$",
-            s,
+            rest,
         )
-        if not m or (not m.group(6) and not m.group(7)):
+        if not m or (not m.group(2) and not m.group(3)):
             raise ValueError(f"unsupported MERGE statement: {s[:120]!r}")
-        tgt, src_q, on = m.group(1), m.group(3), m.group(5)
+        on = m.group(1)
         self._register_views()
-        source = self.spark.sql(src_q) if src_q else self.spark.table(m.group(2))
+        source = self.spark.sql(src_q) if src_q else self.spark.table(src_table)
         keys = []
         # key lists may be AND-separated equality conjuncts or comma-
         # separated bare column names (the docstring's "ON key[, key...]")
@@ -516,9 +548,9 @@ class Engine:
                     f"MERGE ON must be same-named equality conjuncts: {part!r}"
                 )
         when_matched = None
-        if m.group(6):
-            when_matched = "delete" if m.group(6).lower() == "delete" else "update"
-        when_not_matched = "insert" if m.group(7) else None
+        if m.group(2):
+            when_matched = "delete" if m.group(2).lower() == "delete" else "update"
+        when_not_matched = "insert" if m.group(3) else None
         self.dataset(tgt).merge_insert(
             source, keys, when_matched=when_matched, when_not_matched=when_not_matched
         )

@@ -299,3 +299,119 @@ from plan_spark.queries.vector_ops import _KNN_BRUTE_SQL as _DS_KNN_SQL  # noqa:
 from plan_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["ds_index_knn"] = _dc_replace(_REG["ds_index_knn"], oracle=_DS_KNN_SQL)
+
+
+_DS_DETACHED_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+direct AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1),
+staged AS (SELECT * FROM orders WHERE o_orderkey % 4 = 2),
+kept AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM direct) t
+  WHERE NOT (o_totalprice > 200000)
+  UNION ALL
+  SELECT * FROM staged
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("ds_detached_scan", oracle=_DS_DETACHED_SQL, tags=("dataset", "detached"))
+def ds_detached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detached-transaction lifecycle end to end (reference
+    detached_txn.go:23-192 + sdk/dataset.go:1214-1243 expiry): stage an
+    append, land a DIRECT append after it (so the staged commit must
+    rebase), stage a delete evaluated against the post-append snapshot,
+    stage a third append with an already-elapsed TTL, cleanup_expired()
+    (its rows must never surface), then commit both live stages and scan.
+    The final table must equal the relational emulation: (base + direct)
+    minus the delete predicate, plus the staged append."""
+    path = _scratch("ds_detached", sf_dir)
+    ords = table(spark, sf_dir, "orders")
+    base = ords.filter(F.col("o_orderkey") % 4 == 0)
+    direct = ords.filter(F.col("o_orderkey") % 4 == 1)
+    staged = ords.filter(F.col("o_orderkey") % 4 == 2)
+    expired = ords.filter(F.col("o_orderkey") % 4 == 3)
+    ds = Dataset.create(spark, path, base.repartition(4))
+    sid_append = ds.stage_append(staged.repartition(2), ttl_seconds=3600)
+    ds.append(direct.repartition(2))  # forces the staged commit to rebase
+    sid_delete = ds.stage_delete("o_totalprice > 200000")
+    sid_dead = ds.stage_append(expired, ttl_seconds=-1)
+    ds.cleanup_expired()
+    assert sid_dead not in ds.staged()
+    ds.commit_staged(sid_delete)
+    ds.commit_staged(sid_append)
+    return (
+        ds.to_df()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DS_NESTED_SQL = """
+WITH rows_all AS (
+  SELECT event_type AS etype, CAST(NULL AS DOUBLE) AS score
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type, value * 2
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT etype, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       CAST(SUM(CAST(COALESCE(score, 0) AS DECIMAL(18,6))) AS DOUBLE) AS total_score
+FROM rows_all
+GROUP BY etype
+ORDER BY etype
+"""
+
+
+@register("ds_nested_scan", oracle=_DS_NESTED_SQL, tags=("dataset", "schema", "nested"))
+def ds_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested schema evolution end to end (reference sdk/dataset.go:816
+    DropPath): create with a struct column, add_path a nested field (old
+    fragments scan it as NULL), append rows that carry it, drop_path a
+    different nested field, scan and aggregate THROUGH the struct. Both
+    adds and drops are metadata-only — no fragment rewrites — and the
+    result must equal the flat relational emulation."""
+    path = _scratch("ds_nested", sf_dir)
+    ev = table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"), F.col("value").alias("val")
+        ).alias("meta"),
+    )
+    ds = Dataset.create(spark, path, old.repartition(4))
+    ds.add_path("meta.score", "double")
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+            (F.col("value") * 2).alias("score"),
+        ).alias("meta"),
+    )
+    ds.append(new.repartition(2))
+    ds.drop_path("meta.val")
+    return (
+        ds.to_df()
+        .select(F.col("meta.etype").alias("etype"), F.col("meta.score").alias("score"))
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_legacy"),
+            F.sum(F.coalesce(F.col("score"), F.lit(0)).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_score"),
+        )
+        .orderBy("etype")
+    )

@@ -266,6 +266,26 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(q, top_k=_TOP_K, nprobe=4).orderBy("q_id", "rank")
 
 
+@register("knn_batch", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn", "batch"))
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native batch ANN (IvfIndex.search_df): the query set stays
+    a DataFrame end to end — broadcast-centroid routing window, probes
+    joined to the cluster-partitioned vectors, JVM-fold scoring, top-k
+    window. Zero Python and zero driver-side query materialization in the
+    plan (the 10^6-query offline shape; parity with the online driver-probe
+    path is pytest-gated in tests/test_indexes.py).
+
+    With nprobe = k (all 16 clusters probed) the result is EXACTLY the
+    brute-force cosine top-k, so the oracle is knn_brute's SQL — the batch
+    plumbing itself is driver-hash-checked, not just rows-counted."""
+    idx = _ivf_index_for(spark, sf_dir)
+    q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return idx.search_df(q, top_k=_TOP_K, nprobe=16).orderBy("q_id", "rank")
+
+
 _FILTER_LABELS = (0, 1, 2)
 
 _KNN_FILTERED_SQL = f"""

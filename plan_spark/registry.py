@@ -64,6 +64,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "fts_bool",  # new this round: boolean FTS
     "tpcds_q89",  # new this round: framed rolling-average window probe
     "tpcds_q34",  # new this round: having-band multi-join probe
+    "knn_batch",  # new this round: DataFrame-native batch ANN, full-probe oracle
+    "ds_detached_scan",  # new this round: detached-txn lifecycle incl. TTL
+    "ds_nested_scan",  # new this round: nested add_path/drop_path evolution
     "stream_tumbling_agg",  # changed this round: isolated gated session
     "stream_sessionize",  # same change
     "stream_dedup",  # same change

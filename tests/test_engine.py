@@ -382,3 +382,20 @@ def test_time_travel_alias_and_quoted_identifiers(engine):
     # way the rewriter must not touch the inside)
     lit = eng.sql('SELECT "ta VERSION AS OF 1" AS s').first()
     assert lit["s"] == "ta VERSION AS OF 1"
+
+
+def test_merge_sql_nested_subquery_source(engine):
+    """The USING source is extracted by a balanced-paren scan: nested
+    subqueries and ')' inside string literals must survive intact."""
+    eng = engine
+    eng.sql("CREATE TABLE mt (k INT, v STRING)")
+    eng.sql("INSERT INTO mt VALUES (1, 'a'), (2, 'b')")
+    eng.sql(
+        "MERGE INTO mt USING ("
+        "SELECT k, v FROM (SELECT k + 1 AS k, concat(v, ')') AS v"
+        "                  FROM (VALUES (1, 'x'), (2, 'y') AS t(k, v))) inner_q"
+        ") src ON k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.k, r.v) for r in eng.sql("SELECT k, v FROM mt").collect()}
+    assert got == {(1, "a"), (2, "x)"), (3, "y)")}

@@ -1756,10 +1756,13 @@ class Dataset:
           parquet bloom filters live in file footers, so existing fragments
           gain them on their next rewrite (compaction), new writes
           immediately.
-        - "ivf": persisted IvfIndex under ``<root>/_indexes/<name>``
-          (params: id_col, k, nprobe defaults, ...).
-        - "fts": persisted FtsIndex under ``<root>/_indexes/<name>``
-          (params: id_col, tokenizer).
+        - "ivf": persisted IvfIndex under ``<root>/_indexes/<name>_<token>``
+          (params: id_col, k, metric, ...).
+        - "fts": persisted FtsIndex (params: id_col, tokenizer).
+        - "hnsw": persisted sharded HnswIndex (params: id_col, n_shards,
+          m, ef_construction, metric).
+        - "pq" / "sq": persisted quantizer indexes PqIndex / SqIndex
+          (params: id_col, m/k or bits, metric) — codes-only storage.
         """
         m = self.manifest
         if name in m.indexes:
@@ -1779,7 +1782,7 @@ class Dataset:
             txn.bitmap_add = phys
         elif kind == "bloom":
             txn.bloom_add = phys
-        elif kind in ("ivf", "fts"):
+        elif kind in ("ivf", "fts", "hnsw", "pq", "sq"):
             # unique staging path per build attempt: a same-name race's
             # LOSING create (its _commit raises ConflictError) must not
             # clobber the winner's persisted files, and the committed
@@ -1790,18 +1793,7 @@ class Dataset:
             desc["path"] = rel
             full = os.path.join(self.path, rel)
             id_col = params.pop("id_col", None)
-            if kind == "ivf":
-                from plan_spark.indexes.ivf import IvfIndex
-
-                IvfIndex.build(
-                    self.spark,
-                    self.to_df(),
-                    id_col=id_col or "vec_id",
-                    vec_col=column,
-                    path=full,
-                    **params,
-                )
-            else:
+            if kind == "fts":
                 from plan_spark.indexes.fts import FtsIndex
 
                 FtsIndex.build(
@@ -1809,6 +1801,23 @@ class Dataset:
                     self.to_df(),
                     id_col=id_col or "doc_id",
                     text_col=column,
+                    path=full,
+                    **params,
+                )
+            else:
+                from plan_spark.indexes.hnsw import HnswIndex
+                from plan_spark.indexes.ivf import IvfIndex
+                from plan_spark.indexes.pq import PqIndex
+                from plan_spark.indexes.sq import SqIndex
+
+                builder = {
+                    "ivf": IvfIndex, "hnsw": HnswIndex, "pq": PqIndex, "sq": SqIndex,
+                }[kind]
+                builder.build(
+                    self.spark,
+                    self.to_df(),
+                    id_col=id_col or "vec_id",
+                    vec_col=column,
                     path=full,
                     **params,
                 )
@@ -1875,21 +1884,27 @@ class Dataset:
         return self
 
     def open_index(self, name: str):
-        """Open a persisted ivf/fts index object (bitmap/bloom indexes have
-        no object — they live in the manifest/parquet and apply on scan)."""
+        """Open a persisted index object (ivf/fts/hnsw/pq/sq; bitmap/bloom
+        indexes have no object — they live in the manifest/parquet and
+        apply on scan)."""
         desc = self.manifest.indexes.get(name)
         if desc is None:
             raise ValueError(f"no index named {name!r}")
         full = os.path.join(self.path, desc["path"]) if desc["path"] else None
-        if desc["kind"] == "ivf":
-            from plan_spark.indexes.ivf import IvfIndex
-
-            return IvfIndex(self.spark, full)
-        if desc["kind"] == "fts":
+        kind = desc["kind"]
+        if kind in ("ivf", "fts", "hnsw", "pq", "sq"):
             from plan_spark.indexes.fts import FtsIndex
+            from plan_spark.indexes.hnsw import HnswIndex
+            from plan_spark.indexes.ivf import IvfIndex
+            from plan_spark.indexes.pq import PqIndex
+            from plan_spark.indexes.sq import SqIndex
 
-            return FtsIndex(self.spark, full)
-        raise ValueError(f"index {name!r} has kind {desc['kind']!r}; nothing to open")
+            opener = {
+                "ivf": IvfIndex, "fts": FtsIndex, "hnsw": HnswIndex,
+                "pq": PqIndex, "sq": SqIndex,
+            }[kind]
+            return opener(self.spark, full)
+        raise ValueError(f"index {name!r} has kind {kind!r}; nothing to open")
 
     def index_fresh(self, name: str) -> bool:
         """True iff no DATA operation committed after the version the index

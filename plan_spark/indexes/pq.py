@@ -48,15 +48,30 @@ class PqIndex:
         m: int = 8,
         k: int = 16,
         seed: int = 42,
+        metric: str = "l2",
     ) -> "PqIndex":
+        """``metric`` fixes the quantization geometry at build time
+        (reference distance_metrics.go:12-96): "l2" quantizes raw vectors,
+        "cosine" L2-normalizes first (unit-sphere L2 ranking ≡ cosine),
+        "dot" quantizes raw and searches with inner-product LUTs."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unknown metric {metric!r}")
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
         e = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
+        if metric == "cosine":
+            e = e.withColumn(
+                "nrm",
+                F.greatest(
+                    F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
+                    F.lit(1e-12),
+                ),
+            ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
         dim = len(e.select("v").first().v)
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -75,7 +90,10 @@ class PqIndex:
                 .drop("__feat")
             )
         with open(os.path.join(idx.path, "codebooks.json"), "w") as fh:
-            json.dump({"m": m, "k": k, "sub": sub, "codebooks": codebooks}, fh)
+            json.dump(
+                {"m": m, "k": k, "sub": sub, "metric": metric, "codebooks": codebooks},
+                fh,
+            )
         coded.select(
             "id", F.array(*[F.col(f"c{j}") for j in range(m)]).alias("codes")
         ).write.mode("overwrite").parquet(os.path.join(idx.path, "codes"))
@@ -89,28 +107,45 @@ class PqIndex:
     def codes(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "codes"))
 
-    def search(self, query_vecs: dict[int, list[float]], top_k: int = 10) -> DataFrame:
-        """ADC top-k for a small dict of {q_id: vector}.
-
-        Each query's m x k partial-distance table is computed driver-side
-        (m*k floats) and shipped as a literal; candidates are scored with m
-        array lookups over their stored codes — the vector column is never
-        touched. Output: (q_id, c_id, rank, approx_l2sq)."""
-        meta = self._meta()
-        m, k, sub = meta["m"], meta["k"], meta["sub"]
-        cb = meta["codebooks"]
-        rows = []
-        for qid, qv in query_vecs.items():
-            luts = [
+    @staticmethod
+    def _luts(qv, cb, m, k, sub, metric):
+        """Per-query m x k partial table: squared-L2 partials for l2/cosine
+        (rank ascending), inner-product partials for dot (rank descending)."""
+        if metric == "dot":
+            return [
                 [
-                    sum(
-                        (qv[j * sub + t] - cb[j][c][t]) ** 2 for t in range(sub)
-                    )
+                    sum(qv[j * sub + t] * cb[j][c][t] for t in range(sub))
                     for c in range(k)
                 ]
                 for j in range(m)
             ]
-            rows.append((qid, luts))
+        return [
+            [
+                sum((qv[j * sub + t] - cb[j][c][t]) ** 2 for t in range(sub))
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+
+    def search(self, query_vecs: dict[int, list[float]], top_k: int = 10) -> DataFrame:
+        """ADC top-k for a small dict of {q_id: vector}.
+
+        Each query's m x k partial table is computed driver-side (m*k
+        floats) and shipped as a literal; candidates are scored with m
+        array lookups over their stored codes — the vector column is never
+        touched. Output: (q_id, c_id, rank, <approx_l2sq|approx_dot>)
+        following the build metric (queries are normalized under cosine)."""
+        meta = self._meta()
+        m, k, sub = meta["m"], meta["k"], meta["sub"]
+        metric = meta.get("metric", "l2")
+        score_col = "approx_dot" if metric == "dot" else "approx_l2sq"
+        cb = meta["codebooks"]
+        rows = []
+        for qid, qv in query_vecs.items():
+            if metric == "cosine":
+                nrm = max(sum(x * x for x in qv) ** 0.5, 1e-12)
+                qv = [x / nrm for x in qv]
+            rows.append((qid, self._luts(qv, cb, m, k, sub, metric)))
         qdf = local_df(self.spark, rows, "q_id long, lut array<array<double>>")
         scored = self.codes().join(F.broadcast(qdf)).select(
             "q_id",
@@ -118,16 +153,17 @@ class PqIndex:
             sum(
                 F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
                 for j in range(m)
-            ).alias("approx_l2sq"),
+            ).alias(score_col),
         )
         from pyspark.sql import Window
 
-        w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2sq"), F.asc("c_id"))
+        order = F.desc(score_col) if metric == "dot" else F.asc(score_col)
+        w = Window.partitionBy("q_id").orderBy(order, F.asc("c_id"))
         return (
             scored.filter(F.col("q_id") != F.col("c_id"))
-            .select("q_id", "c_id", "approx_l2sq", F.row_number().over(w).alias("rank"))
+            .select("q_id", "c_id", score_col, F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= top_k)
-            .select("q_id", "c_id", "rank", "approx_l2sq")
+            .select("q_id", "c_id", "rank", score_col)
         )
 
 

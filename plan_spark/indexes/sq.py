@@ -44,13 +44,27 @@ class SqIndex:
         vec_col: str = "embedding",
         path: str | None = None,
         bits: int = 8,
+        metric: str = "l2",
     ) -> "SqIndex":
+        """``metric``: "l2" grids raw vectors; "cosine" L2-normalizes first
+        (unit-sphere L2 ≡ cosine ranking); "dot" grids raw and scores with
+        the asymmetric inner product (reference distance_metrics.go:12-96)."""
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unknown metric {metric!r}")
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
         levels = (1 << bits) - 1
         e = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
+        if metric == "cosine":
+            e = e.withColumn(
+                "nrm",
+                F.greatest(
+                    F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
+                    F.lit(1e-12),
+                ),
+            ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
         stats = (
             e.select(F.posexplode("v").alias("pos", "x"))
             .groupBy("pos")
@@ -62,7 +76,9 @@ class SqIndex:
         # zero-range dimensions get scale 1.0 so encode maps them to level 0
         scales = [((r.hi - r.lo) / levels) or 1.0 for r in stats]
         with open(os.path.join(idx.path, "grid.json"), "w") as fh:
-            json.dump({"bits": bits, "mins": mins, "scales": scales}, fh)
+            json.dump(
+                {"bits": bits, "metric": metric, "mins": mins, "scales": scales}, fh
+            )
         enc = F.zip_with(
             F.zip_with("v", F.lit(mins), lambda x, lo: x - lo),
             F.lit(scales),
@@ -84,34 +100,55 @@ class SqIndex:
         return self.spark.read.parquet(os.path.join(self.path, "codes"))
 
     def search(self, queries: DataFrame, top_k: int = 10) -> DataFrame:
-        """Top-k by asymmetric L2: full-precision queries (q_id, qv) vs
-        dequantized candidate codes. queries is small (broadcast);
-        per-candidate scoring is a codegen'd zip_with/aggregate chain.
-        Output: (q_id, c_id, rank, approx_l2sq)."""
+        """Top-k by asymmetric scoring: full-precision queries (q_id, qv)
+        vs dequantized candidate codes, under the BUILD metric. queries is
+        small (broadcast); per-candidate scoring is a codegen'd
+        zip_with/aggregate chain. Output: (q_id, c_id, rank,
+        <approx_l2sq|approx_dot>); under cosine the query is normalized
+        JVM-side and ranked by unit-sphere L2."""
         meta = self._meta()
         mins, scales = meta["mins"], meta["scales"]
-        # dequantized[i] = mins[i] + codes[i]*scales[i]; diff vs query, square, sum
+        metric = meta.get("metric", "l2")
+        score_col = "approx_dot" if metric == "dot" else "approx_l2sq"
+        q = queries.select("q_id", F.col("qv").cast("array<double>").alias("qv"))
+        if metric == "cosine":
+            q = q.withColumn(
+                "__n",
+                F.greatest(
+                    F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, b: a + b * b)),
+                    F.lit(1e-12),
+                ),
+            ).select("q_id", F.transform("qv", lambda x: x / F.col("__n")).alias("qv"))
+        # dequantized[i] = mins[i] + codes[i]*scales[i]
         deq = F.zip_with(
             F.zip_with("codes", F.lit(scales), lambda c, s: c.cast("double") * s),
             F.lit(mins),
             lambda cs, lo: cs + lo,
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("qv"), deq, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if metric == "dot":
+            score = F.aggregate(
+                F.zip_with(F.col("qv"), deq, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            score = F.aggregate(
+                F.zip_with(F.col("qv"), deq, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         scored = (
             self.codes()
-            .join(F.broadcast(queries.select("q_id", "qv")))
-            .select("q_id", F.col("id").alias("c_id"), d2.alias("approx_l2sq"))
+            .join(F.broadcast(q))
+            .select("q_id", F.col("id").alias("c_id"), score.alias(score_col))
             .filter(F.col("q_id") != F.col("c_id"))
         )
-        w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2sq"), F.asc("c_id"))
+        order = F.desc(score_col) if metric == "dot" else F.asc(score_col)
+        w = Window.partitionBy("q_id").orderBy(order, F.asc("c_id"))
         return (
             scored.select(
-                "q_id", "c_id", "approx_l2sq", F.row_number().over(w).alias("rank")
+                "q_id", "c_id", score_col, F.row_number().over(w).alias("rank")
             )
             .filter(F.col("rank") <= top_k)
-            .select("q_id", "c_id", "rank", "approx_l2sq")
+            .select("q_id", "c_id", "rank", score_col)
         )

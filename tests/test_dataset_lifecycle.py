@@ -248,3 +248,40 @@ def test_nested_add_drop_path_roundtrip(spark, tmp_path_ds):
         ds.drop_path("id.sub")
     with _pytest.raises(ValueError):
         ds.add_path("meta.score", "double")  # already exists (post-compact schema)
+
+
+def test_create_index_vector_kinds(spark, tmp_path_ds):
+    """Transactional index creation for the full vector-index family
+    (reference index_transaction.go covers every index kind): hnsw/pq/sq
+    build into staged paths, register through the optimistic commit,
+    reopen via open_index, and search."""
+    vecs = spark.range(0, 80).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.hash(F.col("id") * (j + 1)) % 1000 / 500.0 - 1.0)
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    ds = Dataset.create(spark, tmp_path_ds, vecs)
+    qdf = ds.to_df().filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qd = {int(r.q_id): [float(x) for x in r.qv] for r in qdf.collect()}
+
+    ds.create_index("ih", "hnsw", "embedding", id_col="vec_id", n_shards=2, m=4)
+    ds.create_index("ip", "pq", "embedding", id_col="vec_id", m=4, k=8)
+    ds.create_index("is", "sq", "embedding", id_col="vec_id")
+    for n in ("ih", "ip", "is"):
+        assert ds.index_fresh(n)
+        assert ds.manifest.indexes[n]["path"].startswith(
+            os.path.join("_indexes", f"{n}_")
+        )
+    hits_h = ds.open_index("ih").search(qd, top_k=3).collect()
+    hits_p = ds.open_index("ip").search(qd, top_k=3).collect()
+    hits_s = ds.open_index("is").search(qdf, top_k=3).collect()
+    assert len(hits_h) == 9 and len(hits_p) == 9 and len(hits_s) == 9
+    ds.drop_index("ip")
+    assert "ip" not in ds.manifest.indexes

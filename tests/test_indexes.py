@@ -635,3 +635,76 @@ def test_ivf_hnsw_batch_search_df_parity(spark, tmp_idx):
     a = {(r.q_id, r.c_id, r.rank) for r in idx.search_df(q_df, top_k=5, nprobe=16, ef=64).collect()}
     b = {(r.q_id, r.c_id, r.rank) for r in idx.search(qd, top_k=5, nprobe=16, ef=64).collect()}
     assert a == b, "batch != online IVF-HNSW at full probe"
+
+
+def test_sq_metric_selection(spark, tmp_idx):
+    """SQ under cosine/dot: 8-bit per-dimension error is tiny, so the
+    asymmetric ranking should recover (nearly) the exact top-k under the
+    build metric; score column and rank orientation follow the metric."""
+    import os
+
+    from plan_spark.indexes import SqIndex
+    from plan_spark.queries.vector_ops import knn_brute, knn_dot
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    for metric, brute_fn, col, bar in (
+        ("cosine", knn_brute, "approx_l2sq", 0.85),
+        ("dot", knn_dot, "approx_dot", 0.85),
+    ):
+        idx = SqIndex.build(spark, emb, path=os.path.join(tmp_idx, metric), metric=metric)
+        res = idx.search(q, top_k=5)
+        assert col in res.columns, (metric, res.columns)
+        got = {(r.q_id, r.c_id) for r in res.collect()}
+        exact = {
+            (r.q_id, r.c_id) for r in brute_fn(spark, SF_DIR).collect() if r.q_id < 5
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= bar, f"SQ metric={metric} recall@5 too low: {recall}"
+
+
+def test_pq_metric_selection(spark, tmp_idx):
+    """PQ under cosine/dot: random fixtures are PQ's worst case, so the bar
+    is 'well above chance' (chance ~ 5/500 = 1%), same as the L2 test."""
+    import os
+
+    from plan_spark.indexes import PqIndex
+    from plan_spark.queries.vector_ops import knn_brute, knn_dot
+
+    emb = table(spark, SF_DIR, "embeddings")
+    qv = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    for metric, brute_fn, col, bar in (
+        ("cosine", knn_brute, "approx_l2sq", 0.15),
+        ("dot", knn_dot, "approx_dot", 0.15),
+    ):
+        idx = PqIndex.build(spark, emb, path=os.path.join(tmp_idx, metric), metric=metric)
+        res = idx.search(qv, top_k=10)
+        assert col in res.columns, (metric, res.columns)
+        got = {(r.q_id, r.c_id) for r in res.collect()}
+        exact = set()
+        # exact top-10 under the metric via the oracle-checked brute query
+        # (top 5 registered) — recompute top-10 driver-side instead
+        import numpy as np
+
+        allv = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+        for qid, q in qv.items():
+            qn = np.array(q)
+            scores = []
+            for cid, cv in allv.items():
+                if cid == qid:
+                    continue
+                if metric == "cosine":
+                    s = float(qn @ cv / (np.linalg.norm(qn) * np.linalg.norm(cv)))
+                else:
+                    s = float(qn @ cv)
+                scores.append((-s, cid))
+            for _, cid in sorted(scores)[:10]:
+                exact.add((qid, cid))
+        recall = len(got & exact) / len(exact)
+        assert recall >= bar, f"PQ metric={metric} recall@10 too low: {recall} (chance ~2%)"

@@ -70,6 +70,17 @@ def _stat_key(v: Any) -> Any:
 
 _BITMAP_MAX_NDV = 64
 
+# Detached-txn expiry grace: file-reclaiming paths (vacuum unpinning,
+# cleanup_expired) act only this many seconds AFTER expires_at, while
+# commit_staged refuses exactly AT expires_at — so a commit that passed its
+# expiry check cannot race a concurrent reclaim of its files (the window
+# collapses to clock skew greater than the grace).
+_STAGE_GRACE = 30.0
+
+# An _INFLIGHT sentinel older than this is a crashed build's leftover and no
+# longer protects its index dir from the vacuum sweep.
+_INFLIGHT_TTL = 24 * 3600.0
+
 
 def _collect_stats(
     local_path: str, bitmap_columns: list[str] | None = None
@@ -866,10 +877,11 @@ class Dataset:
             if any(lo <= i <= hi for i in idset):
                 sel.append(f)
         if not sel:
+            by_name = {f.name: f for f in self.schema.fields}
             fields = (
                 self.schema.fields
                 if columns is None
-                else [f for f in self.schema.fields if f.name in columns]
+                else [by_name[c] for c in columns]  # requested order, like below
             )
             return self.spark.createDataFrame(
                 [], StructType(fields + [StructField(_ROWID, LongType(), True)])
@@ -1603,11 +1615,15 @@ class Dataset:
         all_vs = self.versions()
         keep = set(all_vs[-keep_versions:]) | set(self._refs().values())
         referenced: set[str] = set()
+        ref_idx_dirs: set[str] = set()
         for v in keep:
             mv = self._load(v)
             for f in mv.fragments:
                 referenced.add(f.path)
                 referenced.update(f.deletion_files)
+            for d in mv.indexes.values():
+                if d.get("path"):
+                    ref_idx_dirs.add(os.path.basename(d["path"]))
         # staged (detached) transactions reference data files outside any
         # manifest until commit_staged — pin them too, or a vacuum between
         # stage_append and commit_staged breaks the later commit. EXPIRED
@@ -1625,7 +1641,7 @@ class Dataset:
                 with open(os.path.join(staged_dir, fn)) as fh:
                     payload = json.load(fh)
                 exp = payload.get("expires_at")
-                if exp is not None and now >= exp:
+                if exp is not None and now >= exp + _STAGE_GRACE:
                     continue
                 referenced.update(a["path"] for a in payload.get("added", []))
                 for names in payload.get("new_deletes", {}).values():
@@ -1638,20 +1654,25 @@ class Dataset:
                 if rel not in referenced:
                     os.remove(os.path.join(d, fn))
                     removed.append(rel)
-        # persisted ivf/fts index builds live under _indexes/<name>_<token>;
-        # dirs no kept manifest references (failed builds, losing racers,
-        # dropped indexes past retention) are orphans — reclaim them
+        # persisted index builds live under _indexes/<name>_<token>; dirs no
+        # kept manifest references (failed builds, losing racers, dropped
+        # indexes past retention) are orphans — reclaim them. A dir carrying
+        # a fresh _INFLIGHT sentinel is a build still running (referenced by
+        # no manifest YET) and must survive; a stale sentinel (> TTL) is a
+        # crashed build's leftover and sweeps normally.
         idx_root = os.path.join(self.path, "_indexes")
         if os.path.isdir(idx_root):
-            ref_dirs = set()
-            for v in keep:
-                for d in self._load(v).indexes.values():
-                    if d.get("path"):
-                        ref_dirs.add(os.path.basename(d["path"]))
             for fn in os.listdir(idx_root):
-                if fn not in ref_dirs:
-                    shutil.rmtree(os.path.join(idx_root, fn), ignore_errors=True)
-                    removed.append(f"_indexes/{fn}")
+                if fn in ref_idx_dirs:
+                    continue
+                sentinel = os.path.join(idx_root, fn, "_INFLIGHT")
+                try:
+                    if now - os.path.getmtime(sentinel) < _INFLIGHT_TTL:
+                        continue  # build in progress
+                except OSError:
+                    pass  # no sentinel: finished or failed build
+                shutil.rmtree(os.path.join(idx_root, fn), ignore_errors=True)
+                removed.append(f"_indexes/{fn}")
         for v in all_vs:
             if v not in keep:
                 os.remove(self._manifest_path(v))
@@ -1793,37 +1814,62 @@ class Dataset:
             desc["path"] = rel
             full = os.path.join(self.path, rel)
             id_col = params.pop("id_col", None)
-            if kind == "fts":
-                from plan_spark.indexes.fts import FtsIndex
+            # in-flight sentinel: a concurrent vacuum() must not sweep a dir
+            # whose build is still running (it is referenced by no manifest
+            # yet). Removed in the finally below — success or failure — so a
+            # finished create (committed, conflicted, or crashed-with-
+            # traceback) leaves the dir sweepable; only a process killed
+            # mid-build leaves a stale sentinel, which vacuum ignores after
+            # _INFLIGHT_TTL.
+            os.makedirs(full, exist_ok=True)
+            sentinel = os.path.join(full, "_INFLIGHT")
+            with open(sentinel, "w") as fh:
+                fh.write(name)
+            try:
+                if kind == "fts":
+                    from plan_spark.indexes.fts import FtsIndex
 
-                FtsIndex.build(
-                    self.spark,
-                    self.to_df(),
-                    id_col=id_col or "doc_id",
-                    text_col=column,
-                    path=full,
-                    **params,
-                )
-            else:
-                from plan_spark.indexes.hnsw import HnswIndex
-                from plan_spark.indexes.ivf import IvfIndex
-                from plan_spark.indexes.pq import PqIndex
-                from plan_spark.indexes.sq import SqIndex
+                    FtsIndex.build(
+                        self.spark,
+                        self.to_df(),
+                        id_col=id_col or "doc_id",
+                        text_col=column,
+                        path=full,
+                        **params,
+                    )
+                else:
+                    from plan_spark.indexes.hnsw import HnswIndex
+                    from plan_spark.indexes.ivf import IvfIndex
+                    from plan_spark.indexes.pq import PqIndex
+                    from plan_spark.indexes.sq import SqIndex
 
-                builder = {
-                    "ivf": IvfIndex, "hnsw": HnswIndex, "pq": PqIndex, "sq": SqIndex,
-                }[kind]
-                builder.build(
-                    self.spark,
-                    self.to_df(),
-                    id_col=id_col or "vec_id",
-                    vec_col=column,
-                    path=full,
-                    **params,
-                )
+                    builder = {
+                        "ivf": IvfIndex, "hnsw": HnswIndex,
+                        "pq": PqIndex, "sq": SqIndex,
+                    }[kind]
+                    builder.build(
+                        self.spark,
+                        self.to_df(),
+                        id_col=id_col or "vec_id",
+                        vec_col=column,
+                        path=full,
+                        **params,
+                    )
+            except BaseException:
+                if os.path.exists(sentinel):
+                    os.remove(sentinel)  # failed build: dir is sweepable now
+                raise
         else:
             raise ValueError(f"unknown index kind {kind!r}")
-        self._commit(txn)
+        try:
+            self._commit(txn)
+        finally:
+            # sentinel lives through the commit (vacuum between build-end and
+            # commit would otherwise sweep the dir); gone afterwards whether
+            # the commit landed or conflicted, so losers become sweepable
+            s = os.path.join(self.path, desc["path"] or "", "_INFLIGHT")
+            if desc["path"] and os.path.exists(s):
+                os.remove(s)
         return self
 
     def _bitmap_backfill(
@@ -2053,8 +2099,10 @@ class Dataset:
         CleanupExpiredDetached, sdk/dataset.go:1214-1243): their payloads,
         staged data files, and staged deletion sidecars are removed — none
         were ever referenced by a manifest (commit_staged deletes the
-        payload on success, and an expired stage can never commit).
-        Returns removed paths."""
+        payload on success, and an expired stage can never commit). Files
+        are reclaimed only past expiry + grace (see _STAGE_GRACE), so a
+        commit_staged that passed its expiry check on another handle cannot
+        lose its files mid-commit. Returns removed paths."""
         import time
 
         now = time.time()
@@ -2064,7 +2112,7 @@ class Dataset:
             with open(p) as fh:
                 payload = json.load(fh)
             exp = payload.get("expires_at")
-            if exp is None or now < exp:
+            if exp is None or now < exp + _STAGE_GRACE:
                 continue
             for a in payload.get("added", []):
                 fp = os.path.join(self.path, a["path"])

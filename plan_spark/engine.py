@@ -324,11 +324,16 @@ class Engine:
         input is rejected by sql() — this exists to DETECT it reliably, not to
         execute batches (each statement may mutate catalog state the next one
         reads; callers should sequence them explicitly)."""
-        parts, buf, quote = [], [], None
+        parts, buf, quote, esc = [], [], None, False
         for ch in text:
-            if quote:
+            if esc:  # backslash escape inside a literal (Spark default)
                 buf.append(ch)
-                if ch == quote:
+                esc = False
+            elif quote:
+                buf.append(ch)
+                if ch == "\\":
+                    esc = True
+                elif ch == quote:
                     quote = None
             elif ch in ("'", '"'):
                 quote = ch
@@ -500,10 +505,14 @@ class Engine:
         tgt, rest = head.group(1), s[head.end():]
         src_q = src_table = None
         if rest.startswith("("):
-            depth, quote, end = 0, None, -1
+            depth, quote, end, esc = 0, None, -1, False
             for i, ch in enumerate(rest):
-                if quote:
-                    if ch == quote:
+                if esc:  # Spark's default parser honors backslash escapes
+                    esc = False
+                elif quote:
+                    if ch == "\\":
+                        esc = True
+                    elif ch == quote:
                         quote = None
                 elif ch in ("'", '"'):
                     quote = ch

@@ -117,13 +117,11 @@ class FtsIndex:
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "corpus"))
 
-    def search(self, terms: list[str], top_k: int | None = 10) -> DataFrame:
-        """BM25(k1=1.2, b=0.75) over the persisted posting lists.
-
-        Output: (doc_id, bm25) — top_k=None returns all matches ordered by
-        doc_id (deterministic; used for oracle comparison)."""
-        p = self.posting().filter(F.col("term").isin(*terms))
-        dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    def _bm25(self, posting: DataFrame) -> DataFrame:
+        """(doc_id, bm25) over a (pre-pruned) posting DataFrame — the ONE
+        scoring pipeline behind search() and search_boolean(), so a k1/b or
+        rounding change can never diverge between the two faces."""
+        dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
         idf = F.log(
             (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
             + F.lit(1.0)
@@ -133,15 +131,26 @@ class FtsIndex:
             + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
         )
         scored = (
-            p.join(F.broadcast(dfreq), "term")
+            posting.join(F.broadcast(dfreq), "term")
             .join(self.doclen(), "doc_id")
             .join(F.broadcast(self.corpus()))
             .select("doc_id", (idf * tf_part).alias("s"))
         )
-        out = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+        return scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+
+    @staticmethod
+    def _order(out: DataFrame, top_k: int | None) -> DataFrame:
         if top_k is None:
             return out.orderBy("doc_id")
         return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
+
+    def search(self, terms: list[str], top_k: int | None = 10) -> DataFrame:
+        """BM25(k1=1.2, b=0.75) over the persisted posting lists.
+
+        Output: (doc_id, bm25) — top_k=None returns all matches ordered by
+        doc_id (deterministic; used for oracle comparison)."""
+        out = self._bm25(self.posting().filter(F.col("term").isin(*terms)))
+        return self._order(out, top_k)
 
     def search_boolean(
         self,
@@ -167,23 +176,7 @@ class FtsIndex:
         if not score_terms:
             raise ValueError("boolean search needs at least one must/should term")
         p = self.posting().filter(F.col("term").isin(*(score_terms + must_not)))
-        sp = p.filter(F.col("term").isin(*score_terms))
-        dfreq = sp.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-        idf = F.log(
-            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        tf_part = (F.col("tf") * F.lit(_K1 + 1.0)) / (
-            F.col("tf")
-            + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
-        )
-        scored = (
-            sp.join(F.broadcast(dfreq), "term")
-            .join(self.doclen(), "doc_id")
-            .join(F.broadcast(self.corpus()))
-            .select("doc_id", (idf * tf_part).alias("s"))
-        )
-        out = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+        out = self._bm25(p.filter(F.col("term").isin(*score_terms)))
         if must:
             mdocs = (
                 p.filter(F.col("term").isin(*must))
@@ -196,9 +189,7 @@ class FtsIndex:
         if must_not:
             nd = p.filter(F.col("term").isin(*must_not)).select("doc_id").distinct()
             out = out.join(nd, "doc_id", "left_anti")
-        if top_k is None:
-            return out.orderBy("doc_id")
-        return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
+        return self._order(out, top_k)
 
     def insert(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> "FtsIndex":
         """Incremental insert: tokenize only the new documents, append their

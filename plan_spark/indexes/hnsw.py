@@ -136,6 +136,73 @@ def _search_layer(qv, entry_pts, ef, adj, X, np, dist=None):
     return sorted((-d, e) for d, e in best)
 
 
+def _unit(df: DataFrame, col: str) -> DataFrame:
+    """L2-normalize an array<double> column JVM-side (epsilon-guarded) —
+    the one normalization used by every cosine-geometry index path."""
+    return (
+        df.withColumn(
+            "__n",
+            F.greatest(
+                F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, b: a + b * b)),
+                F.lit(1e-12),
+            ),
+        )
+        .withColumn(col, F.transform(col, lambda x: x / F.col("__n")))
+        .drop("__n")
+    )
+
+
+def _graph_from_pdf(pdf, np):
+    """Rehydrate one persisted shard/cluster graph from its pandas frame.
+    Returns (X, ids, adj, entry, max_lvl)."""
+    X = np.asarray(list(pdf["v"]), dtype=np.float64)
+    ids = pdf["id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    levels = pdf["level"].to_numpy()
+    max_lvl = int(levels.max())
+    adj = [dict() for _ in range(max_lvl + 1)]
+    for i, per_level in enumerate(pdf["nbrs"]):
+        for lv, lst in enumerate(per_level):
+            adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
+    return X, ids, adj, int(np.argmax(levels)), max_lvl
+
+
+def _walk_pdf(pdf, qiter, metric, score_col, k, beam, allow, np):
+    """Walk one graph partition for every query in ``qiter`` ((qid, np
+    vector) pairs, already in the metric's geometry). The single walk body
+    behind the online search closures AND the batch cogroup closures —
+    identical results by construction. Returns a column dict."""
+    out = {"q_id": [], "c_id": [], score_col: []}
+    if not len(pdf):
+        return out
+    dist = _dist_fn(metric, np)
+    X, ids, adj, entry, max_lvl = _graph_from_pdf(pdf, np)
+    for qid, qv in qiter:
+        qid = int(qid)
+        qv = np.asarray(qv, dtype=np.float64)
+        ep = [entry]
+        for lv in range(max_lvl, 0, -1):
+            ep = [_search_layer(qv, ep, 1, adj[lv], X, np, dist)[0][1]]
+        kept = 0
+        for d2, e in _search_layer(qv, ep, beam, adj[0], X, np, dist):
+            cid = int(ids[e])
+            if cid == qid or (allow is not None and cid not in allow):
+                continue
+            out["q_id"].append(qid)
+            out["c_id"].append(cid)
+            if metric == "cosine":
+                # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
+                out[score_col].append(1.0 - d2 / 2.0)
+            elif metric == "l2":
+                out[score_col].append(float(np.sqrt(max(d2, 0.0))))
+            else:  # dot: graph distance is the negative inner product
+                out[score_col].append(-d2)
+            kept += 1
+            if kept > k:
+                break
+    return out
+
+
 def _build_graph(X, m, ef_construction, seed, np, dist=None):
     """Construct an HNSW graph over rows of X (pre-normalized iff cosine).
     Returns (levels: int array, adj: list[dict[node, list[node]]])."""
@@ -289,15 +356,7 @@ class HnswIndex:
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         if metric == "cosine":
-            q = q.withColumn(
-                "nrm",
-                F.greatest(
-                    F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, b: a + b * b)),
-                    F.lit(1e-12),
-                ),
-            ).select(
-                "q_id", F.transform("qv", lambda x: x / F.col("nrm")).alias("qv")
-            )
+            q = _unit(q, "qv")
         # scatter: one (q_id, qv, shard) row per shard — S tiny literal rows,
         # the queries themselves never leave the executors
         qs = q.crossJoin(
@@ -309,42 +368,14 @@ class HnswIndex:
             import numpy as np
             import pandas as pd
 
-            out = {"q_id": [], "c_id": [], score_col: []}
-            if len(nodes_pdf) and len(q_pdf):
-                dist = _dist_fn(metric, np)
-                X = np.asarray(list(nodes_pdf["v"]), dtype=np.float64)
-                ids = nodes_pdf["id"].to_numpy()
-                pos = {int(v): i for i, v in enumerate(ids)}
-                levels = nodes_pdf["level"].to_numpy()
-                max_lvl = int(levels.max())
-                adj = [dict() for _ in range(max_lvl + 1)]
-                for i, per_level in enumerate(nodes_pdf["nbrs"]):
-                    for lv, lst in enumerate(per_level):
-                        adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
-                entry = int(np.argmax(levels))
-                for qid, qv in zip(q_pdf["q_id"], q_pdf["qv"]):
-                    qid = int(qid)
-                    qv = np.asarray(qv, dtype=np.float64)
-                    ep = [entry]
-                    for lv in range(max_lvl, 0, -1):
-                        ep = [_search_layer(qv, ep, 1, adj[lv], X, np, dist)[0][1]]
-                    kept = 0
-                    for d2, e in _search_layer(qv, ep, beam, adj[0], X, np, dist):
-                        cid = int(ids[e])
-                        if cid == qid:
-                            continue
-                        out["q_id"].append(qid)
-                        out["c_id"].append(cid)
-                        if metric == "cosine":
-                            out[score_col].append(1.0 - d2 / 2.0)
-                        elif metric == "l2":
-                            out[score_col].append(float(np.sqrt(max(d2, 0.0))))
-                        else:
-                            out[score_col].append(-d2)
-                        kept += 1
-                        if kept > k:
-                            break
-            return pd.DataFrame(out)
+            if not len(q_pdf):
+                return pd.DataFrame({"q_id": [], "c_id": [], score_col: []})
+            return pd.DataFrame(
+                _walk_pdf(
+                    nodes_pdf, zip(q_pdf["q_id"], q_pdf["qv"]), metric,
+                    score_col, k, beam, None, np,
+                )
+            )
 
         per_shard = (
             self.nodes()
@@ -406,24 +437,12 @@ class HnswIndex:
         graph quality never degrades because the graphs are only ever built
         whole. Buffer rows are stored in the index's geometry: normalized
         under cosine, raw under l2/dot."""
-        raw = df.select(
+        norm = df.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("raw"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
         if _read_meta(self.path).get("metric", "cosine") == "cosine":
-            norm = raw.withColumn(
-                "nrm",
-                F.greatest(
-                    F.sqrt(
-                        F.aggregate("raw", F.lit(0.0), lambda a, b: a + b * b)
-                    ),
-                    F.lit(1e-12),
-                ),
-            ).select(
-                "id", F.transform("raw", lambda x: x / F.col("nrm")).alias("v")
-            )
-        else:
-            norm = raw.select("id", F.col("raw").alias("v"))
+            norm = _unit(norm, "v")
         norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
         pending = _read_pending(self.spark, self.path)
         n_graph = self.nodes().count()
@@ -491,40 +510,9 @@ class HnswIndex:
             import numpy as np
             import pandas as pd
 
-            dist = _dist_fn(metric, np)
-            X = np.asarray(list(pdf["v"]), dtype=np.float64)
-            ids = pdf["id"].to_numpy()
-            pos = {int(v): i for i, v in enumerate(ids)}
-            levels = pdf["level"].to_numpy()
-            max_lvl = int(levels.max())
-            adj = [dict() for _ in range(max_lvl + 1)]
-            for i, per_level in enumerate(pdf["nbrs"]):
-                for lv, lst in enumerate(per_level):
-                    adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
-            entry = int(np.argmax(levels))
-            out = {"q_id": [], "c_id": [], score_col: []}
-            for qid, qv in qitems:
-                ep = [entry]
-                for lv in range(max_lvl, 0, -1):
-                    ep = [_search_layer(qv, ep, 1, adj[lv], X, np, dist)[0][1]]
-                kept = 0
-                for d2, e in _search_layer(qv, ep, beam, adj[0], X, np, dist):
-                    cid = int(ids[e])
-                    if cid == qid or (allow is not None and cid not in allow):
-                        continue
-                    out["q_id"].append(qid)
-                    out["c_id"].append(cid)
-                    if metric == "cosine":
-                        # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
-                        out[score_col].append(1.0 - d2 / 2.0)
-                    elif metric == "l2":
-                        out[score_col].append(float(np.sqrt(max(d2, 0.0))))
-                    else:  # dot: graph distance is the negative inner product
-                        out[score_col].append(-d2)
-                    kept += 1
-                    if kept > k:
-                        break
-            return pd.DataFrame(out)
+            return pd.DataFrame(
+                _walk_pdf(pdf, qitems, metric, score_col, k, beam, allow, np)
+            )
 
         per_shard = self.nodes().groupBy("shard").applyInPandas(
             search_shard, f"q_id long, c_id long, {score_col} double"

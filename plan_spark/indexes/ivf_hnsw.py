@@ -35,6 +35,8 @@ from plan_spark.indexes.hnsw import (
     _read_pending,
     _score_pending,
     _search_layer,
+    _unit,
+    _walk_pdf,
     _write_meta,
 )
 
@@ -151,23 +153,12 @@ class IvfHnswIndex:
         the indexed size, compact() folds the buffer in. Centroids stay
         FIXED across compactions (the coarse quantizer is refit only by a
         full build) — standard incremental-IVF semantics."""
-        norm = (
+        norm = _unit(
             df.select(
                 F.col(id_col).alias("id"),
-                F.col(vec_col).cast("array<double>").alias("raw"),
-            )
-            .withColumn(
-                "nrm",
-                F.greatest(
-                    F.sqrt(
-                        F.aggregate("raw", F.lit(0.0), lambda a, b: a + b * b)
-                    ),
-                    F.lit(1e-12),
-                ),
-            )
-            .select(
-                "id", F.transform("raw", lambda x: x / F.col("nrm")).alias("v")
-            )
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ),
+            "v",
         )
         norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
         pending = _read_pending(self.spark, self.path)
@@ -256,19 +247,13 @@ class IvfHnswIndex:
         applyInPandas; the pending tail is scored exactly via a broadcast
         JVM-fold join; one window merges. A 10^6-query batch never touches
         the driver. Output matches search(): (q_id, c_id, rank, cos_sim)."""
-        from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
-        meta = _read_meta(self.path)
-        q = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        ).withColumn(
-            "nrm",
-            F.greatest(
-                F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, b: a + b * b)),
-                F.lit(1e-12),
+        q = _unit(
+            queries.select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
             ),
-        ).select("q_id", F.transform("qv", lambda x: x / F.col("nrm")).alias("qv"))
+            "qv",
+        )
         cos = lambda a, b: F.aggregate(  # noqa: E731
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
         ) / F.sqrt(
@@ -288,36 +273,14 @@ class IvfHnswIndex:
             import numpy as np
             import pandas as pd
 
-            out = {"q_id": [], "c_id": [], "cos_sim": []}
-            if len(nodes_pdf) and len(q_pdf):
-                X = np.asarray(list(nodes_pdf["v"]), dtype=np.float64)
-                ids = nodes_pdf["id"].to_numpy()
-                pos = {int(v): i for i, v in enumerate(ids)}
-                levels = nodes_pdf["level"].to_numpy()
-                max_lvl = int(levels.max())
-                adj = [dict() for _ in range(max_lvl + 1)]
-                for i, per_level in enumerate(nodes_pdf["nbrs"]):
-                    for lv, lst in enumerate(per_level):
-                        adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
-                entry = int(np.argmax(levels))
-                for qid, qv in zip(q_pdf["q_id"], q_pdf["qv"]):
-                    qid = int(qid)
-                    qv = np.asarray(qv, dtype=np.float64)
-                    ep = [entry]
-                    for lv in range(max_lvl, 0, -1):
-                        ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
-                    kept = 0
-                    for d2, e in _search_layer(qv, ep, beam, adj[0], X, np):
-                        cid = int(ids[e])
-                        if cid == qid:
-                            continue
-                        out["q_id"].append(qid)
-                        out["c_id"].append(cid)
-                        out["cos_sim"].append(1.0 - d2 / 2.0)
-                        kept += 1
-                        if kept > k:
-                            break
-            return pd.DataFrame(out)
+            if not len(q_pdf):
+                return pd.DataFrame({"q_id": [], "c_id": [], "cos_sim": []})
+            return pd.DataFrame(
+                _walk_pdf(
+                    nodes_pdf, zip(q_pdf["q_id"], q_pdf["qv"]), "cosine",
+                    "cos_sim", k, beam, None, np,
+                )
+            )
 
         per = (
             self.nodes()
@@ -404,36 +367,11 @@ class IvfHnswIndex:
 
             cluster = int(pdf["cluster"].iloc[0])
             qitems = per_cluster.get(cluster, ())
-            out = {"q_id": [], "c_id": [], "cos_sim": []}
-            if qitems:
-                X = np.asarray(list(pdf["v"]), dtype=np.float64)
-                ids = pdf["id"].to_numpy()
-                pos = {int(v): i for i, v in enumerate(ids)}
-                levels = pdf["level"].to_numpy()
-                max_lvl = int(levels.max())
-                adj = [dict() for _ in range(max_lvl + 1)]
-                for i, per_level in enumerate(pdf["nbrs"]):
-                    for lv, lst in enumerate(per_level):
-                        adj[lv][i] = [pos[int(x)] for x in lst if int(x) in pos]
-                entry = int(np.argmax(levels))
-                for qid, qv in qitems:
-                    qv = np.asarray(qv, dtype=np.float64)
-                    ep = [entry]
-                    for lv in range(max_lvl, 0, -1):
-                        ep = [_search_layer(qv, ep, 1, adj[lv], X, np)[0][1]]
-                    kept = 0
-                    for d2, e in _search_layer(qv, ep, beam, adj[0], X, np):
-                        cid = int(ids[e])
-                        if cid == qid or (allow is not None and cid not in allow):
-                            continue
-                        out["q_id"].append(qid)
-                        out["c_id"].append(cid)
-                        # unit vectors: d2 = 2 - 2 cos  =>  cos = 1 - d2/2
-                        out["cos_sim"].append(1.0 - d2 / 2.0)
-                        kept += 1
-                        if kept > k:
-                            break
-            return pd.DataFrame(out)
+            if not qitems:
+                return pd.DataFrame({"q_id": [], "c_id": [], "cos_sim": []})
+            return pd.DataFrame(
+                _walk_pdf(pdf, qitems, "cosine", "cos_sim", k, beam, allow, np)
+            )
 
         per = (
             self.nodes()

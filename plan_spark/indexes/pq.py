@@ -65,13 +65,9 @@ class PqIndex:
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         if metric == "cosine":
-            e = e.withColumn(
-                "nrm",
-                F.greatest(
-                    F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
-                    F.lit(1e-12),
-                ),
-            ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
+            from plan_spark.indexes.hnsw import _unit
+
+            e = _unit(e, "v")
         dim = len(e.select("v").first().v)
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -58,13 +58,9 @@ class SqIndex:
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         if metric == "cosine":
-            e = e.withColumn(
-                "nrm",
-                F.greatest(
-                    F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
-                    F.lit(1e-12),
-                ),
-            ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
+            from plan_spark.indexes.hnsw import _unit
+
+            e = _unit(e, "v")
         stats = (
             e.select(F.posexplode("v").alias("pos", "x"))
             .groupBy("pos")
@@ -112,13 +108,9 @@ class SqIndex:
         score_col = "approx_dot" if metric == "dot" else "approx_l2sq"
         q = queries.select("q_id", F.col("qv").cast("array<double>").alias("qv"))
         if metric == "cosine":
-            q = q.withColumn(
-                "__n",
-                F.greatest(
-                    F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, b: a + b * b)),
-                    F.lit(1e-12),
-                ),
-            ).select("q_id", F.transform("qv", lambda x: x / F.col("__n")).alias("qv"))
+            from plan_spark.indexes.hnsw import _unit
+
+            q = _unit(q, "qv")
         # dequantized[i] = mins[i] + codes[i]*scales[i]
         deq = F.zip_with(
             F.zip_with("codes", F.lit(scales), lambda c, s: c.cast("double") * s),

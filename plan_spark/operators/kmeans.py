@@ -64,7 +64,13 @@ def assign(
     on its own key column, never on the scored cross product.
     """
     spark = df.sparkSession
-    id_col = id_col or next(c for c in df.columns if c != vec_col)
+    if id_col is None:
+        id_col = next((c for c in df.columns if c != vec_col), None)
+        if id_col is None:
+            raise ValueError(
+                "assign() needs a unique id column besides the vector; "
+                f"DataFrame has only {df.columns}"
+            )
     c = local_df(
         spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],

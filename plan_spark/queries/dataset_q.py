@@ -339,7 +339,7 @@ def ds_detached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid_append = ds.stage_append(staged.repartition(2), ttl_seconds=3600)
     ds.append(direct.repartition(2))  # forces the staged commit to rebase
     sid_delete = ds.stage_delete("o_totalprice > 200000")
-    sid_dead = ds.stage_append(expired, ttl_seconds=-1)
+    sid_dead = ds.stage_append(expired, ttl_seconds=-3600)
     ds.cleanup_expired()
     assert sid_dead not in ds.staged()
     ds.commit_staged(sid_delete)

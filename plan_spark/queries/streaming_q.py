@@ -30,8 +30,14 @@ from plan_spark.streaming.windows import (
 
 # one gated session per base session, reused across calls: memory-sink
 # name-based dedup (run_available_now) keeps working, and a session per
-# invocation would leak one dead sink table per bench pass
-_GATED_SESSIONS: dict[int, SparkSession] = {}
+# invocation would leak one dead sink table per bench pass. Weak keys so a
+# replaced base session evicts its entry (an id()-keyed dict could collide
+# with a recycled object address and resurrect a stopped-context session).
+import weakref
+
+_GATED_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _gated_available_now(
@@ -56,12 +62,16 @@ def _gated_available_now(
     from plan_spark.queries.text_ops import _small_layout
 
     if _small_layout(spark, f"{sf_dir}/events.parquet"):
-        key = id(spark)
-        s = _GATED_SESSIONS.get(key)
+        s = _GATED_SESSIONS.get(spark)
+        if s is not None:
+            try:  # a stopped SparkContext makes the cached session unusable
+                s.conf.get("spark.sql.shuffle.partitions")
+            except Exception:
+                s = None
         if s is None:
             s = spark.newSession()
             s.conf.set("spark.sql.shuffle.partitions", "8")
-            _GATED_SESSIONS[key] = s
+            _GATED_SESSIONS[spark] = s
     else:
         s = spark
     return run_available_now(build(s), name, output_mode=output_mode)

@@ -44,7 +44,7 @@ def test_staged_info_reports_status(spark, tmp_path_ds, base_df):
     ds = Dataset.create(spark, tmp_path_ds, base_df)
     sid_live = ds.stage_append(_more(spark, 200, 250), ttl_seconds=3600)
     sid_forever = ds.stage_append(_more(spark, 250, 300))
-    sid_dead = ds.stage_append(_more(spark, 300, 350), ttl_seconds=-1)
+    sid_dead = ds.stage_append(_more(spark, 300, 350), ttl_seconds=-3600)
     info = {i["stage_id"]: i for i in ds.staged_info()}
     assert set(info) == {sid_live, sid_forever, sid_dead}
     assert info[sid_live]["expired"] is False
@@ -57,7 +57,7 @@ def test_staged_info_reports_status(spark, tmp_path_ds, base_df):
 
 def test_expired_stage_refuses_commit_and_is_reclaimed(spark, tmp_path_ds, base_df):
     ds = Dataset.create(spark, tmp_path_ds, base_df)
-    sid = ds.stage_append(_more(spark, 200, 260), ttl_seconds=-1)
+    sid = ds.stage_append(_more(spark, 200, 260), ttl_seconds=-3600)
     staged_files = [
         a["path"]
         for a in __import__("json").load(
@@ -79,7 +79,7 @@ def test_expired_stage_refuses_commit_and_is_reclaimed(spark, tmp_path_ds, base_
 def test_unexpired_stage_survives_vacuum_expired_does_not(spark, tmp_path_ds, base_df):
     ds = Dataset.create(spark, tmp_path_ds, base_df)
     sid_live = ds.stage_append(_more(spark, 200, 240), ttl_seconds=3600)
-    sid_dead = ds.stage_append(_more(spark, 240, 280), ttl_seconds=-1)
+    sid_dead = ds.stage_append(_more(spark, 240, 280), ttl_seconds=-3600)
     import json as _json
 
     def files_of(sid):
@@ -99,7 +99,7 @@ def test_unexpired_stage_survives_vacuum_expired_does_not(spark, tmp_path_ds, ba
 
 def test_stage_delete_ttl(spark, tmp_path_ds, base_df):
     ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(2))
-    sid = ds.stage_delete("grp = 3", ttl_seconds=-1)
+    sid = ds.stage_delete("grp = 3", ttl_seconds=-3600)
     with pytest.raises(StageExpiredError):
         ds.commit_staged(sid)
     ds.cleanup_expired()
@@ -285,3 +285,25 @@ def test_create_index_vector_kinds(spark, tmp_path_ds):
     assert len(hits_h) == 9 and len(hits_p) == 9 and len(hits_s) == 9
     ds.drop_index("ip")
     assert "ip" not in ds.manifest.indexes
+
+
+def test_vacuum_skips_inflight_index_builds(spark, tmp_path_ds, base_df):
+    """A build in progress (fresh _INFLIGHT sentinel) is referenced by no
+    manifest yet — vacuum must not sweep it; a stale sentinel (crashed
+    build, past TTL) sweeps normally."""
+    import time
+
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    idx_root = os.path.join(tmp_path_ds, "_indexes")
+    live = os.path.join(idx_root, "building_now")
+    dead = os.path.join(idx_root, "crashed_long_ago")
+    os.makedirs(live)
+    os.makedirs(dead)
+    for d in (live, dead):
+        with open(os.path.join(d, "_INFLIGHT"), "w") as fh:
+            fh.write("x")
+    old = time.time() - 2 * 24 * 3600
+    os.utime(os.path.join(dead, "_INFLIGHT"), (old, old))
+    removed = ds.vacuum(keep_versions=1)
+    assert "_indexes/crashed_long_ago" in removed
+    assert "_indexes/building_now" not in removed and os.path.isdir(live)

@@ -71,6 +71,9 @@ def test_no_fact_table_is_ever_broadcast(spark):
         "knn_brute",
         "knn_l2",  # same bounded query-set broadcast as knn_brute
         "knn_dot",  # same
+        "knn_batch",  # broadcast side = the windowed top-nprobe PROBE set
+        # (query-sized by construction); at batch scale it exceeds the
+        # threshold and Catalyst shuffle-joins on cluster instead
         "knn_filtered",
         "emb_stats",
         "kmeans_assign",

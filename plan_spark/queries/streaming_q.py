@@ -281,3 +281,97 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_stateful", oracle=_STREAM_STATEFUL_SQL, tags=("streaming", "stateful"))
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState — the
+    UDF-backed arbitrary-state surface the reference engine has no
+    counterpart for): per-user running totals, bounded availableNow run,
+    final states hash-checked against the batch aggregate.
+
+    Determinism: the state accumulates EXACT integer micro-units
+    (floor(v*1e6 + 0.5) per row — identical IEEE ops in the oracle), so
+    arrival order inside a micro-batch cannot move a bit; the final
+    per-user state is selected with a struct-max over the update stream
+    (n_events is monotone), robust to multi-batch availableNow splits.
+
+    Scale shape: state lives in the executor state store partitioned by
+    user_id — the same keyed-state layout as the built-in aggregates, with
+    arbitrary Python state inside Arrow batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("micros", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micros += int(
+                np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64").sum()
+            )
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [micros]}
+        )
+
+    def build(s):
+        ev = _events_stream(s, sf_dir).select("user_id", "value", "ts")
+        return (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    out = _gated_available_now(
+        spark, sf_dir, build, "stream_stateful_sink", output_mode="update"
+    )
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_events").alias("n_events"),
+                    F.col("total_micros").alias("total_micros"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            (F.col("m.total_micros").cast("double") / F.lit(1000000.0)).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+    return final

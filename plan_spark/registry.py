@@ -72,6 +72,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "stream_dedup",  # same change
     "stream_join",  # same change
     "stream_enrich",  # same change
+    "stream_stateful",  # new this round: applyInPandasWithState driver row
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -415,3 +415,103 @@ def ds_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("etype")
     )
+
+
+_DS_CLONE_RESTORE_SQL = """
+WITH agg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+  FROM customer GROUP BY c_mktsegment)
+SELECT 'clone' AS src, c_mktsegment, n, total_bal FROM agg
+UNION ALL
+SELECT 'restored' AS src, c_mktsegment, n, total_bal FROM agg
+ORDER BY src, c_mktsegment
+"""
+
+
+@register("ds_clone_restore", oracle=_DS_CLONE_RESTORE_SQL, tags=("dataset", "clone"))
+def ds_clone_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone + restore end to end (reference sdk/dataset.go:886
+    Clone, Restore semantics): create, DELETE a slice (v2), shallow-clone
+    the PRE-delete version (zero copy — absolute fragment refs), restore
+    the source head back to v1 content as a new commit, and scan BOTH.
+    Clone and restored head must each equal the original table — the
+    oracle is the plain aggregate emitted under both labels."""
+    path = _scratch("ds_clonesrc", sf_dir)
+    clone_path = _scratch("ds_clonedst", sf_dir)
+    cust = table(spark, sf_dir, "customer")
+    ds = Dataset.create(spark, path, cust.repartition(4))
+    ds.delete("c_acctbal < 0")  # v2 — diverge the head
+    clone = ds.clone(clone_path, version=1)  # snapshot of the full table
+    ds.restore(1)  # v3: head content == v1, history preserved
+    def agg(df, label):
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+            )
+            .select(F.lit(label).alias("src"), "c_mktsegment", "n", "total_bal")
+        )
+    return (
+        agg(clone.to_df(), "clone")
+        .unionByName(agg(ds.to_df(), "restored"))
+        .orderBy("src", "c_mktsegment")
+    )
+
+
+_DS_EVOLVE_SQL = """
+WITH rows_all AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk, p_size AS sz,
+         p_retailprice AS price, 1.5 AS bonus
+  FROM part WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT CAST(p_partkey AS BIGINT), p_size, p_retailprice, 2.5
+  FROM part WHERE p_partkey % 2 = 1
+)
+SELECT sz % 5 AS sz_bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(bonus AS DECIMAL(6,2))) AS DOUBLE) AS total_bonus,
+       CAST(MAX(pk) AS BIGINT) AS max_pk
+FROM rows_all
+GROUP BY sz % 5
+ORDER BY sz_bucket
+"""
+
+
+@register("ds_evolve_scan", oracle=_DS_EVOLVE_SQL, tags=("dataset", "schema"))
+def ds_evolve_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end to end through the driver gate (reference
+    sdk/dataset.go:623-816 AlterColumns/AddColumns): create, RENAME a
+    column (metadata-only logical->physical mapping), WIDEN a column's
+    type (int->bigint, served by the parquet upcast — no rewrite), ADD a
+    defaulted column (old fragments scan the default), append rows under
+    the evolved schema, scan and aggregate. The oracle emulates the final
+    table relationally."""
+    path = _scratch("ds_evolve", sf_dir)
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    old = pt.filter(F.col("p_partkey") % 2 == 0)
+    new = pt.filter(F.col("p_partkey") % 2 == 1)
+    ds = Dataset.create(spark, path, old.repartition(2))
+    ds.alter_columns({"path": "p_size", "rename": "sz"})
+    ds.alter_columns({"path": "p_partkey", "data_type": "bigint"})
+    ds.add_column("bonus", "double", default="1.5")
+    ds.append(
+        new.select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.col("p_size").alias("sz"),
+            "p_retailprice",
+            F.lit(2.5).alias("bonus"),
+        ).repartition(2)
+    )
+    return (
+        ds.to_df()
+        .groupBy((F.col("sz") % 5).alias("sz_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("p_retailprice")).cast("double").alias("total_price"),
+            F.sum(F.col("bonus").cast("decimal(6,2)")).cast("double").alias("total_bonus"),
+            F.max("p_partkey").cast("bigint").alias("max_pk"),
+        )
+        .orderBy("sz_bucket")
+    )

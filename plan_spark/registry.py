@@ -73,6 +73,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "stream_join",  # same change
     "stream_enrich",  # same change
     "stream_stateful",  # new this round: applyInPandasWithState driver row
+    "ds_clone_restore",  # new this round: shallow clone + restore lifecycle
+    "ds_evolve_scan",  # new this round: rename/widen/add-default evolution
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -708,3 +708,33 @@ def test_pq_metric_selection(spark, tmp_idx):
                 exact.add((qid, cid))
         recall = len(got & exact) / len(exact)
         assert recall >= bar, f"PQ metric={metric} recall@10 too low: {recall} (chance ~2%)"
+
+
+def test_ivf_batch_search_df_scales_past_driver_probe(spark, tmp_idx):
+    """The batch path's reason to exist: a query set far beyond what the
+    driver-probe path should collect. 2000 queries (4x the corpus) flow
+    through search_df as a DataFrame — full result cardinality, no driver
+    materialization of the query set, still zero Python in the plan."""
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(spark, emb, path=tmp_idx)
+    # 2000 synthetic queries derived distributed-side (never collected)
+    q = (
+        spark.range(2000)
+        .select(
+            (F.col("id") + 100000).alias("q_id"),
+            F.array(
+                *[
+                    (F.hash(F.col("id") * (j + 1)) % 1000 / 500.0 - 1.0)
+                    for j in range(64)
+                ]
+            ).alias("qv"),
+        )
+    )
+    res = idx.search_df(q, top_k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    n = res.count()
+    assert n == 2000 * 3, n
+    # every query got a full rank list
+    per_q = res.groupBy("q_id").count().agg(F.min("count"), F.max("count")).first()
+    assert per_q[0] == 3 and per_q[1] == 3

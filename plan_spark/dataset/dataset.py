@@ -1814,6 +1814,17 @@ class Dataset:
             desc["path"] = rel
             full = os.path.join(self.path, rel)
             id_col = params.pop("id_col", None)
+            if id_col is None:
+                # the SQL face (CREATE INDEX ... USING kind (col)) has no
+                # id_col parameter: prefer the conventional name, else the
+                # first non-indexed column (tables have a leading key here)
+                names = [f.name for f in self.schema.fields]
+                conventional = "doc_id" if kind == "fts" else "vec_id"
+                id_col = (
+                    conventional
+                    if conventional in names
+                    else next(n for n in names if n != column)
+                )
             # in-flight sentinel: a concurrent vacuum() must not sweep a dir
             # whose build is still running (it is referenced by no manifest
             # yet). Removed in the finally below — success or failure — so a
@@ -1832,7 +1843,7 @@ class Dataset:
                     FtsIndex.build(
                         self.spark,
                         self.to_df(),
-                        id_col=id_col or "doc_id",
+                        id_col=id_col,
                         text_col=column,
                         path=full,
                         **params,
@@ -1850,7 +1861,7 @@ class Dataset:
                     builder.build(
                         self.spark,
                         self.to_df(),
-                        id_col=id_col or "vec_id",
+                        id_col=id_col,
                         vec_col=column,
                         path=full,
                         **params,

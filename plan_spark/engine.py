@@ -582,9 +582,27 @@ class Engine:
         self.dataset(name).update(assignments, pred)
 
     def _stmt_meta(self, s: str) -> DataFrame:
-        """SHOW SCHEMAS | SHOW TABLES [IN schema] | DESCRIBE t — catalog
-        introspection served from the engine's own catalog (the reference's
-        psql meta commands)."""
+        """SHOW SCHEMAS | SHOW TABLES [IN schema] | SHOW INDEXES ON t |
+        DESCRIBE t — catalog introspection served from the engine's own
+        catalog (the reference's psql meta commands)."""
+        m = re.match(r"(?is)^SHOW\s+INDEX(?:ES)?\s+ON\s+(\w+)$", s)
+        if m:
+            ds = self.dataset(m.group(1))
+            rows = [
+                (
+                    n,
+                    d["kind"],
+                    d.get("column"),
+                    d["covers_version"],
+                    ds.index_fresh(n),
+                )
+                for n, d in sorted(ds.manifest.indexes.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "index_name string, kind string, column string, "
+                "covers_version int, fresh boolean",
+            )
         m = re.match(r"(?is)^SHOW\s+SCHEMAS$", s)
         if m:
             return self.spark.createDataFrame(

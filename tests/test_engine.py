@@ -399,3 +399,20 @@ def test_merge_sql_nested_subquery_source(engine):
     )
     got = {(r.k, r.v) for r in eng.sql("SELECT k, v FROM mt").collect()}
     assert got == {(1, "a"), (2, "x)"), (3, "y)")}
+
+
+def test_show_indexes_sql(engine):
+    eng = engine
+    eng.sql("CREATE TABLE si (a INT, b STRING)")
+    eng.sql("INSERT INTO si VALUES (1, 'hello world'), (2, 'spark engine')")
+    eng.sql("CREATE INDEX ib ON si USING bitmap (a)")
+    eng.sql("CREATE INDEX ifx ON si USING fts (b)")
+    rows = {r.index_name: r for r in eng.sql("SHOW INDEXES ON si").collect()}
+    assert set(rows) == {"ib", "ifx"}
+    assert rows["ib"].kind == "bitmap" and rows["ib"].column == "a"
+    assert rows["ifx"].kind == "fts" and rows["ifx"].fresh is True
+    eng.sql("INSERT INTO si VALUES (3, 'stale now')")  # data commit stales both
+    rows = {r.index_name: r for r in eng.sql("SHOW INDEXES ON si").collect()}
+    assert rows["ifx"].fresh is False
+    eng.sql("DROP INDEX ib ON si")
+    assert {r.index_name for r in eng.sql("SHOW INDEXES ON si").collect()} == {"ifx"}

@@ -550,3 +550,48 @@ def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "c_custkey", "o_orderkey", "n_items")
         .orderBy("c_name", "c_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 shape: N disjoint band counts from ONE scan (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_Q88_BANDS = [(1 + 6 * i, 6 + 6 * i) for i in range(8)]  # quantity bands
+
+_TPCDS_Q88_SQL = f"""
+SELECT
+  {", ".join(
+    f"CAST(SUM(CASE WHEN l_quantity >= {lo} AND l_quantity <= {hi} "
+    f"AND l_discount > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS band_{i}"
+    for i, (lo, hi) in enumerate(_Q88_BANDS)
+  )}
+FROM lineitem
+"""
+
+
+@register("tpcds_q88", oracle=_TPCDS_Q88_SQL, tags=("tpcds", "conditional-agg"))
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape (cases/tpcds/query/q88.sql): eight disjoint
+    band counts produced by ONE scan with conditional aggregation — q88's
+    text runs eight subqueries that naive engines execute as eight scans;
+    the single-pass rewrite is the scale-correct plan (the reference ships
+    the query text but would run the eight-scan form).
+
+    Scale shape: one fact scan, one single-row aggregate (map-side
+    partials, scalar shuffle). Integer counts — nothing to drift."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") >= lo)
+                    & (F.col("l_quantity") <= hi)
+                    & (F.col("l_discount") > 0.02),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"band_{i}")
+            for i, (lo, hi) in enumerate(_Q88_BANDS)
+        ]
+    )

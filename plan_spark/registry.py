@@ -75,6 +75,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "stream_stateful",  # new this round: applyInPandasWithState driver row
     "ds_clone_restore",  # new this round: shallow clone + restore lifecycle
     "ds_evolve_scan",  # new this round: rename/widen/add-default evolution
+    "tpcds_q88",  # new this round: single-scan multi-band conditional agg
 )
 
 # Complementary: names pushed to the very END of the registry — queries

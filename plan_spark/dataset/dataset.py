@@ -1784,11 +1784,22 @@ class Dataset:
           m, ef_construction, metric).
         - "pq" / "sq": persisted quantizer indexes PqIndex / SqIndex
           (params: id_col, m/k or bits, metric) — codes-only storage.
+        - "btree": persisted BtreeIndex over a scalar column (range-
+          partitioned sorted runs + fences; equality/range -> row ids,
+          reference btree_index.go:12-130). id defaults to ``_rowid`` when
+          the dataset has stable row ids, pairing with ``take_rows``.
+        - "rtree": persisted RtreeIndex over two numeric columns — pass
+          ``column="x,y"`` (z-packed runs + per-file MBRs; intersects/
+          contains/kNN -> row ids, reference rtree_index.go:17-370).
         """
         m = self.manifest
         if name in m.indexes:
             raise ValueError(f"index {name!r} already exists")
-        phys = self._phys(column)
+        phys = (
+            ",".join(self._phys(c.strip()) for c in column.split(","))
+            if kind == "rtree"
+            else self._phys(column)
+        )
         desc: dict = {
             "kind": kind,
             "column": column,
@@ -1803,7 +1814,7 @@ class Dataset:
             txn.bitmap_add = phys
         elif kind == "bloom":
             txn.bloom_add = phys
-        elif kind in ("ivf", "fts", "hnsw", "pq", "sq"):
+        elif kind in ("ivf", "fts", "hnsw", "pq", "sq", "btree", "rtree"):
             # unique staging path per build attempt: a same-name race's
             # LOSING create (its _commit raises ConflictError) must not
             # clobber the winner's persisted files, and the committed
@@ -1819,12 +1830,17 @@ class Dataset:
                 # id_col parameter: prefer the conventional name, else the
                 # first non-indexed column (tables have a leading key here)
                 names = [f.name for f in self.schema.fields]
-                conventional = "doc_id" if kind == "fts" else "vec_id"
-                id_col = (
-                    conventional
-                    if conventional in names
-                    else next(n for n in names if n != column)
-                )
+                if kind in ("btree", "rtree") and m.row_ids:
+                    # scalar/spatial probes return row ids for take_rows —
+                    # the reference contract (Search -> []uint64 row IDs)
+                    id_col = _ROWID
+                else:
+                    conventional = "doc_id" if kind == "fts" else "vec_id"
+                    id_col = (
+                        conventional
+                        if conventional in names
+                        else next(n for n in names if n != column)
+                    )
             # in-flight sentinel: a concurrent vacuum() must not sweep a dir
             # whose build is still running (it is referenced by no manifest
             # yet). Removed in the finally below — success or failure — so a
@@ -1847,6 +1863,27 @@ class Dataset:
                         text_col=column,
                         path=full,
                         **params,
+                    )
+                elif kind == "btree":
+                    from plan_spark.indexes.btree import BtreeIndex
+
+                    src = self.to_df(with_row_id=(id_col == _ROWID))
+                    BtreeIndex.build(
+                        self.spark, src, key_col=column, id_col=id_col,
+                        path=full, **params,
+                    )
+                elif kind == "rtree":
+                    from plan_spark.indexes.rtree import RtreeIndex
+
+                    xy = [c.strip() for c in column.split(",")]
+                    if len(xy) != 2:
+                        raise ValueError(
+                            'rtree index needs column="x,y" (two columns)'
+                        )
+                    src = self.to_df(with_row_id=(id_col == _ROWID))
+                    RtreeIndex.build(
+                        self.spark, src, x_col=xy[0], y_col=xy[1],
+                        id_col=id_col, path=full, **params,
                     )
                 else:
                     from plan_spark.indexes.hnsw import HnswIndex
@@ -1949,16 +1986,19 @@ class Dataset:
             raise ValueError(f"no index named {name!r}")
         full = os.path.join(self.path, desc["path"]) if desc["path"] else None
         kind = desc["kind"]
-        if kind in ("ivf", "fts", "hnsw", "pq", "sq"):
+        if kind in ("ivf", "fts", "hnsw", "pq", "sq", "btree", "rtree"):
+            from plan_spark.indexes.btree import BtreeIndex
             from plan_spark.indexes.fts import FtsIndex
             from plan_spark.indexes.hnsw import HnswIndex
             from plan_spark.indexes.ivf import IvfIndex
             from plan_spark.indexes.pq import PqIndex
+            from plan_spark.indexes.rtree import RtreeIndex
             from plan_spark.indexes.sq import SqIndex
 
             opener = {
                 "ivf": IvfIndex, "fts": FtsIndex, "hnsw": HnswIndex,
                 "pq": PqIndex, "sq": SqIndex,
+                "btree": BtreeIndex, "rtree": RtreeIndex,
             }[kind]
             return opener(self.spark, full)
         raise ValueError(f"index {name!r} has kind {kind!r}; nothing to open")

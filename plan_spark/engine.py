@@ -429,15 +429,18 @@ class Engine:
                 cols.append(f"{colname} {coltype}")
             self.create_table(name, ", ".join(cols), primary_key=pk or None)
             return
-        # CREATE INDEX idx ON t USING kind (col) — transactional index
-        # creation on the versioned table (reference index_transaction.go;
-        # the SDK's CreateIndex surfaced through the SQL front door)
+        # CREATE INDEX idx ON t USING kind (col[, col2]) — transactional
+        # index creation on the versioned table (reference
+        # index_transaction.go; the SDK's CreateIndex surfaced through the
+        # SQL front door). Two columns only for rtree (x, y).
         m = re.match(
-            r"(?is)^CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)\s*\((\w+)\)$",
+            r"(?is)^CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)"
+            r"\s*\((\w+(?:\s*,\s*\w+)?)\)$",
             s,
         )
         if m:
             idx, tbl, kind, col = m.groups()
+            col = ",".join(c.strip() for c in col.split(","))
             self.dataset(tbl).create_index(idx, kind=kind.lower(), column=col)
             self._registered.pop(("main", tbl), None)
             return

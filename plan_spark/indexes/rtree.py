@@ -1,0 +1,256 @@
+"""RTree spatial index: z-order-packed runs + per-file bounding boxes.
+
+Reference: storage2 RTreeIndex (/root/reference/pkg/storage2/rtree_index.go:17-370
+— NewRTreeIndex / RangeSearch (intersects) / ContainsSearch /
+NearestNeighbors returning row IDs). The reference keeps an in-memory
+R-tree of bounding boxes; the Spark-first analog is STR-style spatial
+packing:
+
+- runs/   (parquet) — (id, xmin, xmax, ymin, ymax) range-partitioned on a
+  bit-interleaved z-value of the box center, so spatially-near boxes land
+  in the same file ("leaf nodes" with tight MBRs).
+- fences.parquet    — per-file MBR (file, xlo, xhi, ylo, yhi, n): the inner
+  nodes. File-count-sized; probes route driver-side.
+- pending/          — buffered inserts, folded in by compact().
+
+Points index as degenerate boxes (min == max). A box probe prunes to the
+files whose MBR intersects the query, then applies the exact predicate
+inside the scan — at 100 TB a selective box reads O(result) files, and
+query time does no shuffle. kNN walks files in min-distance order and
+stops once the kth-best distance beats the next file's MBR distance —
+the classic branch-and-bound over the packed leaves, with file count
+(not row count) driving the driver-side loop.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _interleave(bx, by):
+    """Bit-interleave two 16-bit bucket columns into a z-value."""
+    z = F.lit(0).cast("bigint")
+    for j in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(bx, j).bitwiseAND(F.lit(1)).cast("bigint"), 2 * j)
+            + F.shiftleft(F.shiftright(by, j).bitwiseAND(F.lit(1)).cast("bigint"), 2 * j + 1)
+        )
+    return z
+
+
+class RtreeIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        x_col: str,
+        y_col: str,
+        id_col: str,
+        path: str | None = None,
+        n_runs: int = 8,
+        x2_col: str | None = None,
+        y2_col: str | None = None,
+    ) -> "RtreeIndex":
+        """Pack boxes into ``n_runs`` spatially-coherent files. Points:
+        pass (x_col, y_col); boxes: also (x2_col, y2_col) as the max
+        corner. One global min/max agg fixes the z-grid, one range shuffle
+        packs — the same two-job build cost as the z-order compactor."""
+        idx = cls(spark, path)
+        os.makedirs(idx.path, exist_ok=True)
+        boxes = df.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("xmin"),
+            F.col(x2_col or x_col).cast("double").alias("xmax"),
+            F.col(y_col).cast("double").alias("ymin"),
+            F.col(y2_col or y_col).cast("double").alias("ymax"),
+        )
+        b = boxes.agg(
+            F.min("xmin").alias("xlo"), F.max("xmax").alias("xhi"),
+            F.min("ymin").alias("ylo"), F.max("ymax").alias("yhi"),
+        ).collect()[0]
+        xlo, ylo = b.xlo or 0.0, b.ylo or 0.0
+        xspan = ((b.xhi or 0.0) - xlo) or 1.0
+        yspan = ((b.yhi or 0.0) - ylo) or 1.0
+
+        def bucket(center, lo, span):
+            return F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((center - F.lit(lo)) / F.lit(span) * 65536).cast("int"),
+                ),
+            )
+
+        cx = (F.col("xmin") + F.col("xmax")) / 2
+        cy = (F.col("ymin") + F.col("ymax")) / 2
+        (
+            boxes.withColumn(
+                "__z", _interleave(bucket(cx, xlo, xspan), bucket(cy, ylo, yspan))
+            )
+            .repartitionByRange(n_runs, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(os.path.join(idx.path, "runs"))
+        )
+        idx._write_fences()
+        return idx
+
+    def _write_fences(self) -> None:
+        runs = self.spark.read.parquet(os.path.join(self.path, "runs"))
+        (
+            runs.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("xmin").alias("xlo"), F.max("xmax").alias("xhi"),
+                F.min("ymin").alias("ylo"), F.max("ymax").alias("yhi"),
+                F.count("*").alias("n"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "fences.parquet"))
+        )
+
+    # ------------------------------------------------------------- search
+    def _fences(self):
+        return self.spark.read.parquet(
+            os.path.join(self.path, "fences.parquet")
+        ).collect()
+
+    def _scan(self, files: list[str] | None) -> DataFrame:
+        if files is None:
+            base = self.spark.read.parquet(os.path.join(self.path, "runs"))
+        elif not files:
+            base = self.spark.createDataFrame(
+                [], "id long, xmin double, xmax double, ymin double, ymax double"
+            )
+        else:
+            base = self.spark.read.parquet(*files)
+        pend = os.path.join(self.path, "pending")
+        if os.path.isdir(pend) and any(
+            f.endswith(".parquet") for f in os.listdir(pend)
+        ):
+            base = base.unionByName(self.spark.read.parquet(pend))
+        return base
+
+    def range_search(self, qxmin, qymin, qxmax, qymax) -> DataFrame:
+        """Boxes INTERSECTING the query box (reference rtree_index.go:260
+        RangeSearch). File-level MBR pruning, then the exact intersect
+        predicate pushed into the pruned scan."""
+        fences = self._fences()
+        hit = [
+            r.file
+            for r in fences
+            if r.xhi >= qxmin and r.xlo <= qxmax and r.yhi >= qymin and r.ylo <= qymax
+        ]
+        files = None if len(hit) == len(fences) else hit
+        return self._scan(files).filter(
+            (F.col("xmax") >= F.lit(qxmin))
+            & (F.col("xmin") <= F.lit(qxmax))
+            & (F.col("ymax") >= F.lit(qymin))
+            & (F.col("ymin") <= F.lit(qymax))
+        )
+
+    def contains_search(self, qxmin, qymin, qxmax, qymax) -> DataFrame:
+        """Boxes fully CONTAINED in the query box (rtree_index.go:296
+        ContainsSearch) — same pruning, tighter predicate."""
+        return self.range_search(qxmin, qymin, qxmax, qymax).filter(
+            (F.col("xmin") >= F.lit(qxmin))
+            & (F.col("xmax") <= F.lit(qxmax))
+            & (F.col("ymin") >= F.lit(qymin))
+            & (F.col("ymax") <= F.lit(qymax))
+        )
+
+    def nearest_neighbors(self, x: float, y: float, k: int) -> list[tuple]:
+        """Branch-and-bound kNN (rtree_index.go:332 NearestNeighbors):
+        visit files in ascending MBR-min-distance order; stop when the
+        kth-best found distance is <= the next unvisited file's MBR
+        distance. Returns [(id, dist)] ascending — k is small by contract
+        (point-lookup API, like take_rows), so the result is driver-sized;
+        each visited file is scanned with a Spark job that reduces to its
+        own top-k before collecting."""
+
+        def mbr_dist(r) -> float:
+            dx = max(r.xlo - x, 0.0, x - r.xhi)
+            dy = max(r.ylo - y, 0.0, y - r.yhi)
+            return math.hypot(dx, dy)
+
+        order = sorted(self._fences(), key=mbr_dist)
+        # d*d, not pow(d,2): multiplication is bit-deterministic across
+        # engines, so the returned distances hash-match a SQL oracle
+        dx = F.greatest(F.col("xmin") - x, F.lit(0.0), F.lit(x) - F.col("xmax"))
+        dy = F.greatest(F.col("ymin") - y, F.lit(0.0), F.lit(y) - F.col("ymax"))
+        dist = F.sqrt(dx * dx + dy * dy)
+        best: list[tuple] = []  # (dist, id) ascending
+        pend_scanned = False
+        for i, r in enumerate(order):
+            if len(best) >= k and best[k - 1][0] <= mbr_dist(r):
+                break
+            batch = self.spark.read.parquet(r.file)
+            if not pend_scanned:
+                pend = os.path.join(self.path, "pending")
+                if os.path.isdir(pend) and any(
+                    f.endswith(".parquet") for f in os.listdir(pend)
+                ):
+                    batch = batch.unionByName(self.spark.read.parquet(pend))
+                pend_scanned = True
+            rows = (
+                batch.select("id", dist.alias("d"))
+                .orderBy(F.asc("d"), F.asc("id"))
+                .limit(k)
+                .collect()
+            )
+            best = sorted(best + [(row.d, row.id) for row in rows])[:k]
+        return [(i, d) for d, i in best]
+
+    # ------------------------------------------------------------- insert
+    def insert(
+        self,
+        df: DataFrame,
+        x_col: str,
+        y_col: str,
+        id_col: str,
+        x2_col: str | None = None,
+        y2_col: str | None = None,
+    ) -> "RtreeIndex":
+        """Buffered insert (rtree_index.go:146 Insert): appended unsorted,
+        scanned by every probe, folded in by compact()."""
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("xmin"),
+            F.col(x2_col or x_col).cast("double").alias("xmax"),
+            F.col(y_col).cast("double").alias("ymin"),
+            F.col(y2_col or y_col).cast("double").alias("ymax"),
+        ).write.mode("append").parquet(os.path.join(self.path, "pending"))
+        return self
+
+    def compact(self, n_runs: int = 8) -> "RtreeIndex":
+        """Re-pack runs+pending (one range shuffle over the index rows)."""
+        import shutil
+        import uuid
+
+        merged = self._scan(None)
+        tmp = os.path.join(self.path, f"rebuild_{uuid.uuid4().hex[:8]}")
+        RtreeIndex.build(
+            self.spark, merged, "xmin", "ymin", "id",
+            path=tmp, n_runs=n_runs, x2_col="xmax", y2_col="ymax",
+        )
+        dst = os.path.join(self.path, "runs")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(tmp, "runs"), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
+        # fences must be recomputed AFTER the move: they store absolute file
+        # paths, and the rebuild's own fences point into the deleted tmp dir
+        self._write_fences()
+        return self

@@ -515,3 +515,113 @@ def ds_evolve_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sz_bucket")
     )
+
+
+_DS_BTREE_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_totalprice BETWEEN 350000.0 AND 360000.0
+  AND o_orderstatus <> 'F'
+"""
+
+
+@register("ds_btree_scan", oracle=_DS_BTREE_SQL, tags=("dataset", "index", "btree"))
+def ds_btree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BTree scalar-index lifecycle (reference btree_index.go:12-130 +
+    index_transaction.go): ingest orders with stable row ids, CREATE a
+    btree index on o_totalprice through the manifest commit path, DELETE
+    the 'F' orders (deletion vectors — committed AFTER the index build),
+    then probe a price range: the index returns row ids, ``take_rows``
+    addresses them with a projected read, and merge-on-read drops the
+    deleted ids even though the index still lists them — the probe result
+    must equal the plain relational filter composed with the delete.
+
+    Scale shape: the probe reads only fence-selected run files (asserted),
+    and the point lookup prunes fragments by row-id interval — no full
+    scan anywhere after ingest."""
+    path = _scratch("ds_btree", sf_dir)
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ds = Dataset.create(spark, path, ords.repartition(4), row_ids=True)
+    ds.create_index("bt_price", kind="btree", column="o_totalprice", n_runs=6)
+    ds.delete("o_orderstatus = 'F'")
+    bt = ds.open_index("bt_price")
+    lo, hi = 350000.0, 360000.0
+    files = bt._probe_files(lo, hi)
+    assert files is not None and files, "expected fence pruning on the btree probe"
+    ids = [r.id for r in bt.range_query(lo, hi).select("id").collect()]
+    hits = ds.take_rows(ids, columns=["o_orderkey", "o_totalprice"])
+    return hits.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_DS_RTREE_SQL = """
+SELECT rank, o_orderkey, dist
+FROM (
+  SELECT o_orderkey,
+         SQRT((CAST(o_custkey AS DOUBLE) - 750.0) * (CAST(o_custkey AS DOUBLE) - 750.0)
+            + (o_totalprice / 1000.0 - 200.0) * (o_totalprice / 1000.0 - 200.0)) AS dist,
+         ROW_NUMBER() OVER (ORDER BY
+           SQRT((CAST(o_custkey AS DOUBLE) - 750.0) * (CAST(o_custkey AS DOUBLE) - 750.0)
+              + (o_totalprice / 1000.0 - 200.0) * (o_totalprice / 1000.0 - 200.0)) ASC,
+           o_orderkey ASC) AS rank
+  FROM orders
+) ranked
+WHERE rank <= 8
+ORDER BY rank
+"""
+
+
+@register("ds_rtree_scan", oracle=_DS_RTREE_SQL, tags=("dataset", "index", "rtree"))
+def ds_rtree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTree spatial-index lifecycle (reference rtree_index.go:17-370):
+    ingest orders as 2-D points (o_custkey, o_totalprice/1000) with stable
+    row ids, CREATE an rtree index through the manifest commit path, run a
+    box probe (MBR fence pruning asserted) and a branch-and-bound kNN whose
+    ranked ids — resolved back to order keys via projected ``take_rows`` —
+    must hash-match the full-corpus ORDER BY distance LIMIT k.
+
+    Scale shape: the box probe reads only MBR-intersecting run files; kNN
+    visits files in min-distance order and stops at the bound, so both are
+    O(result)-file probes on a packed layout, never corpus scans."""
+    from plan_spark.localrel import local_df
+
+    path = _scratch("ds_rtree", sf_dir)
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("cx"),
+        (F.col("o_totalprice") / 1000.0).alias("cy"),
+    )
+    ds = Dataset.create(spark, path, ords.repartition(4), row_ids=True)
+    ds.create_index("rt_xy", kind="rtree", column="cx,cy", n_runs=8)
+    rt = ds.open_index("rt_xy")
+    # box probe: prune + exact predicate (value-checked transitively — the
+    # kNN below shares the fences/runs the box path reads)
+    fences = rt._fences()
+    hit = [
+        r for r in fences
+        if r.xhi >= 100 and r.xlo <= 400 and r.yhi >= 50 and r.ylo <= 150
+    ]
+    assert 0 < len(hit) < len(fences), "expected MBR fence pruning for the box probe"
+    n_box = rt.range_search(100.0, 50.0, 400.0, 150.0).count()
+    assert n_box > 0
+    # branch-and-bound kNN -> row ids -> projected point lookup
+    knn = rt.nearest_neighbors(750.0, 200.0, 8)
+    ranked = local_df(
+        spark,
+        [(i + 1, int(rid), float(d)) for i, (rid, d) in enumerate(knn)],
+        "rank int, _rowid long, dist double",
+    )
+    hits = ds.take_rows([rid for rid, _ in knn], columns=["o_orderkey"])
+    return (
+        hits.join(ranked, "_rowid")
+        .select("rank", "o_orderkey", "dist")
+        .orderBy("rank")
+    )

@@ -76,6 +76,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_clone_restore",  # new this round: shallow clone + restore lifecycle
     "ds_evolve_scan",  # new this round: rename/widen/add-default evolution
     "tpcds_q88",  # new this round: single-scan multi-band conditional agg
+    "ds_btree_scan",  # new this round: btree index lifecycle + probes
+    "ds_rtree_scan",  # new this round: rtree index lifecycle + box/kNN
 )
 
 # Complementary: names pushed to the very END of the registry — queries

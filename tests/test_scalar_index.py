@@ -1,0 +1,203 @@
+"""BTree + RTree scalar/spatial index tests (reference
+btree_index.go / rtree_index.go surfaces): probe parity vs plain filters,
+fence pruning, buffered insert + compact invariance, the dataset
+create_index/open_index lifecycle, and the SQL CREATE INDEX face."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plan_spark.indexes.btree import BtreeIndex
+from plan_spark.indexes.rtree import RtreeIndex
+
+
+def _tmp(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "plan_spark_test_scalar", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") * 37 % 500).cast("double").alias("key"),
+        (F.rand(11) * 100).alias("x"),
+        (F.rand(12) * 100).alias("y"),
+    ).cache()
+
+
+# ---------------------------------------------------------------- btree
+
+
+def test_btree_probe_parity_and_pruning(spark, points):
+    bt = BtreeIndex.build(
+        spark, points, key_col="key", id_col="id", path=_tmp("bt1"), n_runs=6
+    )
+    exp_eq = sorted(r.id for r in points.filter(F.col("key") == 37.0).collect())
+    assert sorted(r.id for r in bt.equality_query(37.0).collect()) == exp_eq
+    exp_rng = sorted(
+        r.id for r in points.filter(F.col("key").between(40.0, 60.0)).collect()
+    )
+    assert sorted(r.id for r in bt.range_query(40.0, 60.0).collect()) == exp_rng
+    # fences route an equality probe to a strict subset of run files
+    files = bt._probe_files(37.0, 37.0)
+    assert files is not None and 0 < len(files) < 6
+    # unbounded side
+    exp_ge = sorted(r.id for r in points.filter(F.col("key") >= 490.0).collect())
+    assert sorted(r.id for r in bt.range_query(lo=490.0).collect()) == exp_ge
+
+
+def test_btree_empty_and_miss(spark, points):
+    bt = BtreeIndex.build(
+        spark, points, key_col="key", id_col="id", path=_tmp("bt2"), n_runs=4
+    )
+    assert bt.equality_query(123.456).count() == 0  # between fences, no key
+    assert bt.range_query(10000.0, 20000.0).count() == 0  # past every fence
+    assert bt._probe_files(10000.0, 20000.0) == []
+
+
+def test_btree_insert_then_compact_invariant(spark, points):
+    bt = BtreeIndex.build(
+        spark, points, key_col="key", id_col="id", path=_tmp("bt3"), n_runs=4
+    )
+    extra = spark.range(90000, 90020).select(
+        F.col("id"), F.lit(55.0).alias("key")
+    )
+    bt.insert(extra, key_col="key", id_col="id")
+    before = sorted(r.id for r in bt.range_query(50.0, 60.0).collect())
+    assert set(range(90000, 90020)).issubset(set(before))
+    bt.compact(n_runs=4)
+    assert sorted(r.id for r in bt.range_query(50.0, 60.0).collect()) == before
+    assert not os.path.isdir(os.path.join(bt.path, "pending"))
+
+
+# ---------------------------------------------------------------- rtree
+
+
+def test_rtree_box_parity_and_pruning(spark, points):
+    rt = RtreeIndex.build(
+        spark, points, x_col="x", y_col="y", id_col="id", path=_tmp("rt1"), n_runs=8
+    )
+    box = (20.0, 30.0, 45.0, 55.0)
+    exp = sorted(
+        r.id
+        for r in points.filter(
+            F.col("x").between(box[0], box[2]) & F.col("y").between(box[1], box[3])
+        ).collect()
+    )
+    assert sorted(r.id for r in rt.range_search(*box).collect()) == exp
+    # points are degenerate boxes: contains == intersects
+    assert sorted(r.id for r in rt.contains_search(*box).collect()) == exp
+    fences = rt._fences()
+    hit = [
+        r
+        for r in fences
+        if r.xhi >= box[0] and r.xlo <= box[2] and r.yhi >= box[1] and r.ylo <= box[3]
+    ]
+    assert 0 < len(hit) < len(fences)
+
+
+def test_rtree_boxes_not_points(spark):
+    rows = spark.createDataFrame(
+        [(1, 0.0, 2.0, 0.0, 2.0), (2, 5.0, 9.0, 5.0, 9.0), (3, 1.0, 6.0, 1.0, 6.0)],
+        "id long, ax double, bx double, ay double, by double",
+    )
+    rt = RtreeIndex.build(
+        spark, rows, x_col="ax", y_col="ay", id_col="id",
+        path=_tmp("rt2"), n_runs=2, x2_col="bx", y2_col="by",
+    )
+    inter = sorted(r.id for r in rt.range_search(1.5, 1.5, 5.5, 5.5).collect())
+    assert inter == [1, 2, 3]  # all three boxes intersect the query
+    cont = sorted(r.id for r in rt.contains_search(0.0, 0.0, 7.0, 7.0).collect())
+    assert cont == [1, 3]  # box 2 sticks out past 7
+
+
+def test_rtree_knn_parity(spark, points):
+    rt = RtreeIndex.build(
+        spark, points, x_col="x", y_col="y", id_col="id", path=_tmp("rt3"), n_runs=8
+    )
+    rows = points.select("id", "x", "y").collect()
+    for qx, qy in [(50.0, 50.0), (0.0, 0.0), (99.0, 1.0)]:
+        brute = sorted((math.hypot(r.x - qx, r.y - qy), r.id) for r in rows)[:7]
+        got = rt.nearest_neighbors(qx, qy, 7)
+        assert [i for _, i in brute] == [i for i, _ in got]
+        for (bd, _), (_, gd) in zip(brute, got):
+            assert abs(bd - gd) < 1e-9
+
+
+def test_rtree_insert_then_compact(spark, points):
+    rt = RtreeIndex.build(
+        spark, points, x_col="x", y_col="y", id_col="id", path=_tmp("rt4"), n_runs=4
+    )
+    rt.insert(
+        spark.createDataFrame(
+            [(70001, 50.0001, 50.0001)], "id long, x double, y double"
+        ),
+        x_col="x", y_col="y", id_col="id",
+    )
+    assert rt.nearest_neighbors(50.0001, 50.0001, 1)[0][0] == 70001
+    rt.compact(n_runs=4)
+    assert rt.nearest_neighbors(50.0001, 50.0001, 1)[0][0] == 70001
+    assert not os.path.isdir(os.path.join(rt.path, "pending"))
+
+
+# ------------------------------------------------- dataset + SQL lifecycle
+
+
+def test_dataset_btree_lifecycle_rowids(spark):
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("ds_bt")
+    src = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    ds = Dataset.create(spark, path, src.repartition(3), row_ids=True)
+    ds.create_index("bt", kind="btree", column="v", n_runs=4)
+    assert "bt" in ds.manifest.indexes
+    bt = ds.open_index("bt")
+    ids = [r.id for r in bt.equality_query(13.0).collect()]
+    hits = ds.take_rows(ids, columns=["k", "v"])
+    assert sorted(r.k for r in hits.collect()) == sorted(
+        r.k for r in src.filter(F.col("v") == 13.0).collect()
+    )
+    # deletion vectors compose: deleted ids address nothing via take_rows
+    ds.delete("k % 2 = 0")
+    hits2 = sorted(r.k for r in ds.take_rows(ids, columns=["k"]).collect())
+    assert hits2 == sorted(
+        r.k for r in src.filter((F.col("v") == 13.0) & (F.col("k") % 2 == 1)).collect()
+    )
+    ds.drop_index("bt")
+    assert "bt" not in ds.manifest.indexes
+
+
+def test_sql_create_index_rtree_two_columns(spark):
+    from plan_spark.engine import Engine
+
+    eng = Engine(spark, _tmp("eng_rt"))
+    eng.sql("CREATE TABLE pts (pid BIGINT, px DOUBLE, py DOUBLE)")
+    eng.sql(
+        "INSERT INTO pts VALUES (1, 1.0, 1.0), (2, 2.0, 2.0), (3, 8.0, 8.0), (4, 9.0, 1.0)"
+    )
+    eng.sql("CREATE INDEX rt ON pts USING rtree (px, py)")
+    ds = eng.dataset("pts")
+    desc = ds.manifest.indexes["rt"]
+    assert desc["kind"] == "rtree" and desc["column"] == "px,py"
+    rt = ds.open_index("rt")
+    got = sorted(r.id for r in rt.range_search(0.0, 0.0, 3.0, 3.0).collect())
+    exp = sorted(
+        r.pid for r in ds.to_df().filter(
+            F.col("px").between(0.0, 3.0) & F.col("py").between(0.0, 3.0)
+        ).collect()
+    )
+    # ids are stable row ids when the table has them, else the first column
+    assert len(got) == len(exp) == 2
+    eng.sql("DROP INDEX rt ON pts")
+    assert "rt" not in eng.dataset("pts").manifest.indexes

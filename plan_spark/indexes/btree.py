@@ -28,6 +28,74 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_fences(path: str) -> list:
+    """Load the fence table as attribute-accessible rows, without a Spark
+    job: it is a single local parquet file of O(n_runs) rows."""
+    import types
+
+    import pyarrow.parquet as pq
+
+    return [
+        types.SimpleNamespace(**d) for d in pq.read_table(path).to_pylist()
+    ]
+
+
+def fence_target(path: str) -> str:
+    """Clear any previous fence artifact (pyarrow file or a Spark-written
+    directory from older builds) so the single-file write replaces it."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    return path
+
+
+def footer_fences(
+    runs_dir: str, columns: list[str]
+) -> list[tuple[str, dict, int]]:
+    """[(file, {col: (min, max)}, n_rows)] for every data file under
+    ``runs_dir``, read from parquet FOOTERS (no Spark job; O(files) metadata
+    reads). Numeric/temporal footer stats are exact by the parquet spec;
+    BYTE_ARRAY (string) stats may be writer-truncated, so those fall back
+    to an exact single-column read of that file. Zero-row files carry no
+    fence (nothing to route to them)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, dict, int]] = []
+    for fn in sorted(os.listdir(runs_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        f = os.path.join(runs_dir, fn)
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        stats: dict = {}
+        for col in columns:
+            ci = idx[col]
+            exact = md.schema.column(ci).physical_type != "BYTE_ARRAY"
+            mn = mx = None
+            ok = True
+            for ri in range(md.num_row_groups):
+                st = md.row_group(ri).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if not (ok and exact):
+                mm = pc.min_max(pq.read_table(f, columns=[col]).column(0))
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            stats[col] = (mn, mx)
+        out.append((f, stats, md.num_rows))
+    return out
+
+
 class BtreeIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -62,19 +130,26 @@ class BtreeIndex:
         return idx
 
     def _write_fences(self) -> None:
-        """Per-file min/max/count — one metadata-cheap agg over the runs
-        (columnar scan of the key column only)."""
-        runs = self.spark.read.parquet(os.path.join(self.path, "runs"))
-        (
-            runs.groupBy(F.input_file_name().alias("file"))
-            .agg(
-                F.min("key").alias("min_key"),
-                F.max("key").alias("max_key"),
-                F.count("*").alias("n"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.path, "fences.parquet"))
+        """Per-file min/max/count from the parquet FOOTERS — no Spark job:
+        O(files) footer reads (a few KB each; pyarrow speaks local/S3/HDFS
+        alike), which at 100 TB is still file-count work, not row-count
+        work. Numeric/temporal footer stats are exact; string stats can be
+        truncated by the writer, so string keys fall back to an exact
+        single-column read of that file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = footer_fences(os.path.join(self.path, "runs"), ["key"])
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [f for f, _, _ in rows],
+                    "min_key": [s["key"][0] for _, s, _ in rows],
+                    "max_key": [s["key"][1] for _, s, _ in rows],
+                    "n": [n for _, _, n in rows],
+                }
+            ),
+            fence_target(os.path.join(self.path, "fences.parquet")),
         )
 
     # ------------------------------------------------------------- search
@@ -83,10 +158,8 @@ class BtreeIndex:
         [lo, hi] (None = unbounded side). Returns None when every file
         matches (read the whole runs dir — cheaper than listing paths)."""
         # the fence table is n_runs rows BY CONSTRUCTION (file-count-sized,
-        # never row-count-sized) — one collect, route driver-side
-        fences = self.spark.read.parquet(
-            os.path.join(self.path, "fences.parquet")
-        ).collect()
+        # never row-count-sized) — one local metadata read, route driver-side
+        fences = read_fences(os.path.join(self.path, "fences.parquet"))
         hit = [
             r.file
             for r in fences

@@ -108,24 +108,36 @@ class RtreeIndex:
         return idx
 
     def _write_fences(self) -> None:
-        runs = self.spark.read.parquet(os.path.join(self.path, "runs"))
-        (
-            runs.groupBy(F.input_file_name().alias("file"))
-            .agg(
-                F.min("xmin").alias("xlo"), F.max("xmax").alias("xhi"),
-                F.min("ymin").alias("ylo"), F.max("ymax").alias("yhi"),
-                F.count("*").alias("n"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.path, "fences.parquet"))
+        """Per-file MBRs from the parquet FOOTERS — no Spark job, O(files)
+        metadata reads (see btree.footer_fences). The MBR combines min of
+        the min-corner columns with max of the max-corner columns."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from plan_spark.indexes.btree import fence_target, footer_fences
+
+        rows = footer_fences(
+            os.path.join(self.path, "runs"), ["xmin", "xmax", "ymin", "ymax"]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [f for f, _, _ in rows],
+                    "xlo": [s["xmin"][0] for _, s, _ in rows],
+                    "xhi": [s["xmax"][1] for _, s, _ in rows],
+                    "ylo": [s["ymin"][0] for _, s, _ in rows],
+                    "yhi": [s["ymax"][1] for _, s, _ in rows],
+                    "n": [n for _, _, n in rows],
+                }
+            ),
+            fence_target(os.path.join(self.path, "fences.parquet")),
         )
 
     # ------------------------------------------------------------- search
     def _fences(self):
-        return self.spark.read.parquet(
-            os.path.join(self.path, "fences.parquet")
-        ).collect()
+        from plan_spark.indexes.btree import read_fences
+
+        return read_fences(os.path.join(self.path, "fences.parquet"))
 
     def _scan(self, files: list[str] | None) -> DataFrame:
         if files is None:

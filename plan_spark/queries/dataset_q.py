@@ -522,7 +522,7 @@ SELECT COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
 FROM orders
-WHERE o_totalprice BETWEEN 350000.0 AND 360000.0
+WHERE o_totalprice BETWEEN 355000.0 AND 356000.0
   AND o_orderstatus <> 'F'
 """
 
@@ -549,7 +549,7 @@ def ds_btree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds.create_index("bt_price", kind="btree", column="o_totalprice", n_runs=6)
     ds.delete("o_orderstatus = 'F'")
     bt = ds.open_index("bt_price")
-    lo, hi = 350000.0, 360000.0
+    lo, hi = 355000.0, 356000.0
     files = bt._probe_files(lo, hi)
     assert files is not None and files, "expected fence pruning on the btree probe"
     ids = [r.id for r in bt.range_query(lo, hi).select("id").collect()]

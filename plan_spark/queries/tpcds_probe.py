@@ -595,3 +595,151 @@ def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (lo, hi) in enumerate(_Q88_BANDS)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 shape: year-over-year growth compared across two channels
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q74_SQL = f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s96,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s97
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+), w AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN {REV_SQL} END) AS DOUBLE) AS w96,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN {REV_SQL} END) AS DOUBLE) AS w97
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+)
+SELECT s.o_custkey AS custkey, s96, s97, w96, w97
+FROM s JOIN w ON s.o_custkey = w.o_custkey
+WHERE s96 > 0 AND s97 > 0 AND w96 > 0 AND w97 > 0
+  AND s97 / s96 > w97 / w96
+ORDER BY custkey
+LIMIT 100
+"""
+
+
+@register("tpcds_q74", oracle=_TPCDS_Q74_SQL, tags=("tpcds", "yoy"))
+def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74/q11 shape (cases/tpcds/query/query74.sql): customers whose
+    year-over-year growth in one channel beats the other. q74's text builds
+    a UNION ALL of per-channel year totals and self-joins it four ways; the
+    scale-correct rewrite used here computes each channel's two years in ONE
+    conditional aggregate (one shuffle per channel instead of a 4-way
+    self-join of the union), then one custkey-co-partitioned join.
+
+    Determinism: channel totals are exact decimal sums emitted as DOUBLE;
+    the growth comparison divides those identical doubles in both engines,
+    so the boundary is bit-stable. Guard rows with all four totals > 0 (the
+    reference guards first-year > 0 the same way)."""
+    yr = F.year("o_orderdate")
+    ords = table(spark, sf_dir, "orders").filter(yr.isin(1996, 1997))
+    s = ords.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, dec("o_totalprice"))).cast("double").alias("s96"),
+        F.sum(F.when(yr == 1997, dec("o_totalprice"))).cast("double").alias("s97"),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, rev_col())).cast("double").alias("w96"),
+            F.sum(F.when(yr == 1997, rev_col())).cast("double").alias("w97"),
+        )
+    )
+    return (
+        s.join(w, "o_custkey")
+        .filter(
+            (F.col("s96") > 0) & (F.col("s97") > 0)
+            & (F.col("w96") > 0) & (F.col("w97") > 0)
+            & (F.col("s97") / F.col("s96") > F.col("w97") / F.col("w96"))
+        )
+        .select(F.col("o_custkey").alias("custkey"), "s96", "s97", "w96", "w97")
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 shape: OR'd correlated EXISTS (mark joins) into demographic stats
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q35_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_nationkey) AS BIGINT) AS dep_sum,
+       CAST(CAST(SUM(c_nationkey) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dep_avg,
+       SQRT(
+         CAST(COUNT(*) * CAST(SUM(c_nationkey * c_nationkey) AS BIGINT)
+              - CAST(SUM(c_nationkey) AS BIGINT) * CAST(SUM(c_nationkey) AS BIGINT)
+              AS DOUBLE)
+         / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE)
+       ) AS dep_stddev
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) >= 1996)
+  AND (EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+       OR EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'))
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("tpcds_q35", oracle=_TPCDS_Q35_SQL, tags=("tpcds", "exists", "mark-join"))
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35 shape (cases/tpcds/query/query35.sql): demographic stats
+    over customers passing one required EXISTS AND an OR of two more
+    correlated EXISTS — the disjunctive mark-join class the reference
+    handles with MARK joins (hashjoin.go). Spark-first decorrelation: ONE
+    aggregate over orders computes all three existence marks per customer
+    (max-of-indicator — a single scan + single shuffle replaces three
+    correlated probes), then an inner join applies the mark predicate.
+
+    Determinism: avg/stddev_samp are emitted as closed-form doubles over
+    EXACT integer sums (n, sum, sum-of-squares are bigints in both engines),
+    so accumulation order cannot perturb them."""
+    ords = table(spark, sf_dir, "orders")
+    marks = ords.groupBy("o_custkey").agg(
+        F.max(F.when(F.year("o_orderdate") >= 1996, 1).otherwise(0)).alias("m_recent"),
+        F.max(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("m_high"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("m_urgent"),
+    )
+    cust = table(spark, sf_dir, "customer")
+    picked = (
+        cust.join(marks, cust.c_custkey == marks.o_custkey)
+        .filter(
+            (F.col("m_recent") == 1)
+            & ((F.col("m_high") == 1) | (F.col("m_urgent") == 1))
+        )
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("c_nationkey").cast("bigint")
+    ssq = F.sum(F.col("c_nationkey") * F.col("c_nationkey")).cast("bigint")
+    return (
+        picked.groupBy("c_mktsegment")
+        .agg(
+            n.cast("bigint").alias("n"),
+            s.alias("dep_sum"),
+            (s.cast("double") / n.cast("double")).alias("dep_avg"),
+            F.sqrt(
+                (n * ssq - s * s).cast("double")
+                / (n * (n - F.lit(1))).cast("double")
+            ).alias("dep_stddev"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -78,6 +78,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q88",  # new this round: single-scan multi-band conditional agg
     "ds_btree_scan",  # new this round: btree index lifecycle + probes
     "ds_rtree_scan",  # new this round: rtree index lifecycle + box/kNN
+    "tpcds_q74",  # new this round: year-over-year growth, conditional-agg rewrite
+    "tpcds_q35",  # new this round: OR'd correlated EXISTS via aggregated marks
 )
 
 # Complementary: names pushed to the very END of the registry — queries

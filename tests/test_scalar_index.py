@@ -201,3 +201,43 @@ def test_sql_create_index_rtree_two_columns(spark):
     assert len(got) == len(exp) == 2
     eng.sql("DROP INDEX rt ON pts")
     assert "rt" not in eng.dataset("pts").manifest.indexes
+
+
+def test_btree_string_and_timestamp_keys(spark):
+    """Non-numeric keys: string fences exercise the exact-read fallback
+    (BYTE_ARRAY footer stats may be writer-truncated), timestamps the
+    logical-type conversion — probes must stay sound for both."""
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.concat(F.lit("user_"), F.lpad(F.col("id") % 50, 4, "0")).alias("name"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") * 3600).alias("ts"),
+    )
+    bts = BtreeIndex.build(
+        spark, df, key_col="name", id_col="id", path=_tmp("bt_str"), n_runs=4
+    )
+    exp = sorted(r.id for r in df.filter(F.col("name") == "user_0007").collect())
+    assert sorted(r.id for r in bts.equality_query("user_0007").collect()) == exp
+    exp = sorted(
+        r.id
+        for r in df.filter(
+            (F.col("name") >= "user_0010") & (F.col("name") <= "user_0019")
+        ).collect()
+    )
+    assert (
+        sorted(r.id for r in bts.range_query("user_0010", "user_0019").collect())
+        == exp
+    )
+    assert 0 < len(bts._probe_files("user_0007", "user_0007")) < 4
+
+    btt = BtreeIndex.build(
+        spark, df, key_col="ts", id_col="id", path=_tmp("bt_ts"), n_runs=4
+    )
+    import datetime
+
+    lo = datetime.datetime.utcfromtimestamp(1_600_000_000 + 100 * 3600)
+    hi = datetime.datetime.utcfromtimestamp(1_600_000_000 + 150 * 3600)
+    exp = sorted(
+        r.id for r in df.filter(F.col("ts").between(lo, hi)).collect()
+    )
+    assert sorted(r.id for r in btt.range_query(lo, hi).collect()) == exp
+    assert 0 < len(btt._probe_files(lo, lo)) < 4

@@ -1836,11 +1836,19 @@ class Dataset:
                     id_col = _ROWID
                 else:
                     conventional = "doc_id" if kind == "fts" else "vec_id"
-                    id_col = (
-                        conventional
-                        if conventional in names
-                        else next(n for n in names if n != column)
+                    # compare against the individual indexed columns —
+                    # ``column`` is a comma-joined pair for rtree, and a
+                    # coordinate column must never become the index id
+                    indexed = {c.strip() for c in column.split(",")}
+                    id_col = conventional if conventional in names else next(
+                        (n for n in names if n not in indexed), None
                     )
+                    if id_col is None:
+                        raise ValueError(
+                            f"create_index({name!r}): no non-indexed column "
+                            "to use as the id; pass id_col= explicitly or "
+                            "create the dataset with row_ids=True"
+                        )
             # in-flight sentinel: a concurrent vacuum() must not sweep a dir
             # whose build is still running (it is referenced by no manifest
             # yet). Removed in the finally below — success or failure — so a

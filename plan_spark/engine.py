@@ -441,6 +441,11 @@ class Engine:
         if m:
             idx, tbl, kind, col = m.groups()
             col = ",".join(c.strip() for c in col.split(","))
+            if "," in col and kind.lower() != "rtree":
+                raise ValueError(
+                    f"CREATE INDEX USING {kind}: only rtree takes two "
+                    f"columns, got ({col})"
+                )
             self.dataset(tbl).create_index(idx, kind=kind.lower(), column=col)
             self._registered.pop(("main", tbl), None)
             return

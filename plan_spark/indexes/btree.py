@@ -117,9 +117,12 @@ class BtreeIndex:
         a few hundred MB; the fence table stays n_runs rows either way."""
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
+        # NULL keys are not indexed (the reference B-tree never receives
+        # them either — SQL predicates on NULL don't match); an all-NULL run
+        # would also have no footer stats to fence with
         pairs = df.select(
             F.col(key_col).alias("key"), F.col(id_col).alias("id")
-        )
+        ).filter(F.col("key").isNotNull())
         (
             pairs.repartitionByRange(n_runs, "key")
             .sortWithinPartitions("key")
@@ -163,7 +166,10 @@ class BtreeIndex:
         hit = [
             r.file
             for r in fences
-            if (lo is None or r.max_key >= lo) and (hi is None or r.min_key <= hi)
+            # a fence with unknown stats can never be pruned (soundness)
+            if r.min_key is None
+            or r.max_key is None
+            or ((lo is None or r.max_key >= lo) and (hi is None or r.min_key <= hi))
         ]
         return None if len(hit) == len(fences) else hit
 
@@ -204,9 +210,9 @@ class BtreeIndex:
         """Buffered insert (reference btree_index.go:132 Insert, buffered as
         in incremental_index.go): appended unsorted, scanned by every probe
         (the buffer is small by policy), folded in by compact()."""
-        df.select(F.col(key_col).alias("key"), F.col(id_col).alias("id")).write.mode(
-            "append"
-        ).parquet(os.path.join(self.path, "pending"))
+        df.select(F.col(key_col).alias("key"), F.col(id_col).alias("id")).filter(
+            F.col("key").isNotNull()
+        ).write.mode("append").parquet(os.path.join(self.path, "pending"))
         return self
 
     def compact(self, n_runs: int = 8) -> "BtreeIndex":

@@ -254,6 +254,10 @@ class IvfHnswIndex:
             ),
             "qv",
         )
+        # deliberately NOT ivf._cos: queries are unit vectors here (_unit
+        # above), so the |a| factor is dropped from the norm — sharing
+        # ivf's two-norm expression would change the float op sequence and
+        # break bit-parity with the online path's scores
         cos = lambda a, b: F.aggregate(  # noqa: E731
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
         ) / F.sqrt(

@@ -68,12 +68,17 @@ class RtreeIndex:
         packs — the same two-job build cost as the z-order compactor."""
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
+        # rows with any NULL coordinate are not indexed (no box to place;
+        # an all-NULL run would also have no footer stats to fence with)
         boxes = df.select(
             F.col(id_col).alias("id"),
             F.col(x_col).cast("double").alias("xmin"),
             F.col(x2_col or x_col).cast("double").alias("xmax"),
             F.col(y_col).cast("double").alias("ymin"),
             F.col(y2_col or y_col).cast("double").alias("ymax"),
+        ).filter(
+            F.col("xmin").isNotNull() & F.col("xmax").isNotNull()
+            & F.col("ymin").isNotNull() & F.col("ymax").isNotNull()
         )
         b = boxes.agg(
             F.min("xmin").alias("xlo"), F.max("xmax").alias("xhi"),
@@ -143,8 +148,9 @@ class RtreeIndex:
         if files is None:
             base = self.spark.read.parquet(os.path.join(self.path, "runs"))
         elif not files:
+            # schema from the runs dir, not a literal — ids may be strings
             base = self.spark.createDataFrame(
-                [], "id long, xmin double, xmax double, ymin double, ymax double"
+                [], self.spark.read.parquet(os.path.join(self.path, "runs")).schema
             )
         else:
             base = self.spark.read.parquet(*files)
@@ -163,7 +169,9 @@ class RtreeIndex:
         hit = [
             r.file
             for r in fences
-            if r.xhi >= qxmin and r.xlo <= qxmax and r.yhi >= qymin and r.ylo <= qymax
+            # unknown-stat fences are never pruned (soundness)
+            if None in (r.xlo, r.xhi, r.ylo, r.yhi)
+            or (r.xhi >= qxmin and r.xlo <= qxmax and r.yhi >= qymin and r.ylo <= qymax)
         ]
         files = None if len(hit) == len(fences) else hit
         return self._scan(files).filter(
@@ -193,9 +201,14 @@ class RtreeIndex:
         own top-k before collecting."""
 
         def mbr_dist(r) -> float:
+            if None in (r.xlo, r.xhi, r.ylo, r.yhi):
+                return 0.0  # unknown stats: must always visit
+            # sqrt(dx*dx + dy*dy), the SAME arithmetic as the candidate
+            # scoring expression below — hypot rounds differently in the
+            # last ulp, which could mis-prune a file at an exact boundary
             dx = max(r.xlo - x, 0.0, x - r.xhi)
             dy = max(r.ylo - y, 0.0, y - r.yhi)
-            return math.hypot(dx, dy)
+            return math.sqrt(dx * dx + dy * dy)
 
         order = sorted(self._fences(), key=mbr_dist)
         # d*d, not pow(d,2): multiplication is bit-deterministic across
@@ -204,25 +217,30 @@ class RtreeIndex:
         dy = F.greatest(F.col("ymin") - y, F.lit(0.0), F.lit(y) - F.col("ymax"))
         dist = F.sqrt(dx * dx + dy * dy)
         best: list[tuple] = []  # (dist, id) ascending
-        pend_scanned = False
-        for i, r in enumerate(order):
-            if len(best) >= k and best[k - 1][0] <= mbr_dist(r):
-                break
-            batch = self.spark.read.parquet(r.file)
-            if not pend_scanned:
-                pend = os.path.join(self.path, "pending")
-                if os.path.isdir(pend) and any(
-                    f.endswith(".parquet") for f in os.listdir(pend)
-                ):
-                    batch = batch.unionByName(self.spark.read.parquet(pend))
-                pend_scanned = True
+
+        def topk(batch) -> None:
             rows = (
                 batch.select("id", dist.alias("d"))
                 .orderBy(F.asc("d"), F.asc("id"))
                 .limit(k)
                 .collect()
             )
-            best = sorted(best + [(row.d, row.id) for row in rows])[:k]
+            best[:] = sorted(best + [(row.d, row.id) for row in rows])[:k]
+
+        # the pending buffer has no fences: always scanned, up front (so an
+        # index whose runs are empty still answers from buffered inserts)
+        pend = os.path.join(self.path, "pending")
+        if os.path.isdir(pend) and any(
+            f.endswith(".parquet") for f in os.listdir(pend)
+        ):
+            topk(self.spark.read.parquet(pend))
+        for r in order:
+            # strict <: a file whose MBR distance EQUALS the kth-best must
+            # still be visited — it may hold an equal-distance point with a
+            # smaller id, and the (dist, id) tiebreak decides top-k
+            if len(best) >= k and best[k - 1][0] < mbr_dist(r):
+                break
+            topk(self.spark.read.parquet(r.file))
         return [(i, d) for d, i in best]
 
     # ------------------------------------------------------------- insert
@@ -243,6 +261,9 @@ class RtreeIndex:
             F.col(x2_col or x_col).cast("double").alias("xmax"),
             F.col(y_col).cast("double").alias("ymin"),
             F.col(y2_col or y_col).cast("double").alias("ymax"),
+        ).filter(
+            F.col("xmin").isNotNull() & F.col("xmax").isNotNull()
+            & F.col("ymin").isNotNull() & F.col("ymax").isNotNull()
         ).write.mode("append").parquet(os.path.join(self.path, "pending"))
         return self
 

@@ -241,3 +241,61 @@ def test_btree_string_and_timestamp_keys(spark):
     )
     assert sorted(r.id for r in btt.range_query(lo, hi).collect()) == exp
     assert 0 < len(btt._probe_files(lo, lo)) < 4
+
+
+def test_btree_null_keys_not_indexed(spark):
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(
+            (F.col("id") % 10).cast("double")
+        ).alias("key"),
+    )
+    bt = BtreeIndex.build(
+        spark, df, key_col="key", id_col="id", path=_tmp("bt_null"), n_runs=3
+    )
+    # probes neither crash on NULL-run fences nor return NULL-key rows
+    exp = sorted(r.id for r in df.filter(F.col("key") == 4.0).collect())
+    assert sorted(r.id for r in bt.equality_query(4.0).collect()) == exp
+    assert bt.range_query(0.0, 9.0).count() == df.filter(F.col("key").isNotNull()).count()
+
+
+def test_rtree_pending_only_knn(spark):
+    """An index whose runs are empty still answers kNN from the buffered
+    inserts (the pending buffer has no fences and is always scanned)."""
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    rt = RtreeIndex.build(
+        spark, empty, x_col="x", y_col="y", id_col="id", path=_tmp("rt_pend"), n_runs=2
+    )
+    rt.insert(
+        spark.createDataFrame(
+            [(1, 3.0, 4.0), (2, 30.0, 40.0)], "id long, x double, y double"
+        ),
+        x_col="x", y_col="y", id_col="id",
+    )
+    got = rt.nearest_neighbors(0.0, 0.0, 1)
+    assert got[0][0] == 1 and abs(got[0][1] - 5.0) < 1e-12
+    assert sorted(r.id for r in rt.range_search(0.0, 0.0, 50.0, 50.0).collect()) == [1, 2]
+
+
+def test_sql_create_index_two_columns_rejected_for_btree(spark):
+    from plan_spark.engine import Engine
+
+    eng = Engine(spark, _tmp("eng_bt2"))
+    eng.sql("CREATE TABLE t2 (pid BIGINT, a DOUBLE, b DOUBLE)")
+    eng.sql("INSERT INTO t2 VALUES (1, 1.0, 2.0)")
+    with pytest.raises(ValueError, match="only rtree"):
+        eng.sql("CREATE INDEX bad ON t2 USING btree (a, b)")
+
+
+def test_rtree_coordinate_never_becomes_id(spark):
+    """Engine-created tables have no row ids: the id fallback must skip BOTH
+    indexed coordinate columns even when one is the first table column."""
+    from plan_spark.engine import Engine
+
+    eng = Engine(spark, _tmp("eng_rt_id"))
+    eng.sql("CREATE TABLE geo (px DOUBLE, py DOUBLE, name STRING)")
+    eng.sql("INSERT INTO geo VALUES (1.0, 2.0, 'a'), (5.0, 6.0, 'b')")
+    eng.sql("CREATE INDEX rt ON geo USING rtree (px, py)")
+    rt = eng.dataset("geo").open_index("rt")
+    got = sorted(r.id for r in rt.range_search(0.0, 0.0, 10.0, 10.0).collect())
+    assert got == ["a", "b"]  # ids are the non-indexed column, not px values

@@ -275,6 +275,26 @@ class Engine:
                 repl,
                 parts[i],
             )
+            # tag/branch form: ``VERSION AS OF 'ref'`` — the ref is the
+            # NEXT (quoted) part, so the match straddles the split: the
+            # code part must END with the clause for this to be a time-
+            # travel ref and not a literal inside an expression
+            if i + 1 >= len(parts) or not parts[i + 1].startswith("'"):
+                continue
+            m = re.search(
+                r"(?is)(\bFROM\s+|\bJOIN\s+|,\s*)(\w+)"
+                r"((?:\s+AS)?\s+(?!VERSION\b)\w+)?"
+                r"\s+VERSION\s+AS\s+OF\s*$",
+                parts[i],
+            )
+            if not m:
+                continue
+            ref = parts[i + 1][1:-1].replace("''", "'")
+            tbl, alias = m.group(2), m.group(3) or ""
+            view = f"{tbl}__ref_{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
+            self.dataset(tbl).checkout(ref).to_df().createOrReplaceTempView(view)
+            parts[i] = parts[i][: m.start()] + m.group(1) + view + alias
+            parts[i + 1] = ""
         return "".join(parts)
 
     def _register_views(self) -> None:
@@ -610,6 +630,39 @@ class Engine:
                 rows,
                 "index_name string, kind string, column string, "
                 "covers_version int, fresh boolean",
+            )
+        m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+(\w+)$", s)
+        if m:
+            # the version log (reference version.go / sdk ListVersions):
+            # one manifest load per retained version — metadata-only
+            ds = self.dataset(m.group(1))
+            refs = ds.list_tags()
+            by_ver: dict[int, list[str]] = {}
+            for name, ver in refs.items():
+                by_ver.setdefault(ver, []).append(name)
+            rows = []
+            for v in ds.versions():
+                mv = ds._load(v)
+                rows.append(
+                    (
+                        v,
+                        mv.parent,
+                        mv.operation,
+                        len(mv.fragments),
+                        sum(f.rows for f in mv.fragments),
+                        ",".join(sorted(by_ver.get(v, []))) or None,
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "version int, parent int, operation string, "
+                "n_fragments int, n_rows long, tags string",
+            )
+        m = re.match(r"(?is)^SHOW\s+TAGS\s+ON\s+(\w+)$", s)
+        if m:
+            ds = self.dataset(m.group(1))
+            return self.spark.createDataFrame(
+                sorted(ds.list_tags().items()), "tag string, version int"
             )
         m = re.match(r"(?is)^SHOW\s+SCHEMAS$", s)
         if m:

@@ -416,3 +416,43 @@ def test_show_indexes_sql(engine):
     assert rows["ifx"].fresh is False
     eng.sql("DROP INDEX ib ON si")
     assert {r.index_name for r in eng.sql("SHOW INDEXES ON si").collect()} == {"ifx"}
+
+
+def test_time_travel_by_tag_sql(engine):
+    """``VERSION AS OF 'ref'`` resolves tags/branches through
+    Dataset.checkout (reference refs.go) — the quoted ref straddles the
+    literal-protecting split, so the rewrite joins the two parts."""
+    eng = engine
+    eng.sql("CREATE TABLE tg (a INT)")
+    eng.sql("INSERT INTO tg VALUES (1), (2)")     # v1
+    eng.dataset("tg").tag("launch")
+    eng.sql("INSERT INTO tg VALUES (3)")          # v2
+    assert eng.sql("SELECT COUNT(*) AS n FROM tg").first()["n"] == 3
+    old = eng.sql("SELECT COUNT(*) AS n FROM tg VERSION AS OF 'launch'").first()["n"]
+    assert old == 2
+    # aliased + ORDER BY tail after the quoted ref
+    got = eng.sql(
+        "SELECT x.a FROM tg AS x VERSION AS OF 'launch' ORDER BY x.a"
+    ).collect()
+    assert [r.a for r in got] == [1, 2]
+    # an ordinary string literal elsewhere is untouched
+    lit = eng.sql("SELECT 'tg VERSION AS OF ''launch''' AS s").first()["s"]
+    assert lit == "tg VERSION AS OF 'launch'"
+
+
+def test_describe_history_and_show_tags(engine):
+    """DESCRIBE HISTORY = the version log (one metadata-only manifest load
+    per retained version) with tags resolved; SHOW TAGS lists refs."""
+    eng = engine
+    eng.sql("CREATE TABLE vh (a INT)")
+    eng.sql("INSERT INTO vh VALUES (1), (2)")
+    eng.dataset("vh").tag("first")
+    eng.sql("DELETE FROM vh WHERE a = 1")
+    hist = {r.version: r for r in eng.sql("DESCRIBE HISTORY vh").collect()}
+    ops = [hist[v].operation for v in sorted(hist)]
+    assert ops[0] == "create"
+    assert "append" in ops and "delete" in ops
+    tagged = [r for r in hist.values() if r.tags == "first"]
+    assert len(tagged) == 1 and tagged[0].n_rows == 2
+    tags = eng.sql("SHOW TAGS ON vh").collect()
+    assert [(r.tag, r.version) for r in tags] == [("first", tagged[0].version)]

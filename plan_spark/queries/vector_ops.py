@@ -821,3 +821,97 @@ def kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster embeddings, then drop within-cluster
+# near-duplicates keeping the lowest-id representative (Abbas et al. 2023,
+# "SemDeDup" — the embedding-space analogue of the reference's near-dup
+# pipeline; composes the kmeans_assign kernel with pairwise cosine).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.4
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, e.v, c_id,
+         {_DOT.format(a="cv", b="e.v")}
+           / sqrt({_SQ.format(a="cv")} * {_SQ.format(a="e.v")}) AS cos_sim
+  FROM e, c),
+best AS (
+  SELECT vec_id, v, c_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, c_id) AS rn
+  FROM sims),
+m AS (SELECT vec_id, v, c_id FROM best WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a="a.v", b="b.v")}
+          / sqrt({_SQ.format(a="a.v")} * {_SQ.format(a="b.v")}) >= {_SEMDEDUP_TAU})
+SELECT c_id AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN d.vec_id IS NULL THEN m.vec_id END) AS first_kept
+FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+GROUP BY c_id ORDER BY c_id
+"""
+
+
+@register("semdedup", oracle=_SEMDEDUP_SQL, tags=("dedup", "vector", "clustering"))
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape: assign every embedding to its
+    nearest of K=8 seed centroids (the kmeans_assign kernel — broadcast
+    centroids, struct-max argmax, no corpus window), then within each
+    cluster drop any member with a LOWER-id neighbour at cosine >= tau,
+    keeping one representative per near-dup set. Output: per-cluster
+    member/dropped/kept counts.
+
+    Scale shape: the pair generation self-joins ON THE CLUSTER KEY — one
+    shuffle co-partitions both sides, and the quadratic term is bounded
+    per cluster (sum of c_i^2), which is the knob K controls: at corpus
+    scale K grows so clusters stay bounded, exactly the SemDeDup recipe
+    (their K ~ 11k for 100M docs). No all-pairs work across clusters."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    m = _assign_argmax(e, cents, keep_v=True).select("vec_id", "v", "c_id")
+    a = m.select("c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = m.select("c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    dropped = (
+        a.join(b, "c_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (
+                _dot(F.col("av"), F.col("bv"))
+                / F.sqrt(_sq(F.col("av")) * _sq(F.col("bv")))
+            )
+            >= _SEMDEDUP_TAU
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    flagged = m.join(dropped, "vec_id", "left")
+    return (
+        flagged.groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count("is_dup").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dup")).cast("bigint").alias("n_kept"),
+            F.min(F.when(F.col("is_dup").isNull(), F.col("vec_id"))).alias(
+                "first_kept"
+            ),
+        )
+        .select(
+            F.col("c_id").alias("centroid"),
+            "n_members", "n_dropped", "n_kept", "first_kept",
+        )
+        .orderBy("centroid")
+    )

@@ -80,6 +80,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_rtree_scan",  # new this round: rtree index lifecycle + box/kNN
     "tpcds_q74",  # new this round: year-over-year growth, conditional-agg rewrite
     "tpcds_q35",  # new this round: OR'd correlated EXISTS via aggregated marks
+    "semdedup",  # new this round: cluster-then-dedup semantic near-dup removal
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -333,7 +333,13 @@ class Dataset:
 
     def checkout(self, ref: int | str) -> "Dataset":
         """Time travel to a version number or tag (sdk/dataset.go:1052)."""
-        v = self._refs()[ref] if isinstance(ref, str) else int(ref)
+        if isinstance(ref, str):
+            refs = self._refs()
+            if ref not in refs:
+                raise ValueError(f"no tag or branch named {ref!r}")
+            v = refs[ref]
+        else:
+            v = int(ref)
         return Dataset.open(self.spark, self.path, version=v)
 
     # --------------------------------------------------------------- writing

@@ -35,6 +35,24 @@ _ANALYZABLE_TYPES = (
 )
 
 
+# a relation introduced by FROM/JOIN/, with an optional alias, preceding a
+# VERSION AS OF clause — shared by the numeric and tag rewrite forms so a
+# fix to one can never silently miss the other
+_TT_RELATION = (
+    r"(?is)(\bFROM\s+|\bJOIN\s+|,\s*)(\w+)"
+    r"((?:\s+AS)?\s+(?!VERSION\b)\w+)?"
+)
+
+# an alias AFTER the version clause ("JOIN t VERSION AS OF 3 old ON ...") —
+# a word that is not the SQL keyword that could legally follow a relation
+_TT_KEYWORDS = (
+    r"(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|UNION\b|EXCEPT\b"
+    r"|INTERSECT\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|NATURAL\b"
+    r"|SEMI\b|ANTI\b|HAVING\b|WINDOW\b|VERSION\b|SELECT\b)"
+)
+_TT_TRAILING_ALIAS = r"((?:\s+AS)?\s+" + _TT_KEYWORDS + r"\w+)?"
+
+
 class Engine:
     def __init__(
         self,
@@ -255,23 +273,31 @@ class Engine:
         FROM/JOIN (an unanchored ``\\w+ VERSION AS OF`` would capture a
         trailing table ALIAS and try to open the alias as a dataset)."""
 
-        def repl(m: re.Match) -> str:
-            kw, tbl, alias, ver = (
-                m.group(1), m.group(2), m.group(3) or "", int(m.group(4)),
-            )
-            view = f"{tbl}__v{ver}"
-            snap = self.dataset(tbl).checkout(ver)
+        def materialize(kw: str, tbl: str, alias: str, ref) -> str:
+            snap = self.dataset(tbl).checkout(ref)
+            # view keyed by the RESOLVED version, not the ref text: two
+            # distinct tags must never collide onto one view (sanitized
+            # names like 'a.b'/'a-b' would), and two refs of the same
+            # version can safely share it
+            view = f"{tbl}__v{snap.version}"
             snap.to_df().createOrReplaceTempView(view)
-            return f"{kw}{view}{alias}"
+            # keep the relation addressable by its original name when the
+            # query gave no alias at all (SELECT t.a FROM t VERSION AS OF …)
+            return f"{kw}{view}{alias or f' AS {tbl}'}"
+
+        def repl(m: re.Match) -> str:
+            # the alias may sit before OR after the version clause
+            alias = m.group(3) or m.group(5) or ""
+            return materialize(m.group(1), m.group(2), alias, int(m.group(4)))
 
         # split on single-quoted literals ('' escapes included) AND
         # double-quoted identifiers, rewriting only the code between them
         parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", s)
         for i in range(0, len(parts), 2):
             parts[i] = re.sub(
-                r"(?is)(\bFROM\s+|\bJOIN\s+|,\s*)(\w+)"
-                r"((?:\s+AS)?\s+(?!VERSION\b)\w+)?"
-                r"\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+                _TT_RELATION
+                + r"\s+VERSION\s+AS\s+OF\s+(\d+)\b"
+                + _TT_TRAILING_ALIAS,
                 repl,
                 parts[i],
             )
@@ -281,19 +307,20 @@ class Engine:
             # travel ref and not a literal inside an expression
             if i + 1 >= len(parts) or not parts[i + 1].startswith("'"):
                 continue
-            m = re.search(
-                r"(?is)(\bFROM\s+|\bJOIN\s+|,\s*)(\w+)"
-                r"((?:\s+AS)?\s+(?!VERSION\b)\w+)?"
-                r"\s+VERSION\s+AS\s+OF\s*$",
-                parts[i],
-            )
+            m = re.search(_TT_RELATION + r"\s+VERSION\s+AS\s+OF\s*$", parts[i])
             if not m:
                 continue
             ref = parts[i + 1][1:-1].replace("''", "'")
-            tbl, alias = m.group(2), m.group(3) or ""
-            view = f"{tbl}__ref_{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
-            self.dataset(tbl).checkout(ref).to_df().createOrReplaceTempView(view)
-            parts[i] = parts[i][: m.start()] + m.group(1) + view + alias
+            alias = m.group(3) or ""
+            if not alias and i + 2 < len(parts):
+                # a trailing alias at the start of the NEXT code part stays
+                # in place; pass a space so materialize adds no `AS tbl`
+                ta = re.match(_TT_TRAILING_ALIAS, parts[i + 2], re.I | re.S)
+                if ta and ta.group(1):
+                    alias = " "
+            parts[i] = parts[i][: m.start()] + materialize(
+                m.group(1), m.group(2), alias, ref
+            )
             parts[i + 1] = ""
         return "".join(parts)
 
@@ -649,14 +676,20 @@ class Engine:
                         mv.parent,
                         mv.operation,
                         len(mv.fragments),
+                        # physical rows from the footers; deletion vectors
+                        # are merge-on-read sidecars, so live rows can be
+                        # lower — the sidecar count flags which versions
+                        # carry deletes without reading any sidecar here
                         sum(f.rows for f in mv.fragments),
+                        sum(len(f.deletion_files) for f in mv.fragments),
                         ",".join(sorted(by_ver.get(v, []))) or None,
                     )
                 )
             return self.spark.createDataFrame(
                 rows,
                 "version int, parent int, operation string, "
-                "n_fragments int, n_rows long, tags string",
+                "n_fragments int, n_rows_physical long, "
+                "n_deletion_files int, tags string",
             )
         m = re.match(r"(?is)^SHOW\s+TAGS\s+ON\s+(\w+)$", s)
         if m:

@@ -438,6 +438,25 @@ def test_time_travel_by_tag_sql(engine):
     # an ordinary string literal elsewhere is untouched
     lit = eng.sql("SELECT 'tg VERSION AS OF ''launch''' AS s").first()["s"]
     assert lit == "tg VERSION AS OF 'launch'"
+    # no-alias form stays addressable by the ORIGINAL table name
+    got = eng.sql(
+        "SELECT tg.a FROM tg VERSION AS OF 'launch' ORDER BY tg.a"
+    ).collect()
+    assert [r.a for r in got] == [1, 2]
+    # two sanitization-colliding tags at DIFFERENT versions must not share
+    # a view: both refs in one query read their own snapshots
+    eng.dataset("tg").tag("launch.2")   # v2 (3 rows)
+    eng.sql("INSERT INTO tg VALUES (4)")
+    eng.dataset("tg").tag("launch-2")   # v3 (4 rows)
+    row = eng.sql(
+        "SELECT (SELECT COUNT(*) FROM tg VERSION AS OF 'launch.2') AS a,"
+        "       (SELECT COUNT(*) FROM tg VERSION AS OF 'launch-2') AS b"
+    ).first()
+    assert (row.a, row.b) == (3, 4)
+    # unknown refs raise a meaningful error, not a KeyError
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no tag or branch"):
+        eng.sql("SELECT COUNT(*) FROM tg VERSION AS OF 'nope'")
 
 
 def test_describe_history_and_show_tags(engine):
@@ -453,6 +472,12 @@ def test_describe_history_and_show_tags(engine):
     assert ops[0] == "create"
     assert "append" in ops and "delete" in ops
     tagged = [r for r in hist.values() if r.tags == "first"]
-    assert len(tagged) == 1 and tagged[0].n_rows == 2
+    assert len(tagged) == 1 and tagged[0].n_rows_physical == 2
+    # the delete version either rewrote fragments (physical rows drop) or
+    # carries deletion-vector sidecars (physical rows stay, sidecars > 0)
+    del_rows = [r for r in hist.values() if r.operation == "delete"]
+    assert del_rows and (
+        del_rows[0].n_rows_physical == 1 or del_rows[0].n_deletion_files >= 1
+    )
     tags = eng.sql("SHOW TAGS ON vh").collect()
     assert [(r.tag, r.version) for r in tags] == [("first", tagged[0].version)]

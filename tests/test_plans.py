@@ -78,6 +78,7 @@ def test_no_fact_table_is_ever_broadcast(spark):
         "emb_stats",
         "kmeans_assign",
         "kmeans_iter2",  # K seed-centroid rows (second broadcast is an aggregate)
+        "semdedup",  # K=8 seed-centroid rows (same assign kernel)
     }
     # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
     # hints, so their shape is threshold-governed only: broadcast at test SF

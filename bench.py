@@ -46,6 +46,11 @@ def main() -> None:
         except Exception as e:  # keep benching even if one query breaks
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             times[name] = -1.0
+        # isolate queries from each other: cached blocks left by a query
+        # (persist() inside dedup/lifecycle ops) otherwise accumulate
+        # across the 100+ query sweep and the growing heap pressure
+        # inflates later queries' medians
+        spark.catalog.clearCache()
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only the TAIL of stdout (~2 KB). The per-query map

@@ -882,6 +882,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
     m = _assign_argmax(e, cents, keep_v=True).select("vec_id", "v", "c_id")
+    # the assignment feeds BOTH sides of the pair join plus the final
+    # rollup: persist eagerly so the corpus scan + argmax aggregate run
+    # once, not three times (one assignment row per vector — bounded)
+    m = m.persist()
+    m.count()
     a = m.select("c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
     b = m.select("c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
     dropped = (

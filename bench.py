@@ -49,8 +49,12 @@ def main() -> None:
         # isolate queries from each other: cached blocks left by a query
         # (persist() inside dedup/lifecycle ops) otherwise accumulate
         # across the 100+ query sweep and the growing heap pressure
-        # inflates later queries' medians
-        spark.catalog.clearCache()
+        # inflates later queries' medians. Best-effort — a wedged session
+        # must not abort the sweep the except above was built to survive.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only the TAIL of stdout (~2 KB). The per-query map

@@ -48,7 +48,9 @@ _TT_RELATION = (
 _TT_KEYWORDS = (
     r"(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|UNION\b|EXCEPT\b"
     r"|INTERSECT\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|NATURAL\b"
-    r"|SEMI\b|ANTI\b|HAVING\b|WINDOW\b|VERSION\b|SELECT\b)"
+    r"|SEMI\b|ANTI\b|HAVING\b|WINDOW\b|VERSION\b|SELECT\b|TABLESAMPLE\b"
+    r"|PIVOT\b|UNPIVOT\b|LATERAL\b|MINUS\b|OFFSET\b|SORT\b|DISTRIBUTE\b"
+    r"|CLUSTER\b)"
 )
 _TT_TRAILING_ALIAS = r"((?:\s+AS)?\s+" + _TT_KEYWORDS + r"\w+)?"
 
@@ -263,6 +265,12 @@ class Engine:
     def _rewrite_time_travel(self, s: str) -> str:
         """``FROM t VERSION AS OF n`` → a registered snapshot view.
 
+        Alias semantics (Delta-style): a relation with no alias stays
+        addressable by its ORIGINAL table name — the snapshot view is
+        aliased back to it — so a query that references BOTH the snapshot
+        and the current table unaliased is ambiguous and must alias one
+        side, exactly as standard SQL treats an unaliased self-join.
+
         Time travel through the SQL front door (the reference exposes it
         only via the SDK's checkout, version.go:20-42): each referenced
         (table, version) pair is materialized as a temp view named
@@ -286,8 +294,10 @@ class Engine:
             return f"{kw}{view}{alias or f' AS {tbl}'}"
 
         def repl(m: re.Match) -> str:
-            # the alias may sit before OR after the version clause
-            alias = m.group(3) or m.group(5) or ""
+            # the alias may sit before OR after the version clause; emit
+            # BOTH captures — if a query supplies two, Spark errors loudly
+            # instead of one silently vanishing from the rewrite
+            alias = (m.group(3) or "") + (m.group(5) or "")
             return materialize(m.group(1), m.group(2), alias, int(m.group(4)))
 
         # split on single-quoted literals ('' escapes included) AND

@@ -883,10 +883,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = _assign_argmax(e, cents, keep_v=True).select("vec_id", "v", "c_id")
     # the assignment feeds BOTH sides of the pair join plus the final
-    # rollup: persist eagerly so the corpus scan + argmax aggregate run
-    # once, not three times (one assignment row per vector — bounded)
+    # rollup: persist so the corpus scan + argmax aggregate cache on first
+    # action instead of running three times (one assignment row per vector
+    # — bounded). LAZY persist, no eager count(): plan-only callers
+    # (explain gates) must not execute a corpus scan at build time.
     m = m.persist()
-    m.count()
     a = m.select("c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
     b = m.select("c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
     dropped = (

@@ -454,8 +454,7 @@ def test_time_travel_by_tag_sql(engine):
     ).first()
     assert (row.a, row.b) == (3, 4)
     # unknown refs raise a meaningful error, not a KeyError
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="no tag or branch"):
+    with pytest.raises(ValueError, match="no tag or branch"):
         eng.sql("SELECT COUNT(*) FROM tg VERSION AS OF 'nope'")
 
 

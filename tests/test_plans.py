@@ -78,7 +78,10 @@ def test_no_fact_table_is_ever_broadcast(spark):
         "emb_stats",
         "kmeans_assign",
         "kmeans_iter2",  # K seed-centroid rows (second broadcast is an aggregate)
-        "semdedup",  # K=8 seed-centroid rows (same assign kernel)
+        "semdedup",  # pinned broadcast = K=8 seed-centroid rows (same
+        # assign kernel); the pair self-join carries NO hint, so its
+        # shape is threshold-governed like the set-ops below — no
+        # pinned corpus broadcast is possible
     }
     # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
     # hints, so their shape is threshold-governed only: broadcast at test SF

@@ -205,6 +205,25 @@ class BtreeIndex:
         """Reference btree_index.go:111 EqualityQuery — a degenerate range."""
         return self.range_query(value, value)
 
+    # --------------------------------------------------------- batch probe
+    def range_query_df(self, ranges: DataFrame) -> DataFrame:
+        """Batch probe: ``ranges`` is a DataFrame (range_id, lo, hi) that
+        never touches the driver — the offline face (range_query is the
+        online path, whose driver-side fence routing prunes files per
+        probe). ONE scan of the runs serves every range via a broadcast
+        range join: per-file pruning doesn't apply across an unbounded
+        range set, but the single pass amortizes over the batch, which is
+        the correct trade at 10^6 probes. Output: (range_id, id, key)."""
+        pairs = self._scan(None)
+        r = ranges.select("range_id", "lo", "hi")
+        return (
+            pairs.join(
+                F.broadcast(r),
+                (F.col("key") >= F.col("lo")) & (F.col("key") <= F.col("hi")),
+            )
+            .select("range_id", "id", "key")
+        )
+
     # ------------------------------------------------------------- insert
     def insert(self, df: DataFrame, key_col: str, id_col: str) -> "BtreeIndex":
         """Buffered insert (reference btree_index.go:132 Insert, buffered as

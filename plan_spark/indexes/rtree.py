@@ -181,6 +181,26 @@ class RtreeIndex:
             & (F.col("ymin") <= F.lit(qymax))
         )
 
+    def range_search_df(self, boxes: DataFrame) -> DataFrame:
+        """Batch box probe: ``boxes`` is a DataFrame (box_id, qxmin, qymin,
+        qxmax, qymax) that never touches the driver — the offline face
+        (range_search is the online path with per-probe MBR file pruning).
+        ONE scan of the runs serves every box via a broadcast theta join on
+        the intersect predicate; the single pass amortizes over the batch.
+        Output: the stored box columns plus box_id."""
+        rows = self._scan(None)
+        b = boxes.select("box_id", "qxmin", "qymin", "qxmax", "qymax")
+        return (
+            rows.join(
+                F.broadcast(b),
+                (F.col("xmax") >= F.col("qxmin"))
+                & (F.col("xmin") <= F.col("qxmax"))
+                & (F.col("ymax") >= F.col("qymin"))
+                & (F.col("ymin") <= F.col("qymax")),
+            )
+            .select("box_id", "id", "xmin", "xmax", "ymin", "ymax")
+        )
+
     def contains_search(self, qxmin, qymin, qxmax, qymax) -> DataFrame:
         """Boxes fully CONTAINED in the query box (rtree_index.go:296
         ContainsSearch) — same pruning, tighter predicate."""

@@ -299,3 +299,35 @@ def test_rtree_coordinate_never_becomes_id(spark):
     rt = eng.dataset("geo").open_index("rt")
     got = sorted(r.id for r in rt.range_search(0.0, 0.0, 10.0, 10.0).collect())
     assert got == ["a", "b"]  # ids are the non-indexed column, not px values
+
+
+def test_btree_batch_probe_parity(spark, points):
+    """range_query_df (queries-as-DataFrame, no driver round-trip) returns
+    exactly the union of the per-probe online results."""
+    bt = BtreeIndex.build(
+        spark, points, key_col="key", id_col="id", path=_tmp("bt_batch"), n_runs=4
+    )
+    ranges = [(0, 10.0, 20.0), (1, 480.0, 500.0), (2, 55.0, 55.0)]
+    rdf = spark.createDataFrame(ranges, "range_id int, lo double, hi double")
+    got = {
+        (r.range_id, r.id) for r in bt.range_query_df(rdf).collect()
+    }
+    exp = set()
+    for rid, lo, hi in ranges:
+        exp |= {(rid, r.id) for r in bt.range_query(lo, hi).collect()}
+    assert got == exp and got
+
+
+def test_rtree_batch_probe_parity(spark, points):
+    rt = RtreeIndex.build(
+        spark, points, x_col="x", y_col="y", id_col="id", path=_tmp("rt_batch"), n_runs=4
+    )
+    boxes = [(0, 10.0, 10.0, 30.0, 30.0), (1, 80.0, 0.0, 100.0, 20.0)]
+    bdf = spark.createDataFrame(
+        boxes, "box_id int, qxmin double, qymin double, qxmax double, qymax double"
+    )
+    got = {(r.box_id, r.id) for r in rt.range_search_df(bdf).collect()}
+    exp = set()
+    for bid, x0, y0, x1, y1 in boxes:
+        exp |= {(bid, r.id) for r in rt.range_search(x0, y0, x1, y1).collect()}
+    assert got == exp and got

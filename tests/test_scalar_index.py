@@ -331,3 +331,30 @@ def test_rtree_batch_probe_parity(spark, points):
     for bid, x0, y0, x1, y1 in boxes:
         exp |= {(bid, r.id) for r in rt.range_search(x0, y0, x1, y1).collect()}
     assert got == exp and got
+
+
+def test_btree_rowid_index_survives_compaction(spark):
+    """Stable row ids are compaction-invariant (rewrites preserve them via
+    Array segments), so a btree index built BEFORE a compaction still
+    addresses the right rows through take_rows afterwards — the index only
+    goes stale on data changes, not layout changes."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("ds_bt_compact")
+    src = spark.range(0, 1200).select(
+        F.col("id").alias("k"), (F.col("id") % 37).cast("double").alias("v")
+    )
+    ds = Dataset.create(spark, path, src.repartition(6), row_ids=True)
+    ds.create_index("bt", kind="btree", column="v", n_runs=3)
+    before = sorted(
+        r.k for r in ds.take_rows(
+            [x.id for x in ds.open_index("bt").equality_query(11.0).collect()],
+            columns=["k"],
+        ).collect()
+    )
+    ds.compact(target_files=2)
+    ids = [x.id for x in ds.open_index("bt").equality_query(11.0).collect()]
+    after = sorted(r.k for r in ds.take_rows(ids, columns=["k"]).collect())
+    assert after == before == sorted(
+        r.k for r in src.filter(F.col("v") == 11.0).collect()
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from plan_spark.catalog import table
 from plan_spark.registry import register
 from plan_spark.streaming.windows import (
     _events_stream,
@@ -375,3 +376,83 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return final
+
+
+_STREAM_OUTER_JOIN_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+  FROM events WHERE event_type = 'click' AND user_id % {_JOIN_USER_MOD} = 0),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase' AND user_id % {_JOIN_USER_MOD} = 0),
+wm AS (
+  SELECT LEAST((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p))
+         - INTERVAL 1 HOUR AS w),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.c_user AS user_id, c.c_ts, p.p_value
+  FROM c LEFT JOIN p ON c.c_user = p.p_user
+                    AND p.p_ts > c.c_ts
+                    AND p.p_ts <= c.c_ts + INTERVAL 2 HOUR),
+flushed AS (
+  SELECT j.* FROM j, wm
+  WHERE j.purchase_id IS NOT NULL
+     OR j.c_ts + INTERVAL 2 HOUR < wm.w - INTERVAL 1 MINUTE)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(purchase_id) AS BIGINT) AS n_matched,
+       CAST(SUM(CAST(p_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM flushed GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "stream_outer_join", oracle=_STREAM_OUTER_JOIN_SQL, tags=("streaming", "join", "outer")
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, bounded run: matched clicks
+    emit their interval purchases; unmatched clicks emit NULL purchase
+    columns once the global watermark (min over sides of max-event-time
+    minus the 1h delay) passes their 2h join window — the distinct
+    capability vs stream_join is exactly this outer state flush.
+
+    Tail semantics made oracle-exact: clicks whose window had NOT provably
+    closed at end-of-stream are still held in state (a real streaming run
+    would flush them later), so BOTH the streamed output and the batch
+    LEFT-JOIN oracle keep unmatched rows only when the window closed a
+    safety margin before the final watermark — the engine's exact
+    flush boundary (>= vs >) disappears inside the margin, and matched
+    rows are unaffected (the inner part of an outer join never waits)."""
+    from plan_spark.streaming.windows import click_purchase_left_join_stream
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id") % _JOIN_USER_MOD == 0
+    )
+    bounds = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    wm = min(bounds.mc, bounds.mp)  # - 1h delay applied in the predicate
+
+    out = _gated_available_now(
+        spark,
+        sf_dir,
+        lambda s: click_purchase_left_join_stream(s, sf_dir, user_mod=_JOIN_USER_MOD),
+        "stream_outer_join_sink",
+        output_mode="append",
+    )
+    closed = out.filter(
+        F.col("purchase_id").isNotNull()
+        | (
+            F.col("c_ts") + F.expr("interval 2 hours")
+            < F.lit(wm) - F.expr("interval 1 hour") - F.expr("interval 1 minute")
+        )
+    )
+    return (
+        closed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("purchase_id").cast("bigint").alias("n_matched"),
+            F.sum(F.col("p_value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -81,6 +81,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q74",  # new this round: year-over-year growth, conditional-agg rewrite
     "tpcds_q35",  # new this round: OR'd correlated EXISTS via aggregated marks
     "semdedup",  # new this round: cluster-then-dedup semantic near-dup removal
+    "stream_outer_join",  # new this round: left-outer interval join state flush
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -121,6 +121,55 @@ def click_purchase_join_stream(
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value")
 
 
+def click_purchase_left_join_stream(
+    spark: SparkSession, sf_dir: str, user_mod: int | None = None
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits — matched
+    clicks with their interval purchases, unmatched clicks with NULL
+    purchase columns once the watermark passes their join window (Spark
+    holds the click in state until no future purchase can match, then
+    flushes the null row; availableNow runs the extra flush batch after
+    source exhaustion). Same watermarks/time bounds as the inner form —
+    outer emission REQUIRES them, or unmatched state would be unbounded."""
+    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(pred)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(pred)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            p_ts > c_ts AND
+            p_ts <= c_ts + interval 2 hours
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_value"
+    )
+
+
 def click_purchase_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-parity twin of click_purchase_join_stream (same logical join
     over the bounded fixture)."""

@@ -743,3 +743,47 @@ def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 shape: ratio of two disjoint time-band counts from one scan
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q90_SQL = """
+SELECT CAST(am_cnt AS BIGINT) AS am_cnt,
+       CAST(pm_cnt AS BIGINT) AS pm_cnt,
+       CAST(am_cnt AS DOUBLE) / CAST(pm_cnt AS DOUBLE) AS am_pm_ratio
+FROM (
+  SELECT SUM(CASE WHEN hour(ts) BETWEEN 6 AND 11
+                   AND event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS am_cnt,
+         SUM(CASE WHEN hour(ts) BETWEEN 18 AND 23
+                   AND event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS pm_cnt
+  FROM events) bands
+"""
+
+
+@register("tpcds_q90", oracle=_TPCDS_Q90_SQL, tags=("tpcds", "conditional-agg", "ratio"))
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape (cases/tpcds/query/query90.sql): the am/pm ratio —
+    two disjoint time-band counts divided. q90's text runs the two bands as
+    separate subqueries cross-joined for the division; the single-scan
+    conditional aggregate is the scale-correct rewrite (one fact pass, one
+    scalar shuffle, the division on the 1-row result). Integer counts;
+    the ratio divides identical exact bigints in both engines."""
+    ev = table(spark, sf_dir, "events")
+    typed = F.col("event_type").isin("click", "view")
+    bands = ev.agg(
+        F.sum(
+            F.when((F.hour("ts").between(6, 11)) & typed, 1).otherwise(0)
+        ).cast("bigint").alias("am_cnt"),
+        F.sum(
+            F.when((F.hour("ts").between(18, 23)) & typed, 1).otherwise(0)
+        ).cast("bigint").alias("pm_cnt"),
+    )
+    return bands.select(
+        "am_cnt",
+        "pm_cnt",
+        (F.col("am_cnt").cast("double") / F.col("pm_cnt").cast("double")).alias(
+            "am_pm_ratio"
+        ),
+    )

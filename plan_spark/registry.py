@@ -82,6 +82,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q35",  # new this round: OR'd correlated EXISTS via aggregated marks
     "semdedup",  # new this round: cluster-then-dedup semantic near-dup removal
     "stream_outer_join",  # new this round: left-outer interval join state flush
+    "tpcds_q90",  # new this round: am/pm band-ratio, single-scan rewrite
 )
 
 # Complementary: names pushed to the very END of the registry — queries

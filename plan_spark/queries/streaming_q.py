@@ -456,3 +456,53 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_STREAM_SEMI_JOIN_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+  FROM events WHERE event_type = 'click' AND user_id % {_JOIN_USER_MOD} = 0),
+p AS (
+  SELECT user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND user_id % {_JOIN_USER_MOD} = 0),
+converted AS (
+  SELECT c.click_id, c.c_user AS user_id
+  FROM c WHERE EXISTS (
+    SELECT 1 FROM p
+    WHERE p.p_user = c.c_user
+      AND p.p_ts > c.c_ts
+      AND p.p_ts <= c.c_ts + INTERVAL 2 HOUR))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_converted_clicks
+FROM converted GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "stream_semi_join", oracle=_STREAM_SEMI_JOIN_SQL, tags=("streaming", "join", "semi")
+)
+def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: each click emits AT MOST ONCE
+    — when its first same-user purchase lands inside (c_ts, c_ts + 2h] —
+    the streaming EXISTS. Distinct state machine vs inner/outer: match
+    multiplicity never multiplies output (the engine retracts the click
+    from state on first match), and unmatched clicks simply expire, so
+    there is NO tail-flush dependence — the bounded run equals the batch
+    EXISTS exactly, no closed-window filtering required.
+
+    Scale shape: same watermarked, time-bounded state as the inner join
+    (O(events in window), not O(stream)); output is click-cardinality
+    bounded."""
+    from plan_spark.streaming.windows import click_purchase_semi_join_stream
+
+    out = _gated_available_now(
+        spark,
+        sf_dir,
+        lambda s: click_purchase_semi_join_stream(s, sf_dir, user_mod=_JOIN_USER_MOD),
+        "stream_semi_join_sink",
+        output_mode="append",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted_clicks"))
+        .orderBy("user_id")
+    )

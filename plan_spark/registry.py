@@ -83,6 +83,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "semdedup",  # new this round: cluster-then-dedup semantic near-dup removal
     "stream_outer_join",  # new this round: left-outer interval join state flush
     "tpcds_q90",  # new this round: am/pm band-ratio, single-scan rewrite
+    "stream_semi_join",  # new this round: streaming EXISTS (emit-once semi state)
 )
 
 # Complementary: names pushed to the very END of the registry — queries

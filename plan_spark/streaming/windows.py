@@ -322,3 +322,45 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
     )
+
+
+def click_purchase_semi_join_stream(
+    spark: SparkSession, sf_dir: str, user_mod: int | None = None
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: clicks that convert (a
+    same-user purchase inside (c_ts, c_ts + 2h]) emit once and leave the
+    state; the rest expire silently when the watermark passes — streaming
+    EXISTS with bounded state and no outer-style flush rows."""
+    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(pred)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(pred)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            p_ts > c_ts AND
+            p_ts <= c_ts + interval 2 hours
+            """
+        ),
+        "leftSemi",
+    ).select("click_id", F.col("c_user").alias("user_id"))

@@ -921,3 +921,71 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gramian: the X^T X second-moment matrix over the embedding
+# corpus — THE primitive behind distributed PCA / linear models (each
+# executor accumulates its partial d x d cell sums map-side; one shuffle
+# of d^2 cells, never of the corpus). First 8 dims here so the oracle
+# stays compact; the plan shape is dimension-count-agnostic.
+# ---------------------------------------------------------------------------
+
+_GRAM_D = 8
+
+_EMB_GRAM_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT i.range AS i, j.range AS j,
+         CAST(v[i.range + 1] AS DECIMAL(14,7))
+           * CAST(v[j.range + 1] AS DECIMAL(14,7)) AS prod
+  FROM e, range({_GRAM_D}) i, range({_GRAM_D}) j)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(SUM(prod) AS DOUBLE) AS xtx
+FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
+@register("emb_gram", oracle=_EMB_GRAM_SQL, tags=("vector", "gramian", "ml"))
+def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T X over the embedding corpus (first 8 dims): every row expands to
+    its d^2 cell products MAP-SIDE (one generated array, no join), partial
+    aggregation collapses them per executor, and the single shuffle moves
+    d^2 running sums — the distributed-gramian shape PCA / ridge / linear
+    probes are built on at any corpus size (d^2 cells, corpus never
+    shuffles). Products are cast to DECIMAL(14,7) before multiplying — the
+    (28,14) product fits decimal128 EXACTLY in both engines (a (20,10)
+    cast needs precision 40 and each engine rounds the overflow
+    differently) — so sums are associative and bit-stable vs the oracle."""
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = _GRAM_D
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+    cells = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        idx,
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("v", i + 1).cast("decimal(14,7)")
+                                * F.element_at("v", j + 1).cast("decimal(14,7)")
+                            ).alias("prod"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(
+            F.col("c.i").cast("int").alias("i"), F.col("c.j").cast("int").alias("j")
+        )
+        .agg(F.sum("c.prod").cast("double").alias("xtx"))
+        .orderBy("i", "j")
+    )

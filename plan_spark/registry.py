@@ -84,6 +84,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "stream_outer_join",  # new this round: left-outer interval join state flush
     "tpcds_q90",  # new this round: am/pm band-ratio, single-scan rewrite
     "stream_semi_join",  # new this round: streaming EXISTS (emit-once semi state)
+    "emb_gram",  # new this round: distributed gramian (X^T X), map-side d^2 cells
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -937,10 +937,10 @@ _EMB_GRAM_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cells AS (
   SELECT i.range AS i, j.range AS j,
-         CAST(v[i.range + 1] AS DECIMAL(14,7))
-           * CAST(v[j.range + 1] AS DECIMAL(14,7)) AS prod
+         CAST(v[i.range + 1] AS DECIMAL(10,5))
+           * CAST(v[j.range + 1] AS DECIMAL(10,5)) AS prod
   FROM e, range({_GRAM_D}) i, range({_GRAM_D}) j)
-SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        CAST(SUM(prod) AS DOUBLE) AS xtx
 FROM cells GROUP BY i, j ORDER BY i, j
 """
@@ -953,10 +953,13 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses them per executor, and the single shuffle moves
     d^2 running sums — the distributed-gramian shape PCA / ridge / linear
     probes are built on at any corpus size (d^2 cells, corpus never
-    shuffles). Products are cast to DECIMAL(14,7) before multiplying — the
-    (28,14) product fits decimal128 EXACTLY in both engines (a (20,10)
+    shuffles). Products are cast to DECIMAL(10,5) before multiplying — the
+    (21,10) product fits decimal128 EXACTLY in both engines (a (20,10)
     cast needs precision 40 and each engine rounds the overflow
-    differently) — so sums are associative and bit-stable vs the oracle."""
+    differently), and scale 10 keeps the UNSCALED cell sums orders of
+    magnitude below 2^53, where DuckDB's decimal->double cast starts
+    double-rounding — so sums stay associative and bit-stable vs the
+    oracle with wide corpus-growth headroom."""
     e = table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
@@ -973,8 +976,8 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i.alias("i"),
                             j.alias("j"),
                             (
-                                F.element_at("v", i + 1).cast("decimal(14,7)")
-                                * F.element_at("v", j + 1).cast("decimal(14,7)")
+                                F.element_at("v", i + 1).cast("decimal(10,5)")
+                                * F.element_at("v", j + 1).cast("decimal(10,5)")
                             ).alias("prod"),
                         ),
                     ),
@@ -984,7 +987,7 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cells.groupBy(
-            F.col("c.i").cast("int").alias("i"), F.col("c.j").cast("int").alias("j")
+            F.col("c.i").cast("bigint").alias("i"), F.col("c.j").cast("bigint").alias("j")
         )
         .agg(F.sum("c.prod").cast("double").alias("xtx"))
         .orderBy("i", "j")

@@ -73,6 +73,49 @@ def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _click_purchase_sides(
+    spark: SparkSession, sf_dir: str, user_mod: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The shared sides of every click/purchase interval join: clicks and
+    purchases filtered to the optional ``user_id % user_mod == 0`` slice,
+    each with a 1h watermark. ONE definition — the inner/outer/semi
+    variants must never drift apart in watermark delay or slicing."""
+    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(pred)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(pred)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks, purchases
+
+
+# the shared 2h interval predicate (time-bounds BOTH event times -> state
+# can expire; see click_purchase_join_stream)
+_INTERVAL_COND = """
+    c_user = p_user AND
+    p_ts > c_ts AND
+    p_ts <= c_ts + interval 2 hours
+"""
+
+
 def click_purchase_join_stream(
     spark: SparkSession, sf_dir: str, user_mod: int | None = None
 ) -> DataFrame:
@@ -85,40 +128,11 @@ def click_purchase_join_stream(
     ``user_mod`` optionally restricts both sides to ``user_id % user_mod
     == 0`` — a deterministic slice for bounded benchmark runs (the state
     machinery under test is identical; only the volume shrinks)."""
-    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(pred)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
+    clicks, purchases = _click_purchase_sides(spark, sf_dir, user_mod)
+    return clicks.join(purchases, F.expr(_INTERVAL_COND)).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "c_ts", "p_ts", "p_value",
     )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(pred)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    return clicks.join(
-        purchases,
-        F.expr(
-            """
-            c_user = p_user AND
-            p_ts > c_ts AND
-            p_ts <= c_ts + interval 2 hours
-            """
-        ),
-    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value")
 
 
 def click_purchase_left_join_stream(
@@ -131,42 +145,10 @@ def click_purchase_left_join_stream(
     flushes the null row; availableNow runs the extra flush batch after
     source exhaustion). Same watermarks/time bounds as the inner form —
     outer emission REQUIRES them, or unmatched state would be unbounded."""
-    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(pred)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(pred)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    return clicks.join(
-        purchases,
-        F.expr(
-            """
-            c_user = p_user AND
-            p_ts > c_ts AND
-            p_ts <= c_ts + interval 2 hours
-            """
-        ),
-        "leftOuter",
-    ).select(
-        "click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_value"
+    clicks, purchases = _click_purchase_sides(spark, sf_dir, user_mod)
+    return clicks.join(purchases, F.expr(_INTERVAL_COND), "leftOuter").select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "c_ts", "p_value",
     )
 
 
@@ -331,36 +313,7 @@ def click_purchase_semi_join_stream(
     same-user purchase inside (c_ts, c_ts + 2h]) emit once and leave the
     state; the rest expire silently when the watermark passes — streaming
     EXISTS with bounded state and no outer-style flush rows."""
-    pred = (F.col("user_id") % user_mod == 0) if user_mod else F.lit(True)
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(pred)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
+    clicks, purchases = _click_purchase_sides(spark, sf_dir, user_mod)
+    return clicks.join(purchases, F.expr(_INTERVAL_COND), "leftSemi").select(
+        "click_id", F.col("c_user").alias("user_id")
     )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(pred)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    return clicks.join(
-        purchases,
-        F.expr(
-            """
-            c_user = p_user AND
-            p_ts > c_ts AND
-            p_ts <= c_ts + interval 2 hours
-            """
-        ),
-        "leftSemi",
-    ).select("click_id", F.col("c_user").alias("user_id"))

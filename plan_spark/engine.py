@@ -369,7 +369,7 @@ class Engine:
     # Leading keywords the engine routes to its own catalog/dataset layer.
     _STMT_TOKENS = frozenset(
         {"create", "drop", "insert", "copy", "delete", "update", "merge",
-         "analyze", "alter", "optimize", "vacuum"}
+         "analyze", "alter", "optimize", "vacuum", "restore"}
     )
     # meta statements that RETURN a DataFrame (the psql \d/\dt analogues the
     # reference serves from its catalog, cmd/main/main.go REPL loop)
@@ -506,9 +506,15 @@ class Engine:
             self.dataset(tbl).create_index(idx, kind=kind.lower(), column=col)
             self._registered.pop(("main", tbl), None)
             return
+        if re.match(r"(?is)^CREATE\s+TAG\b", s):
+            self._stmt_tag(s)
+            return
         raise ValueError(f"unsupported CREATE statement: {s[:120]!r}")
 
     def _stmt_drop(self, s: str) -> None:
+        if re.match(r"(?is)^DROP\s+TAG\b", s):
+            self._stmt_tag(s)
+            return
         m = re.match(r"(?is)^DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)$", s)
         if m:
             self.dataset(m.group(2)).drop_index(m.group(1))
@@ -796,6 +802,45 @@ class Engine:
             raise ValueError(f"unsupported VACUUM statement: {s[:120]!r}")
         keep = int(m.group(2)) if m.group(2) else 1
         self.dataset(m.group(1)).vacuum(keep_versions=keep)
+
+    def _stmt_restore(self, s: str) -> None:
+        """RESTORE [TABLE] t [TO] VERSION AS OF (n | 'tag') — roll the
+        table's CURRENT state back to a historical snapshot as a NEW
+        commit (reference sdk restore; Delta's RESTORE spelling). History
+        is preserved — the restore itself is a versioned operation."""
+        m = re.match(
+            r"(?is)^RESTORE\s+(?:TABLE\s+)?(\w+)\s+(?:TO\s+)?"
+            r"VERSION\s+AS\s+OF\s+(?:(\d+)|'((?:[^']|'')*)')$",
+            s,
+        )
+        if not m:
+            raise ValueError(f"unsupported RESTORE statement: {s[:120]!r}")
+        ds = self.dataset(m.group(1))
+        if m.group(2) is not None:
+            ver = int(m.group(2))
+        else:
+            ref = m.group(3).replace("''", "'")
+            ver = ds.checkout(ref).version
+        ds.restore(ver)
+        self._registered.pop(("main", m.group(1)), None)
+
+    def _stmt_tag(self, s: str) -> None:
+        """CREATE TAG name ON t [AS OF VERSION n] | DROP TAG name ON t —
+        named refs through the SQL front door (reference tags.go)."""
+        m = re.match(
+            r"(?is)^CREATE\s+TAG\s+(\w[\w.-]*)\s+ON\s+(\w+)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            s,
+        )
+        if m:
+            ver = int(m.group(3)) if m.group(3) else None
+            self.dataset(m.group(2)).tag(m.group(1), version=ver)
+            return
+        m = re.match(r"(?is)^DROP\s+TAG\s+(\w[\w.-]*)\s+ON\s+(\w+)$", s)
+        if m:
+            self.dataset(m.group(2)).delete_tag(m.group(1))
+            return
+        raise ValueError(f"unsupported TAG statement: {s[:120]!r}")
 
     def _stmt_analyze(self, s: str) -> None:
         m = re.match(r"(?is)^ANALYZE\s+(?:TABLE\s+)?(\w+)(\s+WITH\s+CACHE)?$", s)

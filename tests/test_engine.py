@@ -480,3 +480,28 @@ def test_describe_history_and_show_tags(engine):
     )
     tags = eng.sql("SHOW TAGS ON vh").collect()
     assert [(r.tag, r.version) for r in tags] == [("first", tagged[0].version)]
+
+
+def test_restore_and_tag_sql(engine):
+    """RESTORE rolls the current state back to a version or tag as a NEW
+    commit; CREATE/DROP TAG manage named refs through the SQL front door."""
+    eng = engine
+    eng.sql("CREATE TABLE rs (a INT)")
+    eng.sql("INSERT INTO rs VALUES (1), (2)")
+    eng.sql("CREATE TAG good ON rs")
+    eng.sql("DELETE FROM rs WHERE a = 1")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rs").first()["n"] == 1
+    eng.sql("RESTORE TABLE rs TO VERSION AS OF 'good'")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rs").first()["n"] == 2
+    # restore is itself versioned: history grew, the delete is still there
+    ops = [r.operation for r in eng.sql("DESCRIBE HISTORY rs").collect()]
+    assert "delete" in ops and len(ops) >= 4
+    # numeric form + tag management
+    v_after_delete = [
+        r.version for r in eng.sql("DESCRIBE HISTORY rs").collect()
+        if r.operation == "delete"
+    ][0]
+    eng.sql(f"RESTORE rs VERSION AS OF {v_after_delete}")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rs").first()["n"] == 1
+    eng.sql("DROP TAG good ON rs")
+    assert eng.sql("SHOW TAGS ON rs").count() == 0

@@ -820,7 +820,10 @@ class Engine:
             ver = int(m.group(2))
         else:
             ref = m.group(3).replace("''", "'")
-            ver = ds.checkout(ref).version
+            refs = ds.list_tags()
+            if ref not in refs:
+                raise ValueError(f"no tag or branch named {ref!r}")
+            ver = refs[ref]  # ref file lookup — no manifest load needed
         ds.restore(ver)
         self._registered.pop(("main", m.group(1)), None)
 
@@ -833,8 +836,14 @@ class Engine:
             s,
         )
         if m:
+            ds = self.dataset(m.group(2))
             ver = int(m.group(3)) if m.group(3) else None
-            self.dataset(m.group(2)).tag(m.group(1), version=ver)
+            if ver is not None and ver not in ds.versions():
+                raise ValueError(
+                    f"CREATE TAG: version {ver} does not exist "
+                    f"(retained: {ds.versions()})"
+                )
+            ds.tag(m.group(1), version=ver)
             return
         m = re.match(r"(?is)^DROP\s+TAG\s+(\w[\w.-]*)\s+ON\s+(\w+)$", s)
         if m:

@@ -505,3 +505,11 @@ def test_restore_and_tag_sql(engine):
     assert eng.sql("SELECT COUNT(*) AS n FROM rs").first()["n"] == 1
     eng.sql("DROP TAG good ON rs")
     assert eng.sql("SHOW TAGS ON rs").count() == 0
+
+
+def test_create_tag_rejects_missing_version(engine):
+    eng = engine
+    eng.sql("CREATE TABLE tv (a INT)")
+    eng.sql("INSERT INTO tv VALUES (1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("CREATE TAG bad ON tv AS OF VERSION 999")

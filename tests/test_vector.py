@@ -39,5 +39,5 @@ def test_emb_gram_matches_numpy(spark):
     ref = X.T @ X
     for i in range(_GRAM_D):
         for j in range(_GRAM_D):
-            # decimal(14,7) input rounding: ~1e-7/row error bound
+            # decimal(10,5) input rounding: ~1e-5/row error bound
             assert abs(got[(i, j)] - ref[i, j]) < 1e-3 * max(1.0, abs(ref[i, j]))

@@ -725,6 +725,31 @@ class Engine:
                 [(schema, t) for t in self.tables(schema)],
                 "schema_name string, table_name string",
             )
+        m = re.match(r"(?is)^DESCRIBE\s+DETAIL\s+(\w+)$", s)
+        if m:
+            # one-row table summary, METADATA-ONLY: manifest + ref file +
+            # footer-collected stats — no data scan (count_rows subtracts
+            # deletion sidecars without touching fragments)
+            ds = self.dataset(m.group(1))
+            mf = ds.manifest
+            return self.spark.createDataFrame(
+                [
+                    (
+                        m.group(1),
+                        ds.version,
+                        mf.operation,
+                        len(mf.fragments),
+                        ds.count_rows(),
+                        ds.data_size(),
+                        int(mf.row_ids),
+                        ",".join(sorted(mf.indexes)) or None,
+                        ",".join(sorted(ds.list_tags())) or None,
+                    )
+                ],
+                "table_name string, version int, last_operation string, "
+                "n_fragments int, n_rows long, size_bytes long, "
+                "row_ids int, indexes string, tags string",
+            )
         m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", s)
         if m:
             ds = self.dataset(m.group(1))

@@ -513,3 +513,18 @@ def test_create_tag_rejects_missing_version(engine):
     eng.sql("INSERT INTO tv VALUES (1)")
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("CREATE TAG bad ON tv AS OF VERSION 999")
+
+
+def test_describe_detail(engine):
+    """DESCRIBE DETAIL: one-row metadata-only summary (live row count
+    subtracts deletion sidecars without a data scan)."""
+    eng = engine
+    eng.sql("CREATE TABLE dd (pid BIGINT, a INT)")
+    eng.sql("INSERT INTO dd VALUES (10, 1), (20, 2), (30, 3)")
+    eng.dataset("dd").tag("snap")
+    eng.sql("DELETE FROM dd WHERE a = 1")
+    eng.sql("CREATE INDEX bt ON dd USING btree (a)")
+    row = eng.sql("DESCRIBE DETAIL dd").first()
+    assert row.table_name == "dd" and row.n_rows == 2
+    assert row.indexes == "bt" and row.tags == "snap"
+    assert row.size_bytes > 0 and row.n_fragments >= 1

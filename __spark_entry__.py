@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (119 queries,
-    117 with oracles: 20 TPC-H, 12 TPC-DS probes, windows/set-ops/rollups,
+    """One entry per implemented operator from SURVEY.md §2 (120 queries,
+    118 with oracles: 20 TPC-H, 12 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + 7 dedup
     families + curation pipeline, KNN under cosine/l2/dot metrics, k-means,
     FTS incl. boolean queries, multimodal decode/frames/audio/resize,

@@ -625,3 +625,63 @@ def ds_rtree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "o_orderkey", "dist")
         .orderBy("rank")
     )
+
+
+_SQL_LIFECYCLE_SQL = """
+WITH cur AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CASE WHEN o_orderkey % 100 = 0
+                            THEN o_totalprice * 2 ELSE o_totalprice END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderstatus <> 'F'
+  GROUP BY o_orderstatus),
+pre AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
+  FROM orders GROUP BY o_orderstatus)
+SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before
+FROM cur JOIN pre ON cur.o_orderstatus = pre.o_orderstatus
+ORDER BY cur.o_orderstatus
+"""
+
+
+@register("sql_lifecycle", oracle=_SQL_LIFECYCLE_SQL, tags=("engine", "sql", "lifecycle"))
+def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end-to-end (reference cmd/main/main.go server
+    loop: every operation through ONE `sql()` entry): CREATE TABLE, COPY
+    FROM the fixture parquet, CREATE TAG, DELETE, UPDATE with an
+    expression, then a query that joins the CURRENT state against the
+    tagged snapshot via `VERSION AS OF 'tag'` — parsing, routing, the
+    versioned-table views, and the time-travel rewrite all sit on the
+    hash-checked path, not just in unit tests.
+
+    Determinism: money sums go through exact decimal casts; the UPDATE
+    doubles prices (a power of two — exact in binary) so both engines
+    compute identical doubles."""
+    from plan_spark.engine import Engine
+
+    path = _scratch("sql_lifecycle", sf_dir)
+    eng = Engine(spark, path)
+    eng.sql(
+        "CREATE TABLE ord (o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE)"
+    )
+    eng.sql(f"COPY ord FROM '{sf_dir}/orders.parquet'")
+    eng.sql("CREATE TAG pre ON ord")
+    eng.sql("DELETE FROM ord WHERE o_orderstatus = 'F'")
+    eng.sql("UPDATE ord SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 100 = 0")
+    return eng.sql(
+        """
+        WITH cur AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM ord GROUP BY o_orderstatus),
+        pre AS (
+          SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
+          FROM ord VERSION AS OF 'pre' GROUP BY o_orderstatus)
+        SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before
+        FROM cur JOIN pre ON cur.o_orderstatus = pre.o_orderstatus
+        ORDER BY cur.o_orderstatus
+        """
+    )

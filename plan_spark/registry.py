@@ -85,6 +85,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q90",  # new this round: am/pm band-ratio, single-scan rewrite
     "stream_semi_join",  # new this round: streaming EXISTS (emit-once semi state)
     "emb_gram",  # new this round: distributed gramian (X^T X), map-side d^2 cells
+    "sql_lifecycle",  # new this round: the SQL front door end-to-end, hash-checked
 )
 
 # Complementary: names pushed to the very END of the registry — queries

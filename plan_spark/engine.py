@@ -654,8 +654,10 @@ class Engine:
 
     def _stmt_meta(self, s: str) -> DataFrame:
         """SHOW SCHEMAS | SHOW TABLES [IN schema] | SHOW INDEXES ON t |
-        DESCRIBE t — catalog introspection served from the engine's own
-        catalog (the reference's psql meta commands)."""
+        SHOW TAGS ON t | DESCRIBE t | DESCRIBE HISTORY t | DESCRIBE
+        DETAIL t — catalog introspection served from the engine's own
+        catalog (the reference's psql meta commands); DESC is accepted
+        everywhere DESCRIBE is."""
         m = re.match(r"(?is)^SHOW\s+INDEX(?:ES)?\s+ON\s+(\w+)$", s)
         if m:
             ds = self.dataset(m.group(1))
@@ -674,7 +676,7 @@ class Engine:
                 "index_name string, kind string, column string, "
                 "covers_version int, fresh boolean",
             )
-        m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+(\w+)$", s)
+        m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+HISTORY\s+(\w+)$", s)
         if m:
             # the version log (reference version.go / sdk ListVersions):
             # one manifest load per retained version — metadata-only
@@ -725,7 +727,7 @@ class Engine:
                 [(schema, t) for t in self.tables(schema)],
                 "schema_name string, table_name string",
             )
-        m = re.match(r"(?is)^DESCRIBE\s+DETAIL\s+(\w+)$", s)
+        m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+DETAIL\s+(\w+)$", s)
         if m:
             # one-row table summary, METADATA-ONLY: manifest + ref file +
             # footer-collected stats — no data scan (count_rows subtracts

@@ -198,3 +198,26 @@ def test_unpartitioned_windows_have_preaggregated_input(spark):
         plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
         _walk(name, plan)
     assert not offenders, f"unpartitioned window over unreduced input: {offenders}"
+
+
+def test_q74_channels_aggregate_once_on_custkey(spark):
+    """The q74 rewrite's whole point: each channel is ONE conditional
+    aggregate hash-partitioned on custkey (map-side partials), not the
+    4-way union self-join of the query text."""
+    spec = load_all()["tpcds_q74"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("partial_sum") >= 2          # map-side combine per channel
+    assert p.count("Exchange hashpartitioning(o_custkey") >= 2
+    assert "Union" not in p                      # no union self-join shape
+
+
+def test_emb_gram_partial_agg_before_single_cell_shuffle(spark):
+    """The gramian's scale contract: cell products reduce MAP-SIDE and the
+    only data shuffle carries d^2 running sums (plus the final presentation
+    sort) — the corpus itself never shuffles."""
+    spec = load_all()["emb_gram"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "partial_sum" in p
+    # one hash exchange (d^2 cells) + one range exchange (ORDER BY) only
+    assert p.count("Exchange") == 2, p
+    assert "Join" not in p                       # cells come from expansion, not a join

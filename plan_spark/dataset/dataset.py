@@ -1142,12 +1142,31 @@ class Dataset:
         keys: list[str],
         when_matched: str | None = "update",
         when_not_matched: str | None = "insert",
+        update_columns: list[str] | None = None,
     ) -> "Dataset":
         """MERGE (upsert) — reference merge_insert.go:19-134: WhenMatched
-        Update/Delete x WhenNotMatched Insert, matching on key columns.
+        UpdateAll/UpdateColumns/Delete x WhenNotMatched Insert, matching on
+        key columns.
+
+        ``update_columns`` (reference MatchedUpdateColumns,
+        merge_insert.go:32,97) restricts the matched-row update to the named
+        non-key columns; every other target column is preserved — the shape
+        an upsert needs when it must not clobber e.g. created_at.
 
         Copy-on-write: fragments with key matches are rewritten via a join
         against the (broadcastable) source; unmatched source rows append."""
+        if update_columns is not None:
+            if when_matched != "update":
+                raise ValueError(
+                    "update_columns requires when_matched='update'"
+                )
+            bad = [c for c in update_columns if c in keys]
+            if bad:
+                raise ValueError(f"update_columns may not include keys: {bad}")
+            known = set(self.schema.fieldNames())
+            bad = [c for c in update_columns if c not in known]
+            if bad:
+                raise ValueError(f"unknown update_columns: {bad}")
         m = self.manifest
         scan = self._scan_with_lineage(m.fragments)
         src = source
@@ -1173,14 +1192,23 @@ class Dataset:
                 non_keys = [
                     c for c in tgt.columns if c not in keys and c != _ROWID_STORED
                 ]
+                # UpdateColumns subset (merge_insert.go:97): only the named
+                # columns take source values; the rest keep target values
+                upd = non_keys if update_columns is None else [
+                    c for c in non_keys if c in update_columns
+                ]
                 src_renamed = src.select(
-                    *skeys, *[F.col(c).alias(f"__src_{c}") for c in non_keys]
+                    *skeys, *[F.col(c).alias(f"__src_{c}") for c in upd]
                 )
                 joined = tgt.join(src_renamed, keys, "left")
                 out = joined.select(
                     *keys,
                     *[
-                        F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c)
+                        (
+                            F.coalesce(F.col(f"__src_{c}"), F.col(c))
+                            if c in upd
+                            else F.col(c)
+                        ).alias(c)
                         for c in non_keys
                     ],
                     *([F.col(_ROWID_STORED)] if m.row_ids else []),
@@ -2198,18 +2226,39 @@ class Dataset:
         """Commit a previously staged transaction; the normal optimistic
         rebase applies, so commits that landed since the stage are folded in
         (append), conflict-checked (delete), or rejected (overwrite).
-        An expired stage (ttl_seconds elapsed) refuses permanently."""
+        An expired stage (ttl_seconds elapsed) refuses permanently.
+
+        The payload file is CLAIMED first (atomic rename to
+        ``.json.committing``): once claimed, the stage is invisible to
+        ``staged()``/``cleanup_expired()``, so a commit that starts just
+        before expiry but outlives the reclaim grace can never have its
+        data files deleted mid-commit by a concurrent reclaimer. On any
+        failure the claim is renamed back, restoring stage visibility; a
+        concurrent double-commit of the same stage loses the rename and
+        fails loudly."""
         import time
 
         p = os.path.join(self._staged_dir(), f"{stage_id}.json")
-        with open(p) as fh:
-            payload = json.load(fh)
-        exp = payload.get("expires_at")
-        if exp is not None and time.time() >= exp:
-            raise StageExpiredError(
-                f"stage {stage_id} expired at {exp} (ttl elapsed); "
-                f"cleanup_expired() reclaims its files"
-            )
+        claim = p + ".committing"
+        os.rename(p, claim)  # atomic claim — reclaimers skip non-.json files
+        try:
+            with open(claim) as fh:
+                payload = json.load(fh)
+            exp = payload.get("expires_at")
+            if exp is not None and time.time() >= exp:
+                raise StageExpiredError(
+                    f"stage {stage_id} expired at {exp} (ttl elapsed); "
+                    f"cleanup_expired() reclaims its files"
+                )
+            self._do_commit_staged(stage_id, payload)
+        except BaseException:
+            if os.path.exists(claim):
+                os.rename(claim, p)  # un-claim: stage visible again
+            raise
+        os.remove(claim)
+        return self
+
+    def _do_commit_staged(self, stage_id: str, payload: dict) -> None:
         self._manifest = self._load(self._latest_version())
         op = payload["op"]
         if op == "delete":
@@ -2236,8 +2285,6 @@ class Dataset:
                 schema_json=payload.get("schema_json"),
             )
         self._commit(txn)
-        os.remove(p)
-        return self
 
     def count_rows(self, filter: str | None = None) -> int:
         """Row count (sdk/dataset.go:239 CountRows / :258

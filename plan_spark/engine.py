@@ -137,6 +137,11 @@ class Engine:
         uniqueness requires a shuffle per insert, so it is opt-in metadata)."""
         if name in self._catalog["schemas"][schema]["tables"]:
             raise ValueError(f"table {schema}.{name} already exists")
+        if name.startswith("__tt__"):
+            raise ValueError(
+                f"table name {name!r} uses the reserved __tt__ namespace "
+                "(time-travel snapshot views)"
+            )
         root = os.path.join(self.warehouse, schema, name)
         struct = StructType.fromDDL(schema_ddl)
         empty = self.spark.createDataFrame([], struct)
@@ -286,8 +291,12 @@ class Engine:
             # view keyed by the RESOLVED version, not the ref text: two
             # distinct tags must never collide onto one view (sanitized
             # names like 'a.b'/'a-b' would), and two refs of the same
-            # version can safely share it
-            view = f"{tbl}__v{snap.version}"
+            # version can safely share it. The __tt__ prefix is a reserved
+            # namespace: a real catalog table legally named e.g. "t__v3"
+            # must never be clobbered by (or read as) the snapshot view of
+            # "t" version 3 — create_table rejects the prefix, so no \w+
+            # table name can collide with a snapshot view
+            view = f"__tt__{tbl}__v{snap.version}"
             snap.to_df().createOrReplaceTempView(view)
             # keep the relation addressable by its original name when the
             # query gave no alias at all (SELECT t.a FROM t VERSION AS OF …)
@@ -462,7 +471,9 @@ class Engine:
         if m:
             name, query = m.group(1), m.group(2)
             self._register_views()
-            df = self.spark.sql(query)
+            # statement-embedded queries take the same time-travel rewrite
+            # as top-level ones (VERSION AS OF inside a CTAS query)
+            df = self.spark.sql(self._rewrite_time_travel(query))
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
             )
@@ -509,11 +520,36 @@ class Engine:
         if re.match(r"(?is)^CREATE\s+TAG\b", s):
             self._stmt_tag(s)
             return
+        # CREATE BRANCH b ON t [AS OF VERSION n] — a mutable named ref
+        # (reference refs.go:17-68; tags are immutable-by-convention, a
+        # branch is a moving pointer that commits through its handle
+        # auto-advance). Branch READS go through VERSION AS OF 'b';
+        # branch-targeted writes are the Python handle's job
+        # (Dataset.branch(...).append(...)) — the SQL statement surface
+        # always writes the latest version.
+        m = re.match(
+            r"(?is)^CREATE\s+BRANCH\s+(\w+)\s+ON\s+(\w+)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            s,
+        )
+        if m:
+            b, tbl, ver = m.groups()
+            ds = self.dataset(tbl)
+            if ver is not None:
+                ds = ds.checkout(int(ver))
+            ds.branch(b)
+            return
         raise ValueError(f"unsupported CREATE statement: {s[:120]!r}")
 
     def _stmt_drop(self, s: str) -> None:
         if re.match(r"(?is)^DROP\s+TAG\b", s):
             self._stmt_tag(s)
+            return
+        m = re.match(r"(?is)^DROP\s+BRANCH\s+(\w+)\s+ON\s+(\w+)$", s)
+        if m:
+            # branches and tags share the refs namespace (refs.go:17-68);
+            # dropping un-pins the version for vacuum like any ref
+            self.dataset(m.group(2)).delete_tag(m.group(1))
             return
         m = re.match(r"(?is)^DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)$", s)
         if m:
@@ -538,7 +574,8 @@ class Engine:
         if m:
             name, query = m.group(1), m.group(2)
             self._register_views()
-            self.insert_df(name, self.spark.sql(query))
+            # INSERT INTO ... SELECT takes the time-travel rewrite too
+            self.insert_df(name, self.spark.sql(self._rewrite_time_travel(query)))
             return
         raise ValueError(f"unsupported INSERT statement: {s[:120]!r}")
 
@@ -561,10 +598,12 @@ class Engine:
 
     def _stmt_merge(self, s: str) -> None:
         """MERGE INTO t USING (src query | src_table) ON key[, key...]
-        WHEN MATCHED THEN (UPDATE SET *|DELETE) WHEN NOT MATCHED THEN
+        WHEN MATCHED THEN (UPDATE SET * | UPDATE SET c1[, c2...] |
+        UPDATE SET c1 = s.c1[, ...] | DELETE) WHEN NOT MATCHED THEN
         INSERT * — the SQL face of Dataset.merge_insert (reference
-        merge_insert.go:19-134). ON accepts bare key columns or
-        t.k = s.k equality conjuncts on same-named columns.
+        merge_insert.go:19-134; the column-list SET form is
+        MatchedUpdateColumns, merge_insert.go:97). ON accepts bare key
+        columns or t.k = s.k equality conjuncts on same-named columns.
 
         The USING source is extracted with a quote-aware balanced-paren
         scan, not a regex: a nested subquery (or a ')' inside a string
@@ -604,7 +643,7 @@ class Engine:
             src_table, rest = tm.group(1), rest[tm.end():]
         m = re.match(
             r"(?is)^(?:\s+(?:AS\s+)?(?!ON\b)\w+)?\s+ON\s+(.*?)"
-            r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE))?"
+            r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE))?"
             r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(INSERT\s+\*))?$",
             rest,
         )
@@ -612,7 +651,12 @@ class Engine:
             raise ValueError(f"unsupported MERGE statement: {s[:120]!r}")
         on = m.group(1)
         self._register_views()
-        source = self.spark.sql(src_q) if src_q else self.spark.table(src_table)
+        # MERGE USING (subquery) takes the time-travel rewrite as well
+        source = (
+            self.spark.sql(self._rewrite_time_travel(src_q))
+            if src_q
+            else self.spark.table(src_table)
+        )
         keys = []
         # key lists may be AND-separated equality conjuncts or comma-
         # separated bare column names (the docstring's "ON key[, key...]")
@@ -627,12 +671,35 @@ class Engine:
                 raise ValueError(
                     f"MERGE ON must be same-named equality conjuncts: {part!r}"
                 )
-        when_matched = None
+        when_matched, update_columns = None, None
         if m.group(2):
-            when_matched = "delete" if m.group(2).lower() == "delete" else "update"
+            clause = m.group(2).strip()
+            if clause.lower() == "delete":
+                when_matched = "delete"
+            else:
+                when_matched = "update"
+                sets = re.match(r"(?is)^UPDATE\s+SET\s+(.*)$", clause).group(1).strip()
+                if sets != "*":
+                    # UpdateColumns subset (reference merge_insert.go:97):
+                    # `SET c1, c2` or `SET c1 = s.c1, c2 = s.c2` — the
+                    # assignment form must be the same-named source column
+                    # (arbitrary expressions are the UPDATE statement's job)
+                    update_columns = []
+                    for part in sets.split(","):
+                        part = part.strip()
+                        am = re.match(
+                            r"(?is)^(?:\w+\.)?(\w+)(?:\s*=\s*(?:\w+\.)?(\w+))?$", part
+                        )
+                        if not am or (am.group(2) and am.group(1) != am.group(2)):
+                            raise ValueError(
+                                "MERGE UPDATE SET takes *, column names, or "
+                                f"same-named src assignments; got {part!r}"
+                            )
+                        update_columns.append(am.group(1))
         when_not_matched = "insert" if m.group(3) else None
         self.dataset(tgt).merge_insert(
-            source, keys, when_matched=when_matched, when_not_matched=when_not_matched
+            source, keys, when_matched=when_matched,
+            when_not_matched=when_not_matched, update_columns=update_columns,
         )
 
     def _stmt_delete(self, s: str) -> None:

@@ -247,8 +247,14 @@ class BtreeIndex:
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        shutil.rmtree(os.path.join(self.path, "runs"))
-        os.rename(tmp, os.path.join(self.path, "runs"))
+        # rename-aside swap: there is never a moment with no runs/ dir (a
+        # concurrent probe keeps working, a crash leaves either the old or
+        # the new runs in place — both recoverable states)
+        runs, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+        os.rename(runs, old)
+        os.rename(tmp, runs)
+        shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
         self._write_fences()
         return self

@@ -60,6 +60,21 @@ class IvfIndex:
         self.spark = spark
         self.path = os.path.abspath(path)
 
+    def _meta(self) -> dict:
+        """Build-time metadata; indexes built before the meta file existed
+        default to cosine (their historical behavior)."""
+        import json
+
+        p = os.path.join(self.path, "meta.json")
+        if not os.path.exists(p):
+            return {"metric": "cosine"}
+        with open(p) as fh:
+            return json.load(fh)
+
+    @property
+    def metric(self) -> str:
+        return self._meta().get("metric", "cosine")
+
     # ------------------------------------------------------------- build
     @classmethod
     def build(
@@ -72,14 +87,25 @@ class IvfIndex:
         k: int = 16,
         max_iter: int = 8,
         seed: int = 42,
+        metric: str = "cosine",
     ) -> "IvfIndex":
         """Distributed index build: MLlib KMeans fits the centroids (itself
         a Spark job), then one write partitions the corpus by cluster."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        import json
+
+        if metric not in _METRICS:
+            raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
         idx = cls(spark, path)
         os.makedirs(idx.path, exist_ok=True)
+        # persisted so insert-time centroid assignment and the search-time
+        # default follow the SAME geometry (ADVICE r4: a cosine-assigned
+        # insert under l2/dot search can land in a cluster the probe never
+        # visits) — mirrors HnswIndex, which stores metric in meta
+        with open(os.path.join(idx.path, "meta.json"), "w") as fh:
+            json.dump({"metric": metric, "k": k}, fh)
         e = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
@@ -121,7 +147,7 @@ class IvfIndex:
     def search(
         self, queries: DataFrame, id_col: str = "q_id", vec_col: str = "qv",
         top_k: int = 5, nprobe: int = 4, prefilter: DataFrame | None = None,
-        metric: str = "cosine",
+        metric: str | None = None,
     ) -> DataFrame:
         """Top-k per query over the nprobe closest clusters under ``metric``
         ("cosine" | "l2" | "dot" — reference distance_metrics.go:12-96).
@@ -140,6 +166,7 @@ class IvfIndex:
         enough to broadcast, else a shuffled semi join on id."""
         import numpy as np
 
+        metric = metric or self.metric  # default: the build-time geometry
         score_col, score_fn, desc = _METRICS[metric]
         # The probe (query -> nprobe nearest centroids) is computed driver-
         # side: both inputs are query-sized BY CONTRACT (queries are the
@@ -200,11 +227,12 @@ class IvfIndex:
     def search_df(
         self, queries: DataFrame, id_col: str = "q_id", vec_col: str = "qv",
         top_k: int = 5, nprobe: int = 4, prefilter: DataFrame | None = None,
-        metric: str = "cosine",
+        metric: str | None = None,
     ) -> DataFrame:
         """Batch IVF search: queries stay a DataFrame end to end — the
         offline shape for 10^6-query batches (search() is the online path,
         whose driver-side probe saves a window job for bounded query sets).
+        ``metric=None`` (both faces) resolves to the build-time metric.
 
         Shape: probe = queries × broadcast(k centroid rows) → per-query
         top-nprobe window (|Q|·k rows — query-sized, never corpus-sized);
@@ -213,6 +241,7 @@ class IvfIndex:
         routed to it — the inherent IVF batch shape; AQE splits skewed
         clusters); scoring is the same JVM fold as search(); one final
         window takes top-k per query. Zero Python anywhere in the plan."""
+        metric = metric or self.metric
         score_col, score_fn, desc = _METRICS[metric]
         q = queries.select(
             F.col(id_col).alias("q_id"),
@@ -257,16 +286,22 @@ class IvfIndex:
         """Incremental insert (reference incremental_index.go:28-253): new
         vectors are assigned to their nearest EXISTING centroid (broadcast
         of k rows — no refit, no corpus reshuffle) and appended into the
-        matching cluster partitions. Centroid drift is handled by a
-        periodic rebuild, same policy as the reference's buffered index."""
+        matching cluster partitions. Assignment uses the PERSISTED build
+        metric so an inserted vector lands in the cluster the metric-
+        consistent probe will visit (a cosine-assigned insert under l2/dot
+        search could land where the probe never looks). Centroid drift is
+        handled by a periodic rebuild, same policy as the reference's
+        buffered index."""
+        score_col, score_fn, desc = _METRICS[self.metric]
         e = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         c = self.centroids()
         scored = e.join(F.broadcast(c)).select(
-            "id", "v", "cluster", _cos(F.col("v"), F.col("cv")).alias("sim")
+            "id", "v", "cluster", score_fn(F.col("v"), F.col("cv")).alias("sim")
         )
-        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster"))
+        order = F.desc("sim") if desc else F.asc("sim")
+        w = Window.partitionBy("id").orderBy(order, F.asc("cluster"))
         assigned = (
             scored.select("id", "v", "cluster", F.row_number().over(w).alias("r"))
             .filter(F.col("r") == 1)

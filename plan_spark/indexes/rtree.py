@@ -298,9 +298,14 @@ class RtreeIndex:
             self.spark, merged, "xmin", "ymin", "id",
             path=tmp, n_runs=n_runs, x2_col="xmax", y2_col="ymax",
         )
-        dst = os.path.join(self.path, "runs")
-        shutil.rmtree(dst, ignore_errors=True)
+        # rename-aside swap (same shape as BtreeIndex.compact): there is
+        # never a window with no runs/ dir, so a concurrent probe keeps
+        # working and a crash leaves a recoverable state either way
+        dst, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+        os.rename(dst, old)
         os.rename(os.path.join(tmp, "runs"), dst)
+        shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
         # fences must be recomputed AFTER the move: they store absolute file

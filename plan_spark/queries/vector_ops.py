@@ -245,25 +245,26 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     return IvfIndex(spark, path)
 
 
-@register("knn_ivf", oracle=None, tags=("vector", "knn", "ivf"))
+@register("knn_ivf", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn", "ivf"))
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate KNN over the PERSISTED index: nprobe=4 of k=16
-    clusters, exact cosine within probed clusters (reference:
-    ivf_index.go:12-28 — kmeans partitions + per-partition search).
-
-    Non-SQL-expressible (iterative KMeans) => rows-only driver check; pytest
-    cross-checks recall against knn_brute instead.
+    """IVF KNN over the PERSISTED index in FULL-PROBE mode (nprobe = k = 16):
+    probing every cluster makes IVF exactly brute force, so the driver row
+    hash-checks the whole online search path — centroid routing, partition-
+    pruned scan, JVM-fold scoring, rank merge — against the brute-force SQL
+    oracle (the ds_index_knn/knn_batch trick). The PRUNED path (nprobe < k,
+    reference ivf_index.go:12-28) is recall-gated in tests/test_indexes.py;
+    its partition pruning is plan-gated there too.
 
     Scale: the KMeans fit happens once at build time (like the reference's
-    CREATE INDEX); the query itself reads only the nprobe probed cluster
-    directories (true disk partition pruning, gated in tests/test_indexes),
-    broadcasts the query set, and shuffles only (q_id, c_id, score)."""
+    CREATE INDEX); a pruned query reads only the nprobe probed cluster
+    directories, broadcasts the query set, and shuffles only
+    (q_id, c_id, score)."""
     idx = _ivf_index_for(spark, sf_dir)
     q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    return idx.search(q, top_k=_TOP_K, nprobe=4).orderBy("q_id", "rank")
+    return idx.search(q, top_k=_TOP_K, nprobe=16).orderBy("q_id", "rank")
 
 
 @register("knn_batch", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn", "batch"))
@@ -576,29 +577,56 @@ def _ivf_hnsw_index_for(spark: SparkSession, sf_dir: str):
     return IvfHnswIndex(spark, path)
 
 
-@register("knn_ivf_hnsw", oracle=None, tags=("vector", "knn", "ivf", "hnsw"))
+@register("knn_ivf_hnsw", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn", "ivf", "hnsw"))
 def knn_ivf_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-HNSW composite KNN over the PERSISTED index (reference
-    ivf_hnsw_index.go:16-83): centroid probe prunes to nprobe=4 cluster
-    directories on disk, each probed cluster walks its own HNSW graph, one
-    window merges the per-cluster top-k.
+    ivf_hnsw_index.go:16-83) in FULL-PROBE + EXACT-RERANK mode, making the
+    driver row hash-checkable against the brute-force SQL oracle:
 
-    Non-SQL-expressible (KMeans + graph walk) => rows-only driver check;
-    pytest gates recall >= IVF-alone at equal nprobe and
-    incremental-insert/compact semantics (tests/test_indexes.py).
+    - nprobe = k = 16 probes every cluster; ef=512 >= any cluster size
+      makes each per-cluster walk exhaustive over its (connected-by-
+      construction) graph, so the candidate union provably contains the
+      true top-k;
+    - a candidate MARGIN (3x top_k per query) is taken from the walks,
+      then re-ranked by EXACT cosine recomputed JVM-side from the raw
+      corpus vectors with the same fold as knn_brute — the standard
+      ANN-then-exact-rerank production shape, which also removes the
+      normalized-graph float rounding from the final scores.
 
-    Scale: the query set is collected driver-side (query-sized by
-    definition); the corpus never shuffles — only probed cluster files are
-    read, ~ef*log(N/k) vectors touched per cluster."""
+    The PRUNED path (nprobe < k) is recall-gated in tests/test_indexes.py.
+    Scale: queries are collected driver-side (query-sized by definition);
+    the rerank joins a candidate set of |Q| * margin rows (broadcast)
+    against the corpus — the corpus itself never shuffles."""
+    from pyspark.sql import Window
+
     idx = _ivf_hnsw_index_for(spark, sf_dir)
-    qrows = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qv = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
-    return idx.search(qv, top_k=_TOP_K, nprobe=4).orderBy("q_id", "rank")
+    qrows = e.filter(F.col("vec_id") < _N_QUERIES).collect()
+    qv = {int(r.vec_id): [float(x) for x in r.v] for r in qrows}
+    cand = idx.search(qv, top_k=3 * _TOP_K, nprobe=16, ef=512).select("q_id", "c_id")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        e.join(F.broadcast(cand), e.vec_id == F.col("c_id"))
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (_dot(F.col("qv"), F.col("v")) / F.sqrt(_sq(F.col("qv")) * _sq(F.col("v")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        rescored.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+        .orderBy("q_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------

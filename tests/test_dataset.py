@@ -762,3 +762,30 @@ def test_detached_overwrite(spark, tmp_path_ds, base_df):
     sid2 = ds3.stage_overwrite(small)
     with pytest.raises(ConflictError):
         ds3.commit_staged(sid2)
+
+
+def test_merge_update_columns_preserves_rest(spark, tmp_path_ds, base_df):
+    """MatchedUpdateColumns (reference merge_insert.go:32,97): only the
+    named non-key columns take source values; others keep target values."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    src = spark.range(990, 1010).select(
+        F.col("id"), F.lit(777).alias("grp"), F.lit(-1.0).alias("val")
+    )
+    ds.merge_insert(src, keys=["id"], update_columns=["val"])
+    out = ds.to_df()
+    assert out.count() == 1010
+    # matched rows: val updated, grp PRESERVED (source said 777)
+    assert out.filter("id >= 990 AND id < 1000 AND val = -1.0").count() == 10
+    assert out.filter("id >= 990 AND id < 1000 AND grp = id % 10").count() == 10
+    # inserted rows take the full source row (grp = 777)
+    assert out.filter("id >= 1000 AND grp = 777 AND val = -1.0").count() == 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="update_columns may not include keys"):
+        ds.merge_insert(src, keys=["id"], update_columns=["id"])
+    with _pt.raises(ValueError, match="unknown update_columns"):
+        ds.merge_insert(src, keys=["id"], update_columns=["nope"])
+    with _pt.raises(ValueError, match="requires when_matched"):
+        ds.merge_insert(
+            src, keys=["id"], when_matched="delete", update_columns=["val"]
+        )

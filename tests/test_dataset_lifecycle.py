@@ -307,3 +307,33 @@ def test_vacuum_skips_inflight_index_builds(spark, tmp_path_ds, base_df):
     removed = ds.vacuum(keep_versions=1)
     assert "_indexes/crashed_long_ago" in removed
     assert "_indexes/building_now" not in removed and os.path.isdir(live)
+
+
+# --------------------------------------------- commit_staged claim protocol
+def test_commit_staged_failure_restores_stage_visibility(
+    spark, tmp_path_ds, base_df
+):
+    """commit_staged claims the payload (atomic rename) before committing,
+    so a concurrent cleanup can never reclaim its files mid-commit; on a
+    failed commit the claim is renamed back and the stage stays usable."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid = ds.stage_overwrite(_more(spark, 0, 10))
+    # a commit that lands after the stage makes the strict overwrite conflict
+    Dataset.open(spark, tmp_path_ds).append(_more(spark, 200, 210))
+    with pytest.raises(ConflictError):
+        Dataset.open(spark, tmp_path_ds).commit_staged(sid)
+    # the stage is visible again (un-claimed), its files intact
+    assert sid in Dataset.open(spark, tmp_path_ds).staged()
+    info = [s for s in ds.staged_info() if s["stage_id"] == sid]
+    assert info and info[0]["op"] == "overwrite"
+
+
+def test_commit_staged_consumes_stage_once(spark, tmp_path_ds, base_df):
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid = ds.stage_append(_more(spark, 200, 220))
+    ds2 = Dataset.open(spark, tmp_path_ds).commit_staged(sid)
+    assert ds2.count_rows() == 220
+    assert sid not in Dataset.open(spark, tmp_path_ds).staged()
+    # a second commit of the same stage loses the claim rename and fails loudly
+    with pytest.raises(FileNotFoundError):
+        Dataset.open(spark, tmp_path_ds).commit_staged(sid)

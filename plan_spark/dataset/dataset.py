@@ -146,6 +146,25 @@ def _collect_stats(
     return md.num_rows, os.path.getsize(local_path), stats
 
 
+_NO_BOUNDS = object()
+
+
+def _conjunct_bounds(op: str, val):
+    """(lo, hi) bounds (None = unbounded side) that a parsed conjunct admits
+    for an index range probe; ``_NO_BOUNDS`` when the op can't bound one."""
+    if op == "=":
+        return val, val
+    if op == "in":
+        if not val:
+            return _NO_BOUNDS, _NO_BOUNDS
+        return min(val), max(val)
+    if op in (">", ">="):
+        return val, None
+    if op in ("<", "<="):
+        return None, val
+    return _NO_BOUNDS, _NO_BOUNDS
+
+
 @dataclass
 class _Txn:
     """Diff of one operation vs its read version — the rebase unit."""
@@ -732,6 +751,12 @@ class Dataset:
             out.append((col, op, val))
         return out
 
+    @staticmethod
+    def _conjunct_bounds(op: str, val):
+        """(lo, hi) key bounds a conjunct admits, for index probing; the
+        _NO_BOUNDS sentinel means the operator can't bound a key range."""
+        return _conjunct_bounds(op, val)
+
     def _prunable(self, f: Fragment, filters) -> bool:
         """True if fragment stats prove no row can match (zonemap pruning —
         reference zonemap_index.go:18-63, index_selector.go:36)."""
@@ -763,25 +788,156 @@ class Dataset:
                 return True
         return False
 
-    def plan_scan(self, filters=None) -> tuple[list[Fragment], list[Fragment]]:
+    # Reference index_selector.go:62 MaxIndexScanRatio: route through an
+    # index only when its fence-estimated match fraction is at most this —
+    # above it a pruned full scan is cheaper than probe + id mapping.
+    _INDEX_SCAN_MAX_RATIO = 0.3
+
+    def _frag_rowid_interval(self, f: Fragment):
+        """[lo, hi] of stable row ids a fragment can contain, or None when
+        unprovable (no Range segment and no __rowid footer stats)."""
+        if f.row_start is not None and f.row_start >= 0:
+            return f.row_start, f.row_start + f.rows - 1
+        st = f.stats.get(_ROWID_STORED)
+        if st and st.get("min") is not None and st.get("max") is not None:
+            return st["min"], st["max"]
+        return None
+
+    def _auto_index_hits(self, filters) -> set[int] | None:
+        """Cost-based automatic index routing for a filtered scan (reference
+        IndexSelector.SelectIndexForPredicate, index_selector.go:36-78, and
+        IndexPlannerV2.PlanQuery, index_planner.go:27-75): among the FRESH
+        btree indexes whose key column carries a prunable conjunct, pick the
+        one whose fence tables estimate the fewest matching rows; skip
+        index routing entirely when the best estimate exceeds
+        ``_INDEX_SCAN_MAX_RATIO`` of the table (a pruned scan wins then).
+        The chosen index is probed (fence-selected run files only) and the
+        matching row ids map back to the fragments that own them via the
+        manifest's row-id intervals — fragments with unprovable intervals
+        always stay selected (soundness).
+
+        Returns the fragment-id set that can contain matches, or None when
+        no index applies. A stale index (data committed past
+        covers_version) is never consulted."""
+        if not filters or not self.manifest.row_ids:
+            return None
+        from plan_spark.indexes.btree import read_fences
+
+        candidates = []  # (est_rows, total_rows, name, conjunct)
+        for name, desc in self.manifest.indexes.items():
+            if desc.get("kind") != "btree" or not desc.get("path"):
+                continue
+            # the probe yields take_rows-addressable ids only when the index
+            # id column is the stable row id (the SQL-face default)
+            id_col = desc.get("params", {}).get("id_col", _ROWID)
+            if id_col != _ROWID or not self.index_fresh(name):
+                continue
+            for col, op, val in filters:
+                if self._phys(col) != desc.get("phys", desc.get("column")):
+                    continue
+                lo, hi = _conjunct_bounds(op, val)
+                if lo is _NO_BOUNDS:
+                    continue
+                fences = read_fences(
+                    os.path.join(self.path, desc["path"], "fences.parquet")
+                )
+                total = sum(r.n for r in fences) or 1
+                est = sum(
+                    r.n
+                    for r in fences
+                    if r.min_key is None
+                    or r.max_key is None
+                    or (
+                        (lo is None or r.max_key >= lo)
+                        and (hi is None or r.min_key <= hi)
+                    )
+                )
+                candidates.append((est, total, name, (col, op, val)))
+        if not candidates:
+            return None
+        est, total, name, (col, op, val) = min(candidates, key=lambda c: c[0])
+        if est / total > self._INDEX_SCAN_MAX_RATIO:
+            return None  # full (pruned) scan is the cheaper plan
+        lo, hi = _conjunct_bounds(op, val)
+        idx = self.open_index(name)
+        ids = idx.range_query(lo, hi)
+        if op == "in":
+            ids = ids.filter(F.col("key").isin(*val))
+        # map matching row ids -> owning fragments: broadcast the (file-
+        # count-sized) interval table against the id stream and collect the
+        # DISTINCT fragment ids — output is O(fragments), never O(rows)
+        intervals, hits = [], set()
+        for f in self.manifest.fragments:
+            iv = self._frag_rowid_interval(f)
+            if iv is None:
+                hits.add(f.id)  # unprovable: always scanned
+            else:
+                intervals.append((f.id, iv[0], iv[1]))
+        if intervals:
+            from pyspark.sql.types import (
+                LongType as _L,
+                StructField as _SF,
+                StructType as _ST,
+            )
+
+            itab = self.spark.createDataFrame(
+                intervals,
+                _ST([_SF("fid", _L(), False), _SF("lo", _L(), False), _SF("hi", _L(), False)]),
+            )
+            rows = (
+                ids.select(F.col("id"))
+                .join(
+                    F.broadcast(itab),
+                    (F.col("id") >= F.col("lo")) & (F.col("id") <= F.col("hi")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            )
+            hits.update(r.fid for r in rows)
+        return hits
+
+    def plan_scan(
+        self, filters=None, use_indexes: bool = True
+    ) -> tuple[list[Fragment], list[Fragment]]:
         """(selected, pruned) fragments for a filtered scan — the engine's
         EXPLAIN surface for file pruning. ``filters`` is either a list of
         (col, op, literal) tuples or a predicate string (conjuncts are
-        extracted for pruning, reference filter_parser.go)."""
+        extracted for pruning, reference filter_parser.go).
+
+        ``use_indexes=True`` (default) additionally routes the most
+        selective conjunct through a fresh btree index when the cost rule
+        picks one (see _auto_index_hits): the index's fragment-hit set
+        INTERSECTS zonemap/bitmap pruning, so a filtered scan can skip
+        fragments whose key ranges interleave (where min/max alone proves
+        nothing)."""
         if isinstance(filters, str):
             filters = self._parse_filter_string(filters)
+        hits = self._auto_index_hits(filters) if use_indexes else None
         sel, pruned = [], []
         for f in self.manifest.fragments:
-            (pruned if self._prunable(f, filters) else sel).append(f)
+            if self._prunable(f, filters) or (hits is not None and f.id not in hits):
+                pruned.append(f)
+            else:
+                sel.append(f)
         return sel, pruned
 
-    def to_df(self, filters=None, with_row_id: bool = False) -> DataFrame:
+    def to_df(
+        self, filters=None, with_row_id: bool = False, use_indexes: bool = True
+    ) -> DataFrame:
         """Snapshot scan: manifest pruning -> parquet scan (Catalyst pushes
         the residual filters) -> merge-on-read anti-join of deletion vectors.
 
         ``filters`` may be a list of (col, op, literal) tuples or a SQL
         predicate string: the string prunes via its extractable conjuncts
         and is applied in full as a residual filter.
+
+        ``use_indexes=True`` (default) lets the scan planner route the most
+        selective conjunct through a FRESH btree index automatically
+        (reference index_selector.go:36-78 — a user who creates an index
+        and then filters the normal way gets the benefit without calling
+        open_index themselves); the full predicate still applies as a
+        residual, so this is purely a file-pruning win.
 
         ``with_row_id=True`` appends the stable-row-id column ``_rowid``
         (requires ``create(..., row_ids=True)``; reference rowids.go)."""
@@ -790,7 +946,7 @@ class Dataset:
         schema = self.schema
         if with_row_id and not m.row_ids:
             raise ValueError("dataset was not created with row_ids=True")
-        sel, _ = self.plan_scan(filters)
+        sel, _ = self.plan_scan(filters, use_indexes=use_indexes)
         if pred_str is not None:
             filters = None  # applied below as one F.expr residual
         if not sel:
@@ -1818,6 +1974,8 @@ class Dataset:
           m, ef_construction, metric).
         - "pq" / "sq": persisted quantizer indexes PqIndex / SqIndex
           (params: id_col, m/k or bits, metric) — codes-only storage.
+        - "bq": persisted BqIndex (1-bit sign codes, Hamming search +
+          optional exact re-rank — bq_quantizer.go:14-190).
         - "btree": persisted BtreeIndex over a scalar column (range-
           partitioned sorted runs + fences; equality/range -> row ids,
           reference btree_index.go:12-130). id defaults to ``_rowid`` when
@@ -1848,7 +2006,7 @@ class Dataset:
             txn.bitmap_add = phys
         elif kind == "bloom":
             txn.bloom_add = phys
-        elif kind in ("ivf", "fts", "hnsw", "pq", "sq", "btree", "rtree"):
+        elif kind in ("ivf", "fts", "hnsw", "pq", "sq", "bq", "btree", "rtree"):
             # unique staging path per build attempt: a same-name race's
             # LOSING create (its _commit raises ConflictError) must not
             # clobber the winner's persisted files, and the committed
@@ -1928,6 +2086,7 @@ class Dataset:
                         id_col=id_col, path=full, **params,
                     )
                 else:
+                    from plan_spark.indexes.bq import BqIndex
                     from plan_spark.indexes.hnsw import HnswIndex
                     from plan_spark.indexes.ivf import IvfIndex
                     from plan_spark.indexes.pq import PqIndex
@@ -1935,7 +2094,7 @@ class Dataset:
 
                     builder = {
                         "ivf": IvfIndex, "hnsw": HnswIndex,
-                        "pq": PqIndex, "sq": SqIndex,
+                        "pq": PqIndex, "sq": SqIndex, "bq": BqIndex,
                     }[kind]
                     builder.build(
                         self.spark,
@@ -2028,7 +2187,8 @@ class Dataset:
             raise ValueError(f"no index named {name!r}")
         full = os.path.join(self.path, desc["path"]) if desc["path"] else None
         kind = desc["kind"]
-        if kind in ("ivf", "fts", "hnsw", "pq", "sq", "btree", "rtree"):
+        if kind in ("ivf", "fts", "hnsw", "pq", "sq", "bq", "btree", "rtree"):
+            from plan_spark.indexes.bq import BqIndex
             from plan_spark.indexes.btree import BtreeIndex
             from plan_spark.indexes.fts import FtsIndex
             from plan_spark.indexes.hnsw import HnswIndex
@@ -2039,7 +2199,7 @@ class Dataset:
 
             opener = {
                 "ivf": IvfIndex, "fts": FtsIndex, "hnsw": HnswIndex,
-                "pq": PqIndex, "sq": SqIndex,
+                "pq": PqIndex, "sq": SqIndex, "bq": BqIndex,
                 "btree": BtreeIndex, "rtree": RtreeIndex,
             }[kind]
             return opener(self.spark, full)

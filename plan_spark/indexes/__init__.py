@@ -8,6 +8,7 @@ plan_spark.queries rebuild per query (correctness surface); these classes
 are the deployment surface where the build cost amortizes.
 """
 
+from plan_spark.indexes.bq import BqIndex
 from plan_spark.indexes.ivf import IvfIndex
 from plan_spark.indexes.fts import FtsIndex
 from plan_spark.indexes.hnsw import HnswIndex
@@ -15,4 +16,7 @@ from plan_spark.indexes.ivf_hnsw import IvfHnswIndex
 from plan_spark.indexes.pq import IvfPqIndex, PqIndex
 from plan_spark.indexes.sq import SqIndex
 
-__all__ = ["IvfIndex", "FtsIndex", "HnswIndex", "IvfHnswIndex", "PqIndex", "IvfPqIndex", "SqIndex"]
+__all__ = [
+    "BqIndex", "IvfIndex", "FtsIndex", "HnswIndex", "IvfHnswIndex",
+    "PqIndex", "IvfPqIndex", "SqIndex",
+]

@@ -627,6 +627,59 @@ def ds_rtree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DS_AUTO_INDEX_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck
+FROM orders
+WHERE o_orderkey IN (1, 32, 33, 34)
+"""
+
+
+@register(
+    "ds_auto_index_scan", oracle=_DS_AUTO_INDEX_SQL, tags=("dataset", "index", "auto")
+)
+def ds_auto_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOMATIC index selection in the scan path (reference
+    IndexSelector/IndexPlannerV2, index_selector.go:36-78,
+    index_planner.go:27-75): ingest orders into four fragments whose
+    o_orderkey ranges fully INTERLEAVE (residues mod 4 — zonemap min/max
+    proves nothing), CREATE a btree index, then filter through the NORMAL
+    ``to_df(filters=...)`` face — no open_index call anywhere. The planner
+    must pick the index by the fence-estimated cost rule, probe it, map the
+    matching row ids to owning fragments, and read FEWER fragments than
+    zonemap pruning alone (asserted in-body); the returned rows must equal
+    the plain relational filter.
+
+    Scale shape: the probe reads fence-selected run files only; the
+    id->fragment mapping broadcasts the (file-count-sized) interval table;
+    the data scan then touches only hit fragments."""
+    path = _scratch("ds_auto_index", sf_dir)
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ds = Dataset.create(
+        spark, path, ords.filter(F.col("o_orderkey") % 4 == 0).coalesce(1),
+        row_ids=True,
+    )
+    for i in (1, 2, 3):
+        ds.append(ords.filter(F.col("o_orderkey") % 4 == i).coalesce(1))
+    ds.create_index("auto_bt", kind="btree", column="o_orderkey", n_runs=6)
+    pred = "o_orderkey IN (1, 32, 33, 34)"  # residues {0,1,2}: frag 3 prunable
+    sel_zone, _ = ds.plan_scan(pred, use_indexes=False)
+    sel_auto, _ = ds.plan_scan(pred, use_indexes=True)
+    assert len(sel_auto) < len(sel_zone), (
+        f"auto index routing must beat zonemaps on interleaved fragments "
+        f"({len(sel_auto)} vs {len(sel_zone)})"
+    )
+    return ds.to_df(filters=pred).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+    )
+
+
 _SQL_LIFECYCLE_SQL = """
 WITH cur AS (
   SELECT o_orderstatus,

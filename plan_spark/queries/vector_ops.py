@@ -548,6 +548,78 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BQ binary quantization (reference bq_quantizer.go:14-190): sign-bit codes,
+# Hamming ranking. Hamming over sign bits is pure INTEGER math, so the
+# packed-word Spark path (bit_count(xor)) is hash-comparable against a
+# DuckDB oracle that counts sign disagreements elementwise — the driver row
+# certifies the whole pack/xor/popcount pipeline bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_KNN_BQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q_id, e.vec_id AS c_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(qv, e.v),
+             x -> CAST(CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END AS BIGINT))),
+           (acc, v) -> acc + v) AS hamming
+  FROM q, e
+  WHERE e.vec_id <> q_id),
+ranked AS (
+  SELECT q_id, c_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming ASC, c_id) AS rank
+  FROM sims)
+SELECT q_id, c_id, rank, hamming
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def _bq_index_for(spark: SparkSession, sf_dir: str):
+    """Persisted BqIndex per sf_dir (build-once/search-many, same keying as
+    _ivf_index_for — reference builds at CREATE INDEX time)."""
+    import hashlib
+    import tempfile
+
+    from plan_spark.indexes.bq import BqIndex
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    key = hashlib.md5(f"{src}#{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"plan_spark_bq_{key}")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        BqIndex.build(
+            spark, table(spark, sf_dir, "embeddings"),
+            id_col="vec_id", vec_col="embedding", path=path,
+        )
+        with open(marker, "w") as fh:
+            fh.write(src)
+    return BqIndex(spark, path)
+
+
+@register("knn_bq", oracle=_KNN_BQ_SQL, tags=("vector", "knn", "bq", "hamming"))
+def knn_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized KNN over the PERSISTED BqIndex (reference
+    bq_quantizer.go:14-190 + distance_metrics.go Hamming): vectors live as
+    sign-bit words (64x smaller than float64), every candidate scores as
+    sum(bit_count(xor)) — integer-exact, so the driver row hash-checks the
+    whole pack/xor/popcount path against an elementwise sign-disagreement
+    oracle. The exact-rerank refinement is pytest-gated
+    (tests/test_indexes.py: rerank recall >= Hamming-only recall).
+
+    Scale: the scan reads the codes relation only (~1.5% of the float
+    bytes); queries broadcast; only (q_id, c_id, hamming) reaches the rank
+    shuffle."""
+    idx = _bq_index_for(spark, sf_dir)
+    q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return idx.search(q, top_k=_TOP_K).orderBy("q_id", "rank")
+
+
 def _ivf_hnsw_index_for(spark: SparkSession, sf_dir: str):
     """Persisted IvfHnswIndex per sf_dir (build-once/search-many, same
     keying as _ivf_index_for — reference ivf_hnsw_index.go:16-83 builds at

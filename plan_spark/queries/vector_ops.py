@@ -963,57 +963,38 @@ GROUP BY c_id ORDER BY c_id
 
 @register("semdedup", oracle=_SEMDEDUP_SQL, tags=("dedup", "vector", "clustering"))
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup, SemDeDup shape: assign every embedding to its
-    nearest of K=8 seed centroids (the kmeans_assign kernel — broadcast
-    centroids, struct-max argmax, no corpus window), then within each
-    cluster drop any member with a LOWER-id neighbour at cosine >= tau,
-    keeping one representative per near-dup set. Output: per-cluster
-    member/dropped/kept counts.
+    """Semantic dedup, SemDeDup shape — the FIXTURE INSTANTIATION of
+    operators/semdedup.py (where the scale knob lives): assign every
+    embedding to its nearest centroid (broadcast centroids, struct-max
+    argmax, no corpus window), then within each cluster drop any member
+    with a LOWER-id neighbour at cosine >= tau. Output: per-cluster
+    member/dropped/kept counts. Centroids here are the K=8 lowest-id
+    vectors so the DuckDB oracle is exact; at corpus scale the operator
+    takes k / target_cluster_size (k = N/target — SemDeDup's
+    constant-cluster-size recipe, ~11k clusters for 100M docs) or a fitted
+    centroid table, keeping the pair join O(N * target), never O(N^2).
+    The knob + cluster-boundedness are pytest-gated
+    (tests/test_semdedup.py)."""
+    from plan_spark.operators.semdedup import semdedup_flags
 
-    Scale shape: the pair generation self-joins ON THE CLUSTER KEY — one
-    shuffle co-partitions both sides, and the quadratic term is bounded
-    per cluster (sum of c_i^2), which is the knob K controls: at corpus
-    scale K grows so clusters stay bounded, exactly the SemDeDup recipe
-    (their K ~ 11k for 100M docs). No all-pairs work across clusters."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
-    m = _assign_argmax(e, cents, keep_v=True).select("vec_id", "v", "c_id")
-    # the assignment feeds BOTH sides of the pair join plus the final
-    # rollup: persist so the corpus scan + argmax aggregate cache on first
-    # action instead of running three times (one assignment row per vector
-    # — bounded). LAZY persist, no eager count(): plan-only callers
-    # (explain gates) must not execute a corpus scan at build time.
-    m = m.persist()
-    a = m.select("c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    b = m.select("c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
-    dropped = (
-        a.join(b, "c_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            (
-                _dot(F.col("av"), F.col("bv"))
-                / F.sqrt(_sq(F.col("av")) * _sq(F.col("bv")))
-            )
-            >= _SEMDEDUP_TAU
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(1))
+    flagged = semdedup_flags(
+        e, id_col="vec_id", vec_col="v", tau=_SEMDEDUP_TAU, centroids=cents
     )
-    flagged = m.join(dropped, "vec_id", "left")
     return (
         flagged.groupBy("c_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.count("is_dup").cast("bigint").alias("n_dropped"),
-            (F.count(F.lit(1)) - F.count("is_dup")).cast("bigint").alias("n_kept"),
-            F.min(F.when(F.col("is_dup").isNull(), F.col("vec_id"))).alias(
-                "first_kept"
-            ),
+            F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count(F.when(F.col("is_dup"), 1)))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.min(F.when(~F.col("is_dup"), F.col("vec_id"))).alias("first_kept"),
         )
         .select(
             F.col("c_id").alias("centroid"),

@@ -58,34 +58,40 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    "retention_cohorts",  # registered after the r3 window snapshot — never driver-checked
-    "knn_l2",  # new this round: metric selection (L2)
-    "knn_dot",  # new this round: metric selection (dot)
-    "fts_bool",  # new this round: boolean FTS
-    "tpcds_q89",  # new this round: framed rolling-average window probe
-    "tpcds_q34",  # new this round: having-band multi-join probe
-    "knn_batch",  # new this round: DataFrame-native batch ANN, full-probe oracle
-    "ds_detached_scan",  # new this round: detached-txn lifecycle incl. TTL
-    "ds_nested_scan",  # new this round: nested add_path/drop_path evolution
-    "stream_tumbling_agg",  # changed this round: isolated gated session
-    "stream_sessionize",  # same change
-    "stream_dedup",  # same change
-    "stream_join",  # same change
-    "stream_enrich",  # same change
-    "stream_stateful",  # new this round: applyInPandasWithState driver row
-    "ds_clone_restore",  # new this round: shallow clone + restore lifecycle
-    "ds_evolve_scan",  # new this round: rename/widen/add-default evolution
-    "tpcds_q88",  # new this round: single-scan multi-band conditional agg
-    "ds_btree_scan",  # new this round: btree index lifecycle + probes
-    "ds_rtree_scan",  # new this round: rtree index lifecycle + box/kNN
-    "tpcds_q74",  # new this round: year-over-year growth, conditional-agg rewrite
-    "tpcds_q35",  # new this round: OR'd correlated EXISTS via aggregated marks
-    "semdedup",  # new this round: cluster-then-dedup semantic near-dup removal
-    "stream_outer_join",  # new this round: left-outer interval join state flush
-    "tpcds_q90",  # new this round: am/pm band-ratio, single-scan rewrite
-    "stream_semi_join",  # new this round: streaming EXISTS (emit-once semi state)
-    "emb_gram",  # new this round: distributed gramian (X^T X), map-side d^2 cells
-    "sql_lifecycle",  # new this round: the SQL front door end-to-end, hash-checked
+    # ---- round 5: new queries ----
+    "ds_auto_index_scan",  # new: cost-based auto index routing in to_df(filters=)
+    "knn_bq",  # new: BQ sign-code index, Hamming bit_count(xor) search
+    "tpcds_q11",  # new: YoY growth + CASE-guarded ratios + dim ride-along
+    "tpcds_q23",  # new: multi-CTE frequent-item / 95%-of-max composition
+    "stream_full_outer_join",  # new: full-outer interval join, 2-sided flush
+    # ---- round 5: changed implementations (prior rows stale) ----
+    "knn_ivf",  # changed: full-probe mode, now HASH-checked (was rows-only)
+    "knn_ivf_hnsw",  # changed: full-probe + exact rerank, now hash-checked
+    "semdedup",  # changed: delegates to operators/semdedup.py (k knob)
+    "sql_lifecycle",  # changed: MERGE SET-subset grammar + branch statements
+    "ds_btree_scan",  # index internals touched (atomic compact swap)
+    "ds_rtree_scan",  # same
+    "ds_index_knn",  # IVF metric persistence touched create_index(kind=ivf)
+    "knn_batch",  # IvfIndex.search_df metric default changed (None->persisted)
+    "ds_detached_scan",  # commit_staged claim protocol changed
+    # ---- still-recent r4 rows whose driver coverage stays useful ----
+    "retention_cohorts",
+    "knn_l2",
+    "knn_dot",
+    "fts_bool",
+    "tpcds_q89",
+    "tpcds_q34",
+    "ds_nested_scan",
+    "stream_stateful",
+    "ds_clone_restore",
+    "ds_evolve_scan",
+    "tpcds_q88",
+    "tpcds_q74",
+    "tpcds_q35",
+    "stream_outer_join",
+    "tpcds_q90",
+    "stream_semi_join",
+    "emb_gram",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -152,6 +152,27 @@ def click_purchase_left_join_stream(
     )
 
 
+def click_purchase_full_join_stream(
+    spark: SparkSession, sf_dir: str, user_mod: int | None = None
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join family
+    (inner / left-outer / left-semi landed earlier): matched pairs emit
+    immediately; unmatched CLICKS flush with NULL purchase columns once the
+    watermark passes their 2h window; unmatched PURCHASES flush with NULL
+    click columns once the watermark passes their event time (no earlier
+    click can still arrive). Both sides' state is watermark-bounded — the
+    only full-outer shape that survives unbounded streams."""
+    clicks, purchases = _click_purchase_sides(spark, sf_dir, user_mod)
+    return clicks.join(purchases, F.expr(_INTERVAL_COND), "fullOuter").select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "c_ts",
+        "p_ts",
+        "p_value",
+    )
+
+
 def click_purchase_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-parity twin of click_purchase_join_stream (same logical join
     over the bounded fixture)."""

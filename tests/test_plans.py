@@ -82,6 +82,10 @@ def test_no_fact_table_is_ever_broadcast(spark):
         # assign kernel); the pair self-join carries NO hint, so its
         # shape is threshold-governed like the set-ops below — no
         # pinned corpus broadcast is possible
+        "knn_bq",  # broadcast side = the 10-row packed query set; the
+        # codes relation (the fact) streams through the Hamming scan
+        "knn_ivf_hnsw",  # broadcast sides = query set + candidate set
+        # (|Q| * 3k rows) feeding the exact rerank; the corpus streams
     }
     # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
     # hints, so their shape is threshold-governed only: broadcast at test SF
@@ -221,3 +225,28 @@ def test_emb_gram_partial_agg_before_single_cell_shuffle(spark):
     # one hash exchange (d^2 cells) + one range exchange (ORDER BY) only
     assert p.count("Exchange") == 2, p
     assert "Join" not in p                       # cells come from expansion, not a join
+
+
+def test_q11_channels_aggregate_once_and_broadcast_dim(spark):
+    """q11 generalizes the q74 rewrite: one conditional aggregate per
+    channel on custkey (map-side partials, no union self-join) and the
+    customer DIMENSION joins by broadcast onto the bounded growth rows —
+    never the other way around."""
+    spec = load_all()["tpcds_q11"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("partial_sum") >= 2
+    assert p.count("Exchange hashpartitioning(o_custkey") >= 2
+    assert "Union" not in p
+    assert "BroadcastHashJoin" in p  # the customer dim ride-along
+
+
+def test_q23_reduces_sets_before_semi_joins(spark):
+    """q23's scale contract: frequent items and best customers reduce to
+    key sets via their own aggregates BEFORE the final month scan applies
+    them as (broadcastable) semi joins; the 95%-of-max threshold is a
+    1-row broadcast, not a driver collect."""
+    spec = load_all()["tpcds_q23"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "LeftSemi" in p
+    assert "partial_sum" in p or "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

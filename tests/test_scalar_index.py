@@ -430,3 +430,40 @@ def test_auto_index_scan_cost_gate_skips_wide_probes(spark):
     sel_zone, _ = ds.plan_scan("k >= 0", use_indexes=False)
     assert len(sel_auto) == len(sel_zone) == 4
     assert ds.to_df(filters="k >= 0").count() == 1000
+
+
+def test_auto_index_scan_routes_rtree_box(spark):
+    """x/y range conjuncts compose into ONE rtree box probe: matching ids
+    map to their owning fragments past zonemaps stretched by outliers."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("auto_idx_rtree")
+
+    def frag(i):
+        # a tight spatial band per fragment + two outliers that stretch the
+        # fragment's x/y min-max stats across everything (zonemaps useless)
+        band = spark.range(0, 100).select(
+            (F.col("id") + i * 1000).alias("pid"),
+            (F.col("id") % 10 + i * 10.0).alias("x"),
+            (F.col("id") % 7 + 1.0).alias("y"),
+        )
+        outliers = spark.createDataFrame(
+            [(90000 + i, -500.0, -500.0), (91000 + i, 500.0, 500.0)],
+            "pid long, x double, y double",
+        )
+        return band.unionByName(outliers).coalesce(1)
+
+    ds = Dataset.create(spark, path, frag(0), row_ids=True)
+    for i in (1, 2, 3):
+        ds.append(frag(i))
+    ds.create_index("rxy", kind="rtree", column="x,y")
+    pred = "x >= 13.0 AND x <= 15.0 AND y >= 0.0 AND y <= 100.0"
+    sel_zone, _ = ds.plan_scan(pred, use_indexes=False)
+    sel_auto, _ = ds.plan_scan(pred, use_indexes=True)
+    assert len(sel_zone) == 4
+    assert len(sel_auto) < len(sel_zone)
+    got = sorted(r.pid for r in ds.to_df(filters=pred).collect())
+    want = sorted(
+        r.pid for r in ds.to_df(use_indexes=False).filter(pred).collect()
+    )
+    assert got == want and len(got) > 0

@@ -76,6 +76,9 @@ _BITMAP_MAX_NDV = 64
 # expiry check cannot race a concurrent reclaim of its files (the window
 # collapses to clock skew greater than the grace).
 _STAGE_GRACE = 30.0
+# a .json.committing claim older than this is an interrupted commit_staged;
+# cleanup_expired un-claims it (the retry is idempotent — see commit_staged)
+_CLAIM_TTL = 900.0
 
 # An _INFLIGHT sentinel older than this is a crashed build's leftover and no
 # longer protects its index dir from the vacuum sweep.
@@ -704,17 +707,73 @@ class Dataset:
 
     # ----------------------------------------------------------------- scan
     @staticmethod
+    def _split_top_level_and(pred: str) -> list[str] | None:
+        """Split a predicate on TOP-LEVEL (paren-depth 0, outside quotes)
+        AND keywords. Returns None when a top-level OR exists: with
+        ``a = 1 OR b = 2 AND c = 3`` (== a=1 OR (b=2 AND c=3)) NO conjunct
+        is individually required, so treating any of them as a pruning
+        predicate would silently drop matching rows. OR inside parentheses
+        is fine — ``(a = 1 OR b = 2) AND c = 3`` still requires c = 3."""
+        parts: list[str] = []
+        buf: list[str] = []
+        depth, quote = 0, None
+        i, n = 0, len(pred)
+        up = pred.upper()
+
+        def word_bounded(start: int, end: int) -> bool:
+            before_ok = start == 0 or not (
+                pred[start - 1].isalnum() or pred[start - 1] == "_"
+            )
+            after_ok = end >= n or not (pred[end].isalnum() or pred[end] == "_")
+            return before_ok and after_ok
+
+        while i < n:
+            ch = pred[i]
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+                i += 1
+                continue
+            if ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+                i += 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 0:
+                if up.startswith("OR", i) and word_bounded(i, i + 2):
+                    return None
+                if up.startswith("AND", i) and word_bounded(i, i + 3):
+                    parts.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+            buf.append(ch)
+            i += 1
+        parts.append("".join(buf))
+        return [p.strip() for p in parts if p.strip()]
+
+    @staticmethod
     def _parse_filter_string(pred: str) -> list[tuple[str, str, Any]]:
         """Extract prunable (col, op, literal) conjuncts from a predicate
         string (reference filter_parser.go:23-346 — the same comparison
         subset drives index/zonemap selection there). Anything the parser
-        does not recognize simply contributes no pruning; the FULL predicate
-        is always applied as a residual filter, so this is best-effort
-        metadata pruning, never a correctness surface."""
+        does not recognize simply contributes no pruning, and a TOP-LEVEL
+        OR disables conjunct extraction entirely (none of the branches is
+        individually required); the FULL predicate is always applied as a
+        residual filter, so this is best-effort metadata pruning, never a
+        correctness surface."""
         import re
 
+        parts = Dataset._split_top_level_and(pred.strip())
+        if parts is None:
+            return []
         out: list[tuple[str, str, Any]] = []
-        for part in re.split(r"(?i)\s+AND\s+", pred.strip()):
+        for part in parts:
             im = re.match(r"(?is)^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", part)
             if im:
                 vals = []
@@ -834,38 +893,66 @@ class Dataset:
             if id_col != _ROWID or not self.index_fresh(name):
                 continue
             if kind == "btree":
+                # compose EVERY conjunct on the key column into one [lo,hi]
+                # range (a closed range "k >= a AND k <= b" must probe as
+                # one interval — two one-sided probes each estimate ~half
+                # the table and the cost gate would wrongly reject them)
+                lo = hi = None
+                in_vals = None
+                bounded = False
                 for col, op, val in filters:
                     if self._phys(col) != desc.get("phys", desc.get("column")):
                         continue
-                    lo, hi = _conjunct_bounds(op, val)
-                    if lo is _NO_BOUNDS:
+                    clo, chi = _conjunct_bounds(op, val)
+                    if clo is _NO_BOUNDS:
                         continue
-                    fences = read_fences(
-                        os.path.join(self.path, desc["path"], "fences.parquet")
+                    bounded = True
+                    if clo is not None and (lo is None or clo > lo):
+                        lo = clo
+                    if chi is not None and (hi is None or chi < hi):
+                        hi = chi
+                    if op == "in":
+                        vs = set(val)
+                        in_vals = vs if in_vals is None else (in_vals & vs)
+                    elif op == "=" and in_vals is not None:
+                        in_vals &= {val}
+                if not bounded:
+                    continue
+                fences = read_fences(
+                    os.path.join(self.path, desc["path"], "fences.parquet")
+                )
+                total = sum(r.n for r in fences) or 1
+                est = sum(
+                    r.n
+                    for r in fences
+                    if r.min_key is None
+                    or r.max_key is None
+                    or (
+                        (lo is None or r.max_key >= lo)
+                        and (hi is None or r.min_key <= hi)
                     )
-                    total = sum(r.n for r in fences) or 1
-                    est = sum(
-                        r.n
-                        for r in fences
-                        if r.min_key is None
-                        or r.max_key is None
-                        or (
-                            (lo is None or r.max_key >= lo)
-                            and (hi is None or r.min_key <= hi)
+                )
+
+                def bt_probe(name=name, lo=lo, hi=hi, in_vals=in_vals):
+                    ids = self.open_index(name).range_query(lo, hi)
+                    if in_vals is not None:
+                        ids = ids.filter(
+                            F.col("key").isin(*in_vals) if in_vals else F.lit(False)
                         )
-                    )
+                    return ids
 
-                    def bt_probe(name=name, lo=lo, hi=hi, op=op, val=val):
-                        ids = self.open_index(name).range_query(lo, hi)
-                        if op == "in":
-                            ids = ids.filter(F.col("key").isin(*val))
-                        return ids
-
-                    candidates.append((est, total, bt_probe))
-            else:  # rtree: conjuncts bounding x and/or y compose one box
+                candidates.append((est, total, bt_probe))
+            else:  # rtree: conjuncts bounding x and y compose one box.
+                # BOTH axes must carry at least one conjunct: the index
+                # excludes rows with a NULL coordinate (rtree.py build), so
+                # routing is sound only when every such row provably fails
+                # the predicate — which a conjunct on each axis guarantees
+                # (NULL comparisons are never true). With one axis
+                # unconstrained, a row NULL on that axis could match the
+                # predicate yet be absent from the index.
                 px, py = [c.strip() for c in desc["phys"].split(",")]
                 box = {px: [None, None], py: [None, None]}  # [lo, hi] per axis
-                bounded = False
+                touched = {px: False, py: False}
                 for col, op, val in filters:
                     phys = self._phys(col)
                     if phys not in box or op == "in":
@@ -874,11 +961,12 @@ class Dataset:
                     if lo is _NO_BOUNDS:
                         continue
                     b = box[phys]
+                    touched[phys] = True
                     if lo is not None and (b[0] is None or lo > b[0]):
-                        b[0], bounded = lo, True
+                        b[0] = lo
                     if hi is not None and (b[1] is None or hi < b[1]):
-                        b[1], bounded = hi, True
-                if not bounded:
+                        b[1] = hi
+                if not (touched[px] and touched[py]):
                     continue
                 inf = float("inf")
                 qx0 = box[px][0] if box[px][0] is not None else -inf
@@ -1869,13 +1957,17 @@ class Dataset:
         staged_dir = os.path.join(self.path, "_staged")
         if os.path.isdir(staged_dir):
             for fn in os.listdir(staged_dir):
-                if not fn.endswith(".json"):
+                claimed = fn.endswith(".json.committing")
+                if not fn.endswith(".json") and not claimed:
                     continue
                 with open(os.path.join(staged_dir, fn)) as fh:
                     payload = json.load(fh)
-                exp = payload.get("expires_at")
-                if exp is not None and now >= exp + _STAGE_GRACE:
-                    continue
+                if not claimed:  # a CLAIM pins unconditionally: the holder
+                    # is mid-commit and its files must survive even past
+                    # expiry+grace (the claim is what makes that safe)
+                    exp = payload.get("expires_at")
+                    if exp is not None and now >= exp + _STAGE_GRACE:
+                        continue
                 referenced.update(a["path"] for a in payload.get("added", []))
                 for names in payload.get("new_deletes", {}).values():
                     referenced.update(names)  # staged-delete sidecars
@@ -2398,11 +2490,28 @@ class Dataset:
         payload on success, and an expired stage can never commit). Files
         are reclaimed only past expiry + grace (see _STAGE_GRACE), so a
         commit_staged that passed its expiry check on another handle cannot
-        lose its files mid-commit. Returns removed paths."""
+        lose its files mid-commit. Returns removed paths.
+
+        Also recovers ORPHANED CLAIMS: a ``.json.committing`` file older
+        than _CLAIM_TTL is a commit_staged whose process died mid-commit —
+        renamed back to ``.json`` so the stage is visible/retryable again
+        (the retry is idempotent via the __stage__ dedup key: if the dead
+        attempt's manifest landed, the retry consumes the stage without
+        double-applying)."""
         import time
 
         now = time.time()
         removed: list[str] = []
+        sdir = self._staged_dir()
+        for fn in os.listdir(sdir):
+            if not fn.endswith(".json.committing"):
+                continue
+            full = os.path.join(sdir, fn)
+            try:
+                if now - os.path.getmtime(full) >= _CLAIM_TTL:
+                    os.rename(full, full[: -len(".committing")])
+            except OSError:
+                pass  # claim finished (removed/renamed) under us — fine
         for sid in self.staged():
             p = os.path.join(self._staged_dir(), f"{sid}.json")
             with open(p) as fh:
@@ -2433,12 +2542,20 @@ class Dataset:
 
         The payload file is CLAIMED first (atomic rename to
         ``.json.committing``): once claimed, the stage is invisible to
-        ``staged()``/``cleanup_expired()``, so a commit that starts just
-        before expiry but outlives the reclaim grace can never have its
-        data files deleted mid-commit by a concurrent reclaimer. On any
-        failure the claim is renamed back, restoring stage visibility; a
-        concurrent double-commit of the same stage loses the rename and
-        fails loudly."""
+        ``staged()``/``cleanup_expired()`` and its files are pinned
+        UNCONDITIONALLY by vacuum(), so a commit that starts just before
+        expiry but outlives the reclaim grace can never have its data files
+        deleted mid-commit by a concurrent reclaimer. On any failure the
+        claim is renamed back, restoring stage visibility; a concurrent
+        double-commit of the same stage loses the rename and fails loudly.
+
+        Crash safety: the staged txn commits with a ``__stage__:<id>``
+        dedup key through the stream-commit watermark machinery, so the
+        whole operation is IDEMPOTENT — if the process dies between the
+        manifest write and the claim cleanup, ``cleanup_expired()`` later
+        un-claims the stale ``.committing`` file and a retried
+        commit_staged sees DuplicateBatchError, consumes the stage, and
+        reports success instead of double-applying."""
         import time
 
         p = os.path.join(self._staged_dir(), f"{stage_id}.json")
@@ -2454,6 +2571,10 @@ class Dataset:
                     f"cleanup_expired() reclaims its files"
                 )
             self._do_commit_staged(stage_id, payload)
+        except DuplicateBatchError:
+            # a prior attempt's manifest landed but its claim cleanup was
+            # interrupted: the work is done — consume the stage
+            self._manifest = self._load(self._latest_version())
         except BaseException:
             if os.path.exists(claim):
                 os.rename(claim, p)  # un-claim: stage visible again
@@ -2464,6 +2585,7 @@ class Dataset:
     def _do_commit_staged(self, stage_id: str, payload: dict) -> None:
         self._manifest = self._load(self._latest_version())
         op = payload["op"]
+        dedup = (f"__stage__:{stage_id}", 0)  # idempotence across crash-retry
         if op == "delete":
             txn = _Txn(
                 op="delete",
@@ -2472,6 +2594,7 @@ class Dataset:
                 new_deletes={
                     int(fid): names for fid, names in payload["new_deletes"].items()
                 },
+                stream_commit=dedup,
             )
         else:
             start = self.manifest.max_fragment_id + 1
@@ -2486,6 +2609,7 @@ class Dataset:
                 read_version=payload["read_version"],
                 added=frags,
                 schema_json=payload.get("schema_json"),
+                stream_commit=dedup,
             )
         self._commit(txn)
 

@@ -173,7 +173,18 @@ class BtreeIndex:
         ]
         return None if len(hit) == len(fences) else hit
 
+    def _recover_runs(self) -> None:
+        """Self-heal after a crash inside compact()'s swap: if runs/ is
+        missing but runs_old/ exists, the crash hit between the two
+        renames — restore the old runs (pending was not yet cleared, so no
+        data is lost; the interrupted compact simply never happened)."""
+        runs = os.path.join(self.path, "runs")
+        old = os.path.join(self.path, "runs_old")
+        if not os.path.isdir(runs) and os.path.isdir(old):
+            os.rename(old, runs)
+
     def _scan(self, files: list[str] | None) -> DataFrame:
+        self._recover_runs()
         if files is None:
             base = self.spark.read.parquet(os.path.join(self.path, "runs"))
         elif not files:
@@ -247,14 +258,20 @@ class BtreeIndex:
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # rename-aside swap: there is never a moment with no runs/ dir (a
-        # concurrent probe keeps working, a crash leaves either the old or
-        # the new runs in place — both recoverable states)
+        # rename-aside swap: a crash at any point leaves a recoverable
+        # state — either runs/ still holds the old data, or runs_old/ does
+        # and _recover_runs() restores it on the next probe. (The window
+        # between the two renames is two syscalls wide; compaction assumes
+        # a single maintainer, same as the reference's index builder — a
+        # probe racing the swap itself retries via recovery.)
         runs, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
         os.rename(runs, old)
         os.rename(tmp, runs)
+        # fences BEFORE deleting the old runs: a crash mid-sequence leaves
+        # fences pointing at files that still exist (old ones), never at
+        # deleted paths
+        self._write_fences()
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
-        self._write_fences()
         return self

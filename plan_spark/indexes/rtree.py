@@ -144,7 +144,16 @@ class RtreeIndex:
 
         return read_fences(os.path.join(self.path, "fences.parquet"))
 
+    def _recover_runs(self) -> None:
+        """Self-heal after a crash inside compact()'s swap (see
+        BtreeIndex._recover_runs): restore runs_old/ when runs/ vanished."""
+        runs = os.path.join(self.path, "runs")
+        old = os.path.join(self.path, "runs_old")
+        if not os.path.isdir(runs) and os.path.isdir(old):
+            os.rename(old, runs)
+
     def _scan(self, files: list[str] | None) -> DataFrame:
+        self._recover_runs()
         if files is None:
             base = self.spark.read.parquet(os.path.join(self.path, "runs"))
         elif not files:
@@ -298,17 +307,20 @@ class RtreeIndex:
             self.spark, merged, "xmin", "ymin", "id",
             path=tmp, n_runs=n_runs, x2_col="xmax", y2_col="ymax",
         )
-        # rename-aside swap (same shape as BtreeIndex.compact): there is
-        # never a window with no runs/ dir, so a concurrent probe keeps
-        # working and a crash leaves a recoverable state either way
+        # rename-aside swap (same shape as BtreeIndex.compact): a crash at
+        # any point leaves either runs/ or runs_old/ intact and
+        # _recover_runs() self-heals on the next probe; single-maintainer
+        # assumption as in the reference's index builder
         dst, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
         os.rename(dst, old)
         os.rename(os.path.join(tmp, "runs"), dst)
+        # fences recomputed AFTER the move (they store absolute paths; the
+        # rebuild's own fences point into tmp) and BEFORE deleting the old
+        # runs, so a crash mid-sequence never leaves fences referencing
+        # deleted files
+        self._write_fences()
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
-        # fences must be recomputed AFTER the move: they store absolute file
-        # paths, and the rebuild's own fences point into the deleted tmp dir
-        self._write_fences()
         return self

@@ -95,12 +95,21 @@ def semdedup_flags(
     k: int | None = None,
     target_cluster_size: int | None = None,
     centroids: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Flag within-cluster semantic near-duplicates.
 
     Returns (``id_col``, c_id, is_dup): ``is_dup`` is true for every row
     that has a LOWER-id cluster-mate at cosine >= ``tau`` — keep the
     ``~is_dup`` rows (one representative per near-dup set, deterministic).
+
+    ``persist=True`` (default) caches the assignment relation, which feeds
+    both sides of the pair join plus the output — one corpus scan instead
+    of three. The cached blocks belong to the RETURNED plan and live until
+    the caller's session clears them (bench.py clears between queries);
+    long-lived pipeline callers embedding this mid-DAG should pass
+    ``persist=False`` (or clearCache afterwards) to avoid accumulating
+    cached assignments across many invocations.
 
     ``centroids``: a (c_id, cv) DataFrame to assign against (the fixture
     oracle path, and the persisted-index path where centroids already
@@ -131,9 +140,10 @@ def semdedup_flags(
             F.col(cols[1]).cast("array<double>").alias("cv"),
         )
     m = assign_cosine(e, centroids).select("vec_id", "v", "c_id")
-    # the assignment feeds both sides of the pair join plus the output:
-    # persist LAZILY (plan-only callers must not trigger a corpus scan)
-    m = m.persist()
+    if persist:
+        # LAZY persist (plan-only callers must not trigger a corpus scan);
+        # ownership of the cached blocks passes to the caller — see docstring
+        m = m.persist()
     a = m.select("c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
     b = m.select("c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
     dropped = (

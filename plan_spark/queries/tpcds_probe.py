@@ -940,9 +940,10 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey")
     )
     yr = F.year("o_orderdate")
+    # a 2-year orders slice is also fact-sized at corpus scale: pin shuffle
+    ords_window = ords.filter(yr.isin(1996, 1997)).hint("shuffle_hash")
     cust_sales = (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .filter(yr.isin(1996, 1997))
+        li.join(ords_window, li.l_orderkey == ords_window.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.sum(rev_col()).alias("csales"))
     )
@@ -952,9 +953,14 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("csales").cast("double") > 0.95 * F.col("cmax"))
         .select("o_custkey")
     )
+    # the month-filtered orders slice is fact-sized at corpus scale (1/84 of
+    # orders is still ~1 TB at 100 TB): pin the lineitem join to shuffle —
+    # the threshold would broadcast it at test SF and deadlock on a cluster
+    ords_month = ords.filter(
+        (yr == 1996) & (F.month("o_orderdate") == 7)
+    ).hint("shuffle_hash")
     month = (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .filter((yr == 1996) & (F.month("o_orderdate") == 7))
+        li.join(ords_month, li.l_orderkey == ords_month.o_orderkey)
         .join(frequent, "l_partkey", "left_semi")
         .join(best, "o_custkey", "left_semi")
     )

@@ -108,7 +108,6 @@ _WINDOW_LAST: tuple[str, ...] = (
     "token_cjk",  # green r2, unchanged
     "knn_brute",  # green r1+r2, unchanged
     "knn_filtered",  # green r2, unchanged
-    "knn_ivf",  # rows-only check, recorded r2, results unchanged
     "fts_phrase",  # green r1 + pytest-oracle since, unchanged this round
     "dedup_embed",  # green r1 + pytest-oracle since, unchanged this round
     "fts_bm25",  # green r1 + pytest-oracle since, unchanged this round

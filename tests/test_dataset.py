@@ -789,3 +789,32 @@ def test_merge_update_columns_preserves_rest(spark, tmp_path_ds, base_df):
         ds.merge_insert(
             src, keys=["id"], when_matched="delete", update_columns=["val"]
         )
+
+
+def test_filter_parser_top_level_or_disables_pruning(spark, tmp_path_ds):
+    """'a = 1 OR b = 2 AND c = 3' parses as a=1 OR (b=2 AND c=3): NO
+    conjunct is individually required, so the parser must extract nothing
+    (pruning on c=3 dropped a-branch rows before this fix). OR inside
+    parentheses still allows the outer conjunct."""
+    assert Dataset._parse_filter_string("a = 1 OR b = 2 AND c = 3") == []
+    assert Dataset._parse_filter_string("a = 1 AND b = 2 OR c = 3") == []
+    got = Dataset._parse_filter_string("(a = 1 OR b = 2) AND c = 3")
+    assert ("c", "=", 3) in got
+    # a column NAMED like the keyword must not split ('order_id', 'android')
+    got = Dataset._parse_filter_string("order_id = 5 AND android = 3")
+    assert ("order_id", "=", 5) in got and ("android", "=", 3) in got
+    # quoted literals containing ' OR ' are opaque
+    got = Dataset._parse_filter_string("a = 'x OR y' AND c = 3")
+    assert ("c", "=", 3) in got
+
+    # end-to-end: rows matching only the OR's left branch survive the scan
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    ds = Dataset.create(spark, tmp_path_ds, df.repartition(4))
+    pred = "a = 3 OR b = 2 AND a = 4"
+    got_ids = sorted(r.id for r in ds.to_df(filters=pred).collect())
+    want_ids = sorted(r.id for r in ds.to_df().filter(pred).collect())
+    assert got_ids == want_ids and len(got_ids) > 0

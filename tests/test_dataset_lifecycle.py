@@ -6,6 +6,7 @@ declaration-list rebase symmetry, and projected point lookups
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -337,3 +338,52 @@ def test_commit_staged_consumes_stage_once(spark, tmp_path_ds, base_df):
     # a second commit of the same stage loses the claim rename and fails loudly
     with pytest.raises(FileNotFoundError):
         Dataset.open(spark, tmp_path_ds).commit_staged(sid)
+
+
+def test_commit_staged_idempotent_after_claim_crash(spark, tmp_path_ds, base_df):
+    """Crash recovery: if a commit_staged dies AFTER its manifest landed but
+    BEFORE the claim cleanup, cleanup_expired un-claims the stale file and a
+    retry consumes the stage WITHOUT double-applying (the __stage__ dedup
+    key raises DuplicateBatchError internally; the retry reports success)."""
+    import shutil as _sh
+
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid = ds.stage_append(_more(spark, 200, 230))
+    staged_dir = os.path.join(tmp_path_ds, "_staged")
+    p = os.path.join(staged_dir, f"{sid}.json")
+    backup = p + ".bak"
+    _sh.copy(p, backup)
+    ds2 = Dataset.open(spark, tmp_path_ds).commit_staged(sid)
+    assert ds2.count_rows() == 230
+    # simulate the crash leftover: the payload resurfaces as a stale claim
+    _sh.copy(backup, p + ".committing")
+    os.remove(backup)
+    old = __import__("time").time() - 3600
+    os.utime(p + ".committing", (old, old))
+    # recovery: cleanup_expired un-claims it...
+    Dataset.open(spark, tmp_path_ds).cleanup_expired()
+    assert sid in Dataset.open(spark, tmp_path_ds).staged()
+    # ...and the retry consumes the stage idempotently — count unchanged
+    ds3 = Dataset.open(spark, tmp_path_ds).commit_staged(sid)
+    assert ds3.count_rows() == 230
+    assert sid not in Dataset.open(spark, tmp_path_ds).staged()
+
+
+def test_vacuum_pins_claimed_stage_files(spark, tmp_path_ds, base_df):
+    """A claimed stage (.json.committing) pins its data files through
+    vacuum — the mid-commit reclaim race the claim protocol closes."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid = ds.stage_append(_more(spark, 200, 240), ttl_seconds=0.001)
+    import time as _t
+
+    _t.sleep(0.1)  # expired + past grace? grace is 30s, so expiry alone
+    p = os.path.join(tmp_path_ds, "_staged", f"{sid}.json")
+    os.rename(p, p + ".committing")  # simulate an in-flight claim
+    with open(p + ".committing") as fh:
+        payload = json.load(fh)
+    staged_files = [a["path"] for a in payload["added"]]
+    assert staged_files
+    removed = Dataset.open(spark, tmp_path_ds).vacuum(keep_versions=1)
+    for rel in staged_files:  # pinned despite being expired
+        assert rel not in removed
+        assert os.path.exists(os.path.join(tmp_path_ds, rel))

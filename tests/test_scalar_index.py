@@ -467,3 +467,52 @@ def test_auto_index_scan_routes_rtree_box(spark):
         r.pid for r in ds.to_df(use_indexes=False).filter(pred).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_auto_index_composes_closed_ranges(spark):
+    """'k >= a AND k <= b' must probe as ONE interval: two one-sided probes
+    each estimate ~half the table and the cost gate would wrongly reject
+    the exact selective ranges the feature exists for."""
+    path = _tmp("auto_idx_range")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    # [100, 119] covers residues 0..3 -> all fragments have matches, but the
+    # composed range is ~2% of rows -> the index must FIRE (both one-sided
+    # halves alone would estimate ~50% and be cost-gated away); correctness
+    # plus the firing itself is observable on a disjoint narrow range:
+    sel_auto, _ = ds.plan_scan("k >= 400 AND k <= 403", use_indexes=True)
+    sel_zone, _ = ds.plan_scan("k >= 400 AND k <= 403", use_indexes=False)
+    # residues of 400..403 span all 4 fragments; the win is correctness +
+    # that the probe ran at all — assert via a range owned by fewer frags
+    sel_auto1, _ = ds.plan_scan("k >= 401 AND k <= 401", use_indexes=True)
+    assert len(sel_auto1) == 1
+    got = sorted(r.k for r in ds.to_df(filters="k >= 100 AND k <= 119").collect())
+    assert got == list(range(100, 120))
+    # contradictory range: matches nothing, scans nothing, returns empty
+    assert ds.to_df(filters="k >= 10 AND k <= 5").count() == 0
+
+
+def test_auto_index_rtree_requires_both_axes(spark):
+    """A predicate bounding only ONE rtree axis must not route through the
+    index: rows with a NULL coordinate on the unbounded axis are absent
+    from the index yet can match the predicate."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("auto_idx_rtree_null")
+    pts = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 20.0, None), (3, 30.0, 2.0), (4, 40.0, None)],
+        "pid long, x double, y double",
+    ).coalesce(1)
+    ds = Dataset.create(spark, path, pts, row_ids=True)
+    ds.create_index("rxy", kind="rtree", column="x,y")
+    # only x bounded: index may NOT route; the NULL-y row must survive
+    got = sorted(r.pid for r in ds.to_df(filters="x >= 15.0").collect())
+    assert got == [2, 3, 4]
+    # both axes bounded: routing is sound (NULL-y rows fail the y conjunct)
+    got = sorted(
+        r.pid
+        for r in ds.to_df(
+            filters="x >= 15.0 AND x <= 35.0 AND y >= 0.0 AND y <= 5.0"
+        ).collect()
+    )
+    assert got == [3]

@@ -190,6 +190,10 @@ class _Txn:
     # sorted distinct list} stats backfill (bitmap index build output)
     index_put: dict[str, dict] | None = None
     index_drop: str | None = None
+    # True => index_put ADVANCES an existing descriptor (refresh_index):
+    # exempt from the same-name create/create conflict as long as the base
+    # still carries the same physical index path
+    index_refresh: bool = False
     stats_patch: dict[int, dict[str, list]] | None = None
     # index-txn declaration deltas, applied against the REBASED base (a
     # full-list override computed from the read snapshot would silently drop
@@ -468,6 +472,7 @@ class Dataset:
         if (
             txn.op == "index"
             and txn.index_put
+            and not txn.index_refresh
             and base.version != txn.read_version
             and any(n in base.indexes for n in txn.index_put)
         ):
@@ -479,6 +484,16 @@ class Dataset:
                 f"created concurrently (read v{txn.read_version}, "
                 f"base v{base.version})"
             )
+        if txn.index_put and txn.index_refresh:
+            for n, d in txn.index_put.items():
+                cur = base.indexes.get(n)
+                if cur is None or cur.get("path") != d.get("path"):
+                    # the index was dropped or rebuilt under us — advancing
+                    # the stale descriptor would resurrect/shadow it
+                    raise ConflictError(
+                        f"index {n!r} dropped or replaced concurrently "
+                        f"(read v{txn.read_version}, base v{base.version})"
+                    )
         base_ids = base.fragment_ids()
         touched = txn.removed_ids | set(txn.new_deletes)
         missing = touched - base_ids
@@ -2301,6 +2316,98 @@ class Dataset:
                 continue
             patch[frag.id] = {phys: sorted(vals, key=_stat_key)}
         return patch
+
+    def refresh_index(self, name: str) -> "Dataset":
+        """Catch a stale index up to the table head INCREMENTALLY
+        (reference incremental_index.go:28-253 buffered inserts, surfaced
+        at the table lifecycle): when only APPENDs landed since the index's
+        covers_version, the new fragments' rows are insert()ed into the
+        persisted index (buffered — probes fold the pending tail in) and
+        the descriptor advances, restoring ``index_fresh`` and with it
+        automatic scan routing. No rebuild, no old-data rescan: the work is
+        O(new rows).
+
+        Anything other than appends (delete/update/overwrite/compaction)
+        can change or remove already-indexed keys, which a buffered insert
+        cannot retract — refresh then raises and the caller rebuilds
+        (drop_index + create_index). Bitmap/bloom indexes maintain
+        themselves through the write-path declarations, so refresh just
+        advances their descriptors."""
+        desc = self.manifest.indexes.get(name)
+        if desc is None:
+            raise ValueError(f"no index named {name!r}")
+        if self.index_fresh(name):
+            return self
+        base_v = desc["covers_version"]
+        kind = desc["kind"]
+        advanced = {name: {**desc, "covers_version": self.version}}
+        txn = _Txn(
+            op="index", read_version=self.version,
+            index_put=advanced, index_refresh=True,
+        )
+        if kind in ("bitmap", "bloom"):
+            # write-path declarations collect per-fragment sets/blooms on
+            # every append already — the descriptor just advances
+            self._commit(txn)
+            return self
+        try:
+            ops = [
+                self._load(v).operation for v in range(base_v + 1, self.version + 1)
+            ]
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"refresh_index({name!r}): intermediate manifests vacuumed; "
+                "rebuild with drop_index + create_index"
+            ) from e
+        non_append = [op for op in ops if op not in ("append", "index")]
+        if non_append:
+            raise ValueError(
+                f"refresh_index({name!r}): history since v{base_v} contains "
+                f"{sorted(set(non_append))} operations — already-indexed keys "
+                "may have changed; rebuild with drop_index + create_index"
+            )
+        base_ids = {f.id for f in self._load(base_v).fragments}
+        new_frags = [f for f in self.manifest.fragments if f.id not in base_ids]
+        if new_frags:
+            id_col = desc.get("params", {}).get("id_col")
+            if id_col is None:
+                id_col = _ROWID if self.manifest.row_ids else None
+            if id_col is None:
+                # mirror create_index's SQL-face fallback: conventional name
+                # else first non-indexed column
+                names = [f.name for f in self.schema.fields]
+                conventional = "doc_id" if kind == "fts" else "vec_id"
+                indexed = {c.strip() for c in desc["column"].split(",")}
+                id_col = conventional if conventional in names else next(
+                    (n for n in names if n not in indexed), None
+                )
+            if id_col is None:
+                raise ValueError(
+                    f"refresh_index({name!r}): no id column derivable; "
+                    "rebuild with drop_index + create_index"
+                )
+            use_rowid = id_col == _ROWID
+            src = self._scan_with_lineage(new_frags, with_row_id=use_rowid).drop(
+                _FILE_COL, _POS_COL
+            )
+            idx = self.open_index(name)
+            col = desc["column"]
+            if kind == "btree":
+                idx.insert(src, key_col=col, id_col=id_col)
+            elif kind == "rtree":
+                x, y = [c.strip() for c in col.split(",")]
+                idx.insert(src, x_col=x, y_col=y, id_col=id_col)
+            elif kind in ("ivf", "hnsw", "ivf_hnsw", "bq"):
+                idx.insert(src, id_col=id_col, vec_col=col)
+            elif kind == "fts":
+                idx.insert(src, id_col=id_col, text_col=col)
+            else:
+                raise ValueError(
+                    f"refresh_index({name!r}): kind {kind!r} has no "
+                    "incremental insert; rebuild with drop_index + create_index"
+                )
+        self._commit(txn)
+        return self
 
     def drop_index(self, name: str) -> "Dataset":
         """Unregister an index. Files are reclaimed by vacuum policy, not

@@ -378,7 +378,7 @@ class Engine:
     # Leading keywords the engine routes to its own catalog/dataset layer.
     _STMT_TOKENS = frozenset(
         {"create", "drop", "insert", "copy", "delete", "update", "merge",
-         "analyze", "alter", "optimize", "vacuum", "restore"}
+         "analyze", "alter", "optimize", "vacuum", "restore", "refresh"}
     )
     # meta statements that RETURN a DataFrame (the psql \d/\dt analogues the
     # reference serves from its catalog, cmd/main/main.go REPL loop)
@@ -869,6 +869,16 @@ class Engine:
             self.dataset(m.group(1)).drop_column(m.group(2))
             return
         raise ValueError(f"unsupported ALTER statement: {s[:120]!r}")
+
+    def _stmt_refresh(self, s: str) -> None:
+        """REFRESH INDEX i ON t — incremental catch-up of a stale index to
+        the table head (Dataset.refresh_index; appends-only histories
+        insert just the new rows, anything else instructs a rebuild)."""
+        m = re.match(r"(?is)^REFRESH\s+INDEX\s+(\w+)\s+ON\s+(\w+)$", s)
+        if not m:
+            raise ValueError(f"unsupported REFRESH statement: {s[:120]!r}")
+        self.dataset(m.group(2)).refresh_index(m.group(1))
+        self._registered.pop(("main", m.group(2)), None)
 
     def _stmt_optimize(self, s: str) -> None:
         """OPTIMIZE t [ZORDER BY (a, b)] — table maintenance through the SQL

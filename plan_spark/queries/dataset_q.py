@@ -680,6 +680,57 @@ def ds_auto_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DS_REFRESH_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk
+FROM part
+WHERE p_partkey IN (1, 2, 6)
+"""
+
+
+@register(
+    "ds_refresh_scan", oracle=_DS_REFRESH_SQL, tags=("dataset", "index", "refresh")
+)
+def ds_refresh_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance at the table lifecycle (reference
+    incremental_index.go:28-253 surfaced through the manifest): ingest two
+    interleaved fragments, CREATE a btree index, append two MORE
+    interleaved fragments (index goes stale — auto routing must shut off),
+    then REFRESH: only the new fragments' rows insert into the index
+    (buffered), covers_version advances, and the normal filtered scan
+    routes through the index again — asserted to read fewer fragments than
+    zonemaps AND hash-checked against the relational oracle over the full
+    table (so the refreshed index provably sees both old and new rows)."""
+    path = _scratch("ds_refresh", sf_dir)
+    pt = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    ds = Dataset.create(
+        spark, path, pt.filter(F.col("p_partkey") % 4 == 0).coalesce(1),
+        row_ids=True,
+    )
+    ds.append(pt.filter(F.col("p_partkey") % 4 == 1).coalesce(1))
+    ds.create_index("pk_bt", kind="btree", column="p_partkey", n_runs=4)
+    for i in (2, 3):
+        ds.append(pt.filter(F.col("p_partkey") % 4 == i).coalesce(1))
+    assert not ds.index_fresh("pk_bt")
+    ds.refresh_index("pk_bt")
+    assert ds.index_fresh("pk_bt")
+    pred = "p_partkey IN (1, 2, 6)"  # residues {1, 2}: fragments 0,3 prunable
+    sel_auto, _ = ds.plan_scan(pred, use_indexes=True)
+    sel_zone, _ = ds.plan_scan(pred, use_indexes=False)
+    assert len(sel_auto) < len(sel_zone), (
+        f"refreshed index must route ({len(sel_auto)} vs {len(sel_zone)})"
+    )
+    return ds.to_df(filters=pred).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("p_retailprice")).cast("double").alias("total"),
+        F.min("p_partkey").alias("min_pk"),
+        F.max("p_partkey").alias("max_pk"),
+    )
+
+
 _SQL_LIFECYCLE_SQL = """
 WITH cur AS (
   SELECT o_orderstatus,

@@ -157,3 +157,31 @@ def test_create_index_bq_and_search(spark, tmp_ds):
     assert len(hits) == 12 and all(r.hamming >= 0 for r in hits)
     ds.drop_index("bqi")
     assert "bqi" not in ds.manifest.indexes
+
+
+def test_refresh_index_ivf_incremental(spark, tmp_ds):
+    """refresh_index on a vector index: appended vectors insert into the
+    persisted IVF (nearest-existing-centroid assignment) and the index is
+    fresh + searchable for them."""
+    from pyspark.sql import functions as F
+
+    from plan_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    ds = Dataset.create(spark, tmp_ds, old)
+    ds.create_index("vi", kind="ivf", column="embedding", id_col="vec_id", k=8)
+    ds.append(new)
+    assert not ds.index_fresh("vi")
+    ds.refresh_index("vi")
+    assert ds.index_fresh("vi")
+    idx = ds.open_index("vi")
+    assert idx.vectors().count() == emb.count()
+    q = new.limit(2).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    hits = idx.search(q, top_k=3, nprobe=8).collect()
+    assert len(hits) == 6

@@ -516,3 +516,64 @@ def test_auto_index_rtree_requires_both_axes(spark):
         ).collect()
     )
     assert got == [3]
+
+
+# ------------------------------------------------------- refresh_index
+def test_refresh_index_restores_freshness_and_routing(spark):
+    """Appends stale an index; refresh_index inserts ONLY the new rows
+    (buffered), advances covers_version, and auto scan routing fires
+    again — including for the appended keys."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("refresh_bt")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    ds.append(
+        spark.range(0, 5).select(
+            (F.col("id") * 4 + 20000).alias("k"),
+            (F.col("id") * 4 + 20000).cast("double").alias("payload"),
+        ).coalesce(1)
+    )
+    assert not ds.index_fresh("ki")
+    ds.refresh_index("ki")
+    assert ds.index_fresh("ki")
+    # routing fires again on the interleaved OLD keys (zonemaps useless
+    # there) — before refresh the stale index was skipped entirely
+    sel_auto, _ = ds.plan_scan("k = 401", use_indexes=True)
+    sel_zone, _ = ds.plan_scan("k = 401", use_indexes=False)
+    assert len(sel_auto) == 1 < len(sel_zone)
+    assert [r.k for r in ds.to_df(filters="k = 401").collect()] == [401]
+    # appended keys are findable through the refreshed index's pending tail
+    assert [r.k for r in ds.to_df(filters="k = 20008").collect()] == [20008]
+    # no-op refresh short-circuits
+    v = ds.version
+    ds.refresh_index("ki")
+    assert ds.version == v
+
+
+def test_refresh_index_refuses_after_delete(spark):
+    """A delete can orphan indexed keys a buffered insert cannot retract:
+    refresh must refuse and point at rebuild."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("refresh_del")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    ds.delete("k < 8")
+    with pytest.raises(ValueError, match="rebuild"):
+        ds.refresh_index("ki")
+
+
+def test_refresh_index_sql_face(spark):
+    from plan_spark.engine import Engine
+
+    eng = Engine(spark, _tmp("eng_refresh"))
+    eng.sql("CREATE TABLE rt_t (k BIGINT, v DOUBLE)")
+    eng.sql("INSERT INTO rt_t VALUES (1, 1.0), (2, 2.0)")
+    eng.sql("CREATE INDEX ki ON rt_t USING bitmap (k)")
+    eng.sql("INSERT INTO rt_t VALUES (3, 3.0)")
+    assert not eng.dataset("rt_t").index_fresh("ki")
+    eng.sql("REFRESH INDEX ki ON rt_t")
+    assert eng.dataset("rt_t").index_fresh("ki")
+    with pytest.raises(ValueError, match="unsupported REFRESH"):
+        eng.sql("REFRESH TABLE rt_t")

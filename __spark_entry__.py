@@ -32,13 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (125 queries,
+    """One entry per implemented operator from SURVEY.md §2 (126 queries,
     ALL with oracles: 20 TPC-H, 14 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + 8 dedup
     families + curation pipeline, KNN under cosine/l2/dot/Hamming metrics,
     k-means, FTS incl. boolean queries, multimodal decode/frames/audio/
     resize, streaming bounded runs incl. the full outer/semi interval-join
-    family, dataset lifecycle incl. transactional + auto-selected indexes).
+    family, dataset lifecycle incl. transactional, auto-selected, and
+    incrementally-refreshed indexes).
     See SURVEY.md §8 for the inventory-to-query matrix."""
     return {name: spec.fn for name, spec in load_all().items()}
 

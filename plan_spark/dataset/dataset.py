@@ -877,6 +877,28 @@ class Dataset:
             return st["min"], st["max"]
         return None
 
+    def _routing_usable(self, name: str) -> bool:
+        """True when an index is sound for SCAN ROUTING even if not
+        strictly fresh: probes may return a SUPERSET of live matches
+        (deleted rows' ids are harmless — the deletion-vector anti-join and
+        the residual filter drop them) but must never MISS one. That holds
+        as long as no operation since covers_version added rows or changed
+        indexed values: deletes only remove rows, compaction ("rewrite")
+        only repacks the same rows under their stable row ids, and index
+        commits touch no data. Appends/updates/overwrites/merges/restores
+        disqualify (new or changed keys the index has never seen)."""
+        desc = self.manifest.indexes.get(name)
+        if desc is None:
+            return False
+        for v in range(desc["covers_version"] + 1, self.version + 1):
+            try:
+                op = self._load(v).operation
+            except FileNotFoundError:
+                return False  # vacuumed history: can't prove soundness
+            if op not in ("index", "delete", "rewrite"):
+                return False
+        return True
+
     def _auto_index_hits(self, filters) -> set[int] | None:
         """Cost-based automatic index routing for a filtered scan (reference
         IndexSelector.SelectIndexForPredicate, index_selector.go:36-78, and
@@ -903,9 +925,11 @@ class Dataset:
             if kind not in ("btree", "rtree") or not desc.get("path"):
                 continue
             # the probe yields take_rows-addressable ids only when the index
-            # id column is the stable row id (the SQL-face default)
+            # id column is the stable row id (the SQL-face default).
+            # _routing_usable is weaker than index_fresh: delete-only and
+            # compaction histories keep routing sound (superset probes)
             id_col = desc.get("params", {}).get("id_col", _ROWID)
-            if id_col != _ROWID or not self.index_fresh(name):
+            if id_col != _ROWID or not self._routing_usable(name):
                 continue
             if kind == "btree":
                 # compose EVERY conjunct on the key column into one [lo,hi]

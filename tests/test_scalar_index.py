@@ -577,3 +577,35 @@ def test_refresh_index_sql_face(spark):
     assert eng.dataset("rt_t").index_fresh("ki")
     with pytest.raises(ValueError, match="unsupported REFRESH"):
         eng.sql("REFRESH TABLE rt_t")
+
+
+def test_auto_index_routing_survives_deletes_and_compaction(spark):
+    """Routing soundness is weaker than freshness: deletes and compaction
+    can't invalidate a probe (superset ids; stable row ids through
+    rewrite), so auto routing keeps firing — and results stay exact."""
+    path = _tmp("auto_idx_del")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    ds.delete("k % 8 = 1")  # removes half of residue-1 keys
+    assert not ds.index_fresh("ki")  # strictly stale...
+    sel_auto, _ = ds.plan_scan("k = 401", use_indexes=True)
+    assert len(sel_auto) == 1  # ...but routing still fires
+    # k=401: 401 % 8 == 1 -> deleted; k=405: 405 % 8 == 5 -> kept
+    assert ds.to_df(filters="k = 401").count() == 0
+    assert [r.k for r in ds.to_df(filters="k = 405").collect()] == [405]
+    # compaction repacks under stable row ids: routing still sound
+    ds.compact()
+    sel_auto2, _ = ds.plan_scan("k = 405", use_indexes=True)
+    got = [r.k for r in ds.to_df(filters="k = 405").collect()]
+    assert got == [405]
+    # an APPEND disqualifies routing until refresh (missed keys otherwise)
+    ds.append(
+        spark.range(0, 3).select(
+            (F.col("id") + 30000).alias("k"),
+            (F.col("id") + 30000).cast("double").alias("payload"),
+        ).coalesce(1)
+    )
+    sel_auto3, _ = ds.plan_scan("k = 30001", use_indexes=True)
+    sel_zone3, _ = ds.plan_scan("k = 30001", use_indexes=False)
+    assert len(sel_auto3) == len(sel_zone3)
+    assert [r.k for r in ds.to_df(filters="k = 30001").collect()] == [30001]

@@ -599,8 +599,10 @@ class Engine:
     def _stmt_merge(self, s: str) -> None:
         """MERGE INTO t USING (src query | src_table) ON key[, key...]
         WHEN MATCHED THEN (UPDATE SET * | UPDATE SET c1[, c2...] |
-        UPDATE SET c1 = s.c1[, ...] | DELETE) WHEN NOT MATCHED THEN
-        INSERT * — the SQL face of Dataset.merge_insert (reference
+        UPDATE SET c1 = s.c1[, ...] | DELETE | DO NOTHING) WHEN NOT
+        MATCHED THEN (INSERT * | DO NOTHING) — the SQL face of
+        Dataset.merge_insert covering the reference's full WhenMatched x
+        WhenNotMatched matrix (reference
         merge_insert.go:19-134; the column-list SET form is
         MatchedUpdateColumns, merge_insert.go:97). ON accepts bare key
         columns or t.k = s.k equality conjuncts on same-named columns.
@@ -643,8 +645,9 @@ class Engine:
             src_table, rest = tm.group(1), rest[tm.end():]
         m = re.match(
             r"(?is)^(?:\s+(?:AS\s+)?(?!ON\b)\w+)?\s+ON\s+(.*?)"
-            r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE))?"
-            r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(INSERT\s+\*))?$",
+            r"(?:\s+WHEN\s+MATCHED\s+THEN\s+"
+            r"(UPDATE\s+SET\s+.+?|DELETE|DO\s+NOTHING))?"
+            r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(INSERT\s+\*|DO\s+NOTHING))?$",
             rest,
         )
         if not m or (not m.group(2) and not m.group(3)):
@@ -674,7 +677,9 @@ class Engine:
         when_matched, update_columns = None, None
         if m.group(2):
             clause = m.group(2).strip()
-            if clause.lower() == "delete":
+            if re.fullmatch(r"(?is)DO\s+NOTHING", clause):
+                when_matched = None  # MatchedDoNothing (merge_insert.go:37)
+            elif clause.lower() == "delete":
                 when_matched = "delete"
             else:
                 when_matched = "update"
@@ -696,7 +701,12 @@ class Engine:
                                 f"same-named src assignments; got {part!r}"
                             )
                         update_columns.append(am.group(1))
-        when_not_matched = "insert" if m.group(3) else None
+        # NotMatchedSkip (merge_insert.go:47) is the explicit DO NOTHING form
+        when_not_matched = (
+            "insert"
+            if m.group(3) and m.group(3).strip().lower().startswith("insert")
+            else None
+        )
         self.dataset(tgt).merge_insert(
             source, keys, when_matched=when_matched,
             when_not_matched=when_not_matched, update_columns=update_columns,

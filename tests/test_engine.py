@@ -622,3 +622,26 @@ def test_create_drop_branch_sql(engine):
     with pytest.raises(ValueError, match="no tag or branch"):
         engine.dataset("bt").checkout("hist")
     assert "dev" in engine.dataset("bt").list_tags()
+
+
+def test_sql_merge_do_nothing_faces(engine):
+    """MatchedDoNothing / NotMatchedSkip (merge_insert.go:37,47): the
+    explicit DO NOTHING forms parse and map to no-ops on their side."""
+    engine.create_table("dn", "k INT, v STRING")
+    engine.insert_values("dn", [(1, "a"), (2, "b")])
+    engine.create_table("dns", "k INT, v STRING")
+    engine.insert_values("dns", [(2, "B"), (3, "c")])
+    # insert-only upsert: matched rows untouched
+    engine.sql(
+        "MERGE INTO dn USING dns ON k "
+        "WHEN MATCHED THEN DO NOTHING WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.k: r.v for r in engine.sql("SELECT * FROM dn").collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # update-only merge: unmatched source rows skipped
+    engine.sql(
+        "MERGE INTO dn USING (SELECT 1 AS k, 'A' AS v) ON k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN DO NOTHING"
+    )
+    rows = {r.k: r.v for r in engine.sql("SELECT * FROM dn").collect()}
+    assert rows == {1: "A", 2: "b", 3: "c"}

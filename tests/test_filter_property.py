@@ -117,3 +117,58 @@ def test_zordered_pruning_is_sound(zordered_ds, pred):
         .collect()
     )
     assert got == want, f"z-order pruning changed results for: {pred!r}"
+
+
+# predicates with OR / parens / mixed precedence — the shapes the OR-aware
+# top-level splitter must never mis-prune, and (with a btree index present)
+# the auto index routing must never mis-route
+_bool_pred = st.lists(_conjunct(), min_size=2, max_size=4).flatmap(
+    lambda cs: st.sampled_from(
+        [
+            " OR ".join(cs),
+            f"{cs[0]} OR " + " AND ".join(cs[1:]),
+            " AND ".join(cs[:-1]) + f" OR {cs[-1]}",
+            "(" + " OR ".join(cs[:2]) + ")" + (
+                " AND " + " AND ".join(cs[2:]) if cs[2:] else ""
+            ),
+        ]
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def indexed_ds(spark):
+    """Same layout as pruned_ds plus a fresh btree index on `a` and stable
+    row ids, so the auto-routing path is live for every predicate."""
+    d = tempfile.mkdtemp(prefix="plan_spark_prop_idx_")
+    base = spark.range(0, 60).select(
+        F.col("id").cast("int").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+        F.concat(F.lit("x"), (F.col("id") % 10).cast("string")).alias("s"),
+    )
+    ds = Dataset.create(spark, d, base.filter("a < 20").coalesce(1), row_ids=True)
+    ds.append(base.filter("a >= 15 AND a < 40").coalesce(1))
+    ds.append(base.filter("a >= 40").coalesce(1))
+    ds.create_index("ia", kind="btree", column="a", n_runs=3)
+    yield ds
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pred=_bool_pred)
+def test_or_predicates_never_misprune(indexed_ds, pred):
+    got = sorted(
+        tuple(r) for r in indexed_ds.to_df(pred).select("a", "b", "s").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in indexed_ds.to_df(use_indexes=False)
+        .filter(F.expr(pred))
+        .select("a", "b", "s")
+        .collect()
+    )
+    assert got == want, f"pruning/routing changed results for: {pred!r}"

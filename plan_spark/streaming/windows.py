@@ -296,23 +296,31 @@ def user_totals_stateful(spark: SparkSession, sf_dir: str):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    collected = []
-    q = (
-        result.writeStream.foreachBatch(
-            lambda df, _id: collected.append(df.toPandas())
-        )
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    import pandas as pd
+    import pyspark.sql.functions as F
 
-    if not collected:
-        return pd.DataFrame(columns=["user_id", "n_events", "total_value"])
-    allb = pd.concat(collected, ignore_index=True)
-    # last emitted row per user is the final state
-    return allb.groupby("user_id", as_index=False).last()
+    # memory-sink output path (not foreachBatch+toPandas): update-mode rows
+    # land in the sink table and the LAST emission per user — the running
+    # totals are emit-monotonic in n_events — reduces via a struct-max
+    # aggregate, all executor-side; only the user-count-sized final frame
+    # crosses to the driver
+    out = run_available_now(result, "user_totals_stateful_sink", output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_events").alias("n_events"),
+                    F.col("total_value").alias("total_value"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.total_value").alias("total_value"),
+        )
+        .toPandas()
+    )
 
 
 def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (126 queries,
-    ALL with oracles: 20 TPC-H, 14 TPC-DS probes, windows/set-ops/rollups,
+    """One entry per implemented operator from SURVEY.md §2 (127 queries,
+    ALL with oracles: 20 TPC-H, 15 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + 8 dedup
     families + curation pipeline, KNN under cosine/l2/dot/Hamming metrics,
     k-means, FTS incl. boolean queries, multimodal decode/frames/audio/

@@ -971,3 +971,100 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf = frequent.agg(F.count(F.lit(1)).cast("bigint").alias("n_frequent"))
     nb = best.agg(F.count(F.lit(1)).cast("bigint").alias("n_best"))
     return totals.crossJoin(F.broadcast(nf)).crossJoin(F.broadcast(nb))
+
+
+# ---------------------------------------------------------------------------
+# q4 shape: THREE-channel year-over-year growth (6-way self-join in the
+# reference text) — the catalog channel must out-grow store AND web
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q4_SQL = f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_first,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_sec
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+), lw AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN {REV_SQL} END) AS DOUBLE) AS w_first,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN {REV_SQL} END) AS DOUBLE) AS w_sec,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996 AND l_returnflag = 'R'
+                       THEN {REV_SQL} END) AS DOUBLE) AS c_first,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997 AND l_returnflag = 'R'
+                       THEN {REV_SQL} END) AS DOUBLE) AS c_sec
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+)
+SELECT s.o_custkey AS customer_id,
+       CASE WHEN s_first > 0 THEN s_sec / s_first ELSE NULL END AS s_growth,
+       CASE WHEN w_first > 0 THEN w_sec / w_first ELSE NULL END AS w_growth,
+       CASE WHEN c_first > 0 THEN c_sec / c_first ELSE NULL END AS c_growth
+FROM s JOIN lw ON s.o_custkey = lw.o_custkey
+WHERE s_first > 0 AND w_first > 0 AND c_first > 0
+  AND CASE WHEN c_first > 0 THEN c_sec / c_first ELSE NULL END
+    > CASE WHEN s_first > 0 THEN s_sec / s_first ELSE NULL END
+  AND CASE WHEN c_first > 0 THEN c_sec / c_first ELSE NULL END
+    > CASE WHEN w_first > 0 THEN w_sec / w_first ELSE NULL END
+ORDER BY customer_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q4", oracle=_TPCDS_Q4_SQL, tags=("tpcds", "yoy", "3-channel"))
+def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4 shape (cases/tpcds/query/query4.sql): customers whose
+    'catalog' channel year-over-year growth beats BOTH the store and web
+    channels — the 6-way year_total self-join class. The scale-correct
+    rewrite needs only TWO aggregates total: the store channel's two years
+    as one conditional aggregate over orders, and the web + catalog
+    channels' four year-totals in ONE pass over lineitem (catalog here =
+    the returned-lines slice, l_returnflag = 'R' — a genuine sub-measure
+    of the same fact, like catalog_sales vs web_sales share sold items),
+    then one custkey-co-partitioned join. q4's CASE ... ELSE NULL growth
+    guards carry over verbatim.
+
+    Determinism: exact decimal year-totals emitted as DOUBLE; identical
+    doubles divide on both engines; LIMIT rides the unique customer_id
+    order."""
+    yr = F.year("o_orderdate")
+    ords = table(spark, sf_dir, "orders").filter(yr.isin(1996, 1997))
+    s = ords.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, dec("o_totalprice"))).cast("double").alias("s_first"),
+        F.sum(F.when(yr == 1997, dec("o_totalprice"))).cast("double").alias("s_sec"),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    lw = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, rev_col())).cast("double").alias("w_first"),
+            F.sum(F.when(yr == 1997, rev_col())).cast("double").alias("w_sec"),
+            F.sum(F.when((yr == 1996) & ret, rev_col())).cast("double").alias("c_first"),
+            F.sum(F.when((yr == 1997) & ret, rev_col())).cast("double").alias("c_sec"),
+        )
+    )
+    g = lambda first, sec: F.when(  # noqa: E731
+        F.col(first) > 0, F.col(sec) / F.col(first)
+    ).otherwise(F.lit(None))
+    return (
+        s.join(lw, "o_custkey")
+        .filter(
+            (F.col("s_first") > 0) & (F.col("w_first") > 0) & (F.col("c_first") > 0)
+            & (g("c_first", "c_sec") > g("s_first", "s_sec"))
+            & (g("c_first", "c_sec") > g("w_first", "w_sec"))
+        )
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            g("s_first", "s_sec").alias("s_growth"),
+            g("w_first", "w_sec").alias("w_growth"),
+            g("c_first", "c_sec").alias("c_growth"),
+        )
+        .orderBy("customer_id")
+        .limit(100)
+    )

@@ -64,6 +64,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "knn_bq",  # new: BQ sign-code index, Hamming bit_count(xor) search
     "tpcds_q11",  # new: YoY growth + CASE-guarded ratios + dim ride-along
     "tpcds_q23",  # new: multi-CTE frequent-item / 95%-of-max composition
+    "tpcds_q4",  # new: 3-channel YoY growth (6-way self-join class)
     "stream_full_outer_join",  # new: full-outer interval join, 2-sided flush
     # ---- round 5: changed implementations (prior rows stale) ----
     "knn_ivf",  # changed: full-probe mode, now HASH-checked (was rows-only)

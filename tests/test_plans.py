@@ -250,3 +250,14 @@ def test_q23_reduces_sets_before_semi_joins(spark):
     assert "LeftSemi" in p
     assert "partial_sum" in p or "partial_count" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q4_two_aggregates_no_union_self_join(spark):
+    """q4's 6-way year_total self-join collapses to TWO conditional
+    aggregates (orders channel; lineitem channel computing web AND catalog
+    year-totals in one pass) joined co-partitioned on custkey."""
+    spec = load_all()["tpcds_q4"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("partial_sum") >= 2
+    assert p.count("Exchange hashpartitioning(o_custkey") >= 2
+    assert "Union" not in p

@@ -1093,7 +1093,12 @@ class Dataset:
         return sel, pruned
 
     def to_df(
-        self, filters=None, with_row_id: bool = False, use_indexes: bool = True
+        self,
+        filters=None,
+        with_row_id: bool = False,
+        use_indexes: bool = True,
+        columns: list[str] | None = None,
+        limit: int | None = None,
     ) -> DataFrame:
         """Snapshot scan: manifest pruning -> parquet scan (Catalyst pushes
         the residual filters) -> merge-on-read anti-join of deletion vectors.
@@ -1110,7 +1115,12 @@ class Dataset:
         residual, so this is purely a file-pruning win.
 
         ``with_row_id=True`` appends the stable-row-id column ``_rowid``
-        (requires ``create(..., row_ids=True)``; reference rowids.go)."""
+        (requires ``create(..., row_ids=True)``; reference rowids.go).
+
+        ``columns=`` / ``limit=`` complete the reference scanner's builder
+        faces (sdk/scanner.go WithColumns/WithLimit): the projection reaches
+        the parquet ReadSchema via Catalyst pruning, and the limit becomes
+        a CollectLimit over the pruned scan."""
         pred_str = filters if isinstance(filters, str) else None
         m = self.manifest
         schema = self.schema
@@ -1125,7 +1135,12 @@ class Dataset:
                 out_schema = StructType(
                     schema.fields + [StructField(_ROWID, LongType(), True)]
                 )
-            return self.spark.createDataFrame([], out_schema)
+            empty = self.spark.createDataFrame([], out_schema)
+            if columns is not None:
+                empty = empty.select(
+                    *columns, *([_ROWID] if with_row_id else [])
+                )
+            return empty
         if with_row_id:
             df = self._scan_with_lineage(sel, with_row_id=True).drop(
                 _FILE_COL, _POS_COL
@@ -1169,6 +1184,14 @@ class Dataset:
             df = df.filter(ops[op])
         if pred_str is not None:
             df = df.filter(F.expr(pred_str))
+        if columns is not None:
+            known = set(df.columns)
+            missing = [c for c in columns if c not in known]
+            if missing:
+                raise ValueError(f"unknown columns {missing}; table has {sorted(known)}")
+            df = df.select(*columns, *([_ROWID] if with_row_id else []))
+        if limit is not None:
+            df = df.limit(int(limit))
         return df
 
     def take_rows(self, ids: list[int], columns: list[str] | None = None) -> DataFrame:

@@ -713,16 +713,18 @@ class Engine:
         )
 
     def _stmt_delete(self, s: str) -> None:
-        m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$", s)
+        m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", s)
         if not m:
             raise ValueError(f"unsupported DELETE statement: {s[:120]!r}")
-        self.dataset(m.group(1)).delete(m.group(2))
+        # WHERE-less form deletes every row (builder_dml.go's unconditional
+        # delete path) — the table and its history stay
+        self.dataset(m.group(1)).delete(m.group(2) or "true")
 
     def _stmt_update(self, s: str) -> None:
-        m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$", s)
+        m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s)
         if not m:
             raise ValueError(f"unsupported UPDATE statement: {s[:120]!r}")
-        name, sets, pred = m.group(1), m.group(2), m.group(3)
+        name, sets, pred = m.group(1), m.group(2), m.group(3) or "true"
         assignments = {}
         for a in re.split(r",(?![^()]*\))", sets):
             col, expr = a.split("=", 1)
@@ -730,11 +732,29 @@ class Engine:
         self.dataset(name).update(assignments, pred)
 
     def _stmt_meta(self, s: str) -> DataFrame:
-        """SHOW SCHEMAS | SHOW TABLES [IN schema] | SHOW INDEXES ON t |
-        SHOW TAGS ON t | DESCRIBE t | DESCRIBE HISTORY t | DESCRIBE
-        DETAIL t — catalog introspection served from the engine's own
+        """SHOW SCHEMAS | SHOW TABLES [IN schema] | SHOW CREATE TABLE
+        [schema.]t | SHOW INDEXES ON t | SHOW TAGS ON t | DESCRIBE t |
+        DESCRIBE HISTORY t | DESCRIBE DETAIL t — catalog introspection served from the engine's own
         catalog (the reference's psql meta commands); DESC is accepted
         everywhere DESCRIBE is."""
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)$", s)
+        if m:
+            # reconstruct the DDL from the live schema + catalog metadata
+            # (psql \d analogue; PK is the engine's metadata, not enforced)
+            schema_name, tbl = m.group(1) or "main", m.group(2)
+            entry = self._entry(tbl, schema_name)
+            ds = Dataset.open(self.spark, entry["root"])
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in ds.schema.fields
+            )
+            pk = entry.get("primary_key") or []
+            pk_clause = f",\n  PRIMARY KEY ({', '.join(pk)})" if pk else ""
+            ddl = f"CREATE TABLE {tbl} (\n  {cols}{pk_clause}\n)"
+            return self.spark.createDataFrame(
+                [(tbl, ddl)], "table_name string, create_stmt string"
+            )
         m = re.match(r"(?is)^SHOW\s+INDEX(?:ES)?\s+ON\s+(\w+)$", s)
         if m:
             ds = self.dataset(m.group(1))

@@ -645,3 +645,45 @@ def test_sql_merge_do_nothing_faces(engine):
     )
     rows = {r.k: r.v for r in engine.sql("SELECT * FROM dn").collect()}
     assert rows == {1: "A", 2: "b", 3: "c"}
+
+
+def test_delete_update_without_where(engine):
+    """WHERE-less DELETE/UPDATE operate on every row (unconditional DML)."""
+    engine.create_table("nw", "a INT, b DOUBLE")
+    engine.insert_values("nw", [(1, 1.0), (2, 2.0), (3, 3.0)])
+    engine.sql("UPDATE nw SET b = b * 2")
+    assert sorted(r.b for r in engine.sql("SELECT b FROM nw").collect()) == [
+        2.0, 4.0, 6.0,
+    ]
+    engine.sql("DELETE FROM nw")
+    assert engine.sql("SELECT COUNT(*) AS n FROM nw").first().n == 0
+    # history preserved: the pre-delete version is still addressable
+    versions = engine.dataset("nw").versions()
+    assert len(versions) >= 3
+
+
+def test_show_create_table(engine):
+    engine.create_table("sct", "a INT, b STRING", primary_key=["a"])
+    row = engine.sql("SHOW CREATE TABLE sct").first()
+    assert row.table_name == "sct"
+    assert "a INT" in row.create_stmt and "b STRING" in row.create_stmt
+    assert "PRIMARY KEY (a)" in row.create_stmt
+
+
+def test_to_df_columns_and_limit(engine, spark):
+    """Scanner builder parity (sdk/scanner.go WithColumns/WithLimit): the
+    projection reaches the parquet ReadSchema; limit caps rows."""
+    engine.create_table("scan_t", "a INT, b STRING, c DOUBLE")
+    engine.insert_values(
+        "scan_t", [(i, f"s{i}", i * 1.5) for i in range(20)]
+    )
+    ds = engine.dataset("scan_t")
+    out = ds.to_df(columns=["a", "c"], limit=5)
+    assert out.columns == ["a", "c"] and out.count() == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<a:int,c:double>" in plan
+    with pytest.raises(ValueError, match="unknown columns"):
+        ds.to_df(columns=["nope"])
+    # composes with filters
+    got = ds.to_df(filters="a >= 18", columns=["a"]).collect()
+    assert sorted(r.a for r in got) == [18, 19]

@@ -560,22 +560,73 @@ class Engine:
             raise ValueError(f"unsupported DROP statement: {s[:120]!r}")
         self.drop_table(m.group(1))
 
+    def _reorder_for_insert(
+        self, name: str, df: DataFrame, cols: str | None
+    ) -> DataFrame:
+        """Bind an insert source to the table schema. With an explicit
+        column list ``(a, c)`` the source binds positionally to THOSE
+        columns and every omitted column takes the table's declared DEFAULT
+        (manifest column_defaults; NULL when none) — the reference's
+        defaults-resolution insert path (builder_dml.go:278, SURVEY §2.1
+        'defaults resolution'). Without a list, positional bind to the full
+        schema as before."""
+        ds = self.dataset(name)
+        fields = ds.schema.fieldNames()
+        if cols is None:
+            if set(df.columns) == set(fields):
+                return df  # named source (SELECT output): insert_df binds by name
+            if len(df.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT supplies {len(df.columns)} columns; table "
+                    f"{name!r} has {len(fields)}"
+                )
+            return df.toDF(*fields)  # anonymous source (VALUES): positional
+        listed = [c.strip() for c in cols.split(",")]
+        unknown = [c for c in listed if c not in fields]
+        if unknown:
+            raise ValueError(f"INSERT column(s) {unknown} not in table {name!r}")
+        if len(set(listed)) != len(listed):
+            raise ValueError(f"INSERT column list repeats a column: {cols!r}")
+        if len(df.columns) != len(listed):
+            raise ValueError(
+                f"INSERT supplies {len(df.columns)} values for "
+                f"{len(listed)} listed columns"
+            )
+        df = df.toDF(*listed)
+        defaults = ds.manifest.column_defaults
+        by_name = {f.name: f for f in ds.schema.fields}
+        exprs = []
+        for fname in fields:
+            if fname in listed:
+                exprs.append(F.col(fname))
+            else:
+                dval = defaults.get(fname, "NULL")
+                exprs.append(
+                    F.expr(dval).cast(by_name[fname].dataType).alias(fname)
+                )
+        return df.select(*exprs)
+
     def _stmt_insert(self, s: str) -> None:
-        m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)$", s)
+        m = re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*VALUES\s+(.*)$", s
+        )
         if m:
-            name, vals = m.group(1), m.group(2)
+            name, cols, vals = m.group(1), m.group(2), m.group(3)
             self._register_views()  # VALUES may contain scalar subqueries
             rows_df = self.spark.sql(f"SELECT * FROM VALUES {vals}")
-            # VALUES yields col1..colN — bind positionally to the table schema
-            rows_df = rows_df.toDF(*self.dataset(name).schema.fieldNames())
-            self.insert_df(name, rows_df)
+            self.insert_df(name, self._reorder_for_insert(name, rows_df, cols))
             return
-        m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+((?:SELECT|WITH|TABLE)\b.*)$", s)
+        m = re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*"
+            r"((?:SELECT|WITH|TABLE)\b.*)$",
+            s,
+        )
         if m:
-            name, query = m.group(1), m.group(2)
+            name, cols, query = m.group(1), m.group(2), m.group(3)
             self._register_views()
             # INSERT INTO ... SELECT takes the time-travel rewrite too
-            self.insert_df(name, self.spark.sql(self._rewrite_time_travel(query)))
+            src = self.spark.sql(self._rewrite_time_travel(query))
+            self.insert_df(name, self._reorder_for_insert(name, src, cols))
             return
         raise ValueError(f"unsupported INSERT statement: {s[:120]!r}")
 

@@ -687,3 +687,28 @@ def test_to_df_columns_and_limit(engine, spark):
     # composes with filters
     got = ds.to_df(filters="a >= 18", columns=["a"]).collect()
     assert sorted(r.a for r in got) == [18, 19]
+
+
+def test_insert_with_column_list_and_defaults(engine):
+    """INSERT INTO t (a, c): omitted columns take their declared DEFAULTs
+    (the reference's defaults-resolution insert path, builder_dml.go:278)."""
+    engine.create_table("dft", "a INT, b STRING, c DOUBLE")
+    engine.dataset("dft").add_column("d", "string", default="'dd'")
+    engine.sql("INSERT INTO dft (a, c) VALUES (1, 1.5), (2, 2.5)")
+    rows = {
+        r.a: (r.b, r.c, r.d)
+        for r in engine.sql("SELECT * FROM dft ORDER BY a").collect()
+    }
+    assert rows == {1: (None, 1.5, "dd"), 2: (None, 2.5, "dd")}
+    # column-listed INSERT ... SELECT
+    engine.sql("INSERT INTO dft (c, a) SELECT 9.5 AS x, 9 AS y")
+    got = engine.sql("SELECT a, b, c, d FROM dft WHERE a = 9").first()
+    assert (got.a, got.b, got.c, got.d) == (9, None, 9.5, "dd")
+    # name-matched SELECT without a list still binds by NAME, any order
+    engine.sql("INSERT INTO dft SELECT 'bb' AS b, 3 AS a, 3.5 AS c, 'x' AS d")
+    got = engine.sql("SELECT a, b, c, d FROM dft WHERE a = 3").first()
+    assert (got.a, got.b, got.c, got.d) == (3, "bb", 3.5, "x")
+    with pytest.raises(ValueError, match="not in table"):
+        engine.sql("INSERT INTO dft (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="supplies 1 values"):
+        engine.sql("INSERT INTO dft (a, c) VALUES (1)")

@@ -2688,6 +2688,39 @@ class Dataset:
             removed.append(f"_staged/{sid}.json")
         return removed
 
+    def delete_staged(self, stage_id: str) -> list[str]:
+        """Drop a specific staged transaction NOW, expired or not
+        (reference DeleteDetached, sdk/dataset.go:1243): its payload, data
+        files, and deletion sidecars are reclaimed — none were ever
+        referenced by a manifest. A stage currently CLAIMED by a running
+        commit_staged cannot be deleted (rename it back first via
+        cleanup_expired's stale-claim recovery if the committer died).
+        Returns removed paths."""
+        p = os.path.join(self._staged_dir(), f"{stage_id}.json")
+        if not os.path.exists(p):
+            if os.path.exists(p + ".committing"):
+                raise ValueError(
+                    f"stage {stage_id} is mid-commit (claimed); refusing"
+                )
+            raise ValueError(f"no staged transaction {stage_id!r}")
+        with open(p) as fh:
+            payload = json.load(fh)
+        removed: list[str] = []
+        for a in payload.get("added", []):
+            fp = os.path.join(self.path, a["path"])
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed.append(a["path"])
+        for names in payload.get("new_deletes", {}).values():
+            for rel in names:
+                fp = os.path.join(self.path, rel)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    removed.append(rel)
+        os.remove(p)
+        removed.append(f"_staged/{stage_id}.json")
+        return removed
+
     def commit_staged(self, stage_id: str) -> "Dataset":
         """Commit a previously staged transaction; the normal optimistic
         rebase applies, so commits that landed since the stage are folded in

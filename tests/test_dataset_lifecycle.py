@@ -387,3 +387,23 @@ def test_vacuum_pins_claimed_stage_files(spark, tmp_path_ds, base_df):
     for rel in staged_files:  # pinned despite being expired
         assert rel not in removed
         assert os.path.exists(os.path.join(tmp_path_ds, rel))
+
+
+def test_delete_staged_reclaims_immediately(spark, tmp_path_ds, base_df):
+    """DeleteDetached (sdk/dataset.go:1243): drop a specific unexpired
+    stage now — payload + staged files reclaimed, other stages untouched."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df)
+    sid1 = ds.stage_append(_more(spark, 200, 220), ttl_seconds=3600)
+    sid2 = ds.stage_append(_more(spark, 220, 240), ttl_seconds=3600)
+    removed = ds.delete_staged(sid1)
+    assert any(r.startswith("data/") for r in removed)
+    assert sid1 not in ds.staged() and sid2 in ds.staged()
+    with pytest.raises(ValueError, match="no staged transaction"):
+        ds.delete_staged(sid1)
+    with pytest.raises(ValueError, match="no staged transaction"):
+        ds.delete_staged("nonexistent")
+    # a deleted stage can never commit
+    with pytest.raises(FileNotFoundError):
+        ds.commit_staged(sid1)
+    # the surviving stage still commits fine
+    assert Dataset.open(spark, tmp_path_ds).commit_staged(sid2).count_rows() == 220

@@ -1074,3 +1074,106 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: a NEW BATCH dedups against the accumulated corpus —
+# the shape every continuously-ingesting training pipeline runs (today's
+# crawl vs everything already kept), as opposed to the whole-corpus
+# self-join of dedup_minhash. Asymmetric by construction: the batch side
+# joins the corpus band table, the batch never self-joins, and at 100 TB
+# corpus + small daily batch the BATCH bands broadcast — work is
+# O(batch x collisions), independent of corpus size.
+# ---------------------------------------------------------------------------
+
+_INC_DUP_MIN_AGREE = 6  # of 8 minhashes: est_jaccard >= 0.75 drops the doc
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH s AS ({_MH_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS_SQL}
+  FROM s GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS b_id, cb.doc_id AS c_id
+  FROM bands bb JOIN bands cb ON bb.band = cb.band AND bb.bkey = cb.bkey
+  WHERE bb.doc_id % 5 = 0 AND cb.doc_id % 5 <> 0),
+scored AS (
+  SELECT c.b_id,
+         MAX((CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END)
+           + (CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END)) AS best_agree
+  FROM cand c JOIN sig x ON x.doc_id = c.b_id JOIN sig y ON y.doc_id = c.c_id
+  GROUP BY c.b_id)
+SELECT b.doc_id,
+       CAST(COALESCE(s.best_agree, 0) AS BIGINT) AS best_agree,
+       CAST(CASE WHEN COALESCE(s.best_agree, 0) >= {_INC_DUP_MIN_AGREE}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 0) b
+LEFT JOIN scored s ON s.b_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_DEDUP_INCREMENTAL_SQL,
+    tags=("dedup", "minhash", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: the batch slice (doc_id % 5 == 0)
+    checks against the corpus slice (the rest) — per batch doc, the best
+    signature agreement with any banded corpus collision and the keep/drop
+    decision at est_jaccard >= 0.75. The batch NEVER self-joins and the
+    corpus never pairs with itself: candidate work is O(batch x
+    collisions), independent of corpus size, and the batch band table is
+    the broadcast side (a daily crawl vs a 100 TB archive).
+
+    Docs with fewer than 3 tokens carry no signature and are out of scope
+    on both engines (same as dedup_minhash)."""
+    sig, bands = _mh_bands(spark, sf_dir)
+    batch_bands = bands.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("b_id"), "band", "bkey"
+    )
+    corpus_bands = bands.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("c_id"), "band", "bkey"
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "bkey"])
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"h{i}").alias(f"xa{i}") for i in range(8)])
+    y = sig.select(F.col("doc_id").alias("c_id"), *[F.col(f"h{i}").alias(f"yb{i}") for i in range(8)])
+    agree = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0) for i in range(8)
+    )
+    scored = (
+        cand.join(x, "b_id")
+        .join(y, "c_id")
+        .select("b_id", agree.alias("agree"))
+        .groupBy("b_id")
+        .agg(F.max("agree").alias("best_agree"))
+    )
+    batch = sig.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return (
+        batch.join(scored, batch.doc_id == scored.b_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("best_agree"), F.lit(0)).cast("bigint").alias("best_agree"),
+            F.when(
+                F.coalesce(F.col("best_agree"), F.lit(0)) >= _INC_DUP_MIN_AGREE, 1
+            ).otherwise(0).cast("bigint").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

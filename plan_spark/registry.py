@@ -66,6 +66,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q23",  # new: multi-CTE frequent-item / 95%-of-max composition
     "tpcds_q4",  # new: 3-channel YoY growth (6-way self-join class)
     "stream_full_outer_join",  # new: full-outer interval join, 2-sided flush
+    "dedup_incremental",  # new: batch-vs-corpus MinHash-LSH dedup
     # ---- round 5: changed implementations (prior rows stale) ----
     "knn_ivf",  # changed: full-probe mode, now HASH-checked (was rows-only)
     "knn_ivf_hnsw",  # changed: full-probe + exact rerank, now hash-checked

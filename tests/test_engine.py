@@ -108,8 +108,10 @@ def test_sql_rejects_unknown_and_malformed_statements(engine):
         engine.sql("GRANT ALL ON t TO alice")
     engine.create_table("mf", "a INT")
     # owned keyword, unsupported grammar -> hard error, never mis-routed
+    # (WHERE-less DELETE is now the legal unconditional form, so the
+    # malformed case is a DELETE missing its FROM)
     with pytest.raises(ValueError, match="unsupported DELETE"):
-        engine.sql("DELETE FROM mf")  # no WHERE
+        engine.sql("DELETE mf WHERE a = 1")
     with pytest.raises(ValueError, match="unsupported CREATE"):
         engine.sql("CREATE INDEX ix ON mf(a)")
     with pytest.raises(ValueError, match="empty"):

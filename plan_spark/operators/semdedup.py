@@ -139,17 +139,32 @@ def semdedup_flags(
             F.col(cols[0]).alias("c_id"),
             F.col(cols[1]).cast("array<double>").alias("cv"),
         )
-    m = assign_cosine(e, centroids).select("vec_id", "v", "c_id")
+    # per-vector norm computed ONCE here (and cached with the assignment):
+    # the pair join then scores dot / (na * nb) instead of re-folding both
+    # squared norms per pair — 1/3 of the higher-order-function work on the
+    # quadratic stage (the oracle computes the identical expression, so the
+    # tau boundary stays bit-stable)
+    m = assign_cosine(e, centroids).select(
+        "vec_id", "v", "c_id", F.sqrt(_sq(F.col("v"))).alias("nrm")
+    )
     if persist:
         # LAZY persist (plan-only callers must not trigger a corpus scan);
         # ownership of the cached blocks passes to the caller — see docstring
         m = m.persist()
-    a = m.select("c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    b = m.select("c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    a = m.select(
+        "c_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        "c_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("nb"),
+    )
     dropped = (
         a.join(b, "c_id")  # co-partitioned on the cluster key: ONE shuffle
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(_cos(F.col("av"), F.col("bv")) >= tau)
+        .filter(
+            _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")) >= tau
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))

@@ -945,12 +945,12 @@ best AS (
          ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY cos_sim DESC, c_id) AS rn
   FROM sims),
-m AS (SELECT vec_id, v, c_id FROM best WHERE rn = 1),
+m AS (SELECT vec_id, v, c_id, sqrt({_SQ.format(a="v")}) AS nrm
+      FROM best WHERE rn = 1),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM m a JOIN m b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
-  WHERE {_DOT.format(a="a.v", b="b.v")}
-          / sqrt({_SQ.format(a="a.v")} * {_SQ.format(a="b.v")}) >= {_SEMDEDUP_TAU})
+  WHERE {_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU})
 SELECT c_id AS centroid,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,

@@ -1068,3 +1068,152 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("customer_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 shape: channel-overlap counts from a FULL OUTER join of two DISTINCT
+# (customer, item) purchase-pair sets
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q97_SQL = """
+WITH ss AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'F'
+), ws AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O'
+)
+SELECT
+  CAST(SUM(CASE WHEN ss.ck IS NOT NULL AND ws.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_cnt,
+  CAST(SUM(CASE WHEN ss.ck IS NOT NULL AND ws.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+  CAST(SUM(CASE WHEN ss.ck IS NULL AND ws.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS web_only
+FROM ss FULL OUTER JOIN ws ON ss.ck = ws.ck AND ss.pk = ws.pk
+"""
+
+
+@register("tpcds_q97", oracle=_TPCDS_Q97_SQL, tags=("tpcds", "full-outer"))
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape (cases/tpcds/query/query97.sql): how many
+    (customer, item) purchase pairs appear in the store channel only, the
+    web channel only, or both — a FULL OUTER join of two DISTINCT pair
+    sets with conditional counts over the null pattern. Channels are the
+    l_linestatus slices ('F' = store, 'O' = web) of the same fact.
+
+    Scale shape: q97's text builds two DISTINCT pair sets and full-outer
+    joins them — at scale that is two pair shuffles plus a third join
+    shuffle over the SAME key. The scale-correct rewrite is one
+    channel-flag aggregate: join the fact to orders ONCE (orderkey
+    co-partitioned, shuffle_hash pinned so the fact never broadcasts),
+    groupBy the (customer, item) pair computing has-store / has-web flags
+    map-side, and reduce the flag pattern to the three exact BIGINT counts
+    — one pair shuffle total, identical null-pattern semantics (a pair
+    missing from a channel is exactly flag=0). The batch full-outer
+    capability itself stays covered by tpcds_q51's series crossover."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.select("l_orderkey", "l_partkey", "l_linestatus")
+        .filter(F.col("l_linestatus").isin("F", "O"))
+        .join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+    )
+    flags = pairs.groupBy("o_custkey", "l_partkey").agg(
+        F.max(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("in_s"),
+        F.max(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("in_w"),
+    )
+    return flags.agg(
+        F.sum(F.col("in_s") * F.col("in_w")).cast("bigint").alias("both_cnt"),
+        F.sum(F.col("in_s") * (1 - F.col("in_w"))).cast("bigint").alias("store_only"),
+        F.sum((1 - F.col("in_s")) * F.col("in_w")).cast("bigint").alias("web_only"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 shape: cross-channel item INTERSECT + scalar average-sales threshold
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q14_SQL = f"""
+WITH cross_items AS (
+  SELECT pk FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'A')
+  INTERSECT
+  SELECT pk FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'N')
+  INTERSECT
+  SELECT pk FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R')
+), item_sales AS (
+  SELECT l_returnflag, l_partkey, SUM({REV_SQL}) AS s
+  FROM lineitem GROUP BY 1, 2
+), avg_sales AS (
+  SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_sales FROM item_sales
+)
+SELECT p_brand,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS sales,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag = 'A'
+  AND l_partkey IN (SELECT pk FROM cross_items)
+GROUP BY p_brand
+HAVING CAST(SUM({REV_SQL}) AS DOUBLE) > (SELECT avg_sales FROM avg_sales)
+ORDER BY p_brand
+"""
+
+
+@register("tpcds_q14", oracle=_TPCDS_Q14_SQL, tags=("tpcds", "intersect"))
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape (cases/tpcds/query/query14.sql): per-brand sales of
+    'cross items' — items sold in ALL THREE channels (the INTERSECT of the
+    three channels' distinct item sets) — kept only where brand sales beat
+    the scalar average per-channel item-sales threshold. Channels are the
+    three l_returnflag slices of the fact.
+
+    Scale shape: the oracle's triple scan + 2-way INTERSECT collapses to a
+    SINGLE fact pass — one (channel, item) aggregate feeds everything:
+    cross_items is the items whose channel-count is 3 (a second, tiny
+    groupBy over the first's output), avg_sales is a one-row aggregate of
+    the same frame, and the per-brand store slice is a filter over the
+    same frame joining broadcast cross_items (item-bounded) and the
+    broadcast part dimension. The (channel, item) aggregate is persisted —
+    it is item-count-sized (3 x |part|) at ANY corpus scale, and caching it
+    is what actually guarantees the fact is scanned once (without it
+    Catalyst column-prunes each consumer into three differently-pruned fact
+    scans — measured on the fixture). No INTERSECT shuffles, one fact
+    shuffle total.
+
+    Determinism: channel-item sums are exact decimals; avg_sales and the
+    HAVING compare divide/compare identical doubles on both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    item_sales = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.sum(rev_col()).alias("s_dec"))
+        .persist()
+    )
+    cross_items = (
+        item_sales.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") == 3)
+        .select("l_partkey")
+    )
+    avg_sales = item_sales.agg(
+        (F.sum("s_dec").cast("double") / F.count(F.lit(1))).alias("avg_sales")
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand = (
+        item_sales.filter(F.col("l_returnflag") == "A")
+        .join(F.broadcast(cross_items), "l_partkey")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("s_dec").alias("b_dec"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return (
+        brand.join(F.broadcast(avg_sales))
+        .filter(F.col("b_dec").cast("double") > F.col("avg_sales"))
+        .select(
+            "p_brand",
+            F.col("b_dec").cast("double").alias("sales"),
+            "n_items",
+        )
+        .orderBy("p_brand")
+    )

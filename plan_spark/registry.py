@@ -59,6 +59,8 @@ _loaded = False
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5: new queries ----
+    "tpcds_q97",  # new: channel-overlap pair counts (full-outer class, flag rewrite)
+    "tpcds_q14",  # new: cross-channel INTERSECT + scalar avg threshold, 1 fact pass
     "ds_refresh_scan",  # new: incremental refresh_index lifecycle, auto-routing after
     "ds_auto_index_scan",  # new: cost-based auto index routing in to_df(filters=)
     "knn_bq",  # new: BQ sign-code index, Hamming bit_count(xor) search

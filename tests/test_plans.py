@@ -261,3 +261,31 @@ def test_q4_two_aggregates_no_union_self_join(spark):
     assert p.count("partial_sum") >= 2
     assert p.count("Exchange hashpartitioning(o_custkey") >= 2
     assert "Union" not in p
+
+
+def test_q97_single_pair_shuffle_no_full_outer(spark):
+    """q97's scale contract: the DISTINCT+DISTINCT+FULL OUTER of the query
+    text collapses to ONE (customer, item) pair aggregate with channel
+    flags — exactly one pair-key exchange, no outer join, and the fact
+    joins orders shuffled (never broadcast)."""
+    spec = load_all()["tpcds_q97"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    import re
+
+    assert "FullOuter" not in p
+    assert len(re.findall(r"Exchange hashpartitioning\(o_custkey#\d+L?, l_partkey", p)) == 1
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "partial_max" in p  # channel flags combine map-side
+
+
+def test_q14_single_fact_scan_via_persisted_channel_agg(spark):
+    """q14's scale contract: cross-items INTERSECT, the avg-sales scalar,
+    and the per-brand slice all derive from ONE persisted (channel, item)
+    aggregate — the raw fact appears in the plan exactly once; the item
+    set and the 1-row threshold ride broadcasts."""
+    spec = load_all()["tpcds_q14"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR))
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "InMemoryTableScan" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Intersect" not in p

@@ -32,10 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (128 queries,
-    ALL with oracles: 20 TPC-H, 15 TPC-DS probes, windows/set-ops/rollups,
-    as-of/range joins, sessionization/retention, text analysis + 9 dedup
-    families + curation pipeline, KNN under cosine/l2/dot/Hamming metrics,
+    """One entry per implemented operator from SURVEY.md §2 (132 queries,
+    ALL with oracles: 20 TPC-H, 17 TPC-DS probes, windows/set-ops/rollups,
+    as-of/range joins, sessionization/retention, text analysis + TF-IDF
+    keywords + 10 dedup families (incl. directional containment) +
+    curation pipeline, KNN under cosine/l2/dot/Hamming metrics,
     k-means, FTS incl. boolean queries, multimodal decode/frames/audio/
     resize, streaming bounded runs incl. the full outer/semi interval-join
     family, dataset lifecycle incl. transactional, auto-selected, and

@@ -1177,3 +1177,199 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keyword extraction: per-document top-5 terms by
+# tf * (N / df). The per-doc "what is this page about" signal used for
+# topic binning, search facets and mixture labeling in curation pipelines.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+_TFIDF_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+ftok AS (SELECT doc_id, tk FROM tok
+         WHERE length(tk) >= 3 AND tk NOT IN {_STOPLIST}),
+tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM ftok GROUP BY doc_id, tk),
+dfreq AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+nd AS (SELECT COUNT(*) AS n_docs FROM d),
+scored AS (
+  SELECT t.doc_id, t.tk, t.tf, f.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / f.df AS score
+  FROM tf t JOIN dfreq f USING (tk) CROSS JOIN nd n),
+rk AS (SELECT doc_id, tk, tf, df, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, tk) AS rk
+       FROM scored)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, tk,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM rk WHERE rk <= {_TFIDF_K}
+ORDER BY doc_id, rk
+"""
+
+
+@register("tfidf_topk", oracle=_TFIDF_SQL, tags=("text", "tfidf", "pipeline"))
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by TF-IDF over the whole corpus
+    vocabulary (reference anchor: the posting-list term statistics in
+    pkg/storage2/fts_index.go:154-330 expose exactly tf/df per term — this
+    is the batch keyword-extraction face of the same statistics).
+
+    Scale shape: TF is one (doc, term) aggregate (map-side combined), DF
+    is a second, term-keyed aggregate OVER TF'S OUTPUT (already
+    term-partitioned after the tf->df join's exchange, which Catalyst
+    reuses), N is a one-row scalar riding a broadcast, and the top-k is a
+    doc-partitioned row_number window whose partitions are bounded by
+    per-doc vocabulary — nothing global, no driver state. At 100 TB this
+    is the textbook two-aggregate TF-IDF dataflow.
+
+    Determinism: the score is (tf * N) — exact BIGINT — divided by df in
+    ONE IEEE double division, bit-identical in both engines; ties rank by
+    token text, giving a total order under the per-doc LIMIT."""
+    from pyspark.sql.window import Window
+
+    d = _norm_docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("tk")).filter(
+        (F.length("tk") >= 3) & ~F.expr(f"tk IN {_STOPLIST}")
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tk")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tk",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tk"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "rk", "tk", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: directional |A∩B| / |A| over word-5-gram shingle
+# sets. Catches subset duplicates (a doc quoted/embedded inside a bigger
+# one) that symmetric Jaccard under-scores — the second axis of the
+# dedup_ngram exact-verify family, sharing its rare-shingle blocking.
+# ---------------------------------------------------------------------------
+
+_CONT_MIN = 0.2
+
+_DEDUP_CONTAIN_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+grp AS (
+  SELECT sh, list_sort(list(DISTINCT doc_id)) AS docs
+  FROM s GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10),
+cand AS (
+  SELECT DISTINCT least(a.x, b.y) AS da, greatest(a.x, b.y) AS db
+  FROM (SELECT sh, unnest(docs) AS x FROM grp) a
+  JOIN (SELECT sh, unnest(docs) AS y FROM grp) b
+    ON a.sh = b.sh AND a.x < b.y),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.da
+  JOIN s sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+  GROUP BY c.da, c.db)
+SELECT inter.da, inter.db,
+       CAST(inter.i AS BIGINT) AS i,
+       CAST(inter.i AS DOUBLE) / za.n AS c_a_in_b,
+       CAST(inter.i AS DOUBLE) / zb.n AS c_b_in_a
+FROM inter
+JOIN sizes za ON za.doc_id = inter.da
+JOIN sizes zb ON zb.doc_id = inter.db
+WHERE CAST(inter.i AS DOUBLE) / za.n >= {_CONT_MIN}
+   OR CAST(inter.i AS DOUBLE) / zb.n >= {_CONT_MIN}
+ORDER BY da, db
+"""
+
+
+@register(
+    "dedup_containment", oracle=_DEDUP_CONTAIN_SQL, tags=("dedup", "ngram", "containment")
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup over word-5-gram shingle sets:
+    for each candidate pair emit |A∩B|/|A| and |A∩B|/|B|. A 200-word doc
+    pasted inside a 10k-word page has Jaccard ~0.02 (dedup_ngram misses
+    it) but containment 1.0 — the excerpt/superset axis every curation
+    pipeline needs next to symmetric similarity.
+
+    Scale shape: identical to dedup_ngram's — one groupBy(shingle)
+    generates candidate pairs in-place from rare shingles (df <= 10 bounds
+    pairs per shingle at <= 45, keeping the candidate space near-linear),
+    then the exact intersection is one aggregate over candidates joined
+    back to the shingle frame; sizes ride two small joins. No all-pairs
+    join at any corpus size. Determinism: both containments are single
+    IEEE divisions of exact integers."""
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 5)
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(5))).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    groups = (
+        s.groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= 10))
+    )
+    cand = (
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> struct(least(x, y) as da, greatest(x, y) as db))))"
+                )
+            ).alias("p")
+        )
+        .select("p.da", "p.db")
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("sa_id"), F.col("sh").alias("sha"))
+    sb = s.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(sa, F.col("da") == F.col("sa_id"))
+        .join(sb, (F.col("db") == F.col("sb_id")) & (F.col("sha") == F.col("shb")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    c_ab = F.col("i").cast("double") / F.col("na")
+    c_ba = F.col("i").cast("double") / F.col("nb")
+    return (
+        inter.join(za, "da")
+        .join(zb, "db")
+        .select(
+            "da",
+            "db",
+            F.col("i").cast("bigint").alias("i"),
+            c_ab.alias("c_a_in_b"),
+            c_ba.alias("c_b_in_a"),
+        )
+        .filter((F.col("c_a_in_b") >= _CONT_MIN) | (F.col("c_b_in_a") >= _CONT_MIN))
+        .orderBy("da", "db")
+    )

@@ -194,6 +194,11 @@ class _Txn:
     # exempt from the same-name create/create conflict as long as the base
     # still carries the same physical index path
     index_refresh: bool = False
+    # refresh_index only: name -> the covers_version the refresher READ.
+    # A concurrent refresh of the same index advances it, and committing
+    # over that would record a delta that was inserted twice into the
+    # shared persisted files — refresh/refresh on one index must conflict.
+    index_refresh_base: dict[str, int] | None = None
     stats_patch: dict[int, dict[str, list]] | None = None
     # index-txn declaration deltas, applied against the REBASED base (a
     # full-list override computed from the read snapshot would silently drop
@@ -243,6 +248,7 @@ class Dataset:
         bloom_columns: list[str] | None = None,
         bitmap_columns: list[str] | None = None,
         row_ids: bool = False,
+        column_defaults: dict[str, str] | None = None,
     ) -> "Dataset":
         """``bloom_columns`` declares point-lookup columns: every fragment
         write (this one and all future appends/rewrites) emits parquet bloom
@@ -290,6 +296,7 @@ class Dataset:
             bitmap_columns=list(bitmap_columns or []),
             row_ids=row_ids,
             next_row_id=next_rid,
+            column_defaults=dict(column_defaults or {}),
         )
         ds._commit_new(m)
         ds._manifest = m
@@ -493,6 +500,15 @@ class Dataset:
                     raise ConflictError(
                         f"index {n!r} dropped or replaced concurrently "
                         f"(read v{txn.read_version}, base v{base.version})"
+                    )
+                read_covers = (txn.index_refresh_base or {}).get(n)
+                if read_covers is not None and cur.get("covers_version") != read_covers:
+                    # another refresh advanced the descriptor under us; our
+                    # delta overlaps theirs, so committing would record a
+                    # double insert into the shared index files
+                    raise ConflictError(
+                        f"index {n!r} refreshed concurrently (covers "
+                        f"v{cur.get('covers_version')}, read covers v{read_covers})"
                     )
         base_ids = base.fragment_ids()
         touched = txn.removed_ids | set(txn.new_deletes)
@@ -1137,9 +1153,20 @@ class Dataset:
                 )
             empty = self.spark.createDataFrame([], out_schema)
             if columns is not None:
+                # same validation contract as the non-empty path: a typo'd
+                # projection must raise ValueError regardless of whether the
+                # scan happened to prune to zero fragments
+                known = set(empty.columns)
+                missing = [c for c in columns if c not in known]
+                if missing:
+                    raise ValueError(
+                        f"unknown columns {missing}; table has {sorted(known)}"
+                    )
                 empty = empty.select(
                     *columns, *([_ROWID] if with_row_id else [])
                 )
+            if limit is not None:
+                empty = empty.limit(int(limit))
             return empty
         if with_row_id:
             df = self._scan_with_lineage(sel, with_row_id=True).drop(
@@ -1520,13 +1547,25 @@ class Dataset:
         scan = self._scan_with_lineage(m.fragments)
         src = source
         skeys = [F.col(k) for k in keys]
-        matched_files = {
-            r[_FILE_COL]
-            for r in scan.join(src, keys, "left_semi").select(_FILE_COL).distinct().collect()
-        }
         removed: set[int] = set()
         added: list[Fragment] = []
         next_id = m.max_fragment_id + 1
+        if when_matched is None and when_not_matched is None:
+            return self  # both DO NOTHING: no scan, no empty commit
+        # the matched-files probe is a full-fact semi join — only pay it
+        # when a matched clause will actually consume it (an insert-only
+        # MERGE at 100 TB must not scan the fact twice)
+        matched_files = (
+            {
+                r[_FILE_COL]
+                for r in scan.join(src, keys, "left_semi")
+                .select(_FILE_COL)
+                .distinct()
+                .collect()
+            }
+            if when_matched
+            else set()
+        )
         if matched_files and when_matched:
             by_name = self._frag_by_basename()
             aff = [by_name[fn] for fn in sorted(matched_files)]
@@ -2238,6 +2277,13 @@ class Dataset:
                             "to use as the id; pass id_col= explicitly or "
                             "create the dataset with row_ids=True"
                         )
+            # persist the RESOLVED id column (caller-passed or fallback):
+            # refresh_index must insert new rows under the same id namespace
+            # the build used — re-deriving the fallback there risks a silent
+            # split (e.g. an fts index on a row_ids table keys by doc_id
+            # here, but a rowid-first re-derivation would key inserts by
+            # _rowid)
+            desc["params"]["id_col"] = id_col
             # in-flight sentinel: a concurrent vacuum() must not sweep a dir
             # whose build is still running (it is referenced by no manifest
             # yet). Removed in the finally below — success or failure — so a
@@ -2391,6 +2437,7 @@ class Dataset:
         txn = _Txn(
             op="index", read_version=self.version,
             index_put=advanced, index_refresh=True,
+            index_refresh_base={name: base_v},
         )
         if kind in ("bitmap", "bloom"):
             # write-path declarations collect per-fragment sets/blooms on
@@ -2418,16 +2465,21 @@ class Dataset:
         if new_frags:
             id_col = desc.get("params", {}).get("id_col")
             if id_col is None:
-                id_col = _ROWID if self.manifest.row_ids else None
-            if id_col is None:
-                # mirror create_index's SQL-face fallback: conventional name
-                # else first non-indexed column
-                names = [f.name for f in self.schema.fields]
-                conventional = "doc_id" if kind == "fts" else "vec_id"
-                indexed = {c.strip() for c in desc["column"].split(",")}
-                id_col = conventional if conventional in names else next(
-                    (n for n in names if n not in indexed), None
-                )
+                # legacy descriptor (created before id_col was persisted):
+                # mirror create_index's fallback chain EXACTLY — _ROWID only
+                # for the scalar/spatial kinds on row_ids tables, else the
+                # conventional name / first non-indexed column. A different
+                # chain here would insert new rows under a different id
+                # namespace than the build used (silent mixed-id index).
+                if kind in ("btree", "rtree") and self.manifest.row_ids:
+                    id_col = _ROWID
+                else:
+                    names = [f.name for f in self.schema.fields]
+                    conventional = "doc_id" if kind == "fts" else "vec_id"
+                    indexed = {c.strip() for c in desc["column"].split(",")}
+                    id_col = conventional if conventional in names else next(
+                        (n for n in names if n not in indexed), None
+                    )
             if id_col is None:
                 raise ValueError(
                     f"refresh_index({name!r}): no id column derivable; "
@@ -2437,23 +2489,66 @@ class Dataset:
             src = self._scan_with_lineage(new_frags, with_row_id=use_rowid).drop(
                 _FILE_COL, _POS_COL
             )
-            idx = self.open_index(name)
-            col = desc["column"]
-            if kind == "btree":
-                idx.insert(src, key_col=col, id_col=id_col)
-            elif kind == "rtree":
-                x, y = [c.strip() for c in col.split(",")]
-                idx.insert(src, x_col=x, y_col=y, id_col=id_col)
-            elif kind in ("ivf", "hnsw", "ivf_hnsw", "bq"):
-                idx.insert(src, id_col=id_col, vec_col=col)
-            elif kind == "fts":
-                idx.insert(src, id_col=id_col, text_col=col)
-            else:
+            if kind not in ("btree", "rtree", "ivf", "hnsw", "ivf_hnsw", "bq", "fts"):
                 raise ValueError(
                     f"refresh_index({name!r}): kind {kind!r} has no "
                     "incremental insert; rebuild with drop_index + create_index"
                 )
-        self._commit(txn)
+            # insert() mutates the SHARED persisted files before the commit,
+            # so the _apply covers-version conflict check alone runs too
+            # late — a losing racer would already have appended its rows.
+            # Claim the index dir (O_EXCL, crash-stealable after TTL), then
+            # re-verify against the LATEST manifest that nobody advanced or
+            # replaced the descriptor since we read it, and commit while
+            # still holding the claim: the next refresher is guaranteed to
+            # see our covers_version and abort before touching files.
+            import time
+
+            full = os.path.join(self.path, desc["path"])
+            claim = os.path.join(full, "_REFRESHING")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                try:
+                    stale = time.time() - os.path.getmtime(claim) > _INFLIGHT_TTL
+                except OSError:
+                    stale = False  # claim just released; caller retries
+                if not stale:
+                    raise ConflictError(
+                        f"index {name!r} is being refreshed concurrently"
+                    )
+                with open(claim, "w") as fh:  # steal a crashed refresher's claim
+                    fh.write("stolen")
+            try:
+                cur = self._load(self._latest_version()).indexes.get(name)
+                if (
+                    cur is None
+                    or cur.get("path") != desc["path"]
+                    or cur.get("covers_version") != base_v
+                ):
+                    raise ConflictError(
+                        f"index {name!r} changed concurrently (dropped, "
+                        "replaced, or refreshed); re-open and retry"
+                    )
+                idx = self.open_index(name)
+                col = desc["column"]
+                if kind == "btree":
+                    idx.insert(src, key_col=col, id_col=id_col)
+                elif kind == "rtree":
+                    x, y = [c.strip() for c in col.split(",")]
+                    idx.insert(src, x_col=x, y_col=y, id_col=id_col)
+                elif kind in ("ivf", "hnsw", "ivf_hnsw", "bq"):
+                    idx.insert(src, id_col=id_col, vec_col=col)
+                elif kind == "fts":
+                    idx.insert(src, id_col=id_col, text_col=col)
+                self._commit(txn)
+            finally:
+                try:
+                    os.remove(claim)
+                except OSError:
+                    pass
+        else:
+            self._commit(txn)
         return self
 
     def drop_index(self, name: str) -> "Dataset":
@@ -2673,19 +2768,28 @@ class Dataset:
             exp = payload.get("expires_at")
             if exp is None or now < exp + _STAGE_GRACE:
                 continue
-            for a in payload.get("added", []):
-                fp = os.path.join(self.path, a["path"])
+            removed.extend(self._reclaim_stage(sid, payload))
+        return removed
+
+    def _reclaim_stage(self, stage_id: str, payload: dict) -> list[str]:
+        """Remove a stage's payload file plus every staged data file and
+        deletion sidecar it references (shared by cleanup_expired and
+        delete_staged — the two reclaim faces must stay layout-identical).
+        Returns removed paths."""
+        removed: list[str] = []
+        for a in payload.get("added", []):
+            fp = os.path.join(self.path, a["path"])
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed.append(a["path"])
+        for names in payload.get("new_deletes", {}).values():
+            for rel in names:
+                fp = os.path.join(self.path, rel)
                 if os.path.exists(fp):
                     os.remove(fp)
-                    removed.append(a["path"])
-            for names in payload.get("new_deletes", {}).values():
-                for rel in names:
-                    fp = os.path.join(self.path, rel)
-                    if os.path.exists(fp):
-                        os.remove(fp)
-                        removed.append(rel)
-            os.remove(p)
-            removed.append(f"_staged/{sid}.json")
+                    removed.append(rel)
+        os.remove(os.path.join(self._staged_dir(), f"{stage_id}.json"))
+        removed.append(f"_staged/{stage_id}.json")
         return removed
 
     def delete_staged(self, stage_id: str) -> list[str]:
@@ -2705,21 +2809,7 @@ class Dataset:
             raise ValueError(f"no staged transaction {stage_id!r}")
         with open(p) as fh:
             payload = json.load(fh)
-        removed: list[str] = []
-        for a in payload.get("added", []):
-            fp = os.path.join(self.path, a["path"])
-            if os.path.exists(fp):
-                os.remove(fp)
-                removed.append(a["path"])
-        for names in payload.get("new_deletes", {}).values():
-            for rel in names:
-                fp = os.path.join(self.path, rel)
-                if os.path.exists(fp):
-                    os.remove(fp)
-                    removed.append(rel)
-        os.remove(p)
-        removed.append(f"_staged/{stage_id}.json")
-        return removed
+        return self._reclaim_stage(stage_id, payload)
 
     def commit_staged(self, stage_id: str) -> "Dataset":
         """Commit a previously staged transaction; the normal optimistic

@@ -129,12 +129,15 @@ class Engine:
         schema_ddl: str,
         schema: str = "main",
         primary_key: list[str] | None = None,
+        column_defaults: dict[str, str] | None = None,
     ) -> Dataset:
         """CREATE TABLE (reference builder_ddl.go:92). ``schema_ddl`` is a
         Spark DDL string ("a INT, b STRING"). PRIMARY KEY is recorded as
         metadata only — unenforced, same stance as Spark/the lakehouse model
         (the reference enforces it via its MVCC index; at 100 TB enforced
         uniqueness requires a shuffle per insert, so it is opt-in metadata)."""
+        if schema not in self._catalog["schemas"]:
+            raise ValueError(f"schema {schema!r} does not exist (CREATE SCHEMA first)")
         if name in self._catalog["schemas"][schema]["tables"]:
             raise ValueError(f"table {schema}.{name} already exists")
         if name.startswith("__tt__"):
@@ -145,7 +148,7 @@ class Engine:
         root = os.path.join(self.warehouse, schema, name)
         struct = StructType.fromDDL(schema_ddl)
         empty = self.spark.createDataFrame([], struct)
-        ds = Dataset.create(self.spark, root, empty)
+        ds = Dataset.create(self.spark, root, empty, column_defaults=column_defaults)
         self._catalog["schemas"][schema]["tables"][name] = {
             "root": root,
             "primary_key": primary_key or [],
@@ -480,22 +483,42 @@ class Engine:
             self.create_table(name, ddl)
             self.insert_df(name, df)
             return
-        m = re.match(r"(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)$", s)
+        m = re.match(r"(?is)^CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*\((.*)\)$", s)
         if m:
-            name, body = m.group(1), m.group(2)
+            schema_name, name, body = m.group(1) or "main", m.group(2), m.group(3)
             cols, pk = [], []
+            defaults: dict[str, str] = {}
             for part in re.split(r",(?![^()]*\))", body):
                 part = part.strip()
                 pm = re.match(r"(?is)^PRIMARY\s+KEY\s*\((.*)\)$", part)
                 if pm:
                     pk = [c.strip() for c in pm.group(1).split(",")]
                     continue
+                # DEFAULT expr (builder_ddl.go declared defaults): recorded
+                # in the manifest, consumed by INSERT column-list resolution
+                # and emitted back by SHOW CREATE TABLE (round-trip DDL)
+                dm = re.search(
+                    r"(?is)\s+DEFAULT\s+(.+?)(?=\s+NOT\s+NULL\b|\s+PRIMARY\s+KEY\b|$)",
+                    part,
+                )
+                dval = None
+                if dm:
+                    dval = dm.group(1).strip()
+                    part = (part[: dm.start()] + " " + part[dm.end():]).strip()
                 cm = re.match(r"(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY|\s+NOT\s+NULL)*$", part)
                 colname, coltype = cm.group(1), cm.group(2)
+                if dval is not None:
+                    defaults[colname] = dval
                 if re.search(r"(?i)PRIMARY\s+KEY", part):
                     pk.append(colname)
                 cols.append(f"{colname} {coltype}")
-            self.create_table(name, ", ".join(cols), primary_key=pk or None)
+            self.create_table(
+                name,
+                ", ".join(cols),
+                schema=schema_name,
+                primary_key=pk or None,
+                column_defaults=defaults or None,
+            )
             return
         # CREATE INDEX idx ON t USING kind (col[, col2]) — transactional
         # index creation on the versioned table (reference
@@ -608,7 +631,10 @@ class Engine:
 
     def _stmt_insert(self, s: str) -> None:
         m = re.match(
-            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*VALUES\s+(.*)$", s
+            # \s+ before VALUES (not \s*): with \s*, \w+ backtracks and a
+            # run-together "INSERT INTO ordersVALUES ..." silently parses
+            # as an insert into `orders` instead of hard-erroring
+            r"(?is)^INSERT\s+INTO\s+(\w+)(?:\s*\(([^()]*)\))?\s+VALUES\s+(.*)$", s
         )
         if m:
             name, cols, vals = m.group(1), m.group(2), m.group(3)
@@ -617,7 +643,7 @@ class Engine:
             self.insert_df(name, self._reorder_for_insert(name, rows_df, cols))
             return
         m = re.match(
-            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*"
+            r"(?is)^INSERT\s+INTO\s+(\w+)(?:\s*\(([^()]*)\))?\s+"
             r"((?:SELECT|WITH|TABLE)\b.*)$",
             s,
         )
@@ -795,14 +821,17 @@ class Engine:
             schema_name, tbl = m.group(1) or "main", m.group(2)
             entry = self._entry(tbl, schema_name)
             ds = Dataset.open(self.spark, entry["root"])
+            defaults = ds.manifest.column_defaults
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
                 + ("" if f.nullable else " NOT NULL")
+                + (f" DEFAULT {defaults[f.name]}" if f.name in defaults else "")
                 for f in ds.schema.fields
             )
             pk = entry.get("primary_key") or []
             pk_clause = f",\n  PRIMARY KEY ({', '.join(pk)})" if pk else ""
-            ddl = f"CREATE TABLE {tbl} (\n  {cols}{pk_clause}\n)"
+            qual = tbl if schema_name == "main" else f"{schema_name}.{tbl}"
+            ddl = f"CREATE TABLE {qual} (\n  {cols}{pk_clause}\n)"
             return self.spark.createDataFrame(
                 [(tbl, ddl)], "table_name string, create_stmt string"
             )

@@ -260,14 +260,16 @@ ORDER BY da, db
 """
 
 
-@register("dedup_ngram", oracle=_DEDUP_NGRAM_SQL, tags=("dedup", "ngram"))
-def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-5-gram Jaccard, with rare-shingle
-    blocking: only shingles appearing in <= 10 documents generate candidate
-    pairs, keeping the pair space near-linear (the full exact Jaccard is then
-    computed on candidates only). This is the scalable exact-verify
-    counterpart to MinHash (dedup_minhash) — same blocking idea the LSH
-    banding uses, but with exact similarity."""
+def _shingle_pair_intersections(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared engine of the exact shingle-overlap dedup family
+    (dedup_ngram's Jaccard and dedup_containment's directional scores):
+    word-5-gram shingle sets, rare-shingle blocking, in-place candidate
+    pair generation, and the exact intersection count.
+
+    Returns ``(inter, sizes)``: inter = (da, db, i) for every candidate
+    pair with i = |shingles(da) ∩ shingles(db)|; sizes = (doc_id, n)."""
     d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 5)
     s = (
         d.select(
@@ -317,12 +319,28 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    return inter, sizes
+
+
+def _with_pair_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(da, db, i) + per-doc set sizes na/nb."""
     za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return inter.join(za, "da").join(zb, "db")
+
+
+@register("dedup_ngram", oracle=_DEDUP_NGRAM_SQL, tags=("dedup", "ngram"))
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-5-gram Jaccard, with rare-shingle
+    blocking: only shingles appearing in <= 10 documents generate candidate
+    pairs, keeping the pair space near-linear (the full exact Jaccard is then
+    computed on candidates only). This is the scalable exact-verify
+    counterpart to MinHash (dedup_minhash) — same blocking idea the LSH
+    banding uses, but with exact similarity."""
+    inter, sizes = _shingle_pair_intersections(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(za, "da")
-        .join(zb, "db")
+        _with_pair_sizes(inter, sizes)
         .select("da", "db", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
         .orderBy("da", "db")
@@ -1309,60 +1327,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     it) but containment 1.0 — the excerpt/superset axis every curation
     pipeline needs next to symmetric similarity.
 
-    Scale shape: identical to dedup_ngram's — one groupBy(shingle)
-    generates candidate pairs in-place from rare shingles (df <= 10 bounds
-    pairs per shingle at <= 45, keeping the candidate space near-linear),
-    then the exact intersection is one aggregate over candidates joined
-    back to the shingle frame; sizes ride two small joins. No all-pairs
-    join at any corpus size. Determinism: both containments are single
-    IEEE divisions of exact integers."""
-    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= 5)
-    s = (
-        d.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias("i"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(5))).alias("sh"),
-        )
-        .distinct()
-    )
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    groups = (
-        s.groupBy("sh")
-        .agg(F.collect_set("doc_id").alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= 10))
-    )
-    cand = (
-        groups.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(docs, (x, i) -> "
-                    "transform(slice(docs, i + 2, size(docs)), "
-                    "y -> struct(least(x, y) as da, greatest(x, y) as db))))"
-                )
-            ).alias("p")
-        )
-        .select("p.da", "p.db")
-        .distinct()
-    )
-    sa = s.select(F.col("doc_id").alias("sa_id"), F.col("sh").alias("sha"))
-    sb = s.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("shb"))
-    inter = (
-        cand.join(sa, F.col("da") == F.col("sa_id"))
-        .join(sb, (F.col("db") == F.col("sb_id")) & (F.col("sha") == F.col("shb")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    Scale shape: shares dedup_ngram's engine verbatim
+    (_shingle_pair_intersections) — one groupBy(shingle) generates
+    candidate pairs in-place from rare shingles (df <= 10 bounds pairs per
+    shingle at <= 45, keeping the candidate space near-linear), then the
+    exact intersection is one aggregate over candidates joined back to the
+    shingle frame; sizes ride two small joins. No all-pairs join at any
+    corpus size. Determinism: both containments are single IEEE divisions
+    of exact integers."""
+    inter, sizes = _shingle_pair_intersections(spark, sf_dir)
     c_ab = F.col("i").cast("double") / F.col("na")
     c_ba = F.col("i").cast("double") / F.col("nb")
     return (
-        inter.join(za, "da")
-        .join(zb, "db")
+        _with_pair_sizes(inter, sizes)
         .select(
             "da",
             "db",

@@ -81,6 +81,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_index_knn",  # IVF metric persistence touched create_index(kind=ivf)
     "knn_batch",  # IvfIndex.search_df metric default changed (None->persisted)
     "ds_detached_scan",  # commit_staged claim protocol changed
+    "dedup_ngram",  # changed: shingle engine factored into shared helper
     # ---- still-recent r4 rows whose driver coverage stays useful ----
     "retention_cohorts",
     "knn_l2",
@@ -111,7 +112,6 @@ _WINDOW_LAST: tuple[str, ...] = (
     "fingerprint",  # green r1+r2, unchanged
     "token_count",  # green r1+r2, unchanged
     "dedup_exact",  # green r1+r2, unchanged
-    "dedup_ngram",  # green r1+r2 results; this round only re-layouts its scan
     "token_cjk",  # green r2, unchanged
     "knn_brute",  # green r1+r2, unchanged
     "knn_filtered",  # green r2, unchanged

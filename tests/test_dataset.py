@@ -818,3 +818,19 @@ def test_filter_parser_top_level_or_disables_pruning(spark, tmp_path_ds):
     got_ids = sorted(r.id for r in ds.to_df(filters=pred).collect())
     want_ids = sorted(r.id for r in ds.to_df().filter(pred).collect())
     assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_to_df_unknown_columns_raise_on_empty_scan(spark, tmp_path):
+    """The columns= validation contract (ValueError naming the typo) must
+    not depend on whether pruning selected zero fragments."""
+    from plan_spark.dataset import Dataset
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double").coalesce(1)
+    ds = Dataset.create(spark, str(tmp_path / "empties"), df)
+    with pytest.raises(ValueError, match="unknown columns"):
+        ds.to_df(columns=["typo"])
+    # fully-pruned scan (contradictory range): same exception type
+    with pytest.raises(ValueError, match="unknown columns"):
+        ds.to_df(filters="k >= 10 AND k <= 5", columns=["typo"])
+    # and limit= applies on the empty path too
+    assert ds.to_df(filters="k >= 10 AND k <= 5", limit=3).count() == 0

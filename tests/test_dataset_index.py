@@ -185,3 +185,88 @@ def test_refresh_index_ivf_incremental(spark, tmp_ds):
     )
     hits = idx.search(q, top_k=3, nprobe=8).collect()
     assert len(hits) == 6
+
+
+def test_refresh_fts_on_rowids_table_keeps_id_namespace(spark, tmp_ds):
+    """create_index persists its resolved id column so refresh_index inserts
+    under the SAME id namespace the build used. On a row_ids table an fts
+    index still keys by doc_id (create_index's fallback), and a refresh
+    after append must too — a rowid-first re-derivation would silently mix
+    two id namespaces in one index."""
+    docs = spark.createDataFrame(
+        [(9001, "alpha words here"), (9002, "beta words there")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    ds = Dataset.create(spark, tmp_ds, docs, row_ids=True)
+    ds.create_index("fi", kind="fts", column="text")
+    # the RESOLVED fallback is persisted in the descriptor
+    assert ds.manifest.indexes["fi"]["params"]["id_col"] == "doc_id"
+    ds.append(
+        spark.createDataFrame(
+            [(9003, "gamma zebraword unique")], "doc_id long, text string"
+        ).coalesce(1)
+    )
+    ds.refresh_index("fi")
+    hits = ds.open_index("fi").search(["zebraword"], top_k=5).collect()
+    assert [r.doc_id for r in hits] == [9003]  # the doc id, NOT a row id
+
+
+def test_refresh_legacy_descriptor_rederives_create_fallback(spark, tmp_ds):
+    """Descriptors written before id_col was persisted: refresh_index must
+    re-derive with create_index's EXACT chain (_ROWID only for scalar/
+    spatial kinds on row_ids tables — never for fts/vector kinds)."""
+    docs = spark.createDataFrame(
+        [(9001, "alpha words here"), (9002, "beta words there")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    ds = Dataset.create(spark, tmp_ds, docs, row_ids=True)
+    ds.create_index("fi", kind="fts", column="text")
+    # simulate a legacy manifest: the resolved id_col was never recorded
+    ds.manifest.indexes["fi"]["params"].pop("id_col")
+    ds.append(
+        spark.createDataFrame(
+            [(9003, "gamma zebraword unique")], "doc_id long, text string"
+        ).coalesce(1)
+    )
+    ds.refresh_index("fi")
+    hits = ds.open_index("fi").search(["zebraword"], top_k=5).collect()
+    assert [r.doc_id for r in hits] == [9003]
+
+
+def test_concurrent_refresh_conflicts(spark, tmp_ds):
+    """Two handles refreshing the same index over the same delta must not
+    double-insert into the shared persisted files: the loser aborts BEFORE
+    mutating (latest-manifest covers check under the claim file)."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(1, "alpha words"), (2, "beta words")], "doc_id long, text string"
+    ).coalesce(1)
+    ds = Dataset.create(spark, tmp_ds, docs, row_ids=True)
+    ds.create_index("fi", kind="fts", column="text")
+    ds.append(
+        spark.createDataFrame([(3, "gamma fresh")], "doc_id long, text string")
+        .coalesce(1)
+    )
+    a = Dataset.open(spark, tmp_ds)
+    b = Dataset.open(spark, tmp_ds)
+    a.refresh_index("fi")
+    with pytest.raises(ConflictError):
+        b.refresh_index("fi")
+    # exactly one insert landed: the term postings are not doubled
+    hits = a.open_index("fi").search(["gamma"], top_k=5).collect()
+    assert [r.doc_id for r in hits] == [3]
+    # a held claim blocks a refresher outright (in-progress refresh)
+    b = Dataset.open(spark, tmp_ds)
+    b.append(
+        spark.createDataFrame([(4, "delta fresh")], "doc_id long, text string")
+        .coalesce(1)
+    )
+    claim = os.path.join(tmp_ds, b.manifest.indexes["fi"]["path"], "_REFRESHING")
+    with open(claim, "w") as fh:
+        fh.write("other")
+    with pytest.raises(ConflictError, match="concurrently"):
+        b.refresh_index("fi")
+    os.remove(claim)
+    b.refresh_index("fi")
+    assert b.index_fresh("fi")

@@ -714,3 +714,45 @@ def test_insert_with_column_list_and_defaults(engine):
         engine.sql("INSERT INTO dft (nope) VALUES (1)")
     with pytest.raises(ValueError, match="supplies 1 values"):
         engine.sql("INSERT INTO dft (a, c) VALUES (1)")
+
+
+def test_show_create_table_roundtrips_defaults_and_schema(engine):
+    """SHOW CREATE TABLE must emit DDL that reproduces the table: declared
+    column DEFAULTs and the schema qualifier are part of that contract
+    (the emitted create_stmt replays through engine.sql)."""
+    engine.sql("CREATE TABLE rt (a INT PRIMARY KEY, d STRING DEFAULT 'dd')")
+    stmt = engine.sql("SHOW CREATE TABLE rt").first().create_stmt
+    assert "DEFAULT 'dd'" in stmt
+    # replay the emitted DDL under a new name: defaults must carry over
+    engine.sql(stmt.replace("CREATE TABLE rt", "CREATE TABLE rt2"))
+    engine.sql("INSERT INTO rt2 (a) VALUES (1)")
+    assert engine.sql("SELECT d FROM rt2").first().d == "dd"
+    # non-main tables emit (and re-accept) the qualified name
+    engine.sql("CREATE SCHEMA aux")
+    engine.sql("CREATE TABLE aux.q (x INT)")
+    stmt = engine.sql("SHOW CREATE TABLE aux.q").first().create_stmt
+    assert "aux.q" in stmt
+
+
+def test_insert_rejects_run_together_keywords(engine):
+    """Owned keywords either match the supported grammar exactly or raise:
+    a run-together INSERT must not silently parse via regex backtracking."""
+    engine.create_table("rj", "a INT")
+    with pytest.raises(ValueError, match="INSERT"):
+        engine.sql("INSERT INTO rjVALUES (1)")
+    with pytest.raises(ValueError, match="INSERT"):
+        engine.sql("INSERT INTO rjSELECT 1")
+    assert engine.sql("SELECT COUNT(*) AS c FROM rj").first().c == 0
+
+
+def test_merge_both_do_nothing_is_free(engine):
+    """MERGE with both clauses DO NOTHING: no version bump, no data scan."""
+    engine.create_table("mn", "k INT, v STRING")
+    engine.insert_values("mn", [(1, "a")])
+    v = engine.dataset("mn").version
+    engine.sql(
+        "MERGE INTO mn USING (SELECT 1 AS k, 'Z' AS v) ON k "
+        "WHEN MATCHED THEN DO NOTHING WHEN NOT MATCHED THEN DO NOTHING"
+    )
+    assert engine.dataset("mn").version == v
+    assert engine.sql("SELECT v FROM mn").first().v == "a"

@@ -1217,3 +1217,188 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 shape: returns-adjusted per-customer sales (fact LEFT JOIN aggregated
+# returns, CASE on the miss)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q93_SQL = f"""
+WITH ret AS (
+  SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(9,2)) AS ret_qty
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY 1, 2
+), adj AS (
+  SELECT o_custkey,
+         (CAST(CAST(s.l_quantity AS DECIMAL(9,2))
+               - COALESCE(r.ret_qty, CAST(0 AS DECIMAL(9,2)))
+           AS DECIMAL(10,2)))
+         * ({REV_SQL}) AS act_sales
+  FROM lineitem s
+  LEFT JOIN ret r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+  JOIN orders ON s.l_orderkey = o_orderkey
+  WHERE s.l_returnflag <> 'R'
+)
+SELECT o_custkey, CAST(SUM(act_sales) AS DOUBLE) AS sumsales
+FROM adj GROUP BY o_custkey
+ORDER BY sumsales, o_custkey
+LIMIT 100
+"""
+
+
+@register("tpcds_q93", oracle=_TPCDS_Q93_SQL, tags=("tpcds", "returns"))
+def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape (cases/tpcds/query/query93.sql): per-customer sales
+    where every sale line is adjusted by its matching return — a LEFT JOIN
+    of the fact to the (aggregated) returns side with a CASE on the miss:
+    quantity - returned_qty when a return exists, full quantity otherwise.
+    Returns are the l_returnflag='R' slice of the same fact, matched on
+    (order, item).
+
+    Scale shape: returns aggregate once on (orderkey, partkey) — map-side
+    combined — and the sales LEFT JOIN runs on the SAME key, so Catalyst
+    reuses the pair exchange; the orders join is orderkey-co-partitioned
+    (shuffle_hash pinned — orders is a fact, never broadcast); the final
+    per-customer aggregate is the only other shuffle. No self-join of raw
+    rows: the returns side is pre-reduced, which is what bounds the join
+    at 100 TB.
+
+    Determinism: adjusted quantity is exact DECIMAL(10,2); act_sales =
+    adj_qty * (price * (1-disc)) stays inside decimal128 (38,6 worst
+    case); the per-customer sum is decimal-exact, cast to DOUBLE once.
+    LIMIT rides a total order (sumsales, then unique custkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    q9 = F.col("l_quantity").cast("decimal(9,2)")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_orderkey").alias("r_ok"), F.col("l_partkey").alias("r_pk")
+        )
+        .agg(F.sum(q9).cast("decimal(9,2)").alias("ret_qty"))
+    )
+    sales = li.filter(F.col("l_returnflag") != "R")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    adj_qty = (
+        q9 - F.coalesce(F.col("ret_qty"), F.lit(0).cast("decimal(9,2)"))
+    ).cast("decimal(10,2)")
+    adj = (
+        sales.join(
+            # shuffle_hash pinned: the aggregated returns side is
+            # returns-count-sized — proportional to the fact, so it only
+            # looks broadcastable at fixture scale
+            ret.hint("shuffle_hash"),
+            (sales.l_orderkey == ret.r_ok) & (sales.l_partkey == ret.r_pk),
+            "left",
+        )
+        .join(ords.hint("shuffle_hash"), sales.l_orderkey == ords.o_orderkey)
+        .select("o_custkey", (adj_qty * rev_col()).alias("act_sales"))
+    )
+    return (
+        adj.groupBy("o_custkey")
+        .agg(F.sum("act_sales").cast("double").alias("sumsales"))
+        .orderBy("sumsales", "o_custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 shape: worst return ratios per channel, ranked, top-N per channel
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q49_SQL = f"""
+WITH per AS (
+  SELECT l_linestatus AS channel, l_partkey AS item,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_qty,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty,
+         SUM(CASE WHEN l_returnflag = 'R' THEN {REV_SQL}
+                  ELSE CAST(0 AS DECIMAL(27,4)) END) AS ret_amt,
+         SUM({REV_SQL}) AS tot_amt
+  FROM lineitem
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT channel, item,
+         CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS qty_ratio,
+         CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE) AS amt_ratio,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) DESC)
+           AS qty_rank,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE) DESC)
+           AS amt_rank
+  FROM per WHERE tot_qty > 0 AND tot_amt > 0
+)
+SELECT channel, item, qty_ratio, amt_ratio,
+       CAST(qty_rank AS BIGINT) AS qty_rank, CAST(amt_rank AS BIGINT) AS amt_rank
+FROM ranked
+WHERE qty_rank <= 10 OR amt_rank <= 10
+ORDER BY channel, item
+"""
+
+
+@register("tpcds_q49", oracle=_TPCDS_Q49_SQL, tags=("tpcds", "window", "returns"))
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape (cases/tpcds/query/query49.sql): the worst-return
+    items per channel — per-(channel, item) return ratios by quantity AND
+    by amount, each RANKed within its channel, keeping items in either
+    top-10. Channels are the l_linestatus slices; returns the
+    l_returnflag='R' rows.
+
+    Scale shape: the query text unions three per-channel subqueries (three
+    fact scans); channel-as-a-column collapses that to ONE (channel, item)
+    conditional aggregate — a single fact shuffle, map-side combined — and
+    the double RANK runs over the pre-aggregated item-bounded series
+    (window partitions = channels, rows per partition <= |part|). No
+    Union, no repeated scan.
+
+    Determinism: both ratios divide exact decimal sums cast to DOUBLE —
+    identical doubles both engines, so RANK tie-groups are identical
+    (RANK, not ROW_NUMBER: equal ratios share a rank, no arbitrary
+    intra-tie order is ever exposed); final order is the unique
+    (channel, item)."""
+    li = table(spark, sf_dir, "lineitem")
+    is_ret = F.col("l_returnflag") == "R"
+    q18 = F.col("l_quantity").cast("decimal(18,2)")
+    per = li.groupBy(
+        F.col("l_linestatus").alias("channel"), F.col("l_partkey").alias("item")
+    ).agg(
+        F.sum(F.when(is_ret, q18).otherwise(F.lit(0).cast("decimal(18,2)"))).alias(
+            "ret_qty"
+        ),
+        F.sum(q18).alias("tot_qty"),
+        F.sum(
+            F.when(is_ret, rev_col()).otherwise(F.lit(0).cast("decimal(27,4)"))
+        ).alias("ret_amt"),
+        F.sum(rev_col()).alias("tot_amt"),
+    )
+    qty_ratio = F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double")
+    amt_ratio = F.col("ret_amt").cast("double") / F.col("tot_amt").cast("double")
+    ranked = (
+        per.filter((F.col("tot_qty") > 0) & (F.col("tot_amt") > 0))
+        .select(
+            "channel",
+            "item",
+            qty_ratio.alias("qty_ratio"),
+            amt_ratio.alias("amt_ratio"),
+        )
+        .withColumn(
+            "qty_rank",
+            F.rank()
+            .over(Window.partitionBy("channel").orderBy(F.col("qty_ratio").desc()))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "amt_rank",
+            F.rank()
+            .over(Window.partitionBy("channel").orderBy(F.col("amt_ratio").desc()))
+            .cast("bigint"),
+        )
+    )
+    return (
+        ranked.filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .select("channel", "item", "qty_ratio", "amt_ratio", "qty_rank", "amt_rank")
+        .orderBy("channel", "item")
+    )

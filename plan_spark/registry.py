@@ -61,6 +61,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5: new queries ----
     "tfidf_topk",  # new: per-doc top-5 keywords, two-aggregate TF-IDF dataflow
     "dedup_containment",  # new: directional shingle containment (subset dups)
+    "tpcds_q93",  # new: returns-adjusted sales (left join aggregated returns)
+    "tpcds_q49",  # new: per-channel double-RANK return ratios, no union
     "tpcds_q97",  # new: channel-overlap pair counts (full-outer class, flag rewrite)
     "tpcds_q14",  # new: cross-channel INTERSECT + scalar avg threshold, 1 fact pass
     "ds_refresh_scan",  # new: incremental refresh_index lifecycle, auto-routing after

@@ -289,3 +289,41 @@ def test_q14_single_fact_scan_via_persisted_channel_agg(spark):
     assert "InMemoryTableScan" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "Intersect" not in p
+
+
+def test_q93_prereduced_returns_no_fact_broadcast(spark):
+    """q93's scale contract: the returns side is pre-aggregated before the
+    left join (partial_sum under the pair exchange), the sales LEFT JOIN
+    reuses the same (orderkey, partkey) key, and neither fact slice ever
+    broadcasts."""
+    spec = load_all()["tpcds_q93"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    import re
+
+    assert "partial_sum" in p  # returns reduced map-side before the join
+    # exactly one pair exchange per side: the returns-side exchange feeds
+    # the aggregate AND the join directly (no re-shuffle of the reduced set)
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(l_orderkey#\d+L?, l_partkey", p))
+        == 2
+    )
+    assert "LeftOuter" in p
+    # left join of sales to reduced returns + orders join: shuffled, never
+    # a broadcast of a fact slice
+    assert p.count("ShuffledHashJoin") + p.count("SortMergeJoin") >= 2
+    for line in p.splitlines():
+        if "BroadcastExchange" in line or "BroadcastHashJoin" in line:
+            raise AssertionError(f"unexpected broadcast in q93 plan: {line}")
+
+
+def test_q49_single_scan_no_union(spark):
+    """q49's scale contract: channel-as-a-column — ONE lineitem scan feeds
+    the (channel, item) conditional aggregate (map-side combined); the two
+    RANKs run over the pre-aggregated series; no Union of per-channel
+    subplans."""
+    spec = load_all()["tpcds_q49"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR))
+    assert p.count("lineitem.parquet") == 1
+    assert "Union" not in p
+    assert "partial_sum" in p
+    assert p.count("Window") >= 1

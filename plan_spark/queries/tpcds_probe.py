@@ -1402,3 +1402,171 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("channel", "item", "qty_ratio", "amt_ratio", "qty_rank", "amt_rank")
         .orderBy("channel", "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# q17 shape: per-brand quantity statistics with a coefficient-of-variation
+# filter (mean/stdev/cv over returned quantities)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q17_SQL = """
+WITH s AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS ssq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R'
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n,
+       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS qty_mean,
+       SQRT(CAST(n * ssq - sq * sq AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE)) AS qty_stdev
+FROM s
+WHERE n >= 2
+  AND 4 * n * (n * ssq - sq * sq) > (n - 1) * sq * sq
+ORDER BY p_brand
+"""
+
+
+@register("tpcds_q17", oracle=_TPCDS_Q17_SQL, tags=("tpcds", "stats"))
+def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape (cases/tpcds/query/query17.sql): per-group quantity
+    statistics — mean, sample stdev, and a coefficient-of-variation filter
+    (keep groups where stdev/mean > 1/2, i.e. erratically-returned brands).
+
+    Scale shape: one conditional aggregate over the fact (n, Σx, Σx² —
+    all map-side combinable bigints) joined to the broadcast part dim; the
+    stats and the CV predicate are projections over the three integers.
+    Nothing re-scans, nothing sorts globally.
+
+    Determinism: the CV filter is evaluated WITHOUT any floating point —
+    stdev/mean > 1/2 is cross-multiplied to
+    4·n·(n·Σx² − (Σx)²) > (n−1)·(Σx)², a pure BIGINT comparison immune to
+    sqrt/division rounding at the boundary; the emitted mean/stdev are
+    closed-form doubles over the same exact integers."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qi = F.col("l_quantity").cast("bigint")
+    s = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qi).cast("bigint").alias("sq"),
+            F.sum(qi * qi).cast("bigint").alias("ssq"),
+        )
+    )
+    n, sq, ssq = F.col("n"), F.col("sq"), F.col("ssq")
+    return (
+        s.filter(
+            (n >= 2)
+            & (4 * n * (n * ssq - sq * sq) > (n - F.lit(1)) * sq * sq)
+        )
+        .select(
+            "p_brand",
+            n.cast("bigint").alias("n"),
+            (sq.cast("double") / n.cast("double")).alias("qty_mean"),
+            F.sqrt(
+                (n * ssq - sq * sq).cast("double")
+                / (n * (n - F.lit(1))).cast("double")
+            ).alias("qty_stdev"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 shape: per-customer channel sales EXCLUDING returned lines (anti join
+# to the returns side) + cross-channel ratio
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q78_SQL = f"""
+WITH ret AS (
+  SELECT DISTINCT l_orderkey AS r_ok, l_partkey AS r_pk
+  FROM lineitem WHERE l_returnflag = 'R'
+), clean AS (
+  SELECT s.l_orderkey, s.l_linestatus, {REV_SQL} AS rev
+  FROM lineitem s
+  LEFT JOIN ret r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+  WHERE s.l_returnflag <> 'R' AND r.r_ok IS NULL
+), per AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN l_linestatus = 'F' THEN rev
+                  ELSE CAST(0 AS DECIMAL(27,4)) END) AS f_rev,
+         SUM(CASE WHEN l_linestatus = 'O' THEN rev
+                  ELSE CAST(0 AS DECIMAL(27,4)) END) AS o_rev
+  FROM clean JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(f_rev AS DOUBLE) AS f_rev,
+       CAST(o_rev AS DOUBLE) AS o_rev,
+       CAST(f_rev AS DOUBLE) / CAST(o_rev AS DOUBLE) AS fo_ratio
+FROM per
+WHERE f_rev > 0 AND o_rev > 0
+ORDER BY fo_ratio DESC, o_custkey
+LIMIT 100
+"""
+
+
+@register("tpcds_q78", oracle=_TPCDS_Q78_SQL, tags=("tpcds", "anti-join"))
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape (cases/tpcds/query/query78.sql): per-customer
+    channel revenue over NON-RETURNED lines only (the fact anti-joined to
+    its returns side on (order, item)) and the cross-channel ratio,
+    worst-skewed customers first.
+
+    Scale shape: the returns side reduces to DISTINCT (order, item) pairs
+    before the ANTI join (pair-bounded, not returns-row-bounded); the anti
+    join and the q93-style left join share the same key discipline — the
+    pair exchange on the sales side is reused by nothing else here, but
+    the join itself is shuffled (shuffle_hash pinned: the pair set is
+    fact-proportional). Channels fold as a conditional aggregate — one
+    customer shuffle — instead of the query text's per-channel subqueries.
+
+    Determinism: channel sums are exact decimals; the ratio is one IEEE
+    division of their double casts; DESC order has the unique custkey
+    tiebreak under LIMIT."""
+    li = table(spark, sf_dir, "lineitem")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_ok"), F.col("l_partkey").alias("r_pk"))
+        .distinct()
+    )
+    sales = li.filter(F.col("l_returnflag") != "R")
+    clean = sales.join(
+        ret.hint("shuffle_hash"),
+        (sales.l_orderkey == ret.r_ok) & (sales.l_partkey == ret.r_pk),
+        "left_anti",
+    )
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    zero = F.lit(0).cast("decimal(27,4)")
+    per = (
+        clean.join(ords.hint("shuffle_hash"), clean.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", rev_col()).otherwise(zero)
+            ).alias("f_rev"),
+            F.sum(
+                F.when(F.col("l_linestatus") == "O", rev_col()).otherwise(zero)
+            ).alias("o_rev"),
+        )
+        .filter((F.col("f_rev") > 0) & (F.col("o_rev") > 0))
+    )
+    return (
+        per.select(
+            "o_custkey",
+            F.col("f_rev").cast("double").alias("f_rev"),
+            F.col("o_rev").cast("double").alias("o_rev"),
+            (F.col("f_rev").cast("double") / F.col("o_rev").cast("double")).alias(
+                "fo_ratio"
+            ),
+        )
+        .orderBy(F.col("fo_ratio").desc(), "o_custkey")
+        .limit(100)
+    )

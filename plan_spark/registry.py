@@ -61,6 +61,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5: new queries ----
     "tfidf_topk",  # new: per-doc top-5 keywords, two-aggregate TF-IDF dataflow
     "dedup_containment",  # new: directional shingle containment (subset dups)
+    "tpcds_q17",  # new: quantity stats + integer-exact CV filter
+    "tpcds_q78",  # new: anti-join non-returned channel ratio
     "tpcds_q93",  # new: returns-adjusted sales (left join aggregated returns)
     "tpcds_q49",  # new: per-channel double-RANK return ratios, no union
     "tpcds_q97",  # new: channel-overlap pair counts (full-outer class, flag rewrite)

@@ -327,3 +327,32 @@ def test_q49_single_scan_no_union(spark):
     assert "Union" not in p
     assert "partial_sum" in p
     assert p.count("Window") >= 1
+
+
+def test_q17_single_conditional_aggregate(spark):
+    """q17's scale contract: one fact scan feeds the (n, Σx, Σx²) moment
+    aggregate (map-side combined), the part dim broadcasts, and the CV
+    predicate is a projection — no second scan, no window, no sort beyond
+    the final output order."""
+    spec = load_all()["tpcds_q17"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR))
+    assert p.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Window" not in p
+
+
+def test_q78_anti_join_shuffled_pair_set(spark):
+    """q78's scale contract: the returns pair set reduces to DISTINCT before
+    the LEFT ANTI join, the anti join is shuffled (the pair set is
+    fact-proportional — never broadcast), and channels fold as one
+    conditional aggregate (single customer shuffle, no per-channel
+    subplans)."""
+    spec = load_all()["tpcds_q78"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "LeftAnti" in p
+    assert "Union" not in p
+    for line in p.splitlines():
+        if "BroadcastHashJoin" in line and "LeftAnti" in line:
+            raise AssertionError(f"anti join must shuffle: {line}")
+    assert "partial_sum" in p

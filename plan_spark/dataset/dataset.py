@@ -882,6 +882,10 @@ class Dataset:
     # index only when its fence-estimated match fraction is at most this —
     # above it a pruned full scan is cheaper than probe + id mapping.
     _INDEX_SCAN_MAX_RATIO = 0.3
+    # fence row estimate at or below which a btree probe runs driver-side
+    # (pyarrow over the fence-selected run files — zero Spark jobs on the
+    # plan path); wide ranges keep the distributed probe
+    _DRIVER_PROBE_MAX_ROWS = 65536
 
     def _frag_rowid_interval(self, f: Fragment):
         """[lo, hi] of stable row ids a fragment can contain, or None when
@@ -996,7 +1000,10 @@ class Dataset:
                         )
                     return ids
 
-                candidates.append((est, total, bt_probe))
+                def bt_probe_driver(name=name, lo=lo, hi=hi, in_vals=in_vals):
+                    return self.open_index(name).range_ids(lo, hi, in_vals=in_vals)
+
+                candidates.append((est, total, bt_probe, bt_probe_driver))
             else:  # rtree: conjuncts bounding x and y compose one box.
                 # BOTH axes must carry at least one conjunct: the index
                 # excludes rows with a NULL coordinate (rtree.py build), so
@@ -1042,12 +1049,36 @@ class Dataset:
                 def rt_probe(name=name, qx0=qx0, qy0=qy0, qx1=qx1, qy1=qy1):
                     return self.open_index(name).range_search(qx0, qy0, qx1, qy1)
 
-                candidates.append((est, total, rt_probe))
+                candidates.append((est, total, rt_probe, None))
         if not candidates:
             return None
-        est, total, probe = min(candidates, key=lambda c: c[0])
+        est, total, probe, probe_driver = min(candidates, key=lambda c: c[0])
         if est / total > self._INDEX_SCAN_MAX_RATIO:
             return None  # full (pruned) scan is the cheaper plan
+        if probe_driver is not None and est <= self._DRIVER_PROBE_MAX_ROWS:
+            # point/small-range probe: read the fence-selected run files
+            # with pyarrow in the planning process (reference
+            # index_selector.go probes the B-tree driver-side too) and map
+            # ids -> fragments with a bisect over the sorted interval
+            # table — ZERO Spark jobs on the plan path. The gate is the
+            # fence row estimate, so a wide range still takes the
+            # distributed probe below.
+            import bisect
+
+            intervals, hits = [], set()
+            for f in self.manifest.fragments:
+                iv = self._frag_rowid_interval(f)
+                if iv is None:
+                    hits.add(f.id)  # unprovable: always scanned
+                else:
+                    intervals.append((iv[0], iv[1], f.id))
+            intervals.sort()
+            starts = [iv[0] for iv in intervals]
+            for rid in probe_driver():
+                k = bisect.bisect_right(starts, rid) - 1
+                if k >= 0 and intervals[k][0] <= rid <= intervals[k][1]:
+                    hits.add(intervals[k][2])
+            return hits
         ids = probe()
         # map matching row ids -> owning fragments: broadcast the (file-
         # count-sized) interval table against the id stream and collect the

@@ -216,6 +216,50 @@ class BtreeIndex:
         """Reference btree_index.go:111 EqualityQuery — a degenerate range."""
         return self.range_query(value, value)
 
+    def range_ids(self, lo=None, hi=None, in_vals=None) -> list:
+        """Driver-side point/range probe: the fence-selected run files plus
+        the pending buffer are read with pyarrow (no Spark job) and the
+        matching row ids returned as a Python list. Correct at any scale
+        but LATENCY-right only when the caller has bounded the match count
+        (the scan planner gates on the fence row estimate); large ranges
+        should keep using range_query's distributed scan. This is the
+        reference's probe shape — IndexSelector reads the B-tree in the
+        planning process (index_selector.go:36-78), not via a query job."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if in_vals is not None and not in_vals:
+            return []  # `k IN ()` matches nothing
+        self._recover_runs()
+        files = self._probe_files(lo, hi)
+        if files is None:
+            runs = os.path.join(self.path, "runs")
+            files = [
+                os.path.join(runs, f)
+                for f in os.listdir(runs)
+                if f.endswith(".parquet")
+            ]
+        pend = os.path.join(self.path, "pending")
+        if os.path.isdir(pend):
+            files = list(files) + [
+                os.path.join(pend, f)
+                for f in os.listdir(pend)
+                if f.endswith(".parquet")
+            ]
+        filters = []
+        if lo is not None:
+            filters.append(("key", ">=", lo))
+        if hi is not None:
+            filters.append(("key", "<=", hi))
+        out: list = []
+        for f in files:
+            t = pq.read_table(f, columns=["id", "key"], filters=filters or None)
+            if in_vals is not None:
+                t = t.filter(pc.is_in(t["key"], value_set=pa.array(in_vals)))
+            out.extend(t["id"].to_pylist())
+        return out
+
     # --------------------------------------------------------- batch probe
     def range_query_df(self, ranges: DataFrame) -> DataFrame:
         """Batch probe: ``ranges`` is a DataFrame (range_id, lo, hi) that

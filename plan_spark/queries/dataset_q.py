@@ -552,7 +552,10 @@ def ds_btree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = 355000.0, 356000.0
     files = bt._probe_files(lo, hi)
     assert files is not None and files, "expected fence pruning on the btree probe"
-    ids = [r.id for r in bt.range_query(lo, hi).select("id").collect()]
+    # online point-probe face: fence-selected run files read driver-side
+    # (range_ids — zero Spark jobs; the distributed range_query face stays
+    # the wide-range path)
+    ids = bt.range_ids(lo, hi)
     hits = ds.take_rows(ids, columns=["o_orderkey", "o_totalprice"])
     return hits.agg(
         F.count(F.lit(1)).alias("n"),

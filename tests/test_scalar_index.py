@@ -609,3 +609,43 @@ def test_auto_index_routing_survives_deletes_and_compaction(spark):
     sel_zone3, _ = ds.plan_scan("k = 30001", use_indexes=False)
     assert len(sel_auto3) == len(sel_zone3)
     assert [r.k for r in ds.to_df(filters="k = 30001").collect()] == [30001]
+
+
+def test_driver_probe_matches_distributed_probe(spark):
+    """The pyarrow driver-side probe (small fence estimates; zero Spark
+    jobs on the plan path) must select exactly the fragments the
+    distributed probe selects, for ranges, INs, and point lookups —
+    including ids sitting in the pending (buffered-insert) tail."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("driver_probe_eq")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    # stale-then-refresh so the pending buffer carries rows too
+    ds.append(
+        spark.range(0, 4).select(
+            (F.col("id") * 4 + 30000).alias("k"),
+            (F.col("id")).cast("double").alias("payload"),
+        ).coalesce(1)
+    )
+    ds.refresh_index("ki")
+    preds = [
+        "k = 401",
+        "k IN (1, 401, 30004)",
+        "k >= 30000 AND k <= 30008",
+        "k >= 100 AND k <= 120",
+    ]
+    for pred in preds:
+        fast, _ = ds.plan_scan(pred, use_indexes=True)
+        orig = Dataset._DRIVER_PROBE_MAX_ROWS
+        Dataset._DRIVER_PROBE_MAX_ROWS = -1  # force the distributed probe
+        try:
+            slow, _ = ds.plan_scan(pred, use_indexes=True)
+        finally:
+            Dataset._DRIVER_PROBE_MAX_ROWS = orig
+        assert {f.id for f in fast} == {f.id for f in slow}, pred
+        got = sorted(r.k for r in ds.to_df(filters=pred).collect())
+        want = sorted(
+            r.k for r in ds.to_df(filters=pred, use_indexes=False).collect()
+        )
+        assert got == want, pred

@@ -1049,7 +1049,10 @@ class Dataset:
                 def rt_probe(name=name, qx0=qx0, qy0=qy0, qx1=qx1, qy1=qy1):
                     return self.open_index(name).range_search(qx0, qy0, qx1, qy1)
 
-                candidates.append((est, total, rt_probe, None))
+                def rt_probe_driver(name=name, qx0=qx0, qy0=qy0, qx1=qx1, qy1=qy1):
+                    return self.open_index(name).range_ids(qx0, qy0, qx1, qy1)
+
+                candidates.append((est, total, rt_probe, rt_probe_driver))
         if not candidates:
             return None
         est, total, probe, probe_driver = min(candidates, key=lambda c: c[0])

@@ -190,6 +190,49 @@ class RtreeIndex:
             & (F.col("ymin") <= F.lit(qymax))
         )
 
+    def range_ids(self, qxmin, qymin, qxmax, qymax) -> list:
+        """Driver-side box probe (BtreeIndex.range_ids analogue): the
+        MBR-fence-selected run files plus the pending buffer are read with
+        pyarrow — no Spark job — and the ids of intersecting boxes
+        returned as a list. Latency-right only for bounded probes (the
+        scan planner gates on the fence row estimate); wide boxes keep the
+        distributed range_search."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        self._recover_runs()
+        fences = self._fences()
+        hit = [
+            r.file
+            for r in fences
+            if None in (r.xlo, r.xhi, r.ylo, r.yhi)
+            or (r.xhi >= qxmin and r.xlo <= qxmax and r.yhi >= qymin and r.ylo <= qymax)
+        ]
+        files = list(hit)
+        if len(hit) == len(fences):
+            runs = os.path.join(self.path, "runs")
+            files = [
+                os.path.join(runs, f)
+                for f in os.listdir(runs)
+                if f.endswith(".parquet")
+            ]
+        pend = os.path.join(self.path, "pending")
+        if os.path.isdir(pend):
+            files += [
+                os.path.join(pend, f)
+                for f in os.listdir(pend)
+                if f.endswith(".parquet")
+            ]
+        out: list = []
+        for f in files:
+            t = pq.read_table(f, columns=["id", "xmin", "xmax", "ymin", "ymax"])
+            mask = pc.and_(
+                pc.and_(pc.greater_equal(t["xmax"], qxmin), pc.less_equal(t["xmin"], qxmax)),
+                pc.and_(pc.greater_equal(t["ymax"], qymin), pc.less_equal(t["ymin"], qymax)),
+            )
+            out.extend(t.filter(mask)["id"].to_pylist())
+        return out
+
     def range_search_df(self, boxes: DataFrame) -> DataFrame:
         """Batch box probe: ``boxes`` is a DataFrame (box_id, qxmin, qymin,
         qxmax, qymax) that never touches the driver — the offline face

@@ -649,3 +649,29 @@ def test_driver_probe_matches_distributed_probe(spark):
             r.k for r in ds.to_df(filters=pred, use_indexes=False).collect()
         )
         assert got == want, pred
+
+
+def test_driver_probe_matches_distributed_probe_rtree(spark):
+    """Same equivalence for the rtree box probe: the pyarrow driver path
+    and the distributed path select identical fragments and rows."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("driver_probe_rt_eq")
+    pts = spark.createDataFrame(
+        [(i, float(i % 50), float((i * 7) % 40)) for i in range(1, 401)],
+        "pid long, x double, y double",
+    ).repartition(4)
+    ds = Dataset.create(spark, path, pts, row_ids=True)
+    ds.create_index("rxy", kind="rtree", column="x,y")
+    pred = "x >= 10.0 AND x <= 12.0 AND y >= 5.0 AND y <= 20.0"
+    fast, _ = ds.plan_scan(pred, use_indexes=True)
+    orig = Dataset._DRIVER_PROBE_MAX_ROWS
+    Dataset._DRIVER_PROBE_MAX_ROWS = -1
+    try:
+        slow, _ = ds.plan_scan(pred, use_indexes=True)
+    finally:
+        Dataset._DRIVER_PROBE_MAX_ROWS = orig
+    assert {f.id for f in fast} == {f.id for f in slow}
+    got = sorted(r.pid for r in ds.to_df(filters=pred).collect())
+    want = sorted(r.pid for r in ds.to_df(filters=pred, use_indexes=False).collect())
+    assert got == want and got

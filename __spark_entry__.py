@@ -32,11 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (136 queries,
+    """One entry per implemented operator from SURVEY.md §2 (138 queries,
     ALL with oracles: 20 TPC-H, 21 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + TF-IDF
-    keywords + 10 dedup families (incl. directional containment) +
-    curation pipeline, KNN under cosine/l2/dot/Hamming metrics,
+    keywords + 10 dedup families (incl. directional containment and
+    cluster-canonical removal applied back to the corpus) + curation
+    pipeline with domain capping, KNN under cosine/l2/dot/Hamming metrics,
     k-means, FTS incl. boolean queries, multimodal decode/frames/audio/
     resize, streaming bounded runs incl. the full outer/semi interval-join
     family, dataset lifecycle incl. transactional, auto-selected, and

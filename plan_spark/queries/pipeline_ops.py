@@ -994,3 +994,57 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain capping: keep at most K documents per source, best-first — the
+# anti-domination step of corpus mixing (one crawl domain must not swamp
+# the mixture). Rank within source by length then doc_id (total order).
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP_K = 60
+
+_DOMAIN_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS min_kept_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_kept_doc
+FROM ranked WHERE rk <= {_DOMAIN_CAP_K}
+GROUP BY source ORDER BY source
+"""
+
+
+@register("domain_cap", oracle=_DOMAIN_CAP_SQL, tags=("pipeline", "sampling"))
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep the top-K documents per source (longest first,
+    doc_id tiebreak) so no single domain dominates the training mixture —
+    the standard anti-domination knob next to stratified_sample's keep
+    rates.
+
+    Scale shape: one shuffle on source + a row_number window whose
+    partitions are per-domain document sets; with a skewed megadomain the
+    window partition is that domain's size — still bounded by the cap's
+    purpose (only the top K survive, and Spark's window spills) — and the
+    accounting aggregate reuses the same partitioning. Determinism: the
+    rank orders on exact integers with the unique doc_id tiebreak."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DOMAIN_CAP_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.min("n_chars").cast("bigint").alias("min_kept_chars"),
+            F.max("doc_id").cast("bigint").alias("max_kept_doc"),
+        )
+        .orderBy("source")
+    )

@@ -901,21 +901,12 @@ FROM labels GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
-@register("dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL, tags=("dedup", "lsh", "graph"))
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: connected components of the LSH band-bucket pair
-    graph, labels = min doc_id per component (the canonical keeper).
-
-    Spark has no recursive CTE, so components are computed by iterative
-    min-label propagation: each round every node takes the min of its own
-    and its neighbors' labels, until a fixpoint (<= graph diameter rounds —
-    LSH dup clusters are near-cliques, so 2-3 rounds in practice).
-    localCheckpoint truncates the per-round lineage. The DuckDB oracle
-    derives the same components with WITH RECURSIVE transitive closure.
-
-    Scale: per round one join + one groupBy on the EDGE list (~O(dups),
-    already blocked by LSH) — never on the corpus; the full corpus never
-    enters the loop."""
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (node, label) over the MinHash-LSH
+    band-bucket pair graph — label = min doc_id per component (the
+    canonical keeper). Shared core of dedup_clusters (cluster accounting)
+    and dedup_apply (survivor corpus). Iterative min-label propagation;
+    see dedup_clusters for the convergence/scale story."""
     _, bands = _mh_bands(spark, sf_dir)
     edges = _band_pairs(bands)
     sym = edges.select(F.col("da").alias("a"), F.col("db").alias("b")).unionByName(
@@ -975,10 +966,112 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    return labels
+
+
+@register("dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL, tags=("dedup", "lsh", "graph"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components of the LSH band-bucket pair
+    graph, labels = min doc_id per component (the canonical keeper).
+
+    Spark has no recursive CTE, so components are computed by iterative
+    min-label propagation (_cc_labels): each round every node takes the min
+    of its own and its neighbors' labels, until a fixpoint (<= graph
+    diameter rounds — LSH dup clusters are near-cliques, so 2-3 rounds in
+    practice). localCheckpoint truncates the per-round lineage. The DuckDB
+    oracle derives the same components with WITH RECURSIVE transitive
+    closure.
+
+    Scale: per round one join + one groupBy on the EDGE list (~O(dups),
+    already blocked by LSH) — never on the corpus; the full corpus never
+    enters the loop."""
+    labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup APPLICATION: the surviving corpus after near-dup removal — every
+# doc outside any dup cluster survives; inside a cluster only the
+# canonical (min doc_id) does. The step every detection pipeline actually
+# ships: detection emits pairs/clusters, application rewrites the corpus.
+# ---------------------------------------------------------------------------
+
+_DEDUP_APPLY_SQL = f"""
+WITH RECURSIVE
+s AS ({_MH_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS_SQL}
+  FROM s GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+edges AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sym AS (
+  SELECT da AS a, db AS b FROM edges
+  UNION SELECT db, da FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a),
+flagged AS (
+  SELECT d.source, d.n_chars,
+         (l.doc_id IS NULL OR l.cluster_id = d.doc_id) AS keep
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@register("dedup_apply", oracle=_DEDUP_APPLY_SQL, tags=("dedup", "lsh", "pipeline"))
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal APPLIED to the corpus: LSH clusters from
+    _cc_labels, then every document either survives (not in any cluster,
+    or IS its cluster's canonical min-doc_id member) or is removed;
+    per-source survivor accounting comes back for the mixture report.
+
+    Scale shape: the label frame is O(docs-in-dup-clusters) — tiny next to
+    the corpus — so the application join is corpus LEFT JOIN small (and
+    broadcastable at any real dup rate); everything else is one map-side
+    conditional aggregate. This is the missing half of detection: the
+    rewrite that actually shrinks the training set."""
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("l_doc"), F.col("label").alias("cluster_id")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    keep = F.col("l_doc").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    flagged = docs.join(labels, docs.doc_id == labels.l_doc, "left").select(
+        "source", "n_chars", keep.alias("keep")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
     )
 
 

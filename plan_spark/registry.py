@@ -59,6 +59,9 @@ _loaded = False
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5: new queries ----
+    "dedup_apply",  # new: cluster-canonical dedup applied back to the corpus
+    "domain_cap",  # new: per-source top-K anti-domination cap
+    "dedup_clusters",  # changed: label loop factored into _cc_labels
     "tfidf_topk",  # new: per-doc top-5 keywords, two-aggregate TF-IDF dataflow
     "dedup_containment",  # new: directional shingle containment (subset dups)
     "tpcds_q17",  # new: quantity stats + integer-exact CV filter

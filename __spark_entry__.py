@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (138 queries,
-    ALL with oracles: 20 TPC-H, 21 TPC-DS probes, windows/set-ops/rollups,
+    """One entry per implemented operator from SURVEY.md §2 (140 queries,
+    ALL with oracles: 20 TPC-H, 23 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + TF-IDF
     keywords + 10 dedup families (incl. directional containment and
     cluster-canonical removal applied back to the corpus) + curation

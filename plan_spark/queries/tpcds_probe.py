@@ -1570,3 +1570,138 @@ def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fo_ratio").desc(), "o_custkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q2 shape: day-of-week revenue, week-over-week ratios (per-dow series
+# self-compared at +1 week via LAG over the pre-aggregated week series)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q2_SQL = f"""
+WITH wk AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', l_shipdate) + 4) // 7 AS BIGINT)
+           AS wk_seq,
+         CAST((datediff('day', DATE '1970-01-01', l_shipdate) + 4) % 7 AS BIGINT)
+           AS dow,
+         SUM({REV_SQL}) AS rev_dec
+  FROM lineitem
+  GROUP BY 1, 2
+), r AS (
+  SELECT wk_seq, dow,
+         CAST(rev_dec AS DOUBLE) AS rev,
+         CAST(LAG(rev_dec) OVER (PARTITION BY dow ORDER BY wk_seq) AS DOUBLE)
+           AS prev_rev
+  FROM wk
+)
+SELECT wk_seq, CAST(dow AS BIGINT) AS dow, rev, prev_rev,
+       rev / prev_rev AS wow_ratio
+FROM r WHERE prev_rev IS NOT NULL AND prev_rev > 0
+ORDER BY wk_seq, dow
+"""
+
+
+@register("tpcds_q2", oracle=_TPCDS_Q2_SQL, tags=("tpcds", "window"))
+def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2 shape (cases/tpcds/query/query2.sql): day-of-week revenue
+    per week, each compared against the SAME day-of-week one week earlier
+    (the query text self-joins the weekly series on wk_seq+1; the
+    Spark-first form is LAG over a per-dow window — no self-join, no second
+    scan).
+
+    Scale shape: one (week, dow) conditional aggregate over the fact
+    (map-side combined, output is O(weeks*7) at any corpus size), then the
+    LAG window over the 7-partition pre-aggregated series — metadata-sized.
+    Week numbering is an epoch-day formula (not ISO weekofyear) so the
+    sequence is globally monotone across year boundaries, which is what
+    makes +1-week self-comparison correct at the year seam.
+
+    Determinism: week AND day-of-week come from ONE integer epoch-day
+    formula on both engines (builtin dayofweek conventions differ:
+    Spark 1-7 Sun-first, DuckDB 0-6); weekly sums are exact decimals; the
+    ratio is one IEEE division of their double casts; (wk_seq, dow) is a
+    unique total order."""
+    li = table(spark, sf_dir, "lineitem")
+    # epoch days + 4 makes week boundaries land on Mondays (1970-01-01 was
+    # a Thursday); the exact anchor is irrelevant as long as both engines
+    # use the same integer formula
+    eday = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")) + 4
+    wk = (
+        li.groupBy(
+            F.floor(eday / 7).cast("bigint").alias("wk_seq"),
+            (eday % 7).cast("bigint").alias("dow"),
+        )
+        .agg(F.sum(rev_col()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("dow").orderBy("wk_seq")
+    r = wk.select(
+        "wk_seq",
+        "dow",
+        F.col("rev_dec").cast("double").alias("rev"),
+        F.lag("rev_dec").over(w).cast("double").alias("prev_rev"),
+    )
+    return (
+        r.filter(F.col("prev_rev").isNotNull() & (F.col("prev_rev") > 0))
+        .select(
+            "wk_seq", "dow", "rev", "prev_rev",
+            (F.col("rev") / F.col("prev_rev")).alias("wow_ratio"),
+        )
+        .orderBy("wk_seq", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 shape: customers present in ALL THREE channels (INTERSECT of three
+# DISTINCT customer sets, counted) — flag-pattern aggregate, zero set ops
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q38_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS in_n,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT CAST(SUM(in_a * in_n * in_r) AS BIGINT) AS all_three,
+       CAST(SUM(CASE WHEN in_a + in_n + in_r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS exactly_two,
+       CAST(SUM(CASE WHEN in_a + in_n + in_r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS exactly_one
+FROM per
+"""
+
+
+@register("tpcds_q38", oracle=_TPCDS_Q38_SQL, tags=("tpcds", "intersect"))
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape (cases/tpcds/query/query38.sql): COUNT of customers
+    appearing in ALL THREE channels — the query text INTERSECTs three
+    DISTINCT customer sets and counts the result (q87 is the same with
+    EXCEPT; both are flag patterns here). Channels are the l_returnflag
+    slices.
+
+    Scale shape: the three DISTINCTs + two INTERSECTs (five shuffles)
+    collapse to ONE per-customer flag aggregate over the orderkey-
+    co-partitioned fact-orders join (shuffle_hash pinned) — a single
+    customer shuffle; the flag-pattern counts (all-three / exactly-two /
+    exactly-one) are one more 1-row reduction, covering the whole
+    q38/q87 set-op family from the same frame. Pure BIGINT output."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (
+        li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("in_n"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("in_r"),
+        )
+    )
+    three = F.col("in_a") + F.col("in_n") + F.col("in_r")
+    return per.agg(
+        F.sum(F.col("in_a") * F.col("in_n") * F.col("in_r"))
+        .cast("bigint")
+        .alias("all_three"),
+        F.sum(F.when(three == 2, 1).otherwise(0)).cast("bigint").alias("exactly_two"),
+        F.sum(F.when(three == 1, 1).otherwise(0)).cast("bigint").alias("exactly_one"),
+    )

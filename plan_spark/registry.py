@@ -64,6 +64,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_clusters",  # changed: label loop factored into _cc_labels
     "tfidf_topk",  # new: per-doc top-5 keywords, two-aggregate TF-IDF dataflow
     "dedup_containment",  # new: directional shingle containment (subset dups)
+    "tpcds_q2",  # new: day-of-week week-over-week ratios via per-dow LAG
+    "tpcds_q38",  # new: 3-channel customer INTERSECT count via flag patterns
     "tpcds_q17",  # new: quantity stats + integer-exact CV filter
     "tpcds_q78",  # new: anti-join non-returned channel ratio
     "tpcds_q93",  # new: returns-adjusted sales (left join aggregated returns)

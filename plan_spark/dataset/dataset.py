@@ -897,6 +897,46 @@ class Dataset:
             return st["min"], st["max"]
         return None
 
+    def _rowid_interval_table(self) -> tuple[list[tuple[int, int, int]], set[int]]:
+        """(lo, hi, fragment_id) intervals for every provable fragment plus
+        the set of UNPROVABLE fragment ids (always scanned). Shared by the
+        driver-side and distributed id->fragment mapping paths so the two
+        can never drift."""
+        intervals, always = [], set()
+        for f in self.manifest.fragments:
+            iv = self._frag_rowid_interval(f)
+            if iv is None:
+                always.add(f.id)
+            else:
+                intervals.append((iv[0], iv[1], f.id))
+        intervals.sort()
+        return intervals, always
+
+    @staticmethod
+    def _stab_intervals(
+        intervals: list[tuple[int, int, int]], ids, hits: set[int]
+    ) -> None:
+        """Add to ``hits`` the fragment id of EVERY interval containing each
+        id. Intervals may OVERLAP (compaction/update/merge rewrites produce
+        files whose __rowid footer ranges interleave), so a single bisect
+        match is not enough: walk back from the insertion point while any
+        earlier interval can still reach the id (prefix-max of interval
+        ends) — O(log n + overlap depth) per id, exact for any layout."""
+        import bisect
+
+        starts = [iv[0] for iv in intervals]
+        maxend = []
+        m = None
+        for lo, hi, _ in intervals:
+            m = hi if m is None else max(m, hi)
+            maxend.append(m)
+        for rid in ids:
+            k = bisect.bisect_right(starts, rid) - 1
+            while k >= 0 and maxend[k] >= rid:
+                if intervals[k][0] <= rid <= intervals[k][1]:
+                    hits.add(intervals[k][2])
+                k -= 1
+
     def _routing_usable(self, name: str) -> bool:
         """True when an index is sound for SCAN ROUTING even if not
         strictly fresh: probes may return a SUPERSET of live matches
@@ -1058,41 +1098,27 @@ class Dataset:
         est, total, probe, probe_driver = min(candidates, key=lambda c: c[0])
         if est / total > self._INDEX_SCAN_MAX_RATIO:
             return None  # full (pruned) scan is the cheaper plan
-        if probe_driver is not None and est <= self._DRIVER_PROBE_MAX_ROWS:
+        if est <= self._DRIVER_PROBE_MAX_ROWS:
             # point/small-range probe: read the fence-selected run files
             # with pyarrow in the planning process (reference
             # index_selector.go probes the B-tree driver-side too) and map
-            # ids -> fragments with a bisect over the sorted interval
-            # table — ZERO Spark jobs on the plan path. The gate is the
-            # fence row estimate, so a wide range still takes the
-            # distributed probe below.
-            import bisect
-
-            intervals, hits = [], set()
-            for f in self.manifest.fragments:
-                iv = self._frag_rowid_interval(f)
-                if iv is None:
-                    hits.add(f.id)  # unprovable: always scanned
-                else:
-                    intervals.append((iv[0], iv[1], f.id))
-            intervals.sort()
-            starts = [iv[0] for iv in intervals]
-            for rid in probe_driver():
-                k = bisect.bisect_right(starts, rid) - 1
-                if k >= 0 and intervals[k][0] <= rid <= intervals[k][1]:
-                    hits.add(intervals[k][2])
+            # ids -> fragments by interval stabbing — ZERO Spark jobs on
+            # the plan path. The gate is the fence row estimate, so a wide
+            # range still takes the distributed probe below. Stabbing (not
+            # a single bisect match) because rewrite-produced fragments can
+            # carry OVERLAPPING row-id footer ranges — every containing
+            # interval must be scanned or rows silently vanish.
+            intervals, hits = self._rowid_interval_table()
+            self._stab_intervals(intervals, probe_driver(), hits)
             return hits
         ids = probe()
         # map matching row ids -> owning fragments: broadcast the (file-
         # count-sized) interval table against the id stream and collect the
-        # DISTINCT fragment ids — output is O(fragments), never O(rows)
-        intervals, hits = [], set()
-        for f in self.manifest.fragments:
-            iv = self._frag_rowid_interval(f)
-            if iv is None:
-                hits.add(f.id)  # unprovable: always scanned
-            else:
-                intervals.append((f.id, iv[0], iv[1]))
+        # DISTINCT fragment ids — output is O(fragments), never O(rows).
+        # The range join naturally hits EVERY containing interval, matching
+        # _stab_intervals' overlap semantics on the driver path.
+        ivs, hits = self._rowid_interval_table()
+        intervals = [(fid, lo, hi) for lo, hi, fid in ivs]
         if intervals:
             from pyspark.sql.types import (
                 LongType as _L,
@@ -2551,8 +2577,16 @@ class Dataset:
                     raise ConflictError(
                         f"index {name!r} is being refreshed concurrently"
                     )
-                with open(claim, "w") as fh:  # steal a crashed refresher's claim
-                    fh.write("stolen")
+                # a stale claim means a refresher died MID-refresh — and we
+                # cannot tell whether its insert() already landed in the
+                # shared files (it mutates before committing). Stealing and
+                # re-inserting would double the delta, so the only sound
+                # continuation is a rebuild into a fresh staged dir.
+                raise ConflictError(
+                    f"index {name!r} has a stale refresh claim (a refresher "
+                    "crashed mid-refresh; its insert may have landed) — "
+                    "rebuild with drop_index + create_index"
+                )
             try:
                 cur = self._load(self._latest_version()).indexes.get(name)
                 if (

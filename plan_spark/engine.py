@@ -55,6 +55,39 @@ _TT_KEYWORDS = (
 _TT_TRAILING_ALIAS = r"((?:\s+AS)?\s+" + _TT_KEYWORDS + r"\w+)?"
 
 
+def _split_top_level_commas(body: str) -> list[str]:
+    """Split a CREATE TABLE column body on commas OUTSIDE parentheses AND
+    outside single-quoted literals ('' escapes included) — a comma inside a
+    DEFAULT 'x,y' literal or a decimal(10,2) type must not split."""
+    parts, cur = [], []
+    depth, inq = 0, False
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if inq:
+            if ch == "'":
+                if i + 1 < n and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                inq = False
+        elif ch == "'":
+            inq = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
 class Engine:
     def __init__(
         self,
@@ -488,7 +521,7 @@ class Engine:
             schema_name, name, body = m.group(1) or "main", m.group(2), m.group(3)
             cols, pk = [], []
             defaults: dict[str, str] = {}
-            for part in re.split(r",(?![^()]*\))", body):
+            for part in _split_top_level_commas(body):
                 part = part.strip()
                 pm = re.match(r"(?is)^PRIMARY\s+KEY\s*\((.*)\)$", part)
                 if pm:
@@ -496,9 +529,13 @@ class Engine:
                     continue
                 # DEFAULT expr (builder_ddl.go declared defaults): recorded
                 # in the manifest, consumed by INSERT column-list resolution
-                # and emitted back by SHOW CREATE TABLE (round-trip DDL)
+                # and emitted back by SHOW CREATE TABLE (round-trip DDL).
+                # The quoted-literal branch is tried FIRST so a default like
+                # 'value not null here' is consumed whole — the NOT NULL /
+                # PRIMARY KEY lookahead never fires inside the literal.
                 dm = re.search(
-                    r"(?is)\s+DEFAULT\s+(.+?)(?=\s+NOT\s+NULL\b|\s+PRIMARY\s+KEY\b|$)",
+                    r"(?is)\s+DEFAULT\s+('(?:[^']|'')*'|.+?)"
+                    r"(?=\s+NOT\s+NULL\b|\s+PRIMARY\s+KEY\b|$)",
                     part,
                 )
                 dval = None
@@ -506,6 +543,8 @@ class Engine:
                     dval = dm.group(1).strip()
                     part = (part[: dm.start()] + " " + part[dm.end():]).strip()
                 cm = re.match(r"(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY|\s+NOT\s+NULL)*$", part)
+                if cm is None:
+                    raise ValueError(f"unsupported column definition: {part!r}")
                 colname, coltype = cm.group(1), cm.group(2)
                 if dval is not None:
                     defaults[colname] = dval

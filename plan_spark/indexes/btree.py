@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def probe_file_list(index_path: str, files: list | None) -> list:
+    """Materialized file list for a driver-side probe: the given
+    fence-selected run files (or EVERY run file under ``runs/`` when fences
+    cannot prune) plus the pending buffer. Shared by BtreeIndex.range_ids
+    and RtreeIndex.range_ids so the pyarrow faces and the Spark _scan can
+    never drift on which files a probe must read."""
+    if files is None:
+        runs = os.path.join(index_path, "runs")
+        files = [
+            os.path.join(runs, f) for f in os.listdir(runs) if f.endswith(".parquet")
+        ]
+    else:
+        files = list(files)
+    pend = os.path.join(index_path, "pending")
+    if os.path.isdir(pend):
+        files += [
+            os.path.join(pend, f) for f in os.listdir(pend) if f.endswith(".parquet")
+        ]
+    return files
+
+
 def read_fences(path: str) -> list:
     """Load the fence table as attribute-accessible rows, without a Spark
     job: it is a single local parquet file of O(n_runs) rows."""
@@ -232,21 +253,7 @@ class BtreeIndex:
         if in_vals is not None and not in_vals:
             return []  # `k IN ()` matches nothing
         self._recover_runs()
-        files = self._probe_files(lo, hi)
-        if files is None:
-            runs = os.path.join(self.path, "runs")
-            files = [
-                os.path.join(runs, f)
-                for f in os.listdir(runs)
-                if f.endswith(".parquet")
-            ]
-        pend = os.path.join(self.path, "pending")
-        if os.path.isdir(pend):
-            files = list(files) + [
-                os.path.join(pend, f)
-                for f in os.listdir(pend)
-                if f.endswith(".parquet")
-            ]
+        files = probe_file_list(self.path, self._probe_files(lo, hi))
         filters = []
         if lo is not None:
             filters.append(("key", ">=", lo))

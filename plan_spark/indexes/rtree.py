@@ -170,10 +170,11 @@ class RtreeIndex:
             base = base.unionByName(self.spark.read.parquet(pend))
         return base
 
-    def range_search(self, qxmin, qymin, qxmax, qymax) -> DataFrame:
-        """Boxes INTERSECTING the query box (reference rtree_index.go:260
-        RangeSearch). File-level MBR pruning, then the exact intersect
-        predicate pushed into the pruned scan."""
+    def _mbr_hit_files(self, qxmin, qymin, qxmax, qymax) -> list | None:
+        """MBR fence routing: run files whose box intersects the query box
+        (None = every file hit — read the runs dir wholesale). Shared by
+        the distributed range_search and the driver-side range_ids so the
+        two faces prune identically."""
         fences = self._fences()
         hit = [
             r.file
@@ -182,7 +183,13 @@ class RtreeIndex:
             if None in (r.xlo, r.xhi, r.ylo, r.yhi)
             or (r.xhi >= qxmin and r.xlo <= qxmax and r.yhi >= qymin and r.ylo <= qymax)
         ]
-        files = None if len(hit) == len(fences) else hit
+        return None if len(hit) == len(fences) else hit
+
+    def range_search(self, qxmin, qymin, qxmax, qymax) -> DataFrame:
+        """Boxes INTERSECTING the query box (reference rtree_index.go:260
+        RangeSearch). File-level MBR pruning, then the exact intersect
+        predicate pushed into the pruned scan."""
+        files = self._mbr_hit_files(qxmin, qymin, qxmax, qymax)
         return self._scan(files).filter(
             (F.col("xmax") >= F.lit(qxmin))
             & (F.col("xmin") <= F.lit(qxmax))
@@ -200,29 +207,12 @@ class RtreeIndex:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from plan_spark.indexes.btree import probe_file_list
+
         self._recover_runs()
-        fences = self._fences()
-        hit = [
-            r.file
-            for r in fences
-            if None in (r.xlo, r.xhi, r.ylo, r.yhi)
-            or (r.xhi >= qxmin and r.xlo <= qxmax and r.yhi >= qymin and r.ylo <= qymax)
-        ]
-        files = list(hit)
-        if len(hit) == len(fences):
-            runs = os.path.join(self.path, "runs")
-            files = [
-                os.path.join(runs, f)
-                for f in os.listdir(runs)
-                if f.endswith(".parquet")
-            ]
-        pend = os.path.join(self.path, "pending")
-        if os.path.isdir(pend):
-            files += [
-                os.path.join(pend, f)
-                for f in os.listdir(pend)
-                if f.endswith(".parquet")
-            ]
+        files = probe_file_list(
+            self.path, self._mbr_hit_files(qxmin, qymin, qxmax, qymax)
+        )
         out: list = []
         for f in files:
             t = pq.read_table(f, columns=["id", "xmin", "xmax", "ymin", "ymax"])

@@ -756,3 +756,19 @@ def test_merge_both_do_nothing_is_free(engine):
     )
     assert engine.dataset("mn").version == v
     assert engine.sql("SELECT v FROM mn").first().v == "a"
+
+
+def test_create_table_defaults_with_quoted_literals(engine):
+    """DEFAULT literals containing commas or the words NOT NULL must parse
+    whole (quote-aware column split + quoted-branch-first DEFAULT regex)."""
+    engine.sql(
+        "CREATE TABLE qd (a INT, s STRING DEFAULT 'x,y', "
+        "t STRING DEFAULT 'value not null here' NOT NULL, d DECIMAL(10,2))"
+    )
+    engine.sql("INSERT INTO qd (a, d) VALUES (1, 2.50)")
+    row = engine.sql("SELECT s, t FROM qd").first()
+    assert row.s == "x,y"
+    assert row.t == "value not null here"
+    stmt = engine.sql("SHOW CREATE TABLE qd").first().create_stmt
+    assert "DEFAULT 'x,y'" in stmt and "DEFAULT 'value not null here'" in stmt
+    assert "DECIMAL(10,2)" in stmt.upper().replace(" ", "")

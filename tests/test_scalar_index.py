@@ -675,3 +675,81 @@ def test_driver_probe_matches_distributed_probe_rtree(spark):
     got = sorted(r.pid for r in ds.to_df(filters=pred).collect())
     want = sorted(r.pid for r in ds.to_df(filters=pred, use_indexes=False).collect())
     assert got == want and got
+
+
+def test_driver_probe_overlapping_rowid_intervals(spark):
+    """Rewrites (UPDATE/MERGE/compaction) produce fragments whose __rowid
+    footer ranges OVERLAP older fragments; the driver-side id->fragment
+    mapping must return EVERY containing fragment (interval stabbing) or
+    matching rows silently vanish from filtered scans."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("overlap_probe")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").alias("k"),
+        # payload deliberately NOT monotone in k so the z-order key mixes
+        # rows from different rid ranges into each output file
+        ((F.col("id") * 37) % 300).cast("double").alias("payload"),
+    ).coalesce(1)
+    ds = Dataset.create(spark, path, mk(0, 100), row_ids=True)
+    ds.append(mk(100, 200))
+    ds.append(mk(200, 300))
+    # z-order compaction reshuffles rows across output files by the
+    # interleaved (k, payload) key — the output files' __rowid footer
+    # ranges interleave each other
+    ds.compact(strategy="zorder", zorder_by=["payload", "k"], target_files=3)
+    ivs = [ds._frag_rowid_interval(f) for f in ds.manifest.fragments]
+    ivs = sorted(iv for iv in ivs if iv is not None)
+    assert any(
+        a[0] <= b[0] and b[1] <= a[1] for a in ivs for b in ivs if a != b
+    ) or any(
+        a[0] < b[0] <= a[1] for a in ivs for b in ivs if a != b
+    ), f"fixture failed to produce overlapping intervals: {ivs}"
+    ds.create_index("ki", kind="btree", column="k")
+    # k=299 lives in the REWRITTEN fragment with rid 299 — a single-bisect
+    # mapping lands on the middle fragment and drops it
+    for pred in ("k = 299", "k IN (0, 150, 299)", "k >= 297 AND k <= 299"):
+        got = sorted(r.k for r in ds.to_df(filters=pred).collect())
+        want = sorted(
+            r.k for r in ds.to_df(filters=pred, use_indexes=False).collect()
+        )
+        assert got == want and got, pred
+        fast, _ = ds.plan_scan(pred, use_indexes=True)
+        orig = Dataset._DRIVER_PROBE_MAX_ROWS
+        Dataset._DRIVER_PROBE_MAX_ROWS = -1
+        try:
+            slow, _ = ds.plan_scan(pred, use_indexes=True)
+        finally:
+            Dataset._DRIVER_PROBE_MAX_ROWS = orig
+        assert {f.id for f in fast} == {f.id for f in slow}, pred
+
+
+def test_stale_refresh_claim_refuses_rebuild(spark):
+    """A refresher that died mid-refresh may or may not have inserted its
+    delta — stealing its claim and re-inserting would double the rows, so
+    a stale claim must refuse with a rebuild instruction."""
+    import os
+    import time
+
+    from plan_spark.dataset import ConflictError, Dataset
+
+    path = _tmp("stale_claim")
+    ds = _interleaved_ds(spark, path)
+    ds.create_index("ki", kind="btree", column="k")
+    ds.append(
+        spark.range(0, 3).select(
+            (F.col("id") + 50000).alias("k"),
+            (F.col("id")).cast("double").alias("payload"),
+        ).coalesce(1)
+    )
+    claim = os.path.join(path, ds.manifest.indexes["ki"]["path"], "_REFRESHING")
+    with open(claim, "w") as fh:
+        fh.write("dead")
+    old = time.time() - 25 * 3600
+    os.utime(claim, (old, old))
+    with pytest.raises(ConflictError, match="rebuild"):
+        ds.refresh_index("ki")
+    # rebuild recovers (fresh staged dir, stale claim dir orphaned)
+    ds.drop_index("ki")
+    ds.create_index("ki", kind="btree", column="k")
+    assert ds.index_fresh("ki")

@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (140 queries,
+    """One entry per implemented operator from SURVEY.md §2 (141 queries,
     ALL with oracles: 20 TPC-H, 23 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + TF-IDF
     keywords + 10 dedup families (incl. directional containment and

@@ -603,3 +603,74 @@ def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted_clicks"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CURATION pipeline: quality gate -> keyed dedup -> windowed
+# accounting, composed in ONE streaming plan — the ingest shape a
+# training-data feed runs continuously.
+# ---------------------------------------------------------------------------
+
+_STREAM_CURATION_SQL = """
+WITH clean AS (
+  SELECT user_id, event_type, date_trunc('minute', ts) AS minute
+  FROM events
+  WHERE value IS NOT NULL AND value >= 0
+    AND event_type IN ('click', 'view', 'purchase')),
+dd AS (SELECT DISTINCT user_id, event_type, minute FROM clean)
+SELECT time_bucket(INTERVAL '6 hours', minute) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM dd GROUP BY 1, 2 ORDER BY bucket_start, event_type
+"""
+
+
+@register(
+    "stream_curation", oracle=_STREAM_CURATION_SQL, tags=("streaming", "pipeline")
+)
+def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest-curation composition in ONE plan: a map-side
+    quality gate (non-null, non-negative value; allowed event types), then
+    watermarked dropDuplicates on (user, type, minute), then a tumbling
+    6-hour windowed count of surviving keys — filter -> dedup -> aggregate
+    chained through a single state pipeline, exactly the continuous feed
+    shape batch curation (quality_filter -> dedup_exact -> accounting)
+    runs offline.
+
+    Determinism under raciness: which physical row survives dedup is racy,
+    so everything downstream derives from the KEY only — the window column
+    is the key's own minute (never the survivor's raw ts, which would flip
+    6-hour buckets between runs) and the aggregate is a count of keys. A
+    key survives the gate iff ANY of its rows passes — a deterministic
+    set. Bounded availableNow run == the batch DISTINCT the oracle
+    computes; on unbounded input the watermark bounds both state stores.
+
+    Scale shape: the gate is map-side; dedup state and the windowed agg
+    partition on the dedup key / window — the same two shuffles the batch
+    equivalent pays, with state bounded by the watermark horizon."""
+    def build(s):
+        ev = _events_stream(s, sf_dir)
+        clean = ev.filter(
+            F.col("value").isNotNull()
+            & (F.col("value") >= 0)
+            & F.col("event_type").isin("click", "view", "purchase")
+        ).select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        dd = clean.withWatermark("minute", "1 hour").dropDuplicates(
+            ["user_id", "event_type", "minute"]
+        )
+        return (
+            dd.groupBy(F.window("minute", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+            .select(
+                F.col("w.start").alias("bucket_start"), "event_type", "n_unique"
+            )
+        )
+
+    out = _gated_available_now(
+        spark, sf_dir, build, "stream_curation_sink", output_mode="complete"
+    )
+    return out.orderBy("bucket_start", "event_type")

@@ -242,9 +242,39 @@ class Engine:
             df = self.spark.read.options(**({"header": "true"} | options)).schema(
                 ds.schema
             ).csv(path)
+        elif fmt in ("json", "jsonl"):
+            # JSON Lines (one object per line) — the LLM-corpus interchange
+            # staple. Schema-pinned like CSV: no inference pass, typed read.
+            df = self.spark.read.options(**options).schema(ds.schema).json(path)
         else:
             raise ValueError(f"unsupported COPY format {fmt}")
         self.insert_df(name, df, schema)
+
+    def copy_to(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "parquet",
+        schema: str = "main",
+        **options,
+    ) -> None:
+        """COPY table TO 'dir' WITH (FORMAT parquet|csv|json) — a
+        distributed export sink. Strictly MORE surface than the reference:
+        its buildCopyTo is a stub ("usp copy to",
+        pkg/compute/builder_dml.go:470-476). The write is a normal
+        partitioned DataFrame write (one file per partition — at 100 TB the
+        export parallelizes like any scan; no driver collect)."""
+        df = self.dataset(name, schema).to_df()
+        if fmt == "parquet":
+            df.write.mode("overwrite").options(**options).parquet(path)
+        elif fmt == "csv":
+            df.write.mode("overwrite").options(**({"header": "true"} | options)).csv(
+                path
+            )
+        elif fmt in ("json", "jsonl"):
+            df.write.mode("overwrite").options(**options).json(path)
+        else:
+            raise ValueError(f"unsupported COPY format {fmt}")
 
     # ------------------------------------------------------------- ANALYZE
     def analyze(self, name: str, schema: str = "main", cache: bool = False) -> dict:
@@ -697,11 +727,17 @@ class Engine:
 
     def _stmt_copy(self, s: str) -> None:
         m = re.match(
-            r"(?is)^COPY\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+WITH\s*\((.*)\))?$", s
+            r"(?is)^COPY\s+(\w+)\s+(FROM|TO)\s+'([^']+)'(?:\s+WITH\s*\((.*)\))?$",
+            s,
         )
         if not m:
             raise ValueError(f"unsupported COPY statement: {s[:120]!r}")
-        name, path, opts = m.group(1), m.group(2), m.group(3) or ""
+        name, direction, path, opts = (
+            m.group(1),
+            m.group(2).upper(),
+            m.group(3),
+            m.group(4) or "",
+        )
         fmt = "parquet"
         options = {}
         fm = re.search(r"(?i)FORMAT\s+'?(\w+)'?", opts)
@@ -710,7 +746,10 @@ class Engine:
         dm = re.search(r"(?i)DELIMITER\s+'([^']+)'", opts)
         if dm:
             options["sep"] = dm.group(1)
-        self.copy_from(name, path, fmt=fmt, **options)
+        if direction == "FROM":
+            self.copy_from(name, path, fmt=fmt, **options)
+        else:
+            self.copy_to(name, path, fmt=fmt, **options)
 
     def _stmt_merge(self, s: str) -> None:
         """MERGE INTO t USING (src query | src_table) ON key[, key...]

@@ -219,7 +219,7 @@ def fts_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHRASE = "data pipeline"
+_PHRASE = "table hash"
 
 _FTS_PHRASE_SQL = f"""
 WITH d AS ({_DOCS_NORM_SQL})

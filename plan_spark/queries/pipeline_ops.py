@@ -1048,3 +1048,158 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic seeded corpus shuffle + sharding: the global permutation a
+# training run reads. shard = seeded-hash bucket; the within-shard order is
+# the hash order — certified below by an order fingerprint per shard, so the
+# whole permutation (not just the bucketing) is hash-checked.
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED, _N_SHARDS = "r5", 64
+
+_CORPUS_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM documents
+),
+s AS (SELECT doc_id, hv, hv % {_N_SHARDS} AS shard FROM h)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(split_part(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id),
+                       ',', 1) AS BIGINT) AS head_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id)) AS seq_fp
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("corpus_shuffle", oracle=_CORPUS_SHUFFLE_SQL, tags=("pipeline", "shuffle"))
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle: every document gets a stable
+    position hv = md5(seed:doc_id); shard = hv % 64; the within-shard read
+    order is ascending hv. Training-data pipelines need this exact shape —
+    a reproducible global permutation that any engine re-derives bit-
+    identically (engine RNG cannot), sharded so readers scale.
+
+    The registered query certifies the PERMUTATION, not just the bucketing:
+    per shard it emits the md5 fingerprint of the doc_id sequence in shuffle
+    order, so a single transposition anywhere flips the hash.
+
+    Scale shape: hv/shard are pure map-side projections. At production
+    scale the materialization is `repartition(shard).sortWithinPartitions
+    (hv)` -> sorted shard files (one shuffle, no global sort, no windows);
+    here the per-shard fingerprint aggregates a collect over each shard's
+    docs — shard count is the parallelism knob, sized so a shard's doc IDs
+    fit an executor (64 at fixture scale, O(files) in production)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = docs.select("doc_id", hv.alias("hv")).withColumn(
+        "shard", F.col("hv") % _N_SHARDS
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("hv", "doc_id"))),
+        lambda x: x["doc_id"].cast("string"),
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.element_at(ordered, 1).cast("bigint").alias("head_doc"),
+            F.md5(F.concat_ws(",", ordered)).alias("seq_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixture weights: the alpha=0.5 sampling recipe
+# (weight ∝ tokens^alpha) that multilingual / multi-source LLM training uses
+# to up-sample small sources without letting big ones dominate.
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+),
+w AS (SELECT *, SQRT(CAST(n_tokens AS DOUBLE)) AS weight FROM per),
+g AS (
+  SELECT list_reduce(list_prepend(0.0, list(weight ORDER BY source)),
+                     (a, v) -> a + v) AS denom,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM w
+)
+SELECT source, n_docs, n_tokens, weight,
+       weight / denom AS share,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share,
+       (weight / denom)
+         / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS boost
+FROM w, g
+ORDER BY source
+"""
+
+
+@register("mixture_weights", oracle=_MIX_SQL, tags=("pipeline", "mixing"))
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixture (alpha = 0.5): per-source token
+    counts -> weight = tokens^0.5 -> normalized sampling share, next to the
+    natural (proportional) share and the up/down-sampling boost factor.
+    The standard anti-domination knob for multi-source training mixes.
+
+    Scale shape: one source-keyed aggregate over the corpus (map-side
+    combinable longs); everything after runs on the source-cardinality
+    table. The normalizer is a SEQUENTIAL fold over the source-sorted
+    weight list (Spark F.aggregate == DuckDB list_reduce — same
+    left-to-right IEEE adds, bit-identical), never an unordered float SUM
+    whose partition order could flip low bits.
+
+    Determinism: token counts are exact BIGINTs; weight = one sqrt;
+    share/natural_share/boost are fixed-shape IEEE expressions over those."""
+    d = _norm_docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+    )
+    w = per.withColumn("weight", F.sqrt(F.col("n_tokens").cast("double")))
+    g = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "weight"))),
+                lambda x: x["weight"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("denom"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    share = F.col("weight") / F.col("denom")
+    natural = F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    return (
+        w.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            share.alias("share"),
+            natural.alias("natural_share"),
+            (share / natural).alias("boost"),
+        )
+        .orderBy("source")
+    )

@@ -1443,3 +1443,82 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c_a_in_b") >= _CONT_MIN) | (F.col("c_b_in_a") >= _CONT_MIN))
         .orderBy("da", "db")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-passage detection: sliding token-window fingerprints (the
+# exact-substring-dedup class of Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — suffix-array dedup approximated by
+# fixed-width window hashes, the standard distributed formulation)
+# ---------------------------------------------------------------------------
+
+_PSG_W, _PSG_S = 8, 4
+
+_DUP_PASSAGES_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, s, s + {_PSG_W} - 1), ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {_PSG_W} + 2, {_PSG_S})) AS s
+        FROM d WHERE len(toks) >= {_PSG_W}) q
+),
+g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+SELECT w.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM w JOIN g ON w.h = g.h
+GROUP BY w.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("dup_passages", oracle=_DUP_PASSAGES_SQL, tags=("text", "dedup"))
+def dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage accounting: every {W}-token window (stride {S}) is
+    fingerprinted; a window is a cross-document duplicate if its fingerprint
+    appears in >= 2 distinct documents. Per doc: window count, duplicated-
+    window count, duplicated fraction — the signal that drives passage-level
+    (not whole-doc) dedup of boilerplate, quotes, and syndicated text that
+    document-level MinHash misses.
+
+    Scale shape: window fanout is corpus-token-proportional and map-side;
+    the fingerprint aggregate is one h-keyed shuffle (map-side combinable),
+    the per-window duplicate flag joins windows back on the SAME h
+    partitioning (exchange reuse, no broadcast of the corpus-sized hash
+    set), and the final per-doc rollup is one doc-keyed shuffle. No
+    all-pairs anything; suffix arrays (serial, memory-bound) are replaced
+    by the banding-free windowed-hash formulation that distributes.
+    """
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= _PSG_W)
+    wins = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(_PSG_W - 1), F.lit(_PSG_S))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("s").cast("int"), F.lit(_PSG_W)))
+        ).alias("h"),
+    )
+    g = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    # the duplicate-flag table is distinct-window-sized (corpus-proportional):
+    # pin a shuffled join so no plan ever tries to broadcast it
+    return (
+        wins.join(g.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup_windows"),
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1705,3 +1705,436 @@ def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(three == 2, 1).otherwise(0)).cast("bigint").alias("exactly_two"),
         F.sum(F.when(three == 1, 1).otherwise(0)).cast("bigint").alias("exactly_one"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 shape: chained quarter-over-quarter growth comparison across two
+# channels per region (the six-CTE self-join class)
+# ---------------------------------------------------------------------------
+
+_CENTS_OT = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_TPCDS_Q31_SQL = f"""
+WITH per AS (
+  SELECT n_name,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND quarter(o_orderdate) = 1 THEN {_CENTS_OT} ELSE 0 END) AS w1,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND quarter(o_orderdate) = 2 THEN {_CENTS_OT} ELSE 0 END) AS w2,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND quarter(o_orderdate) = 3 THEN {_CENTS_OT} ELSE 0 END) AS w3,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                   AND quarter(o_orderdate) = 1 THEN {_CENTS_OT} ELSE 0 END) AS s1,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                   AND quarter(o_orderdate) = 2 THEN {_CENTS_OT} ELSE 0 END) AS s2,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                   AND quarter(o_orderdate) = 3 THEN {_CENTS_OT} ELSE 0 END) AS s3
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(w2 AS DOUBLE) / CAST(w1 AS DOUBLE) AS web_q1_q2_increase,
+       CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS store_q1_q2_increase,
+       CAST(w3 AS DOUBLE) / CAST(w2 AS DOUBLE) AS web_q2_q3_increase,
+       CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE) AS store_q2_q3_increase
+FROM per
+WHERE w1 > 0 AND w2 > 0 AND s1 > 0 AND s2 > 0
+  AND CAST(w2 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+      > CAST(s2 AS DECIMAL(18,0)) * CAST(w1 AS DECIMAL(18,0))
+  AND CAST(w3 AS DECIMAL(18,0)) * CAST(s2 AS DECIMAL(18,0))
+      > CAST(s3 AS DECIMAL(18,0)) * CAST(w2 AS DECIMAL(18,0))
+ORDER BY n_name
+"""
+
+
+@register("tpcds_q31", oracle=_TPCDS_Q31_SQL, tags=("tpcds", "growth"))
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape (cases/tpcds/query/query31.sql): regions where the
+    web channel's quarter-over-quarter growth beat the store channel's for
+    BOTH consecutive quarter pairs of 1995. Channels are the order-priority
+    bands; regions are nations.
+
+    Scale shape: the query text builds SIX CTEs (3 quarters x 2 channels)
+    and joins them 6-way on the region key — six fact scans, five joins.
+    Here ONE conditional aggregate computes all six cells per nation in a
+    single fact pass (one custkey-co-partitioned join to customer, nation
+    broadcast, one nation-keyed shuffle); the growth-chain comparison is a
+    projection over the 25-row aggregate.
+
+    Determinism: growth comparisons are cross-multiplied into exact
+    DECIMAL(18,0) integer products (w2/w1 > s2/s1 <=> w2*s1 > s2*w1 for
+    positive denominators) — no float at the decision boundary; the emitted
+    ratios are single IEEE divisions of exact cents."""
+    ords = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    qoy = F.quarter("o_orderdate")
+
+    def cell(is_web: bool, q: int):
+        cond = (urgent if is_web else ~urgent) & (qoy == q)
+        return F.sum(F.when(cond, cents).otherwise(F.lit(0)))
+
+    per = (
+        ords.join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            cell(True, 1).alias("w1"),
+            cell(True, 2).alias("w2"),
+            cell(True, 3).alias("w3"),
+            cell(False, 1).alias("s1"),
+            cell(False, 2).alias("s2"),
+            cell(False, 3).alias("s3"),
+        )
+    )
+    d18 = "decimal(18,0)"
+    w1, w2, w3 = F.col("w1"), F.col("w2"), F.col("w3")
+    s1, s2, s3 = F.col("s1"), F.col("s2"), F.col("s3")
+    return (
+        per.filter(
+            (w1 > 0) & (w2 > 0) & (s1 > 0) & (s2 > 0)
+            & (w2.cast(d18) * s1.cast(d18) > s2.cast(d18) * w1.cast(d18))
+            & (w3.cast(d18) * s2.cast(d18) > s3.cast(d18) * w2.cast(d18))
+        )
+        .select(
+            "n_name",
+            (w2.cast("double") / w1.cast("double")).alias("web_q1_q2_increase"),
+            (s2.cast("double") / s1.cast("double")).alias("store_q1_q2_increase"),
+            (w3.cast("double") / w2.cast("double")).alias("web_q2_q3_increase"),
+            (s3.cast("double") / s2.cast("double")).alias("store_q2_q3_increase"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 shape: consecutive-period coefficient-of-variation pairs (the
+# self-join-on-next-month class, collapsed to one conditional aggregate)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q39_SQL = """
+WITH per AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN month(l_shipdate) = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN month(l_shipdate) = 1
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q1,
+         SUM(CASE WHEN month(l_shipdate) = 1
+                  THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  ELSE 0 END) AS qq1,
+         SUM(CASE WHEN month(l_shipdate) = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN month(l_shipdate) = 2
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q2,
+         SUM(CASE WHEN month(l_shipdate) = 2
+                  THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  ELSE 0 END) AS qq2
+  FROM lineitem
+  WHERE year(l_shipdate) = 1995 AND month(l_shipdate) IN (1, 2)
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+       SQRT(CAST(n1 * qq1 - q1 * q1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE))
+         / (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS cov1,
+       CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+       SQRT(CAST(n2 * qq2 - q2 * q2 AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE))
+         / (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS cov2
+FROM per
+WHERE n1 >= 2 AND n2 >= 2 AND q1 > 0 AND q2 > 0
+  AND 4 * n1 * (n1 * qq1 - q1 * q1) > (n1 - 1) * q1 * q1
+  AND 4 * n2 * (n2 * qq2 - q2 * q2) > (n2 - 1) * q2 * q2
+ORDER BY l_suppkey
+"""
+
+
+@register("tpcds_q39", oracle=_TPCDS_Q39_SQL, tags=("tpcds", "stats"))
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape (cases/tpcds/query/query39.sql): suppliers whose
+    shipped-quantity coefficient of variation exceeds 1/2 in BOTH January
+    and February 1995 — the query text computes per-month stats in a CTE and
+    self-joins month m with month m+1.
+
+    Scale shape: the self-join disappears — ONE conditional aggregate
+    computes both months' (n, Σx, Σx²) per supplier in a single fact pass
+    (map-side-combinable bigints, one supplier shuffle); the pair filter is
+    a projection.
+
+    Determinism: cov > 1 is evaluated as the pure-BIGINT cross-
+    multiplication 4·n·(n·Σx² − (Σx)²) > (n−1)·(Σx)² (stdev² > mean²/4,
+    exact);
+    emitted means/covs are closed-form doubles over the same integers with
+    identical expression shape both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1995) & (F.month("l_shipdate").isin(1, 2))
+    )
+    qi = F.col("l_quantity").cast("bigint")
+    mo = F.month("l_shipdate")
+
+    def m(moy: int, expr, zero=0):
+        return F.sum(F.when(mo == moy, expr).otherwise(F.lit(zero)))
+
+    per = li.groupBy("l_suppkey").agg(
+        m(1, F.lit(1)).alias("n1"),
+        m(1, qi).alias("q1"),
+        m(1, qi * qi).alias("qq1"),
+        m(2, F.lit(1)).alias("n2"),
+        m(2, qi).alias("q2"),
+        m(2, qi * qi).alias("qq2"),
+    )
+    n1, q1, qq1 = F.col("n1"), F.col("q1"), F.col("qq1")
+    n2, q2, qq2 = F.col("n2"), F.col("q2"), F.col("qq2")
+
+    def stats(n, q, qq, mean_alias: str, cov_alias: str):
+        mean = q.cast("double") / n.cast("double")
+        stdev = F.sqrt(
+            (n * qq - q * q).cast("double") / (n * (n - F.lit(1))).cast("double")
+        )
+        return [mean.alias(mean_alias), (stdev / mean).alias(cov_alias)]
+
+    return (
+        per.filter(
+            (n1 >= 2) & (n2 >= 2) & (q1 > 0) & (q2 > 0)
+            & (4 * n1 * (n1 * qq1 - q1 * q1) > (n1 - F.lit(1)) * q1 * q1)
+            & (4 * n2 * (n2 * qq2 - q2 * q2) > (n2 - F.lit(1)) * q2 * q2)
+        )
+        .select(
+            "l_suppkey",
+            *stats(n1, q1, qq1, "mean1", "cov1"),
+            *stats(n2, q2, qq2, "mean2", "cov2"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 shape: items with near-equal revenue share across all three channels
+# (the three-CTE 3-way equi-join + six-way BETWEEN class)
+# ---------------------------------------------------------------------------
+
+_TENTHC_REV = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2)) * 10000 AS BIGINT)"
+)
+
+_TPCDS_Q58_SQL = f"""
+WITH per AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN l_returnflag = 'A' THEN {_TENTHC_REV} ELSE 0 END) AS ra,
+         SUM(CASE WHEN l_returnflag = 'N' THEN {_TENTHC_REV} ELSE 0 END) AS rn,
+         SUM(CASE WHEN l_returnflag = 'R' THEN {_TENTHC_REV} ELSE 0 END) AS rr
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(ra AS DOUBLE) / 10000 AS a_item_rev,
+       CAST(ra AS DOUBLE) / (CAST(ra + rn + rr AS DOUBLE) / 3) * 100 AS a_dev,
+       CAST(rn AS DOUBLE) / 10000 AS n_item_rev,
+       CAST(rn AS DOUBLE) / (CAST(ra + rn + rr AS DOUBLE) / 3) * 100 AS n_dev,
+       CAST(rr AS DOUBLE) / 10000 AS r_item_rev,
+       CAST(rr AS DOUBLE) / (CAST(ra + rn + rr AS DOUBLE) / 3) * 100 AS r_dev,
+       CAST(ra + rn + rr AS DOUBLE) / 30000 AS average
+FROM per
+WHERE ra > 0 AND rn > 0 AND rr > 0
+  AND ra * 10 BETWEEN rn * 9 AND rn * 11
+  AND ra * 10 BETWEEN rr * 9 AND rr * 11
+  AND rn * 10 BETWEEN ra * 9 AND ra * 11
+  AND rn * 10 BETWEEN rr * 9 AND rr * 11
+  AND rr * 10 BETWEEN ra * 9 AND ra * 11
+  AND rr * 10 BETWEEN rn * 9 AND rn * 11
+ORDER BY l_partkey
+"""
+
+
+@register("tpcds_q58", oracle=_TPCDS_Q58_SQL, tags=("tpcds", "setratio"))
+def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape (cases/tpcds/query/query58.sql): items whose revenue
+    is within ±10% of each other channel's revenue in ALL THREE channels
+    (channels = l_returnflag slices). The query text aggregates each channel
+    in its own CTE and 3-way-joins them with six BETWEEN predicates.
+
+    Scale shape: the three CTEs + two joins collapse to ONE conditional
+    aggregate per item — a single fact pass, one partkey shuffle, map-side
+    combinable; the six-way band test and the share-of-average projection
+    run over the aggregate.
+
+    Determinism: the ±10% bands are exact integer-cents comparisons
+    (ra*10 BETWEEN rn*9 AND rn*11 — no division); emitted revenues/shares
+    are single IEEE divisions of exact cents, identical shape both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    tenthc = (rev_col() * 10000).cast("bigint")
+
+    def ch(flag: str, alias: str):
+        return F.sum(F.when(F.col("l_returnflag") == flag, tenthc).otherwise(F.lit(0))).alias(alias)
+
+    per = li.groupBy("l_partkey").agg(ch("A", "ra"), ch("N", "rn"), ch("R", "rr"))
+    ra, rn, rr = F.col("ra"), F.col("rn"), F.col("rr")
+    tot3 = (ra + rn + rr).cast("double") / 3
+
+    def band(x, y):
+        return (x * 10 >= y * 9) & (x * 10 <= y * 11)
+
+    return (
+        per.filter(
+            (ra > 0) & (rn > 0) & (rr > 0)
+            & band(ra, rn) & band(ra, rr)
+            & band(rn, ra) & band(rn, rr)
+            & band(rr, ra) & band(rr, rn)
+        )
+        .select(
+            "l_partkey",
+            (ra.cast("double") / 10000).alias("a_item_rev"),
+            (ra.cast("double") / tot3 * 100).alias("a_dev"),
+            (rn.cast("double") / 10000).alias("n_item_rev"),
+            (rn.cast("double") / tot3 * 100).alias("n_dev"),
+            (rr.cast("double") / 10000).alias("r_item_rev"),
+            (rr.cast("double") / tot3 * 100).alias("r_dev"),
+            ((ra + rn + rr).cast("double") / 30000).alias("average"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 shape: (store, item) pairs selling below a fraction of the store's
+# average item revenue (aggregate-of-aggregate + dimension ride-along)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q65_SQL = f"""
+WITH sc AS (
+  SELECT l_suppkey, l_partkey, SUM({_TENTHC_REV}) AS rev
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+), sb AS (
+  SELECT l_suppkey, SUM(rev) AS tot, COUNT(*) AS n_items
+  FROM sc GROUP BY l_suppkey
+)
+SELECT s_name, sc.l_partkey,
+       CAST(sc.rev AS DOUBLE) / 10000 AS revenue,
+       CAST(sb.tot AS DOUBLE) / CAST(sb.n_items AS DOUBLE) / 10000 AS ave
+FROM sc
+JOIN sb ON sc.l_suppkey = sb.l_suppkey
+JOIN supplier ON sc.l_suppkey = s_suppkey
+WHERE 2 * sc.rev * sb.n_items <= sb.tot
+ORDER BY s_name, sc.l_partkey
+"""
+
+
+@register("tpcds_q65", oracle=_TPCDS_Q65_SQL, tags=("tpcds", "aggofagg"))
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape (cases/tpcds/query/query65.sql): (store, item) pairs
+    whose revenue is at most HALF the store's average per-item revenue, with
+    the store dimension riding along (stores = suppliers, items = parts).
+
+    Scale shape: the query text scans the fact twice (the sb subquery
+    re-aggregates its own sc shape from scratch); here the per-pair
+    aggregate is computed ONCE and persisted (one (supp,part) shuffle over
+    the fact, one cached pass) and
+    the per-store average re-aggregates the PAIR-sized output (a second,
+    tiny shuffle); the store-average table is store-cardinality — broadcast
+    back onto the pairs along with the supplier dim. One fact pass total.
+
+    Determinism: the threshold is the pure-BIGINT cross-multiplication
+    2·rev·n_items <= tot (rev <= 0.5·tot/n) over exact 1e-4-dollar integer units;
+    emitted revenue/average are IEEE divisions of the same integers."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    tenthc = (rev_col() * 10000).cast("bigint")
+    # persist the pair aggregate: both the output rows and the store-average
+    # re-aggregation derive from it — without the persist Catalyst would
+    # inline it twice and scan the fact twice (the query text's own flaw)
+    sc = (
+        li.groupBy("l_suppkey", "l_partkey").agg(F.sum(tenthc).alias("rev")).persist()
+    )
+    sb = sc.groupBy("l_suppkey").agg(
+        F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_items")
+    )
+    return (
+        sc.join(F.broadcast(sb.withColumnRenamed("l_suppkey", "sb_suppkey")),
+                F.col("l_suppkey") == F.col("sb_suppkey"))
+        .filter(2 * F.col("rev") * F.col("n_items") <= F.col("tot"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            "l_partkey",
+            (F.col("rev").cast("double") / 10000).alias("revenue"),
+            (F.col("tot").cast("double") / F.col("n_items").cast("double") / 10000).alias("ave"),
+        )
+        .orderBy("s_name", "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 shape: month-m buyer cohort -> following-quarter spend -> fixed-width
+# revenue-band histogram (the segmentation class)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q54_SQL = f"""
+WITH cohort AS (
+  SELECT DISTINCT o_custkey
+  FROM orders
+  WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+    AND o_orderpriority IN ('1-URGENT','2-HIGH')
+), spend AS (
+  SELECT o_custkey, SUM({_CENTS_OT}) AS cents
+  FROM orders
+  WHERE o_custkey IN (SELECT o_custkey FROM cohort)
+    AND o_orderdate >= TIMESTAMP '1995-02-01'
+    AND o_orderdate < TIMESTAMP '1995-05-01'
+  GROUP BY o_custkey
+)
+SELECT CAST(cents // 500000 AS BIGINT) AS segment,
+       COUNT(*) AS num_customers,
+       CAST(cents // 500000 AS BIGINT) * 5000 AS segment_base
+FROM spend
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@register("tpcds_q54", oracle=_TPCDS_Q54_SQL, tags=("tpcds", "cohort"))
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape (cases/tpcds/query/query54.sql): customers who
+    bought in the flagship month (urgent-priority orders, Jan 1995), their
+    total spend over the following three months, segmented into $5000
+    revenue bands — the cohort-then-segment histogram.
+
+    Scale shape: cohort = DISTINCT custkeys of the month slice (one custkey
+    shuffle); the spend window joins LEFT SEMI against the cohort on the
+    same custkey partitioning (shuffle_hash pinned — both sides are fact
+    slices, no broadcast of a possibly-large cohort) and the per-customer
+    sum reuses that partitioning; the histogram is a band-count reduction
+    over customer-sized data.
+
+    Determinism: integer cents // 500000 band arithmetic — no floats
+    anywhere."""
+    ords = table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    cohort = (
+        ords.filter(
+            (F.year("o_orderdate") == 1995)
+            & (F.month("o_orderdate") == 1)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    window = ords.filter(
+        (F.col("o_orderdate") >= F.lit("1995-02-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-05-01").cast("timestamp"))
+    ).select("o_custkey", cents.alias("cents"))
+    spend = (
+        window.join(cohort.hint("shuffle_hash"), "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    seg = F.expr("cents DIV 500000").cast("bigint")
+    return (
+        spend.groupBy(seg.alias("segment"))
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .select("segment", "num_customers", (F.col("segment") * 5000).alias("segment_base"))
+        .orderBy("segment")
+    )

@@ -58,6 +58,16 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
+    # ---- round 5 late additions (this session) ----
+    "dup_passages",  # new: sliding-window duplicated-passage accounting
+    "corpus_shuffle",  # new: seeded deterministic shuffle + shard fingerprints
+    "mixture_weights",  # new: temperature (alpha=0.5) source mixing weights
+    "tpcds_q31",  # new: chained QoQ growth comparison, two channels
+    "tpcds_q39",  # new: consecutive-month CoV pairs, one conditional agg
+    "tpcds_q58",  # new: equal-share items across three channels
+    "tpcds_q65",  # new: below-half-store-average items (agg-of-agg)
+    "tpcds_q54",  # new: cohort -> next-quarter spend -> revenue bands
+    "fts_phrase",  # changed: phrase re-targeted to the regenerated fixtures
     # ---- round 5: new queries ----
     "dedup_apply",  # new: cluster-canonical dedup applied back to the corpus
     "domain_cap",  # new: per-source top-K anti-domination cap
@@ -93,15 +103,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_detached_scan",  # commit_staged claim protocol changed
     "dedup_ngram",  # changed: shingle engine factored into shared helper
     # ---- still-recent r4 rows whose driver coverage stays useful ----
-    "retention_cohorts",
-    "knn_l2",
-    "knn_dot",
-    "fts_bool",
-    "tpcds_q89",
-    "tpcds_q34",
-    "ds_nested_scan",
-    "stream_stateful",
-    "ds_clone_restore",
+    # (9 rotated out this session to make room for the late-round additions:
+    # retention_cohorts, knn_l2, knn_dot, fts_bool, tpcds_q89, tpcds_q34,
+    # ds_nested_scan, stream_stateful, ds_clone_restore — all hold green r4
+    # driver rows and stay pytest-oracle-checked every run.)
     "ds_evolve_scan",
     "tpcds_q88",
     "tpcds_q74",
@@ -125,7 +130,6 @@ _WINDOW_LAST: tuple[str, ...] = (
     "token_cjk",  # green r2, unchanged
     "knn_brute",  # green r1+r2, unchanged
     "knn_filtered",  # green r2, unchanged
-    "fts_phrase",  # green r1 + pytest-oracle since, unchanged this round
     "dedup_embed",  # green r1 + pytest-oracle since, unchanged this round
     "fts_bm25",  # green r1 + pytest-oracle since, unchanged this round
 )

@@ -356,3 +356,78 @@ def test_q78_anti_join_shuffled_pair_set(spark):
         if "BroadcastHashJoin" in line and "LeftAnti" in line:
             raise AssertionError(f"anti join must shuffle: {line}")
     assert "partial_sum" in p
+
+
+def test_q31_one_fact_pass_no_union(spark):
+    """q31's scale contract: the six-CTE 3-quarter x 2-channel self-join
+    collapses to ONE conditional aggregate per nation — a single fact pass
+    (orders scanned once), the customer join shuffled (never a broadcast of
+    the fact slice), no Union anywhere."""
+    spec = load_all()["tpcds_q31"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "Union" not in p
+    assert p.count("orders.parquet") == 1
+    assert "partial_sum" in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_q39_single_aggregate_no_self_join(spark):
+    """q39's scale contract: the month-m x month-m+1 self-join collapses to
+    one conditional aggregate — exactly one exchange, zero joins."""
+    import re
+
+    spec = load_all()["tpcds_q39"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "Join" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "partial_sum" in p
+
+
+def test_q58_single_aggregate_no_joins(spark):
+    """q58's scale contract: the three channel CTEs + 3-way join + six
+    BETWEENs collapse to one conditional aggregate per item — one exchange,
+    no joins, band filters as projections."""
+    import re
+
+    spec = load_all()["tpcds_q58"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "Join" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_q65_fact_scanned_once_store_avg_broadcast(spark):
+    """q65's scale contract: the query text's duplicated store-item subquery
+    is computed once — the fact appears in the physical plan exactly once;
+    the store-average side re-aggregates the pair output and rides a
+    broadcast (store-cardinality), as does the supplier dim."""
+    spec = load_all()["tpcds_q65"]
+    df = spec.fn(spark, BENCH_SF_DIR)
+    p = _plan(spark, df)  # formatted: cached subtree lineage listed once
+    assert p.count("lineitem.parquet") == 1
+    assert "InMemoryTableScan" in p  # the persisted pair aggregate
+    assert "partial_sum" in p
+    ps = _plan(spark, df, mode="simple")
+    assert ps.count("BroadcastHashJoin") == 2
+
+
+def test_dup_passages_hash_side_never_broadcast(spark):
+    """dup_passages joins the window table back to its duplicate-flag
+    aggregate on the SAME hash key: the flag table is corpus-proportional,
+    so the join must shuffle, never broadcast."""
+    spec = load_all()["dup_passages"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    """corpus_shuffle's scale contract: hv/shard are map-side projections;
+    the only exchange is the shard aggregate (production writes sorted
+    shard files off the same single shuffle)."""
+    import re
+
+    spec = load_all()["corpus_shuffle"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Window" not in p  # the permutation needs no global window

@@ -245,7 +245,13 @@ class Engine:
         elif fmt in ("json", "jsonl"):
             # JSON Lines (one object per line) — the LLM-corpus interchange
             # staple. Schema-pinned like CSV: no inference pass, typed read.
-            df = self.spark.read.options(**options).schema(ds.schema).json(path)
+            # FAILFAST: a malformed line is a loud error, never a silent
+            # all-NULL row (Spark's PERMISSIVE default would insert one).
+            df = (
+                self.spark.read.options(**({"mode": "FAILFAST"} | options))
+                .schema(ds.schema)
+                .json(path)
+            )
         else:
             raise ValueError(f"unsupported COPY format {fmt}")
         self.insert_df(name, df, schema)
@@ -256,23 +262,27 @@ class Engine:
         path: str,
         fmt: str = "parquet",
         schema: str = "main",
+        overwrite: bool = False,
         **options,
     ) -> None:
-        """COPY table TO 'dir' WITH (FORMAT parquet|csv|json) — a
-        distributed export sink. Strictly MORE surface than the reference:
+        """COPY table TO 'dir' WITH (FORMAT parquet|csv|json [, OVERWRITE]) —
+        a distributed export sink. Strictly MORE surface than the reference:
         its buildCopyTo is a stub ("usp copy to",
         pkg/compute/builder_dml.go:470-476). The write is a normal
         partitioned DataFrame write (one file per partition — at 100 TB the
-        export parallelizes like any scan; no driver collect)."""
+        export parallelizes like any scan; no driver collect).
+
+        An existing target path is a loud error unless ``overwrite=True``
+        (SQL: the OVERWRITE option) — Spark's overwrite mode recursively
+        deletes the target first, which must never be the silent default."""
         df = self.dataset(name, schema).to_df()
+        mode = "overwrite" if overwrite else "errorifexists"
         if fmt == "parquet":
-            df.write.mode("overwrite").options(**options).parquet(path)
+            df.write.mode(mode).options(**options).parquet(path)
         elif fmt == "csv":
-            df.write.mode("overwrite").options(**({"header": "true"} | options)).csv(
-                path
-            )
+            df.write.mode(mode).options(**({"header": "true"} | options)).csv(path)
         elif fmt in ("json", "jsonl"):
-            df.write.mode("overwrite").options(**options).json(path)
+            df.write.mode(mode).options(**options).json(path)
         else:
             raise ValueError(f"unsupported COPY format {fmt}")
 
@@ -749,7 +759,8 @@ class Engine:
         if direction == "FROM":
             self.copy_from(name, path, fmt=fmt, **options)
         else:
-            self.copy_to(name, path, fmt=fmt, **options)
+            overwrite = bool(re.search(r"(?i)(?:^|,)\s*OVERWRITE\s*(?:,|$)", opts))
+            self.copy_to(name, path, fmt=fmt, overwrite=overwrite, **options)
 
     def _stmt_merge(self, s: str) -> None:
         """MERGE INTO t USING (src query | src_table) ON key[, key...]

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
-from plan_spark.queries.common import REV_SQL, dec, rev_col
+from plan_spark.queries.common import REV_SQL, dec, rev_col, ts
+from plan_spark.queries.common import cents as cents_col
 from plan_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1771,7 +1772,7 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    cents = (dec("o_totalprice") * 100).cast("bigint")
+    cents = cents_col("o_totalprice")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     qoy = F.quarter("o_orderdate")
 
@@ -1863,7 +1864,7 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side-combinable bigints, one supplier shuffle); the pair filter is
     a projection.
 
-    Determinism: cov > 1 is evaluated as the pure-BIGINT cross-
+    Determinism: cov > 1/2 is evaluated as the pure-BIGINT cross-
     multiplication 4·n·(n·Σx² − (Σx)²) > (n−1)·(Σx)² (stdev² > mean²/4,
     exact);
     emitted means/covs are closed-form doubles over the same integers with
@@ -1915,10 +1916,9 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the three-CTE 3-way equi-join + six-way BETWEEN class)
 # ---------------------------------------------------------------------------
 
-_TENTHC_REV = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-    "CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2)) * 10000 AS BIGINT)"
-)
+# exact integer revenue in 1e-4-dollar units: REV_SQL carries 4 decimals, so
+# *10000 is integral and the BIGINT cast never rounds
+_TENTHC_REV = f"CAST({REV_SQL} * 10000 AS BIGINT)"
 
 _TPCDS_Q58_SQL = f"""
 WITH per AS (
@@ -2076,14 +2076,15 @@ _TPCDS_Q54_SQL = f"""
 WITH cohort AS (
   SELECT DISTINCT o_custkey
   FROM orders
-  WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
     AND o_orderpriority IN ('1-URGENT','2-HIGH')
 ), spend AS (
   SELECT o_custkey, SUM({_CENTS_OT}) AS cents
   FROM orders
   WHERE o_custkey IN (SELECT o_custkey FROM cohort)
-    AND o_orderdate >= TIMESTAMP '1995-02-01'
-    AND o_orderdate < TIMESTAMP '1995-05-01'
+    AND o_orderdate >= TIMESTAMP '1995-04-01'
+    AND o_orderdate < TIMESTAMP '1995-10-01'
   GROUP BY o_custkey
 )
 SELECT CAST(cents // 500000 AS BIGINT) AS segment,
@@ -2098,9 +2099,10 @@ ORDER BY segment
 @register("tpcds_q54", oracle=_TPCDS_Q54_SQL, tags=("tpcds", "cohort"))
 def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q54 shape (cases/tpcds/query/query54.sql): customers who
-    bought in the flagship month (urgent-priority orders, Jan 1995), their
-    total spend over the following three months, segmented into $5000
-    revenue bands — the cohort-then-segment histogram.
+    bought in the flagship quarter (urgent-priority orders, Q1 1995), their
+    total spend over the following six months, segmented into $5000
+    revenue bands — the cohort-then-segment histogram. (Windows sized so
+    the check is non-vacuous at EVERY fixture scale, sf0.001 included.)
 
     Scale shape: cohort = DISTINCT custkeys of the month slice (one custkey
     shuffle); the spend window joins LEFT SEMI against the cohort on the
@@ -2112,19 +2114,19 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer cents // 500000 band arithmetic — no floats
     anywhere."""
     ords = table(spark, sf_dir, "orders")
-    cents = (dec("o_totalprice") * 100).cast("bigint")
+    cents = cents_col("o_totalprice")
     cohort = (
         ords.filter(
-            (F.year("o_orderdate") == 1995)
-            & (F.month("o_orderdate") == 1)
+            (F.col("o_orderdate") >= ts("1995-01-01"))
+            & (F.col("o_orderdate") < ts("1995-04-01"))
             & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         )
         .select("o_custkey")
         .distinct()
     )
     window = ords.filter(
-        (F.col("o_orderdate") >= F.lit("1995-02-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-05-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts("1995-04-01"))
+        & (F.col("o_orderdate") < ts("1995-10-01"))
     ).select("o_custkey", cents.alias("cents"))
     spend = (
         window.join(cohort.hint("shuffle_hash"), "o_custkey", "left_semi")

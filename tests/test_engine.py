@@ -804,3 +804,34 @@ def test_copy_jsonl_roundtrip(engine, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported COPY format"):
         engine.copy_to("jt", str(tmp_path / "x"), fmt="orcish")
+
+
+def test_copy_jsonl_malformed_fails_fast(engine, tmp_path):
+    """A malformed JSONL line is a loud error, never a silent all-NULL row
+    (Spark's PERMISSIVE default would insert one)."""
+    jl = tmp_path / "bad.jsonl"
+    jl.write_text('{"a": 1, "b": "foo"}\n{"a": 2, "b": "bar\n')
+    engine.sql("CREATE TABLE jbad (a INT, b STRING)")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        engine.sql(f"COPY jbad FROM '{jl}' WITH (FORMAT 'jsonl')")
+    assert isinstance(exc.value, Py4JJavaError) or "Malformed" in str(exc.value)
+    assert engine.sql("SELECT COUNT(*) AS n FROM jbad").collect()[0].n == 0
+
+
+def test_copy_to_refuses_existing_target_unless_overwrite(engine, tmp_path):
+    """COPY TO must never silently delete an existing path: errorifexists by
+    default, explicit OVERWRITE option opts in."""
+    engine.sql("CREATE TABLE cte (a INT)")
+    engine.sql("INSERT INTO cte VALUES (1)")
+    out = tmp_path / "exp"
+    engine.sql(f"COPY cte TO '{out}' WITH (FORMAT 'parquet')")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)already exists"):
+        engine.sql(f"COPY cte TO '{out}' WITH (FORMAT 'parquet')")
+    engine.sql("INSERT INTO cte VALUES (2)")
+    engine.sql(f"COPY cte TO '{out}' WITH (FORMAT 'parquet', OVERWRITE)")
+    assert engine.spark.read.parquet(str(out)).count() == 2

@@ -431,3 +431,15 @@ def test_corpus_shuffle_single_exchange(spark):
     p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Window" not in p  # the permutation needs no global window
+
+
+def test_q54_cohort_semi_join_never_broadcast(spark):
+    """q54's scale contract: the cohort is a filtered fact slice (shrinks
+    below the broadcast threshold at test SF but is corpus-proportional in
+    production) — the LEFT SEMI join must stay shuffled via its pinned
+    hint, and the per-customer sum reuses the custkey partitioning."""
+    spec = load_all()["tpcds_q54"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" not in p
+    assert "LeftSemi" in p
+    assert "partial_sum" in p

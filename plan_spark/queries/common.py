@@ -57,6 +57,13 @@ def rev_col() -> Column:
     return dec("l_extendedprice") * one_minus_disc()
 
 
+def rev_tenthc() -> Column:
+    """Per-row revenue in exact 1e-4-dollar integer units: rev_col() carries
+    exactly 4 decimals, so *10000 is integral and the long cast never
+    rounds. SQL mirror: CAST(REV_SQL * 10000 AS BIGINT)."""
+    return (rev_col() * 10000).cast("long")
+
+
 def sum_rev(alias: str = "revenue") -> Column:
     """SUM(revenue): exact decimal sum (order-independent), emitted as DOUBLE.
 

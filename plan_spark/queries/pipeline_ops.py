@@ -1203,3 +1203,109 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Applying the temperature mixture: per-source keep rates from the alpha=0.5
+# weights, materialized as a deterministic hash-Bernoulli sample — the
+# corpus-rewrite half of mixture_weights (quota -> rate -> sampled counts).
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 200  # target sampled corpus size in docs (the mixing knob)
+
+_MIX_APPLY_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+),
+w AS (SELECT *, SQRT(CAST(n_tokens AS DOUBLE)) AS weight FROM per),
+g AS (
+  SELECT list_reduce(list_prepend(0.0, list(weight ORDER BY source)),
+                     (a, v) -> a + v) AS denom
+  FROM w
+),
+r AS (
+  SELECT source, n_docs, n_tokens,
+         least(1.0, (weight / denom) * {_MIX_BUDGET} / CAST(n_docs AS DOUBLE))
+           AS keep_rate
+  FROM w, g
+),
+h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) / {_HEX15} AS frac
+  FROM documents
+)
+SELECT r.source, r.n_docs, r.n_tokens, r.keep_rate,
+       CAST(SUM(CASE WHEN h.frac < r.keep_rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept
+FROM h JOIN r ON h.source = r.source
+GROUP BY r.source, r.n_docs, r.n_tokens, r.keep_rate
+ORDER BY r.source
+"""
+
+
+@register("mixture_apply", oracle=_MIX_APPLY_SQL, tags=("pipeline", "mixing"))
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing APPLIED: each source's alpha=0.5 share of a fixed
+    doc budget becomes a keep rate (quota/n_docs, capped at 1), realized as
+    the same deterministic md5-Bernoulli sample sample_split uses — so the
+    sampled corpus is reproducible in any engine, and per-source accounting
+    (rate, kept) certifies the materialization.
+
+    Scale shape: one source-keyed aggregate builds the rate table
+    (source-cardinality), which broadcasts back onto the corpus; the keep
+    test is a pure map-side expression per doc (no shuffle of the corpus
+    beyond the final source-keyed accounting). At 100 TB the rewrite is a
+    filter — the corpus streams once.
+
+    Determinism: rates are fixed-shape IEEE expressions over exact BIGINTs
+    and the sequential-fold normalizer; the Bernoulli threshold compares
+    two identically-derived doubles, so the kept set is bit-stable."""
+    d = _norm_docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+    )
+    w = per.withColumn("weight", F.sqrt(F.col("n_tokens").cast("double")))
+    g = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "weight"))),
+                lambda x: x["weight"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("denom")
+    )
+    r = w.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(1.0),
+            (F.col("weight") / F.col("denom"))
+            * _MIX_BUDGET
+            / F.col("n_docs").cast("double"),
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HEX15)
+    )
+    h = table(spark, sf_dir, "documents").select("source", frac.alias("frac"))
+    return (
+        h.join(F.broadcast(r), "source")
+        .groupBy("source", "n_docs", "n_tokens", "keep_rate")
+        .agg(
+            F.sum(F.when(F.col("frac") < F.col("keep_rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept")
+        )
+        .orderBy("source")
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
-from plan_spark.queries.common import REV_SQL, dec, rev_col, ts
+from plan_spark.queries.common import REV_SQL, dec, rev_col, rev_tenthc, ts
 from plan_spark.queries.common import cents as cents_col
 from plan_spark.registry import register
 
@@ -1965,7 +1965,7 @@ def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ra*10 BETWEEN rn*9 AND rn*11 — no division); emitted revenues/shares
     are single IEEE divisions of exact cents, identical shape both sides."""
     li = table(spark, sf_dir, "lineitem")
-    tenthc = (rev_col() * 10000).cast("bigint")
+    tenthc = rev_tenthc()
 
     def ch(flag: str, alias: str):
         return F.sum(F.when(F.col("l_returnflag") == flag, tenthc).otherwise(F.lit(0))).alias(alias)
@@ -2042,7 +2042,7 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted revenue/average are IEEE divisions of the same integers."""
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    tenthc = (rev_col() * 10000).cast("bigint")
+    tenthc = rev_tenthc()
     # persist the pair aggregate: both the output rows and the store-average
     # re-aggregation derive from it — without the persist Catalyst would
     # inline it twice and scan the fact twice (the query text's own flaw)
@@ -2139,4 +2139,176 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("num_customers"))
         .select("segment", "num_customers", (F.col("segment") * 5000).alias("segment_base"))
         .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 shape: channel x region profit report with ROLLUP totals (the
+# three-CTE union-then-rollup class)
+# ---------------------------------------------------------------------------
+
+_CHAN_SQL = """CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'URG'
+             WHEN o_orderpriority = '3-MEDIUM' THEN 'MED'
+             ELSE 'LOW' END"""
+
+_TPCDS_Q80_SQL = f"""
+WITH base AS (
+  SELECT {_CHAN_SQL} AS channel, n_name,
+         SUM(CASE WHEN l_returnflag <> 'R' THEN {_TENTHC_REV} ELSE 0 END) AS sales_u,
+         SUM(CASE WHEN l_returnflag =  'R' THEN {_TENTHC_REV} ELSE 0 END) AS ret_u
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT channel, n_name,
+       GROUPING(channel) + GROUPING(n_name) AS lochierarchy,
+       CAST(SUM(sales_u) AS DOUBLE) / 10000 AS sales,
+       CAST(SUM(ret_u) AS DOUBLE) / 10000 AS returns,
+       CAST(SUM(sales_u) - SUM(ret_u) AS DOUBLE) / 10000 AS profit
+FROM base
+GROUP BY ROLLUP(channel, n_name)
+ORDER BY lochierarchy DESC, channel, n_name
+"""
+
+
+@register("tpcds_q80", oracle=_TPCDS_Q80_SQL, tags=("tpcds", "rollup"))
+def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 shape (cases/tpcds/query/query80.sql): sales, returns and
+    profit per (channel, region) with ROLLUP subtotals and a grand total —
+    the query text computes each channel in its own CTE (sales LEFT JOIN
+    returns), UNION ALLs the three reports, and rolls the union up.
+
+    Scale shape: the union disappears — the channel is a CASE column and
+    sales/returns are conditional sums in ONE pass over the
+    orderkey-co-partitioned fact join (shuffle_hash pinned); ROLLUP's
+    Expand runs over the channel x nation PARTIAL (75 rows), never over raw
+    rows (the q36/q67 discipline). Exact 1e-4-dollar longs re-aggregate
+    associatively through the rollup.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", rev_tenthc().alias("tenthc")
+    )
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    channel = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "URG")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "MED")
+        .otherwise("LOW")
+    )
+    base = (
+        li.join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(channel.alias("channel"), "n_name")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", F.col("tenthc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("sales_u"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("tenthc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("ret_u"),
+        )
+    )
+    return (
+        base.rollup("channel", "n_name")
+        .agg(
+            (F.grouping("channel") + F.grouping("n_name")).alias("lochierarchy"),
+            (F.sum("sales_u").cast("double") / 10000).alias("sales"),
+            (F.sum("ret_u").cast("double") / 10000).alias("returns"),
+            ((F.sum("sales_u") - F.sum("ret_u")).cast("double") / 10000).alias(
+                "profit"
+            ),
+        )
+        .orderBy(F.col("lochierarchy").desc(), "channel", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 shape: per-order "bought away from home" rollup (dimension-mismatch
+# predicate inside a per-order aggregate, customer ride-along, top-k)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q46_SQL = f"""
+WITH per AS (
+  SELECT o_orderkey, c_name,
+         SUM(CASE WHEN s_nationkey <> c_nationkey THEN {_TENTHC_REV} ELSE 0 END)
+           AS away_u,
+         SUM(CASE WHEN s_nationkey = c_nationkey THEN {_TENTHC_REV} ELSE 0 END)
+           AS home_u
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_name, o_orderkey,
+       CAST(away_u AS DOUBLE) / 10000 AS away_rev,
+       CAST(home_u AS DOUBLE) / 10000 AS home_rev
+FROM per
+WHERE away_u > 0
+ORDER BY away_u DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpcds_q46", oracle=_TPCDS_Q46_SQL, tags=("tpcds", "mismatch"))
+def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46 shape (cases/tpcds/query/query46.sql): per-order amounts
+    split by whether the line was sourced OUTSIDE the customer's home
+    nation (the text's "current city <> store city" mismatch), customer
+    name riding along, top-100 by away-revenue.
+
+    Scale shape: supplier nation rides a broadcast dim onto the fact; the
+    fact joins orders co-partitioned on orderkey and customer on custkey
+    (both shuffle_hash pinned — both sides fact-proportional); ONE
+    per-order conditional aggregate computes away/home splits; top-k is
+    TakeOrderedAndProject over the aggregate (never a global sort of raw
+    rows). The total order (away_u DESC, unique orderkey) makes the LIMIT
+    deterministic cross-engine.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev_tenthc().alias("tenthc")
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    per = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s_nationkey") != F.col("c_nationkey"), F.col("tenthc")
+                ).otherwise(F.lit(0))
+            ).alias("away_u"),
+            F.sum(
+                F.when(
+                    F.col("s_nationkey") == F.col("c_nationkey"), F.col("tenthc")
+                ).otherwise(F.lit(0))
+            ).alias("home_u"),
+        )
+    )
+    return (
+        per.filter(F.col("away_u") > 0)
+        .orderBy(F.col("away_u").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "o_orderkey",
+            (F.col("away_u").cast("double") / 10000).alias("away_rev"),
+            (F.col("home_u").cast("double") / 10000).alias("home_rev"),
+        )
     )

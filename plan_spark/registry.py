@@ -59,6 +59,9 @@ _loaded = False
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5 late additions (this session) ----
+    "tpcds_q80",  # new: channel x region profit ROLLUP (union-then-rollup class)
+    "tpcds_q46",  # new: away-from-home per-order mismatch rollup + top-k
+    "mixture_apply",  # new: temperature quotas materialized as hash-Bernoulli
     "dup_passages",  # new: sliding-window duplicated-passage accounting
     "corpus_shuffle",  # new: seeded deterministic shuffle + shard fingerprints
     "mixture_weights",  # new: temperature (alpha=0.5) source mixing weights
@@ -107,9 +110,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # retention_cohorts, knn_l2, knn_dot, fts_bool, tpcds_q89, tpcds_q34,
     # ds_nested_scan, stream_stateful, ds_clone_restore — all hold green r4
     # driver rows and stay pytest-oracle-checked every run.)
-    "ds_evolve_scan",
-    "tpcds_q88",
-    "tpcds_q74",
+    # (3 more rotated out for this session's second burst: ds_evolve_scan,
+    # tpcds_q88, tpcds_q74 — green r4 rows, pytest-oracle-checked.)
     "tpcds_q35",
     "stream_outer_join",
     "tpcds_q90",

@@ -443,3 +443,38 @@ def test_q54_cohort_semi_join_never_broadcast(spark):
     assert "BroadcastHashJoin" not in p
     assert "LeftSemi" in p
     assert "partial_sum" in p
+
+
+def test_q80_rollup_expand_over_partials_no_union(spark):
+    """q80's scale contract: the three-channel union-then-rollup collapses
+    to ONE conditional aggregate; ROLLUP's Expand runs over the channel x
+    nation partial, never over raw fact rows; the fact joins shuffle."""
+    spec = load_all()["tpcds_q80"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "Union" not in p
+    lines = p.splitlines()
+    expand_i = next(i for i, ln in enumerate(lines) if "Expand" in ln)
+    below = "\n".join(lines[expand_i:])
+    assert "HashAggregate" in below  # the pre-aggregate feeds Expand
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_q46_single_order_aggregate_topk(spark):
+    """q46's scale contract: ONE per-order conditional aggregate (no
+    per-channel subplans), supplier broadcast, orders/customer joins
+    shuffled, top-k as TakeOrderedAndProject over the aggregate."""
+    spec = load_all()["tpcds_q46"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") == 1  # supplier dim only
+    assert "partial_sum" in p
+
+
+def test_mixture_apply_rate_table_broadcast_corpus_streams(spark):
+    """mixture_apply's scale contract: the rate table (source-cardinality)
+    broadcasts onto the corpus; the keep test is map-side — the corpus
+    never shuffles before the final source-keyed accounting."""
+    spec = load_all()["mixture_apply"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p

@@ -149,6 +149,9 @@ class Engine:
     def tables(self, schema: str = "main") -> list[str]:
         return sorted(self._catalog["schemas"][schema]["tables"])
 
+    def views(self, schema: str = "main") -> list[str]:
+        return sorted(self._catalog["schemas"][schema].get("views", {}))
+
     def _entry(self, table: str, schema: str) -> dict:
         try:
             return self._catalog["schemas"][schema]["tables"][table]
@@ -173,6 +176,8 @@ class Engine:
             raise ValueError(f"schema {schema!r} does not exist (CREATE SCHEMA first)")
         if name in self._catalog["schemas"][schema]["tables"]:
             raise ValueError(f"table {schema}.{name} already exists")
+        if name in self._catalog["schemas"][schema].get("views", {}):
+            raise ValueError(f"a view named {name!r} already exists in {schema}")
         if name.startswith("__tt__"):
             raise ValueError(
                 f"table name {name!r} uses the reserved __tt__ namespace "
@@ -222,6 +227,51 @@ class Engine:
             *[df[f.name].cast(f.dataType) for f in ds.schema.fields]
         )
         ds.append(cast)
+
+    def create_view(
+        self, name: str, query: str, schema: str = "main", replace: bool = False
+    ) -> None:
+        """CREATE [OR REPLACE] VIEW — a named stored query, persisted as SQL
+        text in the catalog and re-analyzed against the CURRENT table
+        versions on every registration (a view over t always reads t's
+        latest data, like any SQL engine). Strictly MORE surface than the
+        reference (no view statement exists in its builder_ddl.go).
+
+        Views share the bare-name namespace with tables: collisions are
+        rejected in both directions. The definition is validated (analyzed)
+        at creation; storage is text-only — zero data is materialized."""
+        if name.startswith("__tt__"):
+            raise ValueError(
+                f"view name {name!r} uses the reserved __tt__ namespace "
+                "(time-travel snapshots)"
+            )
+        sch = self._catalog["schemas"][schema]
+        if name in sch["tables"]:
+            raise ValueError(f"a table named {name!r} already exists in {schema}")
+        vs = sch.setdefault("views", {})
+        if name in vs and not replace:
+            raise ValueError(f"view {name!r} already exists (use OR REPLACE)")
+        self._register_views()
+        # validate: the definition must analyze against the current catalog
+        # (time-travel clauses inside the view body are rewritten like any
+        # embedded query)
+        df = self.spark.sql(self._rewrite_time_travel(query))
+        vs[name] = {"sql": query}
+        self._save_catalog()
+        view = name if schema == "main" else f"{schema}_{name}"
+        df.createOrReplaceTempView(view)
+        if schema == "main":
+            df.createOrReplaceTempView(name)
+
+    def drop_view(self, name: str, schema: str = "main") -> None:
+        vs = self._catalog["schemas"][schema].get("views", {})
+        if name not in vs:
+            raise ValueError(f"no view named {name!r} in schema {schema}")
+        del vs[name]
+        self._save_catalog()
+        self.spark.catalog.dropTempView(name if schema == "main" else f"{schema}_{name}")
+        if schema == "main":
+            self.spark.catalog.dropTempView(name)
 
     def copy_from(
         self,
@@ -448,6 +498,31 @@ class Engine:
                     df.createOrReplaceTempView(tname)
                 df.createOrReplaceTempView(f"{sname}_{tname}")
                 self._registered[key] = ds.version
+        # catalog views re-analyze EVERY call: a temp view captures its plan
+        # at creation, so a stale registration would pin old table versions.
+        # Views may reference other views -> fixpoint passes (dependency
+        # order unknown); a view that never analyzes raises on the last pass.
+        pending = [
+            (sname, vname, v["sql"])
+            for sname, sch in self._catalog["schemas"].items()
+            for vname, v in sch.get("views", {}).items()
+        ]
+        for final in [False] * max(0, len(pending) - 1) + [True]:
+            if not pending:
+                break
+            still = []
+            for sname, vname, text in pending:
+                try:
+                    df = self.spark.sql(self._rewrite_time_travel(text))
+                except Exception:
+                    if final:
+                        raise
+                    still.append((sname, vname, text))
+                    continue
+                if sname == "main":
+                    df.createOrReplaceTempView(vname)
+                df.createOrReplaceTempView(f"{sname}_{vname}")
+            pending = still
 
     # Leading keywords that Catalyst handles directly (queries + EXPLAIN).
     _QUERY_TOKENS = frozenset({"select", "with", "values", "table", "explain"})
@@ -537,6 +612,19 @@ class Engine:
         m = re.match(r"(?is)^CREATE\s+SCHEMA\s+(\w+)$", s)
         if m:
             self.create_schema(m.group(1))
+            return
+        m = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(\w+)\.)?(\w+)\s+AS\s+"
+            r"((?:SELECT|WITH|TABLE|VALUES)\b.*)$",
+            s,
+        )
+        if m:
+            self.create_view(
+                m.group(3),
+                m.group(4),
+                schema=m.group(2) or "main",
+                replace=bool(m.group(1)),
+            )
             return
         # CTAS (reference builder_ddl.go CTAS path): derive the schema from
         # the query result, create, insert — one statement, two commits
@@ -656,6 +744,10 @@ class Engine:
         m = re.match(r"(?is)^DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)$", s)
         if m:
             self.dataset(m.group(2)).drop_index(m.group(1))
+            return
+        m = re.match(r"(?is)^DROP\s+VIEW\s+(?:(\w+)\.)?(\w+)$", s)
+        if m:
+            self.drop_view(m.group(2), schema=m.group(1) or "main")
             return
         m = re.match(r"(?is)^DROP\s+TABLE\s+(\w+)$", s)
         if not m:
@@ -903,6 +995,22 @@ class Engine:
         DESCRIBE HISTORY t | DESCRIBE DETAIL t — catalog introspection served from the engine's own
         catalog (the reference's psql meta commands); DESC is accepted
         everywhere DESCRIBE is."""
+        m = re.match(r"(?is)^SHOW\s+VIEWS(?:\s+IN\s+(\w+))?$", s)
+        if m:
+            schema_name = m.group(1) or "main"
+            rows = [(v,) for v in self.views(schema_name)]
+            return self.spark.createDataFrame(rows, "view_name string")
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+VIEW\s+(?:(\w+)\.)?(\w+)$", s)
+        if m:
+            schema_name, vname = m.group(1) or "main", m.group(2)
+            vs = self._catalog["schemas"][schema_name].get("views", {})
+            if vname not in vs:
+                raise ValueError(f"no view named {vname!r} in schema {schema_name}")
+            qual = vname if schema_name == "main" else f"{schema_name}.{vname}"
+            return self.spark.createDataFrame(
+                [(vname, f"CREATE VIEW {qual} AS {vs[vname]['sql']}")],
+                "view_name string, create_stmt string",
+            )
         m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)$", s)
         if m:
             # reconstruct the DDL from the live schema + catalog metadata

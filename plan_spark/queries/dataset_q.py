@@ -756,11 +756,12 @@ ORDER BY cur.o_orderstatus
 def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door end-to-end (reference cmd/main/main.go server
     loop: every operation through ONE `sql()` entry): CREATE TABLE, COPY
-    FROM the fixture parquet, CREATE TAG, DELETE, UPDATE with an
-    expression, then a query that joins the CURRENT state against the
-    tagged snapshot via `VERSION AS OF 'tag'` — parsing, routing, the
-    versioned-table views, and the time-travel rewrite all sit on the
-    hash-checked path, not just in unit tests.
+    FROM the fixture parquet, CREATE VIEW, CREATE TAG, DELETE, UPDATE with
+    an expression, then a query that reads the CURRENT state THROUGH the
+    stored view and joins it against the tagged snapshot via
+    `VERSION AS OF 'tag'` — parsing, routing, the versioned-table views,
+    catalog-view re-binding across mutations, and the time-travel rewrite
+    all sit on the hash-checked path, not just in unit tests.
 
     Determinism: money sums go through exact decimal casts; the UPDATE
     doubles prices (a power of two — exact in binary) so both engines
@@ -774,6 +775,13 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice DOUBLE)"
     )
     eng.sql(f"COPY ord FROM '{sf_dir}/orders.parquet'")
+    # a catalog VIEW created BEFORE the mutations: the final query reads
+    # through it, proving stored views re-bind to the CURRENT table version
+    # (> ref surface; engine.py create_view)
+    eng.sql(
+        "CREATE VIEW ord_live AS "
+        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM ord"
+    )
     eng.sql("CREATE TAG pre ON ord")
     eng.sql("DELETE FROM ord WHERE o_orderstatus = 'F'")
     eng.sql("UPDATE ord SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 100 = 0")
@@ -783,7 +791,7 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_orderstatus,
                  CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-          FROM ord GROUP BY o_orderstatus),
+          FROM ord_live GROUP BY o_orderstatus),
         pre AS (
           SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
           FROM ord VERSION AS OF 'pre' GROUP BY o_orderstatus)

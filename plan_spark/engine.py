@@ -150,6 +150,8 @@ class Engine:
         return sorted(self._catalog["schemas"][schema]["tables"])
 
     def views(self, schema: str = "main") -> list[str]:
+        if schema not in self._catalog["schemas"]:
+            raise ValueError(f"schema {schema!r} does not exist")
         return sorted(self._catalog["schemas"][schema].get("views", {}))
 
     def _entry(self, table: str, schema: str) -> dict:
@@ -198,6 +200,21 @@ class Engine:
         import shutil
 
         entry = self._entry(name, schema)
+        # RESTRICT semantics: refuse while a stored view mentions the table
+        # (conservative word match on the stored SQL text — a false positive
+        # is a loud, safe error; a silent engine-wide analysis failure on
+        # every later sql() call is neither)
+        deps = [
+            f"{vs}.{vn}" if vs != "main" else vn
+            for vs, sch in self._catalog["schemas"].items()
+            for vn, v in sch.get("views", {}).items()
+            if re.search(rf"\b{re.escape(name)}\b", v["sql"])
+        ]
+        if deps:
+            raise ValueError(
+                f"cannot drop table {name!r}: view(s) {deps} reference it "
+                "(DROP VIEW first)"
+            )
         shutil.rmtree(entry["root"], ignore_errors=True)
         del self._catalog["schemas"][schema]["tables"][name]
         self._save_catalog()
@@ -245,6 +262,8 @@ class Engine:
                 f"view name {name!r} uses the reserved __tt__ namespace "
                 "(time-travel snapshots)"
             )
+        if schema not in self._catalog["schemas"]:
+            raise ValueError(f"schema {schema!r} does not exist (CREATE SCHEMA first)")
         sch = self._catalog["schemas"][schema]
         if name in sch["tables"]:
             raise ValueError(f"a table named {name!r} already exists in {schema}")
@@ -252,26 +271,42 @@ class Engine:
         if name in vs and not replace:
             raise ValueError(f"view {name!r} already exists (use OR REPLACE)")
         self._register_views()
-        # validate: the definition must analyze against the current catalog
-        # (time-travel clauses inside the view body are rewritten like any
-        # embedded query)
-        df = self.spark.sql(self._rewrite_time_travel(query))
+        # validate with the view's OWN registrations dropped, so a
+        # self-referential OR REPLACE cannot resolve against its previous
+        # definition (standard engines reject self-referencing views)
+        self._drop_view_temps(name, schema)
+        try:
+            df = self.spark.sql(self._rewrite_time_travel(query))
+        except Exception:
+            # restore the previous definition's registration (catalog is
+            # unchanged; _register_views re-creates every stored view)
+            self._register_views()
+            raise
         vs[name] = {"sql": query}
         self._save_catalog()
-        view = name if schema == "main" else f"{schema}_{name}"
-        df.createOrReplaceTempView(view)
-        if schema == "main":
-            df.createOrReplaceTempView(name)
+        self._register_view_temps(df, name, schema)
 
     def drop_view(self, name: str, schema: str = "main") -> None:
+        if schema not in self._catalog["schemas"]:
+            raise ValueError(f"schema {schema!r} does not exist")
         vs = self._catalog["schemas"][schema].get("views", {})
         if name not in vs:
             raise ValueError(f"no view named {name!r} in schema {schema}")
         del vs[name]
         self._save_catalog()
-        self.spark.catalog.dropTempView(name if schema == "main" else f"{schema}_{name}")
+        self._drop_view_temps(name, schema)
+
+    def _drop_view_temps(self, name: str, schema: str) -> None:
+        """Unregister a view's temp views — the qualified {schema}_{name}
+        alias always exists; main-schema views also own the bare name."""
+        self.spark.catalog.dropTempView(f"{schema}_{name}")
         if schema == "main":
             self.spark.catalog.dropTempView(name)
+
+    def _register_view_temps(self, df: DataFrame, name: str, schema: str) -> None:
+        df.createOrReplaceTempView(f"{schema}_{name}")
+        if schema == "main":
+            df.createOrReplaceTempView(name)
 
     def copy_from(
         self,
@@ -500,14 +535,22 @@ class Engine:
                 self._registered[key] = ds.version
         # catalog views re-analyze EVERY call: a temp view captures its plan
         # at creation, so a stale registration would pin old table versions.
-        # Views may reference other views -> fixpoint passes (dependency
-        # order unknown); a view that never analyzes raises on the last pass.
+        # All view temps are dropped BEFORE the fixpoint so a view-over-view
+        # can only analyze against a dependency re-registered THIS cycle —
+        # never against last cycle's (stale) plan, whatever the iteration
+        # order; cycles therefore never resolve and stay unregistered.
+        # A view whose definition no longer analyzes (dropped column, ...)
+        # is skipped, not raised: it alone fails at query time
+        # (TABLE_OR_VIEW_NOT_FOUND) while the rest of the engine keeps
+        # working. drop_table additionally RESTRICTs on dependent views.
         pending = [
             (sname, vname, v["sql"])
             for sname, sch in self._catalog["schemas"].items()
             for vname, v in sch.get("views", {}).items()
         ]
-        for final in [False] * max(0, len(pending) - 1) + [True]:
+        for sname, vname, _ in pending:
+            self._drop_view_temps(vname, sname)
+        for _pass in range(max(1, len(pending))):
             if not pending:
                 break
             still = []
@@ -515,13 +558,11 @@ class Engine:
                 try:
                     df = self.spark.sql(self._rewrite_time_travel(text))
                 except Exception:
-                    if final:
-                        raise
                     still.append((sname, vname, text))
                     continue
-                if sname == "main":
-                    df.createOrReplaceTempView(vname)
-                df.createOrReplaceTempView(f"{sname}_{vname}")
+                self._register_view_temps(df, vname, sname)
+            if len(still) == len(pending):
+                break  # no progress: remaining views are broken/cyclic
             pending = still
 
     # Leading keywords that Catalyst handles directly (queries + EXPLAIN).
@@ -998,11 +1039,15 @@ class Engine:
         m = re.match(r"(?is)^SHOW\s+VIEWS(?:\s+IN\s+(\w+))?$", s)
         if m:
             schema_name = m.group(1) or "main"
+            if schema_name not in self._catalog["schemas"]:
+                raise ValueError(f"schema {schema_name!r} does not exist")
             rows = [(v,) for v in self.views(schema_name)]
             return self.spark.createDataFrame(rows, "view_name string")
         m = re.match(r"(?is)^SHOW\s+CREATE\s+VIEW\s+(?:(\w+)\.)?(\w+)$", s)
         if m:
             schema_name, vname = m.group(1) or "main", m.group(2)
+            if schema_name not in self._catalog["schemas"]:
+                raise ValueError(f"schema {schema_name!r} does not exist")
             vs = self._catalog["schemas"][schema_name].get("views", {})
             if vname not in vs:
                 raise ValueError(f"no view named {vname!r} in schema {schema_name}")

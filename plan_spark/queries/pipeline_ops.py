@@ -243,10 +243,29 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 64
 _HEX15 = float(16**15)  # hash domain: first 15 hex chars of md5
 
+
+def _hv_sql(col: str) -> str:
+    """DuckDB: md5(col) -> non-negative BIGINT over the first 15 hex chars.
+    THE hash-domain definition — every Bernoulli/KMV site derives from it."""
+    return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _hv_col(col: str):
+    """Spark mirror of _hv_sql (identical value, any engine)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
+def _hash_frac(col: str):
+    """md5-derived uniform [0,1) fraction — the deterministic Bernoulli."""
+    return _hv_col(col).cast("double") / F.lit(_HEX15)
+
 _DISTINCT_KMV_SQL = f"""
 WITH h AS (
   SELECT DISTINCT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         {_hv_sql("user_id")} AS hv
   FROM events),
 r AS (
   SELECT event_type, hv,
@@ -276,9 +295,7 @@ def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         ev.select(
             "event_type",
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("hv"),
+            _hv_col("user_id").alias("hv"),
         )
         .distinct()
     )
@@ -546,7 +563,7 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_SQL = f"""
 WITH h AS (
   SELECT doc_id, source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         {_hv_sql("doc_id")} AS hv
   FROM documents),
 s AS (
   SELECT source,
@@ -569,12 +586,7 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a free projection on every scan, needs no shuffle, and re-derives
     identically in any engine (the reproducibility TABLESAMPLE can't give)."""
     docs = table(spark, sf_dir, "documents")
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(_HEX15)
-    )
+    frac = _hash_frac("doc_id")
     s = docs.select(
         "source",
         F.when(frac < 0.8, F.lit("train"))
@@ -833,8 +845,7 @@ _STRAT_SQL = f"""
 WITH h AS (
   SELECT doc_id, source,
          CAST(substr(source, 4) AS INTEGER) AS src_num,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              AS DOUBLE) / {_HEX15!r} AS frac
+         CAST({_hv_sql("doc_id")} AS DOUBLE) / {_HEX15!r} AS frac
   FROM documents),
 s AS (
   SELECT source, doc_id, frac,
@@ -865,12 +876,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLESAMPLE cannot promise either)."""
     docs = table(spark, sf_dir, "documents")
     src_num = F.substring("source", 4, 10).cast("int")
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(_HEX15)
-    )
+    frac = _hash_frac("doc_id")
     rate = (
         F.when(src_num < 5, F.lit(1.0))
         .when(src_num < 10, F.lit(0.5))
@@ -920,10 +926,10 @@ win AS (
   SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(norm)),
 final AS (
   SELECT k.doc_id, k.source, k.n_tokens,
-         CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   AS DOUBLE) / {_HEX15!r} < 0.8 THEN 'train'
-              WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   AS DOUBLE) / {_HEX15!r} < 0.9 THEN 'val'
+         CASE WHEN CAST({_hv_sql("k.doc_id")} AS DOUBLE)
+                   / {_HEX15!r} < 0.8 THEN 'train'
+              WHEN CAST({_hv_sql("k.doc_id")} AS DOUBLE)
+                   / {_HEX15!r} < 0.9 THEN 'val'
               ELSE 'test' END AS split
   FROM kept k JOIN win USING (doc_id))
 SELECT source, split,
@@ -972,12 +978,7 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "norm", F.size("toks").cast("bigint").alias("n_tokens")
     )
     win = kept.groupBy(F.md5("norm")).agg(F.min("doc_id").alias("doc_id"))
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(_HEX15)
-    )
+    frac = _hash_frac("doc_id")
     final = kept.join(win.select("doc_id"), "doc_id").select(
         "source",
         "n_tokens",
@@ -1235,8 +1236,7 @@ r AS (
 ),
 h AS (
   SELECT source,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              AS DOUBLE) / {_HEX15} AS frac
+         CAST({_hv_sql("doc_id")} AS DOUBLE) / {_HEX15!r} AS frac
   FROM documents
 )
 SELECT r.source, r.n_docs, r.n_tokens, r.keep_rate,
@@ -1292,12 +1292,7 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double"),
         ).alias("keep_rate"),
     )
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(_HEX15)
-    )
+    frac = _hash_frac("doc_id")
     h = table(spark, sf_dir, "documents").select("source", frac.alias("frac"))
     return (
         h.join(F.broadcast(r), "source")

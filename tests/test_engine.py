@@ -888,3 +888,49 @@ def test_view_survives_engine_reopen(engine, tmp_path):
     engine.sql("CREATE VIEW pv_sum AS SELECT SUM(a) AS s FROM pv")
     eng2 = Engine(engine.spark, warehouse=engine.warehouse)
     assert eng2.sql("SELECT s FROM pv_sum").collect()[0].s == 3
+
+
+def test_view_machinery_hardening(engine):
+    """Review-pass regressions: DROP TABLE RESTRICTs on dependent views;
+    self-referential OR REPLACE is rejected (and the old definition keeps
+    working); the qualified main_{name} alias dies with the view; missing
+    schemas raise ValueError, not KeyError."""
+    import pytest as _pytest
+
+    engine.sql("CREATE TABLE hv (a INT)")
+    engine.sql("INSERT INTO hv VALUES (1), (2)")
+    engine.sql("CREATE VIEW hv_v AS SELECT a FROM hv WHERE a > 1")
+    # RESTRICT: the base table cannot be dropped from under the view
+    with _pytest.raises(ValueError, match="DROP VIEW first"):
+        engine.sql("DROP TABLE hv")
+    # self-reference via OR REPLACE must not resolve against the old temp
+    with _pytest.raises(Exception):
+        engine.sql("CREATE OR REPLACE VIEW hv_v AS SELECT a FROM hv_v")
+    # ...and the previous definition still serves
+    assert [r.a for r in engine.sql("SELECT * FROM hv_v").collect()] == [2]
+    # the qualified alias exists while registered, dies on drop
+    assert [r.a for r in engine.sql("SELECT * FROM main_hv_v").collect()] == [2]
+    engine.sql("DROP VIEW hv_v")
+    with _pytest.raises(Exception):
+        engine.sql("SELECT * FROM main_hv_v").collect()
+    # missing schema -> ValueError everywhere
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.sql("CREATE VIEW nosuch.v AS SELECT 1 AS one")
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.sql("SHOW VIEWS IN nosuch")
+    engine.sql("DROP TABLE hv")  # no dependents left -> drops fine
+
+
+def test_view_over_view_stays_fresh_whatever_the_order(engine):
+    """The fixpoint drops ALL view temps before re-analyzing, so a dependent
+    view can never bind last cycle's dependency plan: after a table
+    mutation, a view named to iterate BEFORE its dependency still sees the
+    new rows on the first post-mutation query."""
+    engine.sql("CREATE TABLE ft (a INT)")
+    engine.sql("INSERT INTO ft VALUES (1)")
+    # alphabetical order: a_top < z_base — a_top would analyze first
+    engine.sql("CREATE VIEW z_base AS SELECT a FROM ft")
+    engine.sql("CREATE VIEW a_top AS SELECT a FROM z_base")
+    assert [r.a for r in engine.sql("SELECT * FROM a_top").collect()] == [1]
+    engine.sql("INSERT INTO ft VALUES (2)")
+    assert sorted(r.a for r in engine.sql("SELECT * FROM a_top").collect()) == [1, 2]

@@ -258,3 +258,87 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize, "doc_id bigint, orow bigint, ocol bigint, n_px bigint, mean_px double"
     )
     return out.orderBy("doc_id", "orow", "ocol")
+
+
+# ---------------------------------------------------------------------------
+# Cross-video duplicate-frame detection: the frame-extraction plumbing above
+# composed with checksum-level dedup — the standard video near-dup pipeline
+# (sample frames -> perceptual/exact fingerprint -> bucket -> per-asset
+# duplication accounting), with the codec stubbed to byte slicing.
+# ---------------------------------------------------------------------------
+
+_DF_FRAME, _DF_STRIDE = 64, 64
+_DF_DOCS = 300
+
+_MM_DEDUP_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_DF_DOCS}),
+off AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1, {_DF_STRIDE})) AS o, text
+  FROM d),
+f AS (SELECT doc_id, md5(substr(text, o, {_DF_FRAME})) AS checksum FROM off),
+g AS (SELECT checksum, COUNT(DISTINCT doc_id) AS nd FROM f GROUP BY checksum)
+SELECT f.doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_frames,
+       CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM f JOIN g ON f.checksum = g.checksum
+GROUP BY f.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_dedup", oracle=_MM_DEDUP_SQL, tags=("multimodal", "dedup"))
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset duplicate-frame accounting: frames sampled from each
+    binary payload inside the Arrow batch (the multimodal_frames plumbing,
+    64-byte frames), fingerprinted, and a frame is a duplicate when its
+    checksum appears in >= 2 distinct assets. Per asset: frame count,
+    duplicated-frame count, duplicated fraction — the signal that drives
+    intro/outro/watermark removal and near-dup video collapse.
+
+    Scale shape: extraction is mapInPandas (1->N inside the batch, no
+    explode shuffle); the checksum aggregate is one shuffle (map-side
+    combinable), the duplicate flag joins frames back on the SAME checksum
+    partitioning (shuffle_hash pinned — the flag table is
+    frame-proportional, never broadcastable), and the per-asset rollup is
+    one doc-keyed shuffle. Identical dataflow to dup_passages one layer
+    down the stack (bytes, not tokens)."""
+    import pandas as pd  # noqa: F401 (cloudpickle ships the closure)
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _DF_DOCS)
+    media = attach_payload(docs)
+
+    def _frames(it):
+        import hashlib as _h
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for off in range(0, len(b), _DF_STRIDE):
+                    rows["doc_id"].append(doc_id)
+                    rows["checksum"].append(
+                        _h.md5(b[off : off + _DF_FRAME]).hexdigest()
+                    )
+            yield _pd.DataFrame(rows)
+
+    f = media.mapInPandas(_frames, "doc_id bigint, checksum string")
+    g = f.groupBy("checksum").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        f.join(g.hint("shuffle_hash"), "checksum")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_frames"),
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -478,3 +478,15 @@ def test_mixture_apply_rate_table_broadcast_corpus_streams(spark):
     p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
+
+
+def test_multimodal_dedup_arrow_extraction_shuffled_flag_join(spark):
+    """multimodal_dedup's scale contract: Arrow mapInPandas extraction (no
+    row-Python), and the frame-proportional checksum-flag table joins
+    shuffled, never broadcast."""
+    spec = load_all()["multimodal_dedup"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p

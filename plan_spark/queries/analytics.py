@@ -593,3 +593,90 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + forward fill: densify a sparse per-key hourly
+# series onto a fixed grid (missing buckets appear with n=0) and carry the
+# last observed aggregate forward — the standard dashboard/feature-store
+# densification step that plain GROUP BY cannot express (it has no rows for
+# the gaps).
+# ---------------------------------------------------------------------------
+
+_GF_START, _GF_END = "2024-01-01 00:00:00", "2024-01-30 23:00:00"
+
+_GAP_FILL_SQL = f"""
+WITH hours AS (
+  SELECT unnest(generate_series(TIMESTAMP '{_GF_START}',
+                                TIMESTAMP '{_GF_END}',
+                                INTERVAL 1 HOUR)) AS hr),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2),
+grid AS (SELECT event_type, hr FROM types, hours)
+SELECT g.event_type, g.hr,
+       COALESCE(a.n_obs, 0) AS n,
+       CASE WHEN a.n_obs IS NULL THEN 1 ELSE 0 END AS is_gap,
+       last_value(a.total IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.hr = a.hr
+ORDER BY g.event_type, g.hr
+"""
+
+
+@register("gap_fill", oracle=_GAP_FILL_SQL, tags=("timeseries", "window"))
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + forward fill over the per-type hourly series: a fixed
+    hour grid (constant bounds — never data-derived, so the output shape is
+    stable at any SF) LEFT JOINs the aggregated series; missing buckets
+    surface with n=0/is_gap=1 and the last observed hourly total carries
+    forward (last_value IGNORE NULLS). GROUP BY alone cannot produce the
+    gap rows; the reference has no window operator at all.
+
+    Scale shape: the raw scan reduces to the (type x hour)-bounded
+    aggregate FIRST (one shuffle, map-side combined); the grid is
+    generated, not scanned (sequence+explode, zero I/O), and the join +
+    forward-fill windows run entirely on grid-sized data (types x hours
+    rows regardless of corpus size).
+
+    Determinism: counts are exact; the forward-filled total is the exact
+    decimal sum of one specific bucket cast to double — no accumulation
+    across buckets."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(dec("value")).cast("double").alias("total"),
+    )
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_GF_START).cast("timestamp"),
+                F.lit(_GF_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(agg), ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n"),
+            F.when(F.col("n_obs").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("total", ignorenulls=True).over(w).alias("filled_total"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -59,6 +59,7 @@ _loaded = False
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5 late additions (this session) ----
+    "gap_fill",  # new: time-series densification + forward fill
     "multimodal_dedup",  # new: cross-asset duplicate-frame accounting
     "tpcds_q80",  # new: channel x region profit ROLLUP (union-then-rollup class)
     "tpcds_q46",  # new: away-from-home per-order mismatch rollup + top-k
@@ -116,7 +117,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q35",
     "stream_outer_join",
     "tpcds_q90",
-    "stream_semi_join",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -490,3 +490,15 @@ def test_multimodal_dedup_arrow_extraction_shuffled_flag_join(spark):
     assert "BatchEvalPython" not in p
     assert "BroadcastHashJoin" not in p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_gap_fill_grid_generated_agg_reduced_before_broadcast(spark):
+    """gap_fill's scale contract: the fact reduces to the (type x hour)-
+    bounded aggregate before anything broadcasts; the grid is generated
+    (no second fact scan); windows run on grid-sized data."""
+    spec = load_all()["gap_fill"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("events.parquet") == 2  # agg scan + the types DISTINCT
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BatchEvalPython" not in p

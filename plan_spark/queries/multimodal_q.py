@@ -68,6 +68,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME, _STRIDE_B = 256, 512
 _FRAME_DOCS = 300
 
+
+def _frame_windows(pdf, frame: int, stride: int):
+    """THE byte-window sampler: yields (doc_id, frame_idx, offset, window)
+    for every frame of every payload in an Arrow batch — the one extraction
+    kernel every frame-shaped operator shares (same slicing, same stride
+    semantics, fixed in one place)."""
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        b = bytes(payload)
+        for idx, off in enumerate(range(0, len(b), stride)):
+            yield doc_id, idx, off, b[off : off + frame]
+
+
+def _frame_checksums(pdf, frame: int, stride: int):
+    """(doc_id, md5-checksum) per frame — the dedup-facing face of
+    _frame_windows."""
+    import hashlib as _h
+
+    for doc_id, _idx, _off, w in _frame_windows(pdf, frame, stride):
+        yield doc_id, _h.md5(w).hexdigest()
+
 _FRAMES_SQL = f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_FRAME_DOCS}),
 off AS (
@@ -113,15 +133,12 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_bytes": [],
                 "checksum": [],
             }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                for idx, off in enumerate(range(0, len(b), _STRIDE_B)):
-                    w = b[off : off + _FRAME]
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["frame_off"].append(off)
-                    rows["n_bytes"].append(len(w))
-                    rows["checksum"].append(_h.md5(w).hexdigest())
+            for doc_id, idx, off, w in _frame_windows(pdf, _FRAME, _STRIDE_B):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_off"].append(off)
+                rows["n_bytes"].append(len(w))
+                rows["checksum"].append(_h.md5(w).hexdigest())
             yield _pd.DataFrame(rows)
 
     out = media.mapInPandas(
@@ -310,22 +327,22 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload(docs)
 
     def _frames(it):
-        import hashlib as _h
-
         import pandas as _pd
 
         for pdf in it:
             rows = {"doc_id": [], "checksum": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                for off in range(0, len(b), _DF_STRIDE):
-                    rows["doc_id"].append(doc_id)
-                    rows["checksum"].append(
-                        _h.md5(b[off : off + _DF_FRAME]).hexdigest()
-                    )
+            for doc_id, cs in _frame_checksums(pdf, _DF_FRAME, _DF_STRIDE):
+                rows["doc_id"].append(doc_id)
+                rows["checksum"].append(cs)
             yield _pd.DataFrame(rows)
 
-    f = media.mapInPandas(_frames, "doc_id bigint, checksum string")
+    # the frame table feeds BOTH the checksum aggregate and the join probe
+    # inside ONE job — lazy persist does not dedupe concurrent computation
+    # (dedup_simhash's lesson), so materialize first or the Python
+    # extraction runs twice. Checksum rows are far smaller than payloads:
+    # caching them is cheap at any scale, re-decoding is not.
+    f = media.mapInPandas(_frames, "doc_id bigint, checksum string").persist()
+    f.count()
     g = f.groupBy("checksum").agg(F.count_distinct("doc_id").alias("nd"))
     return (
         f.join(g.hint("shuffle_hash"), "checksum")

@@ -112,8 +112,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # retention_cohorts, knn_l2, knn_dot, fts_bool, tpcds_q89, tpcds_q34,
     # ds_nested_scan, stream_stateful, ds_clone_restore — all hold green r4
     # driver rows and stay pytest-oracle-checked every run.)
-    # (3 more rotated out for this session's second burst: ds_evolve_scan,
-    # tpcds_q88, tpcds_q74 — green r4 rows, pytest-oracle-checked.)
+    # (5 more rotated out for this session's later bursts: ds_evolve_scan,
+    # tpcds_q88, tpcds_q74, stream_semi_join, emb_gram — ALL hold green r4
+    # driver rows (VERDICT r4: stream_* x8 and emb_gram verified in the r4
+    # window) and stay pytest-oracle-checked every run.)
     "tpcds_q35",
     "stream_outer_join",
     "tpcds_q90",

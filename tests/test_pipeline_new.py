@@ -93,3 +93,13 @@ def test_mixture_weights_upsample_small_sources(spark, tiny_sf):
     assert abs(out.share.sum() - 1.0) < 1e-12
     # weights follow tokens^0.5
     assert abs(big.weight - big.n_tokens**0.5) < 1e-9
+
+
+def test_gap_fill_grid_overlaps_fixture_data(spark):
+    """Vacuity guard: the hard-coded grid bounds must keep overlapping the
+    regenerated events fixture — if a future fixture shifts its ts range,
+    every cell becomes a gap and the oracle check goes green-but-vacuous.
+    This asserts real observations land on the grid (and real gaps exist)."""
+    out = load_all()["gap_fill"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out.n > 0).any(), "grid no longer overlaps the events fixture"
+    assert (out.is_gap == 1).any(), "no gaps: the fill path is untested"

@@ -485,11 +485,18 @@ def test_multimodal_dedup_arrow_extraction_shuffled_flag_join(spark):
     row-Python), and the frame-proportional checksum-flag table joins
     shuffled, never broadcast."""
     spec = load_all()["multimodal_dedup"]
-    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
-    assert "MapInPandas" in p
+    df = spec.fn(spark, BENCH_SF_DIR)
+    import re
+
+    p = _plan(spark, df)  # formatted: cached lineage listed once
+    # one physical MapInPandas NODE (formatted mode mentions each node in
+    # the tree AND its detail header — count detail headers)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1
+    assert "InMemoryTableScan" in p
     assert "BatchEvalPython" not in p
-    assert "BroadcastHashJoin" not in p
-    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    ps = _plan(spark, df, mode="simple")
+    assert "BroadcastHashJoin" not in ps
+    assert "ShuffledHashJoin" in ps or "SortMergeJoin" in ps
 
 
 def test_gap_fill_grid_generated_agg_reduced_before_broadcast(spark):

@@ -210,6 +210,10 @@ class _Txn:
 class Dataset:
     """A versioned Parquet table rooted at a directory."""
 
+    # per-run compaction accounting (reference CompactionStats,
+    # compaction_coordinator.go:90-112); None until a compact() pass rewrote
+    last_compaction_stats: dict | None = None
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -2003,6 +2007,20 @@ class Dataset:
           locality lever a 100 TB table needs; single-column sorting only
           helps the leading column)."""
         m = self.manifest
+
+        def _record(removed, added) -> None:
+            # reference CompactionStats (compaction_coordinator.go:90-112):
+            # per-run accounting surfaced on the handle; None when the pass
+            # was a no-op
+            self.last_compaction_stats = {
+                "fragments_compacted": len(removed),
+                "new_fragments_created": len(added),
+                "bytes_read": sum(f.bytes for f in removed),
+                "bytes_written": sum(f.bytes for f in added),
+                "rows": sum(f.rows for f in added),
+            }
+
+        self.last_compaction_stats = None
         if strategy == "zorder":
             if not zorder_by:
                 raise ValueError("zorder compaction requires zorder_by columns")
@@ -2027,6 +2045,7 @@ class Dataset:
                     removed_ids={f.id for f in m.fragments},
                 )
             )
+            _record(m.fragments, frags)
             return self
         if strategy == "count":
             if target_files is None or len(m.fragments) <= target_files:
@@ -2047,6 +2066,7 @@ class Dataset:
                     removed_ids={f.id for f in m.fragments},
                 )
             )
+            _record(m.fragments, frags)
             return self
         if strategy != "binpack":
             raise ValueError(f"unknown compaction strategy {strategy!r}")
@@ -2088,6 +2108,7 @@ class Dataset:
                 removed_ids={f.id for b in bins for f in b},
             )
         )
+        _record([f for b in bins for f in b], added)
         return self
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

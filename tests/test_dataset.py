@@ -834,3 +834,24 @@ def test_to_df_unknown_columns_raise_on_empty_scan(spark, tmp_path):
         ds.to_df(filters="k >= 10 AND k <= 5", columns=["typo"])
     # and limit= applies on the empty path too
     assert ds.to_df(filters="k >= 10 AND k <= 5", limit=3).count() == 0
+
+
+def test_compaction_stats_recorded(spark, tmp_path):
+    """compact() surfaces per-run CompactionStats (reference
+    compaction_coordinator.go:90-112): fragments in/out, bytes, rows —
+    None when the pass was a no-op."""
+    from plan_spark.dataset.dataset import Dataset
+
+    df = spark.range(100).selectExpr("id AS a", "id * 2 AS b")
+    ds = Dataset.create(spark, str(tmp_path / "cst"), df.repartition(4))
+    n_before = len(ds.manifest.fragments)
+    assert n_before >= 2
+    ds.compact(strategy="count", target_files=1)
+    st = ds.last_compaction_stats
+    assert st["fragments_compacted"] == n_before
+    assert st["new_fragments_created"] == 1
+    assert st["rows"] == 100
+    assert st["bytes_read"] > 0 and st["bytes_written"] > 0
+    # a no-op pass records None
+    ds.compact(strategy="count", target_files=8)
+    assert ds.last_compaction_stats is None

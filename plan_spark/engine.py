@@ -200,16 +200,12 @@ class Engine:
         import shutil
 
         entry = self._entry(name, schema)
-        # RESTRICT semantics: refuse while a stored view mentions the table
-        # (conservative word match on the stored SQL text — a false positive
-        # is a loud, safe error; a silent engine-wide analysis failure on
-        # every later sql() call is neither)
-        deps = [
-            f"{vs}.{vn}" if vs != "main" else vn
-            for vs, sch in self._catalog["schemas"].items()
-            for vn, v in sch.get("views", {}).items()
-            if re.search(rf"\b{re.escape(name)}\b", v["sql"])
-        ]
+        # RESTRICT semantics: refuse while a stored view references the
+        # table under ANY of its aliases (bare name for main; the qualified
+        # {schema}_{name} is the ONLY way to reference other schemas).
+        # Conservative word match — a false positive is a loud, safe error;
+        # a silently broken view on every later sql() call is neither.
+        deps = self._view_dependents(name, schema)
         if deps:
             raise ValueError(
                 f"cannot drop table {name!r}: view(s) {deps} reference it "
@@ -276,15 +272,37 @@ class Engine:
         # definition (standard engines reject self-referencing views)
         self._drop_view_temps(name, schema)
         try:
-            df = self.spark.sql(self._rewrite_time_travel(query))
+            self.spark.sql(self._rewrite_time_travel(query))
         except Exception:
-            # restore the previous definition's registration (catalog is
-            # unchanged; _register_views re-creates every stored view)
+            # restore the previous definition's registration. The catalog is
+            # unchanged, so the fixpoint's skip-when-unchanged check would
+            # fire — invalidate the signature first (we just dropped this
+            # view's temps outside the fixpoint).
+            self._views_sig = None
             self._register_views()
             raise
+        # the early check above still resolves OTHER views at their OLD
+        # registrations, so an INDIRECT cycle (a -> b -> a) can pass it.
+        # Commit tentatively, run the real fixpoint (which drops all view
+        # temps first), and verify THIS view registered — roll back if not.
+        prev = vs.get(name)
         vs[name] = {"sql": query}
         self._save_catalog()
-        self._register_view_temps(df, name, schema)
+        self._register_views()
+        qual = name if schema == "main" else f"{schema}_{name}"
+        try:
+            self.spark.table(qual)
+        except Exception:
+            if prev is None:
+                del vs[name]
+            else:
+                vs[name] = prev
+            self._save_catalog()
+            self._register_views()
+            raise ValueError(
+                f"view {name!r} definition does not resolve under the "
+                "committed catalog (cyclic through another view?)"
+            )
 
     def drop_view(self, name: str, schema: str = "main") -> None:
         if schema not in self._catalog["schemas"]:
@@ -292,9 +310,32 @@ class Engine:
         vs = self._catalog["schemas"][schema].get("views", {})
         if name not in vs:
             raise ValueError(f"no view named {name!r} in schema {schema}")
+        deps = self._view_dependents(name, schema, skip=(schema, name))
+        if deps:
+            raise ValueError(
+                f"cannot drop view {name!r}: view(s) {deps} reference it "
+                "(DROP VIEW first)"
+            )
         del vs[name]
         self._save_catalog()
         self._drop_view_temps(name, schema)
+
+    def _view_dependents(self, name: str, schema: str, *, skip=None) -> list[str]:
+        """Stored views whose SQL references the relation (table or view)
+        {schema}.{name} under ANY of its referenceable aliases — the bare
+        name (main only) or the qualified {schema}_{name}. Conservative
+        word-match on the stored text; used for RESTRICT checks."""
+        aliases = [f"{schema}_{name}"]
+        if schema == "main":
+            aliases.append(name)
+        pat = "|".join(re.escape(a) for a in aliases)
+        rx = re.compile(rf"\b(?:{pat})\b")
+        return [
+            f"{vs}.{vn}" if vs != "main" else vn
+            for vs, sch in self._catalog["schemas"].items()
+            for vn, v in sch.get("views", {}).items()
+            if (vs, vn) != (skip or (None, None)) and rx.search(v["sql"])
+        ]
 
     def _drop_view_temps(self, name: str, schema: str) -> None:
         """Unregister a view's temp views — the qualified {schema}_{name}
@@ -515,12 +556,14 @@ class Engine:
         - ANALYZEd tables whose current-version stats fit under
           ``broadcast_hint_bytes`` are registered with a broadcast hint —
           stats-driven build-side selection for ad-hoc joins."""
+        tables_changed = False
         for sname, s in self._catalog["schemas"].items():
             for tname, entry in s["tables"].items():
                 ds = Dataset.open(self.spark, entry["root"])
                 key = (sname, tname)
                 if self._registered.get(key) == ds.version:
                     continue
+                tables_changed = True
                 df = ds.to_df()
                 st = entry.get("stats")
                 if (
@@ -533,8 +576,12 @@ class Engine:
                     df.createOrReplaceTempView(tname)
                 df.createOrReplaceTempView(f"{sname}_{tname}")
                 self._registered[key] = ds.version
-        # catalog views re-analyze EVERY call: a temp view captures its plan
-        # at creation, so a stale registration would pin old table versions.
+        # catalog views re-analyze when anything they could see changed: a
+        # temp view captures its plan at creation, so a stale registration
+        # would pin old table versions. The fixpoint is skipped when no
+        # table re-registered this call AND the stored view set is
+        # byte-identical to the last registered one — per-query cost is
+        # then zero instead of O(views) Catalyst analyses.
         # All view temps are dropped BEFORE the fixpoint so a view-over-view
         # can only analyze against a dependency re-registered THIS cycle —
         # never against last cycle's (stale) plan, whatever the iteration
@@ -542,12 +589,16 @@ class Engine:
         # A view whose definition no longer analyzes (dropped column, ...)
         # is skipped, not raised: it alone fails at query time
         # (TABLE_OR_VIEW_NOT_FOUND) while the rest of the engine keeps
-        # working. drop_table additionally RESTRICTs on dependent views.
+        # working. drop_table/drop_view additionally RESTRICT on dependents.
         pending = [
             (sname, vname, v["sql"])
             for sname, sch in self._catalog["schemas"].items()
             for vname, v in sch.get("views", {}).items()
         ]
+        views_sig = tuple(pending)
+        if not tables_changed and views_sig == getattr(self, "_views_sig", None):
+            return
+        self._views_sig = views_sig
         for sname, vname, _ in pending:
             self._drop_view_temps(vname, sname)
         for _pass in range(max(1, len(pending))):
@@ -889,10 +940,14 @@ class Engine:
         dm = re.search(r"(?i)DELIMITER\s+'([^']+)'", opts)
         if dm:
             options["sep"] = dm.group(1)
+        overwrite = bool(re.search(r"(?i)(?:^|,)\s*OVERWRITE\s*(?:,|$)", opts))
         if direction == "FROM":
+            if overwrite:
+                raise ValueError(
+                    "OVERWRITE is a COPY TO option; COPY FROM always appends"
+                )
             self.copy_from(name, path, fmt=fmt, **options)
         else:
-            overwrite = bool(re.search(r"(?i)(?:^|,)\s*OVERWRITE\s*(?:,|$)", opts))
             self.copy_to(name, path, fmt=fmt, overwrite=overwrite, **options)
 
     def _stmt_merge(self, s: str) -> None:

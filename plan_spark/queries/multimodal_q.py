@@ -69,24 +69,28 @@ _FRAME, _STRIDE_B = 256, 512
 _FRAME_DOCS = 300
 
 
-def _frame_windows(pdf, frame: int, stride: int):
-    """THE byte-window sampler: yields (doc_id, frame_idx, offset, window)
-    for every frame of every payload in an Arrow batch — the one extraction
-    kernel every frame-shaped operator shares (same slicing, same stride
-    semantics, fixed in one place)."""
-    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-        b = bytes(payload)
-        for idx, off in enumerate(range(0, len(b), stride)):
-            yield doc_id, idx, off, b[off : off + frame]
+def _frame_kernels():
+    """THE byte-window sampler, built fresh per query call so closures
+    capture NESTED functions: cloudpickle ships nested functions BY VALUE,
+    while a module-level function would ship as an importable reference —
+    and workers must never need plan_spark on their import path (the
+    operators/multimodal.py convention). Returns (frame_windows,
+    frame_checksums): the one extraction kernel every frame-shaped
+    operator shares (same slicing, same stride semantics, fixed here)."""
 
+    def frame_windows(pdf, frame: int, stride: int):
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            for idx, off in enumerate(range(0, len(b), stride)):
+                yield doc_id, idx, off, b[off : off + frame]
 
-def _frame_checksums(pdf, frame: int, stride: int):
-    """(doc_id, md5-checksum) per frame — the dedup-facing face of
-    _frame_windows."""
-    import hashlib as _h
+    def frame_checksums(pdf, frame: int, stride: int):
+        import hashlib as _h
 
-    for doc_id, _idx, _off, w in _frame_windows(pdf, frame, stride):
-        yield doc_id, _h.md5(w).hexdigest()
+        for doc_id, _idx, _off, w in frame_windows(pdf, frame, stride):
+            yield doc_id, _h.md5(w).hexdigest()
+
+    return frame_windows, frame_checksums
 
 _FRAMES_SQL = f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_FRAME_DOCS}),
@@ -120,6 +124,8 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _FRAME_DOCS)
     media = attach_payload(docs)
 
+    _fw, _ = _frame_kernels()
+
     def _frames(it):
         import hashlib as _h
 
@@ -133,7 +139,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_bytes": [],
                 "checksum": [],
             }
-            for doc_id, idx, off, w in _frame_windows(pdf, _FRAME, _STRIDE_B):
+            for doc_id, idx, off, w in _fw(pdf, _FRAME, _STRIDE_B):
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(idx)
                 rows["frame_off"].append(off)
@@ -326,12 +332,14 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _DF_DOCS)
     media = attach_payload(docs)
 
+    _, _fc = _frame_kernels()
+
     def _frames(it):
         import pandas as _pd
 
         for pdf in it:
             rows = {"doc_id": [], "checksum": []}
-            for doc_id, cs in _frame_checksums(pdf, _DF_FRAME, _DF_STRIDE):
+            for doc_id, cs in _fc(pdf, _DF_FRAME, _DF_STRIDE):
                 rows["doc_id"].append(doc_id)
                 rows["checksum"].append(cs)
             yield _pd.DataFrame(rows)

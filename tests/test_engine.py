@@ -934,3 +934,37 @@ def test_view_over_view_stays_fresh_whatever_the_order(engine):
     assert [r.a for r in engine.sql("SELECT * FROM a_top").collect()] == [1]
     engine.sql("INSERT INTO ft VALUES (2)")
     assert sorted(r.a for r in engine.sql("SELECT * FROM a_top").collect()) == [1, 2]
+
+
+def test_view_restrict_and_cycle_hardening(engine):
+    """High-review regressions: RESTRICT matches qualified {schema}_{t}
+    aliases; DROP VIEW RESTRICTs on dependent views; indirect cycles via
+    OR REPLACE roll back; COPY FROM rejects OVERWRITE."""
+    import pytest as _pytest
+
+    # qualified-alias RESTRICT: a view over s_t blocks dropping s.t
+    engine.sql("CREATE SCHEMA s")
+    engine.create_table("t", "a INT", schema="s")
+    engine.sql("CREATE VIEW qv AS SELECT a FROM s_t")
+    with _pytest.raises(ValueError, match="DROP VIEW first"):
+        engine.drop_table("t", schema="s")
+    # view-on-view RESTRICT
+    engine.sql("CREATE VIEW qv_top AS SELECT a FROM qv")
+    with _pytest.raises(ValueError, match="DROP VIEW first"):
+        engine.sql("DROP VIEW qv")
+    engine.sql("DROP VIEW qv_top")
+    # indirect cycle: a -> b, then OR REPLACE a to read b — rejected, old
+    # definition still works afterward
+    engine.sql("CREATE VIEW ca AS SELECT a FROM qv")
+    engine.sql("CREATE VIEW cb AS SELECT a FROM ca")
+    with _pytest.raises(ValueError, match="cyclic"):
+        engine.sql("CREATE OR REPLACE VIEW ca AS SELECT a FROM cb")
+    engine.sql("SELECT * FROM cb").collect()  # chain still healthy
+    engine.sql("DROP VIEW cb")
+    engine.sql("DROP VIEW ca")
+    engine.sql("DROP VIEW qv")
+    engine.drop_table("t", schema="s")  # no dependents left
+    # COPY FROM must reject the TO-only OVERWRITE option loudly
+    engine.sql("CREATE TABLE cfo (a INT)")
+    with _pytest.raises(ValueError, match="COPY TO option"):
+        engine.sql("COPY cfo FROM '/tmp/x.csv' WITH (FORMAT 'csv', OVERWRITE)")

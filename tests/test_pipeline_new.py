@@ -100,6 +100,8 @@ def test_gap_fill_grid_overlaps_fixture_data(spark):
     regenerated events fixture — if a future fixture shifts its ts range,
     every cell becomes a gap and the oracle check goes green-but-vacuous.
     This asserts real observations land on the grid (and real gaps exist)."""
-    out = load_all()["gap_fill"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    from tests.conftest import SF_DIR
+
+    out = load_all()["gap_fill"].fn(spark, SF_DIR).toPandas()
     assert (out.n > 0).any(), "grid no longer overlaps the events fixture"
     assert (out.is_gap == 1).any(), "no gaps: the fill path is untested"

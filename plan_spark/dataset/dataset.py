@@ -967,11 +967,12 @@ class Dataset:
         """Cost-based automatic index routing for a filtered scan (reference
         IndexSelector.SelectIndexForPredicate, index_selector.go:36-78, and
         IndexPlannerV2.PlanQuery, index_planner.go:27-75): among the FRESH
-        btree indexes whose key column carries a prunable conjunct, pick the
-        one whose fence tables estimate the fewest matching rows; skip
-        index routing entirely when the best estimate exceeds
-        ``_INDEX_SCAN_MAX_RATIO`` of the table (a pruned scan wins then).
-        The chosen index is probed (fence-selected run files only) and the
+        btree/rtree indexes whose key columns carry prunable conjuncts,
+        probe EVERY index whose fence tables estimate at most
+        ``_INDEX_SCAN_MAX_RATIO`` of the table (a pruned scan wins
+        otherwise) and INTERSECT their fragment-hit sets — the
+        IndexPlannerV2 composition. Each index is probed (fence-selected
+        run files only) and the
         matching row ids map back to the fragments that own them via the
         manifest's row-id intervals — fragments with unprovable intervals
         always stay selected (soundness).
@@ -1099,9 +1100,26 @@ class Dataset:
                 candidates.append((est, total, rt_probe, rt_probe_driver))
         if not candidates:
             return None
-        est, total, probe, probe_driver = min(candidates, key=lambda c: c[0])
-        if est / total > self._INDEX_SCAN_MAX_RATIO:
+        # IndexPlannerV2 composition (index_planner.go:27-75): EVERY index
+        # whose estimate clears the cost gate contributes — each hit set is
+        # a sound superset of the fragments matching ITS conjunct, so under
+        # AND semantics the INTERSECTION is a sound superset for the whole
+        # predicate. One selective index alone already prunes; two prune
+        # fragments whose ranges interleave on one key but not the other.
+        viable = [
+            c for c in candidates if c[0] / c[1] <= self._INDEX_SCAN_MAX_RATIO
+        ]
+        if not viable:
             return None  # full (pruned) scan is the cheaper plan
+        all_hits: set[int] | None = None
+        for est, total, probe, probe_driver in viable:
+            h = self._hits_for(est, probe, probe_driver)
+            all_hits = h if all_hits is None else (all_hits & h)
+        return all_hits
+
+    def _hits_for(self, est: int, probe, probe_driver) -> set[int]:
+        """Fragment-hit set for ONE index probe (driver-side fast path for
+        point/small ranges, distributed interval join for wide ones)."""
         if est <= self._DRIVER_PROBE_MAX_ROWS:
             # point/small-range probe: read the fence-selected run files
             # with pyarrow in the planning process (reference
@@ -1155,12 +1173,12 @@ class Dataset:
         (col, op, literal) tuples or a predicate string (conjuncts are
         extracted for pruning, reference filter_parser.go).
 
-        ``use_indexes=True`` (default) additionally routes the most
-        selective conjunct through a fresh btree index when the cost rule
-        picks one (see _auto_index_hits): the index's fragment-hit set
-        INTERSECTS zonemap/bitmap pruning, so a filtered scan can skip
-        fragments whose key ranges interleave (where min/max alone proves
-        nothing)."""
+        ``use_indexes=True`` (default) additionally routes prunable
+        conjuncts through EVERY fresh btree/rtree index that clears the
+        cost gate (see _auto_index_hits — IndexPlannerV2 composition): the
+        indexes' fragment-hit sets intersect each other AND zonemap/bitmap
+        pruning, so a filtered scan can skip fragments whose key ranges
+        interleave (where min/max alone proves nothing)."""
         if isinstance(filters, str):
             filters = self._parse_filter_string(filters)
         hits = self._auto_index_hits(filters) if use_indexes else None
@@ -1187,12 +1205,13 @@ class Dataset:
         predicate string: the string prunes via its extractable conjuncts
         and is applied in full as a residual filter.
 
-        ``use_indexes=True`` (default) lets the scan planner route the most
-        selective conjunct through a FRESH btree index automatically
-        (reference index_selector.go:36-78 — a user who creates an index
-        and then filters the normal way gets the benefit without calling
-        open_index themselves); the full predicate still applies as a
-        residual, so this is purely a file-pruning win.
+        ``use_indexes=True`` (default) lets the scan planner route
+        prunable conjuncts through every qualifying FRESH index
+        automatically, intersecting their hit sets (reference
+        index_selector.go:36-78 + index_planner.go:27-75 composition — a
+        user who creates indexes and then filters the normal way gets the
+        benefit without calling open_index themselves); the full predicate
+        still applies as a residual, so this is purely a file-pruning win.
 
         ``with_row_id=True`` appends the stable-row-id column ``_rowid``
         (requires ``create(..., row_ids=True)``; reference rowids.go).

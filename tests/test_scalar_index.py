@@ -753,3 +753,46 @@ def test_stale_refresh_claim_refuses_rebuild(spark):
     ds.drop_index("ki")
     ds.create_index("ki", kind="btree", column="k")
     assert ds.index_fresh("ki")
+
+
+def test_auto_index_composition_intersects_two_indexes(spark):
+    """IndexPlannerV2 composition (index_planner.go:27-75): with TWO fresh
+    btree indexes on different columns, a conjunctive filter intersects
+    their fragment-hit sets — reading strictly fewer fragments than either
+    index alone — and the rows still match a plain filtered scan.
+
+    Fixture: 4 single-file fragments of 100 rows with FULLY interleaved
+    value ranges on both columns (zonemaps prove nothing). Key a=42 lives
+    in fragments {0, 2} (even-a fragments), key b=42 in fragments {0, 1}
+    (even-b fragments): each index alone proves a 2-fragment superset, the
+    intersection proves fragment 0 exactly."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("auto_idx_compose")
+
+    def frag(i):
+        return spark.range(0, 100).select(
+            (F.col("id") * 2 + (i % 2)).alias("a"),
+            (F.col("id") * 2 + (i // 2)).alias("b"),
+        ).coalesce(1)
+
+    ds = Dataset.create(spark, path, frag(0), row_ids=True)
+    for i in (1, 2, 3):
+        ds.append(frag(i))
+    ds.create_index("ia", kind="btree", column="a")
+    ds.create_index("ib", kind="btree", column="b")
+    assert ds.index_fresh("ia") and ds.index_fresh("ib")
+    # zonemaps prove nothing on either column (all ranges interleave)
+    assert len(ds.plan_scan("a = 42 AND b = 42", use_indexes=False)[0]) == 4
+    # each index alone proves a 2-fragment superset...
+    assert len(ds.plan_scan("a = 42", use_indexes=True)[0]) == 2
+    assert len(ds.plan_scan("b = 42", use_indexes=True)[0]) == 2
+    # ...their composition intersects to the single true fragment
+    sel_both, _ = ds.plan_scan("a = 42 AND b = 42", use_indexes=True)
+    assert len(sel_both) == 1, "composition must intersect to fragment 0"
+    got = [(r.a, r.b) for r in ds.to_df(filters="a = 42 AND b = 42").collect()]
+    want = [
+        (r.a, r.b)
+        for r in ds.to_df(use_indexes=False).filter("a = 42 AND b = 42").collect()
+    ]
+    assert got == want == [(42, 42)]

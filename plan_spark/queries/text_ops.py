@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
@@ -1521,4 +1521,109 @@ def dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal duplicated spans: dup_passages' flagged windows merged into
+# contiguous per-document spans — the actual output shape of exact-substring
+# dedup (Lee et al. 2021): "tokens a..b of doc d are duplicated elsewhere",
+# ready for span excision instead of whole-doc removal.
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_SQL = f"""
+WITH d AS ({_DOCS_NORM_SQL}),
+w AS (
+  SELECT doc_id, s,
+         md5(array_to_string(list_slice(toks, s, s + {_PSG_W} - 1), ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {_PSG_W} + 2, {_PSG_S})) AS s
+        FROM d WHERE len(toks) >= {_PSG_W}) q
+),
+g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h),
+f AS (SELECT w.doc_id, w.s FROM w JOIN g ON w.h = g.h WHERE g.nd >= 2),
+seg AS (
+  SELECT doc_id, s,
+         CASE WHEN s - COALESCE(lag(s) OVER (PARTITION BY doc_id ORDER BY s),
+                                -{_PSG_S} - 1) > {_PSG_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM f),
+grp AS (
+  SELECT doc_id, s,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gid
+  FROM seg)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(s) + {_PSG_W} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(s) - MIN(s) + {_PSG_W} AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_windows
+FROM grp
+GROUP BY doc_id, gid
+ORDER BY doc_id, span_start
+"""
+
+
+@register("dup_spans", oracle=_DUP_SPANS_SQL, tags=("text", "dedup"))
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans per document: cross-document duplicate
+    windows (dup_passages' flag) merged into contiguous token ranges —
+    consecutive flagged windows (gap == stride) coalesce, a larger gap
+    starts a new span. Output: [span_start, span_end] token positions +
+    sizes, the unit a span-excision rewrite consumes.
+
+    Scale shape: same three keyed shuffles as dup_passages (fingerprint
+    aggregate, flag join pinned shuffled, then doc-keyed work); the
+    segmentation windows partition BY DOCUMENT over flagged windows only —
+    per-partition work is bounded by a document's window count, never
+    corpus-sized (the sessionize lag+cumsum pattern).
+
+    Determinism: pure integer positions; the lag NULL seed (-stride-1)
+    makes the first window always open a span, identically both engines."""
+    d = _norm_docs(spark, sf_dir).filter(F.size("toks") >= _PSG_W)
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(_PSG_W - 1), F.lit(_PSG_S))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("s").cast("int"), F.lit(_PSG_W)))
+        ).alias("h"),
+    )
+    g = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    flagged = (
+        wins.join(g.hint("shuffle_hash"), "h")
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "s")
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("s")
+    brk = F.when(
+        F.col("s") - F.coalesce(F.lag("s").over(w_seq), F.lit(-_PSG_S - 1))
+        > _PSG_S,
+        1,
+    ).otherwise(0)
+    seg = flagged.select("doc_id", "s", brk.alias("brk"))
+    gid = F.sum("brk").over(
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        seg.select("doc_id", "s", gid.alias("gid"))
+        .groupBy("doc_id", "gid")
+        .agg(
+            F.min("s").cast("bigint").alias("span_start"),
+            (F.max("s") + F.lit(_PSG_W - 1)).cast("bigint").alias("span_end"),
+            (F.max("s") - F.min("s") + F.lit(_PSG_W)).cast("bigint").alias(
+                "span_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("gid")
+        .orderBy("doc_id", "span_start")
     )

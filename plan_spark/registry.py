@@ -59,6 +59,7 @@ _loaded = False
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5 late additions (this session) ----
+    "dup_spans",  # new: maximal duplicated-span extraction
     "gap_fill",  # new: time-series densification + forward fill
     "multimodal_dedup",  # new: cross-asset duplicate-frame accounting
     "tpcds_q80",  # new: channel x region profit ROLLUP (union-then-rollup class)
@@ -118,7 +119,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # window) and stay pytest-oracle-checked every run.)
     "tpcds_q35",
     "stream_outer_join",
-    "tpcds_q90",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

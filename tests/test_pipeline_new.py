@@ -105,3 +105,20 @@ def test_gap_fill_grid_overlaps_fixture_data(spark):
     out = load_all()["gap_fill"].fn(spark, SF_DIR).toPandas()
     assert (out.n > 0).any(), "grid no longer overlaps the events fixture"
     assert (out.is_gap == 1).any(), "no gaps: the fill path is untested"
+
+
+def test_dup_spans_merge_the_shared_passage(spark, tiny_sf):
+    """The 24-token shared passage in docs 1/2 must merge into ONE maximal
+    span per carrier (not a run of per-window rows), positioned inside the
+    20-token unique prefix's shadow; the all-unique doc has no spans."""
+    out = load_all()["dup_spans"].fn(spark, tiny_sf).toPandas()
+    assert set(out.doc_id) == {1, 2}
+    for d in (1, 2):
+        spans = out[out.doc_id == d]
+        assert len(spans) == 1, f"doc {d}: windows must merge to one span"
+        row = spans.iloc[0]
+        # the span covers (at least) the aligned windows inside the passage
+        assert row.span_tokens >= 16
+        assert row.n_windows >= 2
+        # the passage starts after the 20-token prefix: position 21
+        assert 17 <= row.span_start <= 25

@@ -336,6 +336,22 @@ class Dataset:
             if f.endswith(".manifest.json")
         )
 
+    def version_at(self, ts: float) -> int:
+        """The latest version whose commit timestamp is <= ``ts`` (epoch
+        seconds) — the TIMESTAMP AS OF resolution rule (Delta semantics):
+        'the table as it was at that moment'. Metadata-only (one manifest
+        JSON load per retained version); raises when the table did not yet
+        exist at ``ts``."""
+        best = None
+        for v in self.versions():
+            if self._load(v).timestamp <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {self.path!r} existed at timestamp {ts}"
+            )
+        return best
+
     # ------------------------------------------------------------------ tags
     @property
     def _refs_path(self) -> str:

@@ -470,7 +470,8 @@ class Engine:
 
     # --------------------------------------------------------------- query
     def _rewrite_time_travel(self, s: str) -> str:
-        """``FROM t VERSION AS OF n`` → a registered snapshot view.
+        """``FROM t VERSION AS OF n`` (and ``VERSION AS OF 'ref'`` /
+        ``TIMESTAMP AS OF 'iso-utc'``) → a registered snapshot view.
 
         Alias semantics (Delta-style): a relation with no alias stays
         addressable by its ORIGINAL table name — the snapshot view is
@@ -522,16 +523,37 @@ class Engine:
                 repl,
                 parts[i],
             )
-            # tag/branch form: ``VERSION AS OF 'ref'`` — the ref is the
-            # NEXT (quoted) part, so the match straddles the split: the
-            # code part must END with the clause for this to be a time-
-            # travel ref and not a literal inside an expression
+            # tag/branch form ``VERSION AS OF 'ref'`` and the timestamp
+            # form ``TIMESTAMP AS OF 'iso-ts'`` — the quoted operand is the
+            # NEXT part, so the match straddles the split: the code part
+            # must END with the clause for this to be a time-travel ref and
+            # not a literal inside an expression
             if i + 1 >= len(parts) or not parts[i + 1].startswith("'"):
                 continue
-            m = re.search(_TT_RELATION + r"\s+VERSION\s+AS\s+OF\s*$", parts[i])
+            m = re.search(
+                _TT_RELATION + r"\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s*$",
+                parts[i],
+            )
             if not m:
                 continue
             ref = parts[i + 1][1:-1].replace("''", "'")
+            if m.group(4).upper() == "TIMESTAMP":
+                # 'the table as of this moment' (Delta semantics): resolve
+                # to the newest version committed at or before the ISO
+                # timestamp, interpreted as UTC (the session timezone)
+                from datetime import datetime, timezone
+
+                try:
+                    ts = (
+                        datetime.fromisoformat(ref)
+                        .replace(tzinfo=timezone.utc)
+                        .timestamp()
+                    )
+                except ValueError as e:
+                    raise ValueError(
+                        f"TIMESTAMP AS OF needs an ISO timestamp, got {ref!r}"
+                    ) from e
+                ref = self.dataset(m.group(2)).version_at(ts)
             alias = m.group(3) or ""
             if not alias and i + 2 < len(parts):
                 # a trailing alias at the start of the NEXT code part stays

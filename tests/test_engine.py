@@ -968,3 +968,29 @@ def test_view_restrict_and_cycle_hardening(engine):
     engine.sql("CREATE TABLE cfo (a INT)")
     with _pytest.raises(ValueError, match="COPY TO option"):
         engine.sql("COPY cfo FROM '/tmp/x.csv' WITH (FORMAT 'csv', OVERWRITE)")
+
+
+def test_timestamp_as_of_time_travel(engine):
+    """``FROM t TIMESTAMP AS OF '<iso>'`` resolves to the newest version
+    committed at or before the UTC timestamp (Delta semantics) — same
+    snapshot-view machinery as VERSION AS OF; a pre-creation timestamp is a
+    loud error."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    engine.sql("CREATE TABLE tt (a INT)")
+    engine.sql("INSERT INTO tt VALUES (1)")
+    mid = _time.time()
+    engine.sql("INSERT INTO tt VALUES (2)")
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).replace(tzinfo=None).isoformat()
+    rows = engine.sql(f"SELECT a FROM tt TIMESTAMP AS OF '{iso}'").collect()
+    assert sorted(r.a for r in rows) == [1]
+    assert sorted(
+        r.a for r in engine.sql("SELECT a FROM tt").collect()
+    ) == [1, 2]
+    with _pytest.raises(ValueError, match="no version"):
+        engine.sql("SELECT a FROM tt TIMESTAMP AS OF '1990-01-01T00:00:00'")
+    with _pytest.raises(ValueError, match="ISO timestamp"):
+        engine.sql("SELECT a FROM tt TIMESTAMP AS OF 'not-a-time'")

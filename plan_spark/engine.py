@@ -643,7 +643,8 @@ class Engine:
     # Leading keywords the engine routes to its own catalog/dataset layer.
     _STMT_TOKENS = frozenset(
         {"create", "drop", "insert", "copy", "delete", "update", "merge",
-         "analyze", "alter", "optimize", "vacuum", "restore", "refresh"}
+         "analyze", "alter", "optimize", "vacuum", "restore", "refresh",
+         "truncate"}
     )
     # meta statements that RETURN a DataFrame (the psql \d/\dt analogues the
     # reference serves from its catalog, cmd/main/main.go REPL loop)
@@ -1096,6 +1097,14 @@ class Engine:
         # delete path) — the table and its history stay
         self.dataset(m.group(1)).delete(m.group(2) or "true")
 
+    def _stmt_truncate(self, s: str) -> None:
+        m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?(\w+)$", s)
+        if not m:
+            raise ValueError(f"unsupported TRUNCATE statement: {s[:120]!r}")
+        # delete-all as a normal versioned commit: the history (and any
+        # tagged snapshots) survive — time travel still reaches old rows
+        self.dataset(m.group(1)).delete("true")
+
     def _stmt_update(self, s: str) -> None:
         m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s)
         if not m:
@@ -1250,12 +1259,15 @@ class Engine:
             )
         m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", s)
         if m:
-            ds = self.dataset(m.group(1))
+            name = m.group(1)
+            if name in self._catalog["schemas"]["main"].get("views", {}):
+                # views describe their CURRENT analyzed schema
+                self._register_views()
+                fields = self.spark.table(name).schema.fields
+            else:
+                fields = self.dataset(name).schema.fields
             return self.spark.createDataFrame(
-                [
-                    (f.name, f.dataType.simpleString(), f.nullable)
-                    for f in ds.schema.fields
-                ],
+                [(f.name, f.dataType.simpleString(), f.nullable) for f in fields],
                 "col_name string, data_type string, nullable boolean",
             )
         raise ValueError(f"unsupported meta statement: {s[:120]!r}")

@@ -994,3 +994,19 @@ def test_timestamp_as_of_time_travel(engine):
         engine.sql("SELECT a FROM tt TIMESTAMP AS OF '1990-01-01T00:00:00'")
     with _pytest.raises(ValueError, match="ISO timestamp"):
         engine.sql("SELECT a FROM tt TIMESTAMP AS OF 'not-a-time'")
+
+
+def test_truncate_and_describe_view(engine):
+    """TRUNCATE TABLE is a versioned delete-all (history survives for time
+    travel); DESCRIBE works on views (current analyzed schema)."""
+    engine.sql("CREATE TABLE trc (a INT, b STRING)")
+    engine.sql("INSERT INTO trc VALUES (1, 'x'), (2, 'y')")
+    engine.sql("CREATE TAG full ON trc")
+    engine.sql("TRUNCATE TABLE trc")
+    assert engine.sql("SELECT COUNT(*) AS n FROM trc").collect()[0].n == 0
+    # the pre-truncate snapshot is still reachable
+    rows = engine.sql("SELECT a FROM trc VERSION AS OF 'full'").collect()
+    assert sorted(r.a for r in rows) == [1, 2]
+    engine.sql("CREATE VIEW trc_v AS SELECT a, length(b) AS blen FROM trc")
+    d = engine.sql("DESCRIBE trc_v").collect()
+    assert [(r.col_name, r.data_type) for r in d] == [("a", "int"), ("blen", "int")]

@@ -2312,3 +2312,90 @@ def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("home_u").cast("double") / 10000).alias("home_rev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 shape: the cross-year resale chain — the same item sold in two widely
+# separated years with the later average unit price BELOW the earlier (the
+# "sold cheaper on resale" comparison at the heart of the q64 join chain)
+# ---------------------------------------------------------------------------
+
+_Y1, _Y2 = 1996, 1998
+
+_TPCDS_Q64_SQL = f"""
+WITH per AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN year(o_orderdate) = {_Y1}
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q1,
+         SUM(CASE WHEN year(o_orderdate) = {_Y2}
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q2,
+         SUM(CASE WHEN year(o_orderdate) = {_Y1}
+                  THEN {_TENTHC_REV} ELSE 0 END) AS r1,
+         SUM(CASE WHEN year(o_orderdate) = {_Y2}
+                  THEN {_TENTHC_REV} ELSE 0 END) AS r2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT per.l_partkey, p_brand,
+       CAST(q1 AS BIGINT) AS qty_y1, CAST(q2 AS BIGINT) AS qty_y2,
+       CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE) / 10000 AS unit_price_y1,
+       CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE) / 10000 AS unit_price_y2
+FROM per JOIN part ON per.l_partkey = p_partkey
+WHERE q1 > 0 AND q2 > 0 AND r2 * q1 < r1 * q2
+ORDER BY per.l_partkey
+"""
+
+
+@register("tpcds_q64", oracle=_TPCDS_Q64_SQL, tags=("tpcds", "resale"))
+def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (cases/tpcds/query/query64.sql): items sold in two
+    separated years whose later average unit price fell below the earlier —
+    the price-comparison core of the q64 resale chain, which the query text
+    builds as a giant cs1 x cs2 self-join of two year-filtered sale chains.
+
+    Scale shape: the self-join collapses to ONE conditional aggregate per
+    item over the orderkey-co-partitioned fact join (both year slices in a
+    single pass, map-side-combinable bigints); the part dim broadcasts onto
+    the item-sized aggregate.
+
+    Determinism: the price-drop decision is the pure-BIGINT
+    cross-multiplication r2*q1 < r1*q2 (unit2 < unit1) over exact
+    1e-4-dollar and quantity integers — no division at the boundary; the
+    emitted unit prices are fixed-shape IEEE expressions over the same
+    integers."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("qi"),
+        rev_tenthc().alias("tenthc"),
+    )
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("oy")
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def yr(y: int, expr):
+        return F.sum(F.when(F.col("oy") == y, expr).otherwise(F.lit(0)))
+
+    per = (
+        li.join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_partkey")
+        .agg(
+            yr(_Y1, F.col("qi")).alias("q1"),
+            yr(_Y2, F.col("qi")).alias("q2"),
+            yr(_Y1, F.col("tenthc")).alias("r1"),
+            yr(_Y2, F.col("tenthc")).alias("r2"),
+        )
+    )
+    q1, q2, r1, r2 = F.col("q1"), F.col("q2"), F.col("r1"), F.col("r2")
+    return (
+        per.filter((q1 > 0) & (q2 > 0) & (r2 * q1 < r1 * q2))
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "p_brand",
+            q1.alias("qty_y1"),
+            q2.alias("qty_y2"),
+            (r1.cast("double") / q1.cast("double") / 10000).alias("unit_price_y1"),
+            (r2.cast("double") / q2.cast("double") / 10000).alias("unit_price_y2"),
+        )
+        .orderBy("l_partkey")
+    )

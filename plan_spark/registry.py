@@ -59,6 +59,7 @@ _loaded = False
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 5 late additions (this session) ----
+    "tpcds_q64",  # new: cross-year resale price comparison, one agg
     "dup_spans",  # new: maximal duplicated-span extraction
     "gap_fill",  # new: time-series densification + forward fill
     "multimodal_dedup",  # new: cross-asset duplicate-frame accounting
@@ -118,7 +119,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # driver rows (VERDICT r4: stream_* x8 and emb_gram verified in the r4
     # window) and stay pytest-oracle-checked every run.)
     "tpcds_q35",
-    "stream_outer_join",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -509,3 +509,16 @@ def test_gap_fill_grid_generated_agg_reduced_before_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p or "partial_sum" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q64_single_aggregate_no_self_join(spark):
+    """q64's scale contract: the cs1 x cs2 two-year self-join collapses to
+    ONE conditional aggregate per item over the orderkey-co-partitioned
+    fact join; the part dim broadcasts onto the item-sized output."""
+    spec = load_all()["tpcds_q64"]
+    p = _plan(spark, spec.fn(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("orders.parquet") == 1
+    assert "partial_sum" in p
+    assert p.count("BroadcastHashJoin") == 1  # part dim only
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p

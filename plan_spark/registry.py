@@ -58,7 +58,18 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # ---- round 5 late additions (this session) ----
+    # ---- round 6: window debt (r5 judge item 1) ----
+    # The r5 `_hv_sql/_hv_col/_hash_frac` consolidation changed the hash
+    # source of these 5 queries AFTER their last driver verification
+    # (their newest driver rows are r1/r2/r4). Re-verify first.
+    "distinct_kmv",
+    "sample_split",
+    "stratified_sample",
+    "pipeline_e2e",
+    "pivot_events",
+    # ---- round 6: new/changed this round ----
+    # (names appended here as features land)
+    # ---- round 5 rows below stay for window padding (all green r5) ----
     "tpcds_q64",  # new: cross-year resale price comparison, one agg
     "dup_spans",  # new: maximal duplicated-span extraction
     "gap_fill",  # new: time-series densification + forward fill

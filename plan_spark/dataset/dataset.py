@@ -983,7 +983,7 @@ class Dataset:
         """Cost-based automatic index routing for a filtered scan (reference
         IndexSelector.SelectIndexForPredicate, index_selector.go:36-78, and
         IndexPlannerV2.PlanQuery, index_planner.go:27-75): among the FRESH
-        btree/rtree indexes whose key columns carry prunable conjuncts,
+        btree/rtree/bitmap indexes whose key columns carry prunable conjuncts,
         probe EVERY index whose fence tables estimate at most
         ``_INDEX_SCAN_MAX_RATIO`` of the table (a pruned scan wins
         otherwise) and INTERSECT their fragment-hit sets — the
@@ -1000,10 +1000,10 @@ class Dataset:
             return None
         from plan_spark.indexes.btree import read_fences
 
-        candidates = []  # (est_rows, total_rows, probe_fn)
+        candidates = []  # (est_rows, total_rows, hits_thunk)
         for name, desc in self.manifest.indexes.items():
             kind = desc.get("kind")
-            if kind not in ("btree", "rtree") or not desc.get("path"):
+            if kind not in ("btree", "rtree", "bitmap") or not desc.get("path"):
                 continue
             # the probe yields take_rows-addressable ids only when the index
             # id column is the stable row id (the SQL-face default).
@@ -1012,7 +1012,36 @@ class Dataset:
             id_col = desc.get("params", {}).get("id_col", _ROWID)
             if id_col != _ROWID or not self._routing_usable(name):
                 continue
-            if kind == "btree":
+            if kind == "bitmap":
+                # row-granular bitmap (bitmap_index.go:20-130): equality/IN
+                # conjuncts on the column compose by value-set intersection;
+                # the NDV-sized keystats table gives an EXACT row estimate
+                # (built-time; the pending tail is added conservatively)
+                vals = None
+                for col, op, val in filters:
+                    if self._phys(col) != desc.get("phys", desc.get("column")):
+                        continue
+                    if op == "=":
+                        s = {val}
+                    elif op == "in":
+                        s = set(val)
+                    else:
+                        continue  # range conjuncts: the btree's job
+                    vals = s if vals is None else (vals & s)
+                if vals is None:
+                    continue
+                idx = self.open_index(name)
+                ks = idx.keystats()
+                pend = idx.pending_rows()
+                total = (sum(r for r, _ in ks.values()) + pend) or 1
+                est = sum(ks.get(v, (0, 0))[0] for v in vals) + pend
+                nruns = sum(ks.get(v, (0, 0))[1] for v in vals) + pend
+
+                def bm_hits(idx=idx, vals=vals, nruns=nruns):
+                    return self._hits_for_runs(idx, sorted(vals), nruns)
+
+                candidates.append((est, total, bm_hits))
+            elif kind == "btree":
                 # compose EVERY conjunct on the key column into one [lo,hi]
                 # range (a closed range "k >= a AND k <= b" must probe as
                 # one interval — two one-sided probes each estimate ~half
@@ -1064,7 +1093,10 @@ class Dataset:
                 def bt_probe_driver(name=name, lo=lo, hi=hi, in_vals=in_vals):
                     return self.open_index(name).range_ids(lo, hi, in_vals=in_vals)
 
-                candidates.append((est, total, bt_probe, bt_probe_driver))
+                def bt_hits(est=est, p=bt_probe, pd=bt_probe_driver):
+                    return self._hits_for(est, p, pd)
+
+                candidates.append((est, total, bt_hits))
             else:  # rtree: conjuncts bounding x and y compose one box.
                 # BOTH axes must carry at least one conjunct: the index
                 # excludes rows with a NULL coordinate (rtree.py build), so
@@ -1113,7 +1145,10 @@ class Dataset:
                 def rt_probe_driver(name=name, qx0=qx0, qy0=qy0, qx1=qx1, qy1=qy1):
                     return self.open_index(name).range_ids(qx0, qy0, qx1, qy1)
 
-                candidates.append((est, total, rt_probe, rt_probe_driver))
+                def rt_hits(est=est, p=rt_probe, pd=rt_probe_driver):
+                    return self._hits_for(est, p, pd)
+
+                candidates.append((est, total, rt_hits))
         if not candidates:
             return None
         # IndexPlannerV2 composition (index_planner.go:27-75): EVERY index
@@ -1128,10 +1163,74 @@ class Dataset:
         if not viable:
             return None  # full (pruned) scan is the cheaper plan
         all_hits: set[int] | None = None
-        for est, total, probe, probe_driver in viable:
-            h = self._hits_for(est, probe, probe_driver)
+        for est, total, hits_fn in viable:
+            h = hits_fn()
             all_hits = h if all_hits is None else (all_hits & h)
         return all_hits
+
+    @staticmethod
+    def _stab_interval_overlaps(
+        intervals: list[tuple[int, int, int]],
+        runs: list[tuple[int, int]],
+        hits: set[int],
+    ) -> None:
+        """Add to ``hits`` every fragment whose row-id interval OVERLAPS any
+        probe run [lo, hi] — the interval-vs-interval variant of
+        _stab_intervals (runs are the bitmap index's probe currency: a run
+        spanning a million rows stabs in one step instead of a million).
+        Same prefix-max-end walk-back, same overlapping-interval
+        soundness."""
+        import bisect
+
+        starts = [iv[0] for iv in intervals]
+        maxend = []
+        m = None
+        for _, ihi, _ in intervals:
+            m = ihi if m is None else max(m, ihi)
+            maxend.append(m)
+        for lo, hi in runs:
+            k = bisect.bisect_right(starts, hi) - 1
+            while k >= 0 and maxend[k] >= lo:
+                if intervals[k][0] <= hi and intervals[k][1] >= lo:
+                    hits.add(intervals[k][2])
+                k -= 1
+
+    def _hits_for_runs(self, idx, vals: list, n_runs_est: int) -> set[int]:
+        """Fragment-hit set for one row-granular bitmap probe. Runs (not
+        ids) cross the boundary in both paths, so cost is O(runs), never
+        O(matching rows) — the whole point of RLE row bitmaps at 100 TB."""
+        ivs, hits = self._rowid_interval_table()
+        if n_runs_est <= self._DRIVER_PROBE_MAX_ROWS:
+            self._stab_interval_overlaps(ivs, idx.in_runs(vals), hits)
+            return hits
+        intervals = [(fid, lo, hi) for lo, hi, fid in ivs]
+        if intervals:
+            from pyspark.sql.types import (
+                LongType as _L,
+                StructField as _SF,
+                StructType as _ST,
+            )
+
+            itab = self.spark.createDataFrame(
+                intervals,
+                _ST([
+                    _SF("fid", _L(), False),
+                    _SF("flo", _L(), False),
+                    _SF("fhi", _L(), False),
+                ]),
+            )
+            rows = (
+                idx.runs_df(vals)
+                .join(
+                    F.broadcast(itab),
+                    (F.col("lo") <= F.col("fhi")) & (F.col("hi") >= F.col("flo")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            )
+            hits.update(r.fid for r in rows)
+        return hits
 
     def _hits_for(self, est: int, probe, probe_driver) -> set[int]:
         """Fragment-hit set for ONE index probe (driver-side fast path for
@@ -1190,7 +1289,7 @@ class Dataset:
         extracted for pruning, reference filter_parser.go).
 
         ``use_indexes=True`` (default) additionally routes prunable
-        conjuncts through EVERY fresh btree/rtree index that clears the
+        conjuncts through EVERY fresh btree/rtree/bitmap index that clears the
         cost gate (see _auto_index_hits — IndexPlannerV2 composition): the
         indexes' fragment-hit sets intersect each other AND zonemap/bitmap
         pruning, so a filtered scan can skip fragments whose key ranges
@@ -2293,6 +2392,18 @@ class Dataset:
         b._branch = name
         return b
 
+    def on_branch(self, name: str) -> "Dataset":
+        """Open an EXISTING branch for writing: a handle positioned at the
+        branch's current version whose commits auto-advance the ref — the
+        reference's write-on-a-checked-out-ref shape (refs.go:17-68 +
+        sdk/dataset.go committing against the ref's head). Unlike
+        ``branch()``, which creates/moves the ref to THIS handle's version,
+        ``on_branch`` refuses unknown names: a typo'd SQL ``t@b`` must not
+        silently fork a new ref."""
+        b = self.checkout(name)  # ValueError on unknown ref
+        b._branch = name
+        return b
+
     # ------------------------------------------------ secondary indexes
     # Transactional index creation (reference index_transaction.go:19-246
     # CreateIndexOperation/IndexBuilder.CreateIndex): the index is built
@@ -2328,6 +2439,10 @@ class Dataset:
           (params: id_col, m/k or bits, metric) — codes-only storage.
         - "bq": persisted BqIndex (1-bit sign codes, Hamming search +
           optional exact re-rank — bq_quantizer.go:14-190).
+        - "ivf_pq": persisted IvfPqIndex (reference ivf_pq_index.go:31-60)
+          — coarse KMeans partitions bound the probe to nprobe clusters
+          AND the per-cluster scan is PQ-codes-only (params: id_col,
+          k_coarse, m, k_pq).
         - "btree": persisted BtreeIndex over a scalar column (range-
           partitioned sorted runs + fences; equality/range -> row ids,
           reference btree_index.go:12-130). id defaults to ``_rowid`` when
@@ -2354,11 +2469,20 @@ class Dataset:
         }
         txn = _Txn(op="index", read_version=self.version, index_put={name: desc})
         if kind == "bitmap":
+            # fragment-granular half (file pruning): per-fragment distinct
+            # sets into the manifest + write-path declaration — kept even
+            # when the row-granular table below is built, because zonemap-
+            # level pruning composes with it for free
             txn.stats_patch = self._bitmap_backfill(m, phys)
             txn.bitmap_add = phys
-        elif kind == "bloom":
+        if kind == "bloom":
             txn.bloom_add = phys
-        elif kind in ("ivf", "fts", "hnsw", "pq", "sq", "bq", "btree", "rtree"):
+        elif kind == "bitmap" and not m.row_ids:
+            pass  # no stable row ids -> fragment-granular only (legacy)
+        elif kind in (
+            "bitmap", "ivf", "ivf_pq", "fts", "hnsw", "pq", "sq", "bq",
+            "btree", "rtree",
+        ):
             # unique staging path per build attempt: a same-name race's
             # LOSING create (its _commit raises ConflictError) must not
             # clobber the winner's persisted files, and the committed
@@ -2374,7 +2498,7 @@ class Dataset:
                 # id_col parameter: prefer the conventional name, else the
                 # first non-indexed column (tables have a leading key here)
                 names = [f.name for f in self.schema.fields]
-                if kind in ("btree", "rtree") and m.row_ids:
+                if kind in ("btree", "rtree", "bitmap") and m.row_ids:
                     # scalar/spatial probes return row ids for take_rows —
                     # the reference contract (Search -> []uint64 row IDs)
                     id_col = _ROWID
@@ -2412,7 +2536,15 @@ class Dataset:
             with open(sentinel, "w") as fh:
                 fh.write(name)
             try:
-                if kind == "fts":
+                if kind == "bitmap":
+                    from plan_spark.indexes.bitmap import BitmapIndex
+
+                    src = self.to_df(with_row_id=(id_col == _ROWID))
+                    BitmapIndex.build(
+                        self.spark, src, key_col=column, id_col=id_col,
+                        path=full, **params,
+                    )
+                elif kind == "fts":
                     from plan_spark.indexes.fts import FtsIndex
 
                     FtsIndex.build(
@@ -2448,12 +2580,13 @@ class Dataset:
                     from plan_spark.indexes.bq import BqIndex
                     from plan_spark.indexes.hnsw import HnswIndex
                     from plan_spark.indexes.ivf import IvfIndex
-                    from plan_spark.indexes.pq import PqIndex
+                    from plan_spark.indexes.pq import IvfPqIndex, PqIndex
                     from plan_spark.indexes.sq import SqIndex
 
                     builder = {
                         "ivf": IvfIndex, "hnsw": HnswIndex,
                         "pq": PqIndex, "sq": SqIndex, "bq": BqIndex,
+                        "ivf_pq": IvfPqIndex,
                     }[kind]
                     builder.build(
                         self.spark,
@@ -2555,9 +2688,12 @@ class Dataset:
             index_put=advanced, index_refresh=True,
             index_refresh_base={name: base_v},
         )
-        if kind in ("bitmap", "bloom"):
+        if kind == "bloom" or (kind == "bitmap" and not desc.get("path")):
             # write-path declarations collect per-fragment sets/blooms on
-            # every append already — the descriptor just advances
+            # every append already — the descriptor just advances. A
+            # row-granular bitmap (path set) falls through to the buffered
+            # insert path below like btree: its run table must learn the
+            # new rows' ids.
             self._commit(txn)
             return self
         try:
@@ -2587,7 +2723,7 @@ class Dataset:
                 # conventional name / first non-indexed column. A different
                 # chain here would insert new rows under a different id
                 # namespace than the build used (silent mixed-id index).
-                if kind in ("btree", "rtree") and self.manifest.row_ids:
+                if kind in ("btree", "rtree", "bitmap") and self.manifest.row_ids:
                     id_col = _ROWID
                 else:
                     names = [f.name for f in self.schema.fields]
@@ -2605,7 +2741,9 @@ class Dataset:
             src = self._scan_with_lineage(new_frags, with_row_id=use_rowid).drop(
                 _FILE_COL, _POS_COL
             )
-            if kind not in ("btree", "rtree", "ivf", "hnsw", "ivf_hnsw", "bq", "fts"):
+            if kind not in (
+                "btree", "rtree", "bitmap", "ivf", "hnsw", "ivf_hnsw", "bq", "fts",
+            ):
                 raise ValueError(
                     f"refresh_index({name!r}): kind {kind!r} has no "
                     "incremental insert; rebuild with drop_index + create_index"
@@ -2656,7 +2794,7 @@ class Dataset:
                     )
                 idx = self.open_index(name)
                 col = desc["column"]
-                if kind == "btree":
+                if kind in ("btree", "bitmap"):
                     idx.insert(src, key_col=col, id_col=id_col)
                 elif kind == "rtree":
                     x, y = [c.strip() for c in col.split(",")]
@@ -2695,13 +2833,19 @@ class Dataset:
             raise ValueError(f"no index named {name!r}")
         full = os.path.join(self.path, desc["path"]) if desc["path"] else None
         kind = desc["kind"]
-        if kind in ("ivf", "fts", "hnsw", "pq", "sq", "bq", "btree", "rtree"):
+        if kind == "bitmap" and full:
+            from plan_spark.indexes.bitmap import BitmapIndex
+
+            return BitmapIndex(self.spark, full)
+        if kind in (
+            "ivf", "ivf_pq", "fts", "hnsw", "pq", "sq", "bq", "btree", "rtree",
+        ):
             from plan_spark.indexes.bq import BqIndex
             from plan_spark.indexes.btree import BtreeIndex
             from plan_spark.indexes.fts import FtsIndex
             from plan_spark.indexes.hnsw import HnswIndex
             from plan_spark.indexes.ivf import IvfIndex
-            from plan_spark.indexes.pq import PqIndex
+            from plan_spark.indexes.pq import IvfPqIndex, PqIndex
             from plan_spark.indexes.rtree import RtreeIndex
             from plan_spark.indexes.sq import SqIndex
 
@@ -2709,6 +2853,7 @@ class Dataset:
                 "ivf": IvfIndex, "fts": FtsIndex, "hnsw": HnswIndex,
                 "pq": PqIndex, "sq": SqIndex, "bq": BqIndex,
                 "btree": BtreeIndex, "rtree": RtreeIndex,
+                "ivf_pq": IvfPqIndex,
             }[kind]
             return opener(self.spark, full)
         raise ValueError(f"index {name!r} has kind {kind!r}; nothing to open")

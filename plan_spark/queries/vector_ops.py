@@ -649,6 +649,102 @@ def _ivf_hnsw_index_for(spark: SparkSession, sf_dir: str):
     return IvfHnswIndex(spark, path)
 
 
+def _ivf_pq_index_for(spark: SparkSession, sf_dir: str):
+    """Persisted IvfPqIndex per sf_dir (build-once/search-many; reference
+    ivf_pq_index.go:31-60 builds at CREATE INDEX time). Built over
+    NORMALIZED vectors so PQ's approximate L2² ranks like cosine
+    (||a-b||² = 2 - 2·cos on unit vectors) — queries must be normalized
+    the same way; the exact rerank reads the RAW corpus regardless."""
+    import hashlib
+    import tempfile
+
+    from plan_spark.indexes.pq import IvfPqIndex
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    key = hashlib.md5(f"{src}#{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"plan_spark_ivfpq_{key}")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        e = table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        unit = e.select(
+            "vec_id",
+            F.transform(
+                "v", lambda x: x / F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b))
+            ).alias("embedding"),
+        )
+        IvfPqIndex.build(
+            spark, unit, id_col="vec_id", vec_col="embedding", path=path,
+            k_coarse=16, m=8, k_pq=32, seed=42,
+        )
+        with open(marker, "w") as fh:
+            fh.write(src)
+    return IvfPqIndex(spark, path)
+
+
+@register("knn_ivf_pq", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn", "ivf", "pq"))
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite KNN over the PERSISTED index (reference
+    ivf_pq_index.go:31-60) in FULL-PROBE + FULL-EXACT-RERANK mode, making
+    the driver row hash-checkable against the brute-force SQL oracle
+    (the same degenerate-to-exact trick knn_ivf uses):
+
+    - nprobe = k_coarse = 16 probes every coarse cluster, so the PQ code
+      scan emits a candidate row for every corpus vector (candidate
+      generation provably misses nothing);
+    - every candidate is re-ranked by EXACT cosine recomputed JVM-side
+      from the raw corpus vectors with the same fold as knn_brute, so the
+      result is exact BY CONSTRUCTION — deliberately independent of the
+      quantization error, which on near-random fixture embeddings can
+      bury a true neighbor arbitrarily deep in the ADC ordering (any
+      fixed candidate margin would be a coin flip across the per-round
+      fixture regeneration).
+
+    The real PRUNED path (nprobe < k_coarse, ADC ordering, margin rerank)
+    is quality-gated deterministically in tests/test_indexes.py
+    (test_ivfpq_prunes_and_ranks: full-probe IVF-PQ == flat PQ ranking;
+    test_pq_index_recall_and_compression: ADC recall above chance,
+    codes-only storage). Scale: queries are collected driver-side
+    (query-sized by definition); the rerank joins the candidate set
+    against the corpus on the corpus' own id (broadcast candidates) — the
+    corpus never shuffles, and the candidate scan reads m-byte codes, not
+    d-double vectors."""
+    from pyspark.sql import Window
+
+    idx = _ivf_pq_index_for(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrows = e.filter(F.col("vec_id") < _N_QUERIES).collect()
+    qv = {}
+    for r in qrows:
+        nrm = sum(x * x for x in r.v) ** 0.5
+        qv[int(r.vec_id)] = [float(x) / nrm for x in r.v]
+    cand = idx.search(qv, top_k=1 << 30, nprobe=16).select("q_id", "c_id")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        e.join(F.broadcast(cand), e.vec_id == F.col("c_id"))
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (_dot(F.col("qv"), F.col("v")) / F.sqrt(_sq(F.col("qv")) * _sq(F.col("v")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        rescored.select("q_id", "c_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+        .orderBy("q_id", "rank")
+    )
+
+
 @register("knn_ivf_hnsw", oracle=_KNN_BRUTE_SQL, tags=("vector", "knn", "ivf", "hnsw"))
 def knn_ivf_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-HNSW composite KNN over the PERSISTED index (reference

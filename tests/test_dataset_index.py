@@ -270,3 +270,58 @@ def test_concurrent_refresh_conflicts(spark, tmp_ds):
     os.remove(claim)
     b.refresh_index("fi")
     assert b.index_fresh("fi")
+
+
+def test_persisted_ivf_pq_index_roundtrip_and_sql_face(spark, tmp_ds):
+    """IVF-PQ joins the transactional index lifecycle like its siblings
+    (reference ivf_pq_index.go:31-60 built at CREATE INDEX time):
+    create_index(kind='ivf_pq') persists coarse centroids + PQ codebooks +
+    cluster-partitioned codes under the manifest commit path, open_index
+    searches it, appends stale it, refresh refuses (codes have no sound
+    buffered insert — rebuild), and the SQL face spells it
+    CREATE INDEX ... USING ivf_pq (embedding)."""
+    import os
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    ds = Dataset.create(spark, tmp_ds, emb.coalesce(2))
+    ds.create_index(
+        "cq", kind="ivf_pq", column="embedding", id_col="vec_id",
+        k_coarse=4, m=8, k_pq=8,
+    )
+    desc = ds.manifest.indexes["cq"]
+    assert desc["kind"] == "ivf_pq" and desc["params"]["k_coarse"] == 4
+    assert os.path.isdir(os.path.join(tmp_ds, desc["path"], "coded"))
+    idx = ds.open_index("cq")
+    q = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.limit(2).collect()
+    }
+    hits = idx.search(q, top_k=3, nprobe=4)
+    assert hits.count() == 6  # 2 queries x top-3, full probe
+    # descriptor round-trips; appends stale it; refresh refuses (no
+    # incremental insert for quantizer codes) and points at the rebuild
+    ds2 = Dataset.open(spark, tmp_ds)
+    assert ds2.index_fresh("cq")
+    ds2.append(emb.limit(5).coalesce(1))
+    assert not ds2.index_fresh("cq")
+    with pytest.raises(ValueError, match="no incremental insert"):
+        ds2.refresh_index("cq")
+    ds2.drop_index("cq")
+    assert "cq" not in ds2.manifest.indexes
+    # SQL face (engine CREATE INDEX ... USING ivf_pq)
+    from plan_spark.engine import Engine
+
+    eng = Engine(spark, os.path.join(tmp_ds, "_sql_root"))
+    eng.sql("CREATE TABLE vecs (vec_id BIGINT, embedding ARRAY<DOUBLE>)")
+    eng.dataset("vecs").append(
+        emb.select(
+            F.col("vec_id").cast("bigint"),
+            F.col("embedding").cast("array<double>"),
+        ).limit(64).coalesce(1)
+    )
+    eng.sql("CREATE INDEX cq2 ON vecs USING ivf_pq (embedding)")
+    d2 = eng.dataset("vecs").manifest.indexes["cq2"]
+    assert d2["kind"] == "ivf_pq" and d2["params"]["id_col"] == "vec_id"

@@ -225,6 +225,16 @@ class Engine:
     def dataset(self, name: str, schema: str = "main") -> Dataset:
         return Dataset.open(self.spark, self._entry(name, schema)["root"])
 
+    def _dataset_ref(self, token: str, schema: str = "main") -> Dataset:
+        """Resolve a DML table token that may carry a branch suffix:
+        plain ``t`` is the head handle; ``t@b`` opens EXISTING branch b for
+        writing, so the commit auto-advances the ref (reference
+        refs.go:17-68 — the SDK writes on a checked-out ref; branch READS
+        are spelled ``VERSION AS OF 'b'``)."""
+        name, _, br = token.partition("@")
+        ds = self.dataset(name, schema)
+        return ds.on_branch(br) if br else ds
+
     # ----------------------------------------------------------------- DML
     def insert_values(self, name: str, rows: list[tuple], schema: str = "main") -> None:
         """INSERT ... VALUES (reference builder_dml.go:14-208): rows are
@@ -235,7 +245,7 @@ class Engine:
         ds.append(df)
 
     def insert_df(self, name: str, df: DataFrame, schema: str = "main") -> None:
-        ds = self.dataset(name, schema)
+        ds = self._dataset_ref(name, schema)
         cast = df.select(
             *[df[f.name].cast(f.dataType) for f in ds.schema.fields]
         )
@@ -829,9 +839,8 @@ class Engine:
         # (reference refs.go:17-68; tags are immutable-by-convention, a
         # branch is a moving pointer that commits through its handle
         # auto-advance). Branch READS go through VERSION AS OF 'b';
-        # branch-targeted writes are the Python handle's job
-        # (Dataset.branch(...).append(...)) — the SQL statement surface
-        # always writes the latest version.
+        # branch-targeted WRITES spell the table as t@b in INSERT/DELETE/
+        # UPDATE (routed through the auto-advancing handle, _dataset_ref).
         m = re.match(
             r"(?is)^CREATE\s+BRANCH\s+(\w+)\s+ON\s+(\w+)"
             r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
@@ -879,7 +888,7 @@ class Engine:
         defaults-resolution insert path (builder_dml.go:278, SURVEY §2.1
         'defaults resolution'). Without a list, positional bind to the full
         schema as before."""
-        ds = self.dataset(name)
+        ds = self._dataset_ref(name)
         fields = ds.schema.fieldNames()
         if cols is None:
             if set(df.columns) == set(fields):
@@ -920,7 +929,8 @@ class Engine:
             # \s+ before VALUES (not \s*): with \s*, \w+ backtracks and a
             # run-together "INSERT INTO ordersVALUES ..." silently parses
             # as an insert into `orders` instead of hard-erroring
-            r"(?is)^INSERT\s+INTO\s+(\w+)(?:\s*\(([^()]*)\))?\s+VALUES\s+(.*)$", s
+            r"(?is)^INSERT\s+INTO\s+(\w+(?:@\w+)?)(?:\s*\(([^()]*)\))?\s+VALUES\s+(.*)$",
+            s,
         )
         if m:
             name, cols, vals = m.group(1), m.group(2), m.group(3)
@@ -929,7 +939,7 @@ class Engine:
             self.insert_df(name, self._reorder_for_insert(name, rows_df, cols))
             return
         m = re.match(
-            r"(?is)^INSERT\s+INTO\s+(\w+)(?:\s*\(([^()]*)\))?\s+"
+            r"(?is)^INSERT\s+INTO\s+(\w+(?:@\w+)?)(?:\s*\(([^()]*)\))?\s+"
             r"((?:SELECT|WITH|TABLE)\b.*)$",
             s,
         )
@@ -1090,12 +1100,14 @@ class Engine:
         )
 
     def _stmt_delete(self, s: str) -> None:
-        m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", s)
+        m = re.match(
+            r"(?is)^DELETE\s+FROM\s+(\w+(?:@\w+)?)(?:\s+WHERE\s+(.*))?$", s
+        )
         if not m:
             raise ValueError(f"unsupported DELETE statement: {s[:120]!r}")
         # WHERE-less form deletes every row (builder_dml.go's unconditional
         # delete path) — the table and its history stay
-        self.dataset(m.group(1)).delete(m.group(2) or "true")
+        self._dataset_ref(m.group(1)).delete(m.group(2) or "true")
 
     def _stmt_truncate(self, s: str) -> None:
         m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?(\w+)$", s)
@@ -1106,7 +1118,9 @@ class Engine:
         self.dataset(m.group(1)).delete("true")
 
     def _stmt_update(self, s: str) -> None:
-        m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s)
+        m = re.match(
+            r"(?is)^UPDATE\s+(\w+(?:@\w+)?)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s
+        )
         if not m:
             raise ValueError(f"unsupported UPDATE statement: {s[:120]!r}")
         name, sets, pred = m.group(1), m.group(2), m.group(3) or "true"
@@ -1114,7 +1128,7 @@ class Engine:
         for a in re.split(r",(?![^()]*\))", sets):
             col, expr = a.split("=", 1)
             assignments[col.strip()] = expr.strip()
-        self.dataset(name).update(assignments, pred)
+        self._dataset_ref(name).update(assignments, pred)
 
     def _stmt_meta(self, s: str) -> DataFrame:
         """SHOW SCHEMAS | SHOW TABLES [IN schema] | SHOW CREATE TABLE

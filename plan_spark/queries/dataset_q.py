@@ -565,6 +565,65 @@ def ds_btree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DS_BITMAP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey % 200 = 7 AND o_orderstatus <> 'F'
+"""
+
+
+@register("ds_bitmap_scan", oracle=_DS_BITMAP_SQL, tags=("dataset", "index", "bitmap"))
+def ds_bitmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-granular bitmap index lifecycle (reference bitmap_index.go:20-130
+    — per-value row bitmaps, EqualityQuery -> row IDs): ingest orders with
+    a low-NDV category column whose rare value is INTERLEAVED through every
+    fragment (fragment-granular structures — zonemaps, distinct sets —
+    prune nothing), CREATE a bitmap index through the manifest commit path,
+    DELETE the 'F' orders (deletion vectors, committed AFTER the build),
+    then probe the rare value: the index answers with row-id RUNS covering
+    two orders of magnitude fewer rows than the fragments a file-granular
+    plan must read (asserted in-body), ``take_rows`` addresses them with a
+    projected read, and merge-on-read drops the deleted ids the index still
+    lists — the result must equal the plain relational filter composed with
+    the delete.
+
+    Scale shape: the probe reads fence-selected run files driver-side
+    (runs, never per-row ids, cross the boundary); keystats gives the
+    planner an exact NDV-sized selectivity table; the point read then
+    touches O(matches) rows, not O(fragment) rows."""
+    path = _scratch("ds_bitmap", sf_dir)
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 200 == 7, F.lit("rare"))
+        .otherwise(F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")))
+        .alias("grp"),
+    )
+    ds = Dataset.create(spark, path, ords.repartition(4), row_ids=True)
+    ds.create_index("bm_grp", kind="bitmap", column="grp")
+    ds.delete("o_orderstatus = 'F'")
+    idx = ds.open_index("bm_grp")
+    runs = idx.equality_runs("rare")
+    probed = sum(hi - lo + 1 for lo, hi in runs)
+    sel, _ = ds.plan_scan([("grp", "=", "rare")], use_indexes=False)
+    frag_rows = sum(f.rows for f in sel)
+    assert probed * 20 <= frag_rows, (
+        f"row-granular probe must read far fewer rows than fragment "
+        f"pruning alone ({probed} vs {frag_rows})"
+    )
+    ids = [i for lo, hi in runs for i in range(lo, hi + 1)]
+    hits = ds.take_rows(ids, columns=["o_orderkey", "o_totalprice"])
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 _DS_RTREE_SQL = """
 SELECT rank, o_orderkey, dist
 FROM (
@@ -746,7 +805,8 @@ WITH cur AS (
 pre AS (
   SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
   FROM orders GROUP BY o_orderstatus)
-SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before
+SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before,
+       CAST(2 AS BIGINT) AS n_branch
 FROM cur JOIN pre ON cur.o_orderstatus = pre.o_orderstatus
 ORDER BY cur.o_orderstatus
 """
@@ -757,9 +817,14 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door end-to-end (reference cmd/main/main.go server
     loop: every operation through ONE `sql()` entry): CREATE TABLE, COPY
     FROM the fixture parquet, CREATE VIEW, CREATE TAG, DELETE, UPDATE with
-    an expression, then a query that reads the CURRENT state THROUGH the
-    stored view and joins it against the tagged snapshot via
-    `VERSION AS OF 'tag'` — parsing, routing, the versioned-table views,
+    an expression, CREATE BRANCH + a branch-targeted INSERT
+    (``INSERT INTO t@branch`` — reference refs.go:17-68, the SDK's
+    write-on-a-checked-out-ref through the SQL front door), then a query
+    that reads the CURRENT state THROUGH the stored view, joins it against
+    the tagged snapshot via `VERSION AS OF 'tag'`, and counts the inserted
+    rows through `VERSION AS OF 'branch'` — so the hash proves the ref
+    ADVANCED with the write (a plain head insert would leave the branch
+    behind and count zero). Parsing, routing, the versioned-table views,
     catalog-view re-binding across mutations, and the time-travel rewrite
     all sit on the hash-checked path, not just in unit tests.
 
@@ -785,18 +850,31 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("CREATE TAG pre ON ord")
     eng.sql("DELETE FROM ord WHERE o_orderstatus = 'F'")
     eng.sql("UPDATE ord SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 100 = 0")
+    # write ON A BRANCH from SQL: the commit must auto-advance the ref, so
+    # VERSION AS OF 'fixup' sees the new rows (n_branch = 2 below); the 'X'
+    # status rows are dropped by the cur-pre inner join, keeping the other
+    # output rows byte-identical to the pre-branch lifecycle
+    eng.sql("CREATE BRANCH fixup ON ord")
+    eng.sql(
+        "INSERT INTO ord@fixup (o_orderkey, o_orderstatus, o_totalprice) "
+        "VALUES (-1, 'X', 10.0), (-2, 'X', 20.0)"
+    )
     return eng.sql(
         """
         WITH cur AS (
           SELECT o_orderstatus,
                  CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-          FROM ord_live GROUP BY o_orderstatus),
+          FROM ord_live WHERE o_orderstatus <> 'X' GROUP BY o_orderstatus),
         pre AS (
           SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
-          FROM ord VERSION AS OF 'pre' GROUP BY o_orderstatus)
-        SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before
+          FROM ord VERSION AS OF 'pre' GROUP BY o_orderstatus),
+        br AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_branch
+          FROM ord VERSION AS OF 'fixup' WHERE o_orderstatus = 'X')
+        SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before, br.n_branch
         FROM cur JOIN pre ON cur.o_orderstatus = pre.o_orderstatus
+        CROSS JOIN br
         ORDER BY cur.o_orderstatus
         """
     )

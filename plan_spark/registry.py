@@ -68,7 +68,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "pipeline_e2e",
     "pivot_events",
     # ---- round 6: new/changed this round ----
-    # (names appended here as features land)
+    "ds_bitmap_scan",  # new: row-granular bitmap index (EqualityQuery -> row ids)
+    "ds_auto_index_scan",  # changed: candidate thunks + bitmap routing member
+    "knn_ivf_pq",  # new: IVF-PQ persisted index, full-probe + exact rerank
+    "sql_lifecycle",  # changed: branch-targeted INSERT (t@branch) on the hash path
     # ---- round 5 rows below stay for window padding (all green r5) ----
     "tpcds_q64",  # new: cross-year resale price comparison, one agg
     "dup_spans",  # new: maximal duplicated-span extraction
@@ -101,7 +104,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q97",  # new: channel-overlap pair counts (full-outer class, flag rewrite)
     "tpcds_q14",  # new: cross-channel INTERSECT + scalar avg threshold, 1 fact pass
     "ds_refresh_scan",  # new: incremental refresh_index lifecycle, auto-routing after
-    "ds_auto_index_scan",  # new: cost-based auto index routing in to_df(filters=)
     "knn_bq",  # new: BQ sign-code index, Hamming bit_count(xor) search
     "tpcds_q11",  # new: YoY growth + CASE-guarded ratios + dim ride-along
     "tpcds_q23",  # new: multi-CTE frequent-item / 95%-of-max composition
@@ -113,7 +115,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "knn_ivf",  # changed: full-probe mode, now HASH-checked (was rows-only)
     "knn_ivf_hnsw",  # changed: full-probe + exact rerank, now hash-checked
     "semdedup",  # changed: delegates to operators/semdedup.py (k knob)
-    "sql_lifecycle",  # changed: MERGE SET-subset grammar + branch statements
     "ds_btree_scan",  # index internals touched (atomic compact swap)
     "ds_rtree_scan",  # same
     "ds_index_knn",  # IVF metric persistence touched create_index(kind=ivf)

@@ -1010,3 +1010,42 @@ def test_truncate_and_describe_view(engine):
     engine.sql("CREATE VIEW trc_v AS SELECT a, length(b) AS blen FROM trc")
     d = engine.sql("DESCRIBE trc_v").collect()
     assert [(r.col_name, r.data_type) for r in d] == [("a", "int"), ("blen", "int")]
+
+
+def test_branch_targeted_dml_sql(engine):
+    """Write ON A BRANCH from SQL (reference refs.go:17-68 — the SDK
+    writes on a checked-out ref): INSERT/DELETE/UPDATE spell the table
+    ``t@branch`` and the commit auto-advances the ref; unknown branch
+    names refuse (a typo must not silently fork)."""
+    engine.create_table("bw", "k INT, v STRING")
+    engine.insert_values("bw", [(1, "a"), (2, "b")])
+    engine.sql("CREATE BRANCH dev ON bw")
+    engine.sql("INSERT INTO bw@dev (k, v) VALUES (3, 'c')")
+    # the ref advanced with the write: branch read sees the new row
+    assert (
+        engine.sql("SELECT COUNT(*) AS n FROM bw VERSION AS OF 'dev'").first().n
+        == 3
+    )
+    engine.sql("UPDATE bw@dev SET v = 'C' WHERE k = 3")
+    engine.sql("DELETE FROM bw@dev WHERE k = 1")
+    rows = {
+        r.k: r.v
+        for r in engine.sql("SELECT * FROM bw VERSION AS OF 'dev'").collect()
+    }
+    assert rows == {2: "b", 3: "C"}
+    # INSERT ... SELECT form routes through the branch too
+    engine.sql("INSERT INTO bw@dev SELECT k + 10 AS k, v FROM bw VERSION AS OF 'dev'")
+    assert (
+        engine.sql("SELECT COUNT(*) AS n FROM bw VERSION AS OF 'dev'").first().n
+        == 4
+    )
+    with pytest.raises(ValueError, match="no tag or branch"):
+        engine.sql("INSERT INTO bw@nope (k, v) VALUES (9, 'z')")
+    # a tag created BEFORE the branch writes stays pinned
+    engine.create_table("bw2", "k INT")
+    engine.insert_values("bw2", [(1,)])
+    engine.sql("CREATE TAG t0 ON bw2")
+    engine.sql("CREATE BRANCH d2 ON bw2")
+    engine.sql("INSERT INTO bw2@d2 VALUES (2)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM bw2 VERSION AS OF 't0'").first().n == 1
+    assert engine.sql("SELECT COUNT(*) AS n FROM bw2 VERSION AS OF 'd2'").first().n == 2

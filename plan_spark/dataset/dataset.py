@@ -979,7 +979,28 @@ class Dataset:
                 return False
         return True
 
-    def _auto_index_hits(self, filters) -> set[int] | None:
+    @staticmethod
+    def _trace_entry(
+        name: str, desc: dict, est=None, total=None, chosen=False, reason=""
+    ) -> dict:
+        """One selection-trace row (reference IndexSelector observability,
+        index_selector.go:36-78): which index, what the fences/keystats
+        estimated, and whether the planner chose it — the (index,
+        est_fraction, chosen) triple plan_scan(explain=True) reports."""
+        return {
+            "index": name,
+            "kind": desc.get("kind"),
+            "column": desc.get("column"),
+            "est_rows": est,
+            "total_rows": total,
+            "est_fraction": (round(est / total, 6) if total else None)
+            if est is not None
+            else None,
+            "chosen": chosen,
+            "reason": reason,
+        }
+
+    def _auto_index_hits(self, filters, trace: list | None = None) -> set[int] | None:
         """Cost-based automatic index routing for a filtered scan (reference
         IndexSelector.SelectIndexForPredicate, index_selector.go:36-78, and
         IndexPlannerV2.PlanQuery, index_planner.go:27-75): among the FRESH
@@ -1000,7 +1021,11 @@ class Dataset:
             return None
         from plan_spark.indexes.btree import read_fences
 
-        candidates = []  # (est_rows, total_rows, hits_thunk)
+        def note(name, desc, **kw):
+            if trace is not None:
+                trace.append(self._trace_entry(name, desc, **kw))
+
+        candidates = []  # (est_rows, total_rows, hits_thunk, trace_entry)
         for name, desc in self.manifest.indexes.items():
             kind = desc.get("kind")
             if kind not in ("btree", "rtree", "bitmap") or not desc.get("path"):
@@ -1010,7 +1035,15 @@ class Dataset:
             # _routing_usable is weaker than index_fresh: delete-only and
             # compaction histories keep routing sound (superset probes)
             id_col = desc.get("params", {}).get("id_col", _ROWID)
-            if id_col != _ROWID or not self._routing_usable(name):
+            if id_col != _ROWID:
+                note(name, desc, reason="id column is not the stable row id")
+                continue
+            if not self._routing_usable(name):
+                note(
+                    name, desc,
+                    reason="stale: rows added/changed past covers_version "
+                    "(refresh_index or rebuild restores routing)",
+                )
                 continue
             if kind == "bitmap":
                 # row-granular bitmap (bitmap_index.go:20-130): equality/IN
@@ -1029,6 +1062,7 @@ class Dataset:
                         continue  # range conjuncts: the btree's job
                     vals = s if vals is None else (vals & s)
                 if vals is None:
+                    note(name, desc, reason="no =/IN conjunct on indexed column")
                     continue
                 idx = self.open_index(name)
                 ks = idx.keystats()
@@ -1040,7 +1074,9 @@ class Dataset:
                 def bm_hits(idx=idx, vals=vals, nruns=nruns):
                     return self._hits_for_runs(idx, sorted(vals), nruns)
 
-                candidates.append((est, total, bm_hits))
+                candidates.append(
+                    (est, total, bm_hits, self._trace_entry(name, desc, est, total))
+                )
             elif kind == "btree":
                 # compose EVERY conjunct on the key column into one [lo,hi]
                 # range (a closed range "k >= a AND k <= b" must probe as
@@ -1066,6 +1102,7 @@ class Dataset:
                     elif op == "=" and in_vals is not None:
                         in_vals &= {val}
                 if not bounded:
+                    note(name, desc, reason="no range-bounding conjunct on key column")
                     continue
                 fences = read_fences(
                     os.path.join(self.path, desc["path"], "fences.parquet")
@@ -1096,7 +1133,9 @@ class Dataset:
                 def bt_hits(est=est, p=bt_probe, pd=bt_probe_driver):
                     return self._hits_for(est, p, pd)
 
-                candidates.append((est, total, bt_hits))
+                candidates.append(
+                    (est, total, bt_hits, self._trace_entry(name, desc, est, total))
+                )
             else:  # rtree: conjuncts bounding x and y compose one box.
                 # BOTH axes must carry at least one conjunct: the index
                 # excludes rows with a NULL coordinate (rtree.py build), so
@@ -1122,6 +1161,11 @@ class Dataset:
                     if hi is not None and (b[1] is None or hi < b[1]):
                         b[1] = hi
                 if not (touched[px] and touched[py]):
+                    note(
+                        name, desc,
+                        reason="spatial probe needs a conjunct on BOTH axes "
+                        "(NULL-coordinate rows are absent from the index)",
+                    )
                     continue
                 inf = float("inf")
                 qx0 = box[px][0] if box[px][0] is not None else -inf
@@ -1148,7 +1192,9 @@ class Dataset:
                 def rt_hits(est=est, p=rt_probe, pd=rt_probe_driver):
                     return self._hits_for(est, p, pd)
 
-                candidates.append((est, total, rt_hits))
+                candidates.append(
+                    (est, total, rt_hits, self._trace_entry(name, desc, est, total))
+                )
         if not candidates:
             return None
         # IndexPlannerV2 composition (index_planner.go:27-75): EVERY index
@@ -1157,13 +1203,24 @@ class Dataset:
         # AND semantics the INTERSECTION is a sound superset for the whole
         # predicate. One selective index alone already prunes; two prune
         # fragments whose ranges interleave on one key but not the other.
-        viable = [
-            c for c in candidates if c[0] / c[1] <= self._INDEX_SCAN_MAX_RATIO
-        ]
+        viable = []
+        for c in candidates:
+            ok = c[0] / c[1] <= self._INDEX_SCAN_MAX_RATIO
+            if trace is not None:
+                c[3]["chosen"] = ok
+                c[3]["reason"] = (
+                    "probed (cost gate passed; hit set intersected)"
+                    if ok
+                    else f"cost gate: est_fraction > {self._INDEX_SCAN_MAX_RATIO} "
+                    "— pruned full scan is cheaper"
+                )
+                trace.append(c[3])
+            if ok:
+                viable.append(c)
         if not viable:
             return None  # full (pruned) scan is the cheaper plan
         all_hits: set[int] | None = None
-        for est, total, hits_fn in viable:
+        for est, total, hits_fn, _t in viable:
             h = hits_fn()
             all_hits = h if all_hits is None else (all_hits & h)
         return all_hits
@@ -1281,8 +1338,8 @@ class Dataset:
         return hits
 
     def plan_scan(
-        self, filters=None, use_indexes: bool = True
-    ) -> tuple[list[Fragment], list[Fragment]]:
+        self, filters=None, use_indexes: bool = True, explain: bool = False
+    ):
         """(selected, pruned) fragments for a filtered scan — the engine's
         EXPLAIN surface for file pruning. ``filters`` is either a list of
         (col, op, literal) tuples or a predicate string (conjuncts are
@@ -1293,17 +1350,75 @@ class Dataset:
         cost gate (see _auto_index_hits — IndexPlannerV2 composition): the
         indexes' fragment-hit sets intersect each other AND zonemap/bitmap
         pruning, so a filtered scan can skip fragments whose key ranges
-        interleave (where min/max alone proves nothing)."""
+        interleave (where min/max alone proves nothing).
+
+        ``explain=True`` returns ``(selected, pruned, trace)`` where trace
+        is the index-selection record — one (index, est_fraction, chosen,
+        reason) row per registered index, the reference IndexSelector's
+        observability (index_selector.go:36-78) extended to every face:
+        scalar indexes report their fence/keystats estimates and the cost-
+        gate outcome; ANN/FTS indexes report which query face serves them
+        and whether they are FRESH or need refresh/rebuild (the stale-
+        fallback a caller must see before trusting search results)."""
         if isinstance(filters, str):
             filters = self._parse_filter_string(filters)
-        hits = self._auto_index_hits(filters) if use_indexes else None
+        trace: list | None = [] if explain else None
+        hits = (
+            self._auto_index_hits(filters, trace=trace) if use_indexes else None
+        )
         sel, pruned = [], []
         for f in self.manifest.fragments:
             if self._prunable(f, filters) or (hits is not None and f.id not in hits):
                 pruned.append(f)
             else:
                 sel.append(f)
-        return sel, pruned
+        if not explain:
+            return sel, pruned
+        traced = {t["index"] for t in trace}
+        for name, desc in self.manifest.indexes.items():
+            if name in traced:
+                continue
+            kind = desc.get("kind")
+            if kind in ("btree", "rtree", "bitmap") and desc.get("path"):
+                # scalar index _auto_index_hits never reached (no filters,
+                # use_indexes=False, or dataset lacks row ids)
+                reason = (
+                    "not consulted: use_indexes=False"
+                    if not use_indexes
+                    else "no filters to route"
+                    if not filters
+                    else "dataset has no stable row ids"
+                )
+                trace.append(self._trace_entry(name, desc, reason=reason))
+            elif kind in ("ivf", "ivf_pq", "hnsw", "pq", "sq", "bq", "fts"):
+                face = "fts" if kind == "fts" else "ann"
+                fresh = self.index_fresh(name)
+                trace.append(
+                    self._trace_entry(
+                        name,
+                        desc,
+                        reason=f"{face}-face: served via open_index({name!r})"
+                        + (
+                            "; FRESH (covers the table head)"
+                            if fresh
+                            else "; STALE: data committed past covers_version "
+                            "— refresh_index or rebuild before trusting "
+                            "search results"
+                        ),
+                    )
+                )
+            else:
+                # fragment-granular declarations (bloom; bitmap w/o row ids):
+                # they apply inside _prunable / parquet row-group skipping,
+                # not through probe routing
+                trace.append(
+                    self._trace_entry(
+                        name, desc,
+                        reason="fragment-granular (manifest distinct sets / "
+                        "parquet bloom); applied during pruning, no probe",
+                    )
+                )
+        return sel, pruned, trace
 
     def to_df(
         self,
@@ -2245,55 +2360,110 @@ class Dataset:
         _record([f for b in bins for f in b], added)
         return self
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def _staged_referenced(self, now: float) -> set[str]:
+        """Paths pinned by staged (detached) transactions: they reference
+        data files outside any manifest until commit_staged, so vacuum must
+        pin them or a vacuum between stage_append and commit_staged breaks
+        the later commit. EXPIRED stages no longer pin (their commit is
+        permanently refused); a CLAIM (.json.committing) pins
+        unconditionally — the holder is mid-commit and its files must
+        survive even past expiry+grace. FileNotFoundError propagates: a
+        payload vanishing mid-scan means a claim/commit/reclaim raced us
+        and the CALLER must rescan from a fresh snapshot (swallowing it
+        here could unpin files a concurrent commit is about to reference)."""
+        refs: set[str] = set()
+        staged_dir = os.path.join(self.path, "_staged")
+        if not os.path.isdir(staged_dir):
+            return refs
+        for fn in os.listdir(staged_dir):
+            claimed = fn.endswith(".json.committing")
+            if not fn.endswith(".json") and not claimed:
+                continue
+            with open(os.path.join(staged_dir, fn)) as fh:
+                payload = json.load(fh)
+            if not claimed:
+                exp = payload.get("expires_at")
+                if exp is not None and now >= exp + _STAGE_GRACE:
+                    continue
+            refs.update(a["path"] for a in payload.get("added", []))
+            for names in payload.get("new_deletes", {}).values():
+                refs.update(names)  # staged-delete sidecars
+        return refs
+
+    def vacuum(
+        self, keep_versions: int = 1, grace_seconds: float = 300.0
+    ) -> list[str]:
         """Retention sweep (reference cleanup.go:17-101): drop manifests
         beyond the retention window (tagged versions are pinned) and any
-        data/deletion file no kept version references. Returns removed paths."""
-        all_vs = self.versions()
-        keep = set(all_vs[-keep_versions:]) | set(self._refs().values())
-        referenced: set[str] = set()
-        ref_idx_dirs: set[str] = set()
-        for v in keep:
-            mv = self._load(v)
-            for f in mv.fragments:
-                referenced.add(f.path)
-                referenced.update(f.deletion_files)
-            for d in mv.indexes.values():
-                if d.get("path"):
-                    ref_idx_dirs.add(os.path.basename(d["path"]))
-        # staged (detached) transactions reference data files outside any
-        # manifest until commit_staged — pin them too, or a vacuum between
-        # stage_append and commit_staged breaks the later commit. EXPIRED
-        # stages no longer pin: their commit is permanently refused, so
-        # their files are reclaimable (cleanup_expired removes the payloads
-        # themselves).
+        data/deletion file no kept version references. Returns removed paths.
+
+        Concurrency contract (the storm test's findings, 2 classes):
+
+        - CONSISTENT SNAPSHOT: the referenced-set is computed from a
+          (versions, staged-payloads) view that must not move while it is
+          being read — a commit_staged claiming its payload mid-scan, or
+          any commit landing after the version listing, would leave its
+          brand-new references unpinned. The scan retries until a full
+          pass sees a stable head and every staged payload it listed.
+        - AGE GRACE: files younger than ``grace_seconds`` are never
+          reclaimed, whatever the referenced-set says — an in-flight
+          writer (append/compact/delete sidecar) creates files BEFORE its
+          commit, and between the snapshot above and the deletion loop a
+          new commit can land referencing them. The horizon is the same
+          design as Delta/Iceberg retention: size it above the longest
+          in-flight write + active snapshot-read duration. Pass 0.0 only
+          in single-writer maintenance windows."""
         import time as _time
 
-        now = _time.time()
-        staged_dir = os.path.join(self.path, "_staged")
-        if os.path.isdir(staged_dir):
-            for fn in os.listdir(staged_dir):
-                claimed = fn.endswith(".json.committing")
-                if not fn.endswith(".json") and not claimed:
-                    continue
-                with open(os.path.join(staged_dir, fn)) as fh:
-                    payload = json.load(fh)
-                if not claimed:  # a CLAIM pins unconditionally: the holder
-                    # is mid-commit and its files must survive even past
-                    # expiry+grace (the claim is what makes that safe)
-                    exp = payload.get("expires_at")
-                    if exp is not None and now >= exp + _STAGE_GRACE:
-                        continue
-                referenced.update(a["path"] for a in payload.get("added", []))
-                for names in payload.get("new_deletes", {}).values():
-                    referenced.update(names)  # staged-delete sidecars
+        for _attempt in range(8):
+            all_vs = self.versions()
+            keep = set(all_vs[-keep_versions:]) | set(self._refs().values())
+            referenced: set[str] = set()
+            ref_idx_dirs: set[str] = set()
+            try:
+                for v in keep:
+                    mv = self._load(v)
+                    for f in mv.fragments:
+                        referenced.add(f.path)
+                        referenced.update(f.deletion_files)
+                    for d in mv.indexes.values():
+                        if d.get("path"):
+                            ref_idx_dirs.add(os.path.basename(d["path"]))
+            except FileNotFoundError:
+                continue  # a CONCURRENT vacuum reclaimed a manifest we
+                # considered kept (its head had moved past ours): rescan
+            now = _time.time()
+            try:
+                staged_refs = self._staged_referenced(now)
+            except FileNotFoundError:
+                continue  # stage claimed/committed mid-scan: rescan fresh
+            if self._latest_version() != all_vs[-1]:
+                continue  # a commit landed mid-scan: its refs are unseen
+            referenced |= staged_refs
+            break
+        else:
+            raise ConflictError(
+                "vacuum: concurrent commits / stage claims kept moving the "
+                "snapshot; retry when the writers quiesce"
+            )
+
+        def _young(full: str) -> bool:
+            try:
+                return now - os.path.getmtime(full) < grace_seconds
+            except OSError:
+                return True  # vanished/unstattable: leave it alone
+
         removed: list[str] = []
         for sub in ("data", "deletes"):
             d = os.path.join(self.path, sub)
             for fn in os.listdir(d):
                 rel = f"{sub}/{fn}"
-                if rel not in referenced:
-                    os.remove(os.path.join(d, fn))
+                full = os.path.join(d, fn)
+                if rel not in referenced and not _young(full):
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue  # a concurrent vacuum won this removal
                     removed.append(rel)
         # persisted index builds live under _indexes/<name>_<token>; dirs no
         # kept manifest references (failed builds, losing racers, dropped
@@ -2312,11 +2482,16 @@ class Dataset:
                         continue  # build in progress
                 except OSError:
                     pass  # no sentinel: finished or failed build
+                if _young(os.path.join(idx_root, fn)):
+                    continue  # just built: its create_index commit may be landing
                 shutil.rmtree(os.path.join(idx_root, fn), ignore_errors=True)
                 removed.append(f"_indexes/{fn}")
         for v in all_vs:
             if v not in keep:
-                os.remove(self._manifest_path(v))
+                try:
+                    os.remove(self._manifest_path(v))
+                except FileNotFoundError:
+                    continue  # a concurrent vacuum won this removal
                 removed.append(f"_versions/{v:08d}.manifest.json")
         return removed
 
@@ -2983,8 +3158,11 @@ class Dataset:
         now = time.time()
         out = []
         for sid in self.staged():
-            with open(os.path.join(self._staged_dir(), f"{sid}.json")) as fh:
-                p = json.load(fh)
+            try:
+                with open(os.path.join(self._staged_dir(), f"{sid}.json")) as fh:
+                    p = json.load(fh)
+            except FileNotFoundError:
+                continue  # claimed mid-listing: status is "committing", skip
             exp = p.get("expires_at")
             out.append(
                 {
@@ -3032,8 +3210,11 @@ class Dataset:
                 pass  # claim finished (removed/renamed) under us — fine
         for sid in self.staged():
             p = os.path.join(self._staged_dir(), f"{sid}.json")
-            with open(p) as fh:
-                payload = json.load(fh)
+            try:
+                with open(p) as fh:
+                    payload = json.load(fh)
+            except FileNotFoundError:
+                continue  # claimed/reclaimed under us: nothing to clean here
             exp = payload.get("expires_at")
             if exp is None or now < exp + _STAGE_GRACE:
                 continue
@@ -3057,8 +3238,11 @@ class Dataset:
                 if os.path.exists(fp):
                     os.remove(fp)
                     removed.append(rel)
-        os.remove(os.path.join(self._staged_dir(), f"{stage_id}.json"))
-        removed.append(f"_staged/{stage_id}.json")
+        try:
+            os.remove(os.path.join(self._staged_dir(), f"{stage_id}.json"))
+            removed.append(f"_staged/{stage_id}.json")
+        except FileNotFoundError:
+            pass  # a concurrent reclaimer consumed the payload first
         return removed
 
     def delete_staged(self, stage_id: str) -> list[str]:

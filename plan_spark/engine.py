@@ -55,6 +55,41 @@ _TT_KEYWORDS = (
 _TT_TRAILING_ALIAS = r"((?:\s+AS)?\s+" + _TT_KEYWORDS + r"\w+)?"
 
 
+def _find_top_level_kw(s: str, kw: str) -> int:
+    """Index of the first word-bounded, case-insensitive occurrence of
+    ``kw`` OUTSIDE single/double-quoted literals ('' escapes included) and
+    outside parentheses; -1 when absent. The statement grammar's keyword
+    splits (SET ... WHERE ..., etc.) must use this, never a regex: a
+    non-greedy ``(.*?)\\s+WHERE`` happily matches inside ``'a WHERE b'``
+    (the quoting bug class three review passes kept re-finding)."""
+    n, i, depth = len(s), 0, 0
+    quote: str | None = None
+    kl = len(kw)
+    ku = kw.upper()
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + kl].upper() == ku:
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            j = i + kl
+            after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
 def _split_top_level_commas(body: str) -> list[str]:
     """Split a CREATE TABLE column body on commas OUTSIDE parentheses AND
     outside single-quoted literals ('' escapes included) — a comma inside a
@@ -188,7 +223,15 @@ class Engine:
         root = os.path.join(self.warehouse, schema, name)
         struct = StructType.fromDDL(schema_ddl)
         empty = self.spark.createDataFrame([], struct)
-        ds = Dataset.create(self.spark, root, empty, column_defaults=column_defaults)
+        # stable row ids on every SQL table (reference rowids.go — core
+        # storage2, not an option there): Range segments cost zero storage
+        # and they are what make SQL-created scalar indexes auto-routable
+        # (id_col = _rowid), take_rows addressable, and the bitmap index
+        # row-granular
+        ds = Dataset.create(
+            self.spark, root, empty,
+            column_defaults=column_defaults, row_ids=True,
+        )
         self._catalog["schemas"][schema]["tables"][name] = {
             "root": root,
             "primary_key": primary_key or [],
@@ -717,6 +760,14 @@ class Engine:
         s = stmts[0]
         ft = re.match(r"\w+", s)
         first = ft.group(0).lower() if ft else ""
+        if first == "explain":
+            # EXPLAIN SCAN t [WHERE pred] — the scan planner's index-
+            # selection trace as a result set (reference IndexSelector
+            # observability, index_selector.go:36-78); any other EXPLAIN
+            # falls through to Catalyst's plan output below
+            m = re.match(r"(?is)^EXPLAIN\s+SCAN\s+(\w+)(?:\s+WHERE\s+(.*))?$", s)
+            if m:
+                return self._explain_scan(m.group(1), m.group(2))
         if first in self._QUERY_TOKENS:
             self._register_views()
             s = self._rewrite_time_travel(s)
@@ -954,7 +1005,8 @@ class Engine:
 
     def _stmt_copy(self, s: str) -> None:
         m = re.match(
-            r"(?is)^COPY\s+(\w+)\s+(FROM|TO)\s+'([^']+)'(?:\s+WITH\s*\((.*)\))?$",
+            r"(?is)^COPY\s+(\w+)\s+(FROM|TO)\s+'((?:[^']|'')+)'"
+            r"(?:\s+WITH\s*\((.*)\))?$",
             s,
         )
         if not m:
@@ -962,7 +1014,7 @@ class Engine:
         name, direction, path, opts = (
             m.group(1),
             m.group(2).upper(),
-            m.group(3),
+            m.group(3).replace("''", "'"),  # SQL-escaped quotes in the path
             m.group(4) or "",
         )
         fmt = "parquet"
@@ -1118,14 +1170,22 @@ class Engine:
         self.dataset(m.group(1)).delete("true")
 
     def _stmt_update(self, s: str) -> None:
-        m = re.match(
-            r"(?is)^UPDATE\s+(\w+(?:@\w+)?)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s
-        )
+        m = re.match(r"(?is)^UPDATE\s+(\w+(?:@\w+)?)\s+SET\s+(.*)$", s)
         if not m:
             raise ValueError(f"unsupported UPDATE statement: {s[:120]!r}")
-        name, sets, pred = m.group(1), m.group(2), m.group(3) or "true"
+        name, rest = m.group(1), m.group(2)
+        # the SET / WHERE boundary and the assignment commas are found with
+        # the quote+paren-aware tokenizer: literals like 'a, WHERE b' in an
+        # assignment expression must never split the statement
+        wi = _find_top_level_kw(rest, "WHERE")
+        sets = rest[:wi] if wi >= 0 else rest
+        pred = rest[wi + len("WHERE") :].strip() if wi >= 0 else "true"
+        if wi >= 0 and not pred:
+            raise ValueError(f"UPDATE has WHERE but no predicate: {s[:120]!r}")
         assignments = {}
-        for a in re.split(r",(?![^()]*\))", sets):
+        for a in _split_top_level_commas(sets):
+            if "=" not in a:
+                raise ValueError(f"UPDATE SET expects col = expr, got {a.strip()!r}")
             col, expr = a.split("=", 1)
             assignments[col.strip()] = expr.strip()
         self._dataset_ref(name).update(assignments, pred)
@@ -1354,13 +1414,21 @@ class Engine:
         self._registered.pop(("main", m.group(1)), None)
 
     def _stmt_vacuum(self, s: str) -> None:
-        """VACUUM t [RETAIN n VERSIONS] — reclaim unreferenced files
-        (reference cleanup.go)."""
-        m = re.match(r"(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", s)
+        """VACUUM t [RETAIN n VERSIONS] [GRACE n SECONDS] — reclaim
+        unreferenced files (reference cleanup.go). GRACE is the age
+        horizon below which files are never reclaimed (concurrent-writer
+        safety; default 300 — see Dataset.vacuum). GRACE 0 SECONDS is the
+        single-writer maintenance-window form that reclaims immediately."""
+        m = re.match(
+            r"(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(?:\s+GRACE\s+(\d+)\s+SECONDS)?$",
+            s,
+        )
         if not m:
             raise ValueError(f"unsupported VACUUM statement: {s[:120]!r}")
         keep = int(m.group(2)) if m.group(2) else 1
-        self.dataset(m.group(1)).vacuum(keep_versions=keep)
+        grace = float(m.group(3)) if m.group(3) is not None else 300.0
+        self.dataset(m.group(1)).vacuum(keep_versions=keep, grace_seconds=grace)
 
     def _stmt_restore(self, s: str) -> None:
         """RESTORE [TABLE] t [TO] VERSION AS OF (n | 'tag') — roll the
@@ -1415,6 +1483,43 @@ class Engine:
         if not m:
             raise ValueError(f"unsupported ANALYZE statement: {s[:120]!r}")
         self.analyze(m.group(1), cache=bool(m.group(2)))
+
+    def _explain_scan(self, name: str, pred: str | None) -> DataFrame:
+        """EXPLAIN SCAN result set: one row per registered index with the
+        planner's (est_fraction, chosen, reason) triple, plus a leading
+        '(scan)' summary row with the fragment selection outcome."""
+        ds = self.dataset(name)
+        sel, pruned, trace = ds.plan_scan(pred, explain=True)
+        rows = [
+            (
+                "(scan)",
+                "",
+                "",
+                None,
+                None,
+                None,
+                None,
+                f"selected {len(sel)} of {len(sel) + len(pruned)} fragments",
+            )
+        ] + [
+            (
+                t["index"],
+                t["kind"] or "",
+                str(t["column"] or ""),
+                t["est_rows"],
+                t["total_rows"],
+                t["est_fraction"],
+                bool(t["chosen"]),
+                t["reason"],
+            )
+            for t in trace
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "index_name string, kind string, column string, est_rows long, "
+            "total_rows long, est_fraction double, chosen boolean, "
+            "reason string",
+        )
 
     def explain(self, text: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference explain.go:118): returns the formatted

@@ -72,6 +72,18 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_auto_index_scan",  # changed: candidate thunks + bitmap routing member
     "knn_ivf_pq",  # new: IVF-PQ persisted index, full-probe + exact rerank
     "sql_lifecycle",  # changed: branch-targeted INSERT (t@branch) on the hash path
+    # run_available_now changed (state partitions pinned to 2 on bounded
+    # runs) -> every stream row re-verifies this round
+    "stream_join",
+    "stream_outer_join",
+    "stream_semi_join",
+    "stream_full_outer_join",
+    "stream_curation",
+    "stream_tumbling_agg",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_stateful",
     # ---- round 5 rows below stay for window padding (all green r5) ----
     "tpcds_q64",  # new: cross-year resale price comparison, one agg
     "dup_spans",  # new: maximal duplicated-span extraction

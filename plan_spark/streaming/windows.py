@@ -233,17 +233,33 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
     a stable ``name`` per logical query (as queries/streaming_q.py does)
     holds at most ONE result table per query no matter how many times the
     bench re-invokes it — repeated uuid-named sinks were accumulating tens
-    of MBs of dead driver state per bench pass."""
+    of MBs of dead driver state per bench pass.
+
+    State-partition sizing: a stateful streaming operator creates one
+    state-store instance PER shuffle partition PER operator PER micro-batch
+    (each with its own checkpoint delta files) — pure fixed cost that
+    dwarfs the data work on a bounded run (a stream-stream join at 32
+    partitions commits 4 stores x 32 partitions x 2+ batches; measured at
+    sf0.1: 32 parts -> 3.5s, 2 parts -> 2.0s for the same join). The
+    bounded runs here pin a small partition count around the run and
+    restore the caller's conf; results are partition-count-invariant
+    (hash-gated), and on a real unbounded deployment the operator would
+    size this to the key cardinality instead."""
     spark = sdf.sparkSession
     spark.catalog.dropTempView(name)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -141,7 +141,7 @@ def test_vacuum_preserves_staged_files(spark, tmp_path_ds, base_df):
         F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(0.0).alias("val"))
     sid = ds.stage_append(extra)
     ds.append(extra)  # make an extra version so vacuum has something to sweep
-    ds.vacuum(keep_versions=1)
+    ds.vacuum(keep_versions=1, grace_seconds=0.0)
     ds.commit_staged(sid)
     assert Dataset.open(spark, tmp_path_ds).to_df().count() == 1200
 
@@ -216,7 +216,7 @@ def test_vacuum(spark, tmp_path_ds, base_df):
     ds = Dataset.create(spark, tmp_path_ds, base_df.repartition(4))
     ds.delete("grp = 0")
     ds.compact()
-    removed = ds.vacuum(keep_versions=1)
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
     assert removed  # old fragments + manifests swept
     assert ds.versions() == [ds.version]
     assert Dataset.open(spark, ds.path).to_df().count() == 900
@@ -737,14 +737,14 @@ def test_detached_delete_survives_vacuum(spark, tmp_path_ds, base_df):
     ds.append(base_df.limit(3))
     # keep the staged txn's read version alive; the sweep must still PIN the
     # staged deletion sidecars (they are referenced by no manifest yet)
-    ds.vacuum(keep_versions=2)
+    ds.vacuum(keep_versions=2, grace_seconds=0.0)
     ds.commit_staged(sid)
     assert ds.count_rows() == base_df.filter("NOT (val > 50)").count() + 3
     # vacuuming AWAY the read version makes a later fragment-touching
     # staged commit conflict (cannot verify against vacuumed history)
     sid2 = ds.stage_delete("val > 40")
     ds.append(base_df.limit(2))
-    ds.vacuum(keep_versions=1)
+    ds.vacuum(keep_versions=1, grace_seconds=0.0)
     with pytest.raises(ConflictError):
         ds.commit_staged(sid2)
 

@@ -89,7 +89,7 @@ def test_unexpired_stage_survives_vacuum_expired_does_not(spark, tmp_path_ds, ba
 
     live_files, dead_files = files_of(sid_live), files_of(sid_dead)
     ds.append(_more(spark, 280, 290))  # extra version so vacuum has work
-    ds.vacuum(keep_versions=1)
+    ds.vacuum(keep_versions=1, grace_seconds=0.0)
     # unexpired staged data is pinned; expired staged data is reclaimable
     assert all(os.path.exists(os.path.join(tmp_path_ds, p)) for p in live_files)
     assert all(not os.path.exists(os.path.join(tmp_path_ds, p)) for p in dead_files)
@@ -124,7 +124,7 @@ def test_create_index_unique_path_and_race_isolation(spark, tmp_path_ds, base_df
     idx = ds.open_index("ft")
     assert idx.search(["spark"], top_k=3).count() > 0
     # vacuum reclaims the loser's orphaned build dir, keeps the winner's
-    removed = ds.vacuum(keep_versions=1)
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
     orphans = [r for r in removed if r.startswith("_indexes/")]
     assert len(orphans) == 1 and not orphans[0].endswith(os.path.basename(desc["path"]))
     assert os.path.isdir(os.path.join(tmp_path_ds, desc["path"]))
@@ -139,7 +139,7 @@ def test_vacuum_reclaims_dropped_index_dir(spark, tmp_path_ds, base_df):
     ds.create_index("ft", "fts", "text", id_col="id")
     rel = ds.manifest.indexes["ft"]["path"]
     ds.drop_index("ft")
-    removed = ds.vacuum(keep_versions=1)
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
     assert f"_indexes/{os.path.basename(rel)}" in removed
     assert not os.path.isdir(os.path.join(tmp_path_ds, rel))
 
@@ -305,7 +305,7 @@ def test_vacuum_skips_inflight_index_builds(spark, tmp_path_ds, base_df):
             fh.write("x")
     old = time.time() - 2 * 24 * 3600
     os.utime(os.path.join(dead, "_INFLIGHT"), (old, old))
-    removed = ds.vacuum(keep_versions=1)
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
     assert "_indexes/crashed_long_ago" in removed
     assert "_indexes/building_now" not in removed and os.path.isdir(live)
 
@@ -383,7 +383,7 @@ def test_vacuum_pins_claimed_stage_files(spark, tmp_path_ds, base_df):
         payload = json.load(fh)
     staged_files = [a["path"] for a in payload["added"]]
     assert staged_files
-    removed = Dataset.open(spark, tmp_path_ds).vacuum(keep_versions=1)
+    removed = Dataset.open(spark, tmp_path_ds).vacuum(keep_versions=1, grace_seconds=0.0)
     for rel in staged_files:  # pinned despite being expired
         assert rel not in removed
         assert os.path.exists(os.path.join(tmp_path_ds, rel))
@@ -407,3 +407,24 @@ def test_delete_staged_reclaims_immediately(spark, tmp_path_ds, base_df):
         ds.commit_staged(sid1)
     # the surviving stage still commits fine
     assert Dataset.open(spark, tmp_path_ds).commit_staged(sid2).count_rows() == 220
+
+
+def test_vacuum_age_grace_protects_young_files(spark, tmp_path_ds, base_df):
+    """vacuum's age horizon (grace_seconds): files younger than the grace
+    are never reclaimed even when no kept manifest references them — the
+    guard that makes retention safe against in-flight writers, whose data
+    files exist BEFORE their commit (the storm test's data-loss race)."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df.coalesce(1))
+    ds.append(base_df.limit(2).coalesce(1))
+    ds.delete("id = 1")
+    ds.compact(strategy="count", target_files=1)
+    # default grace: every data/deletion file here is seconds old ->
+    # none reclaimed (manifest JSONs beyond retention still go; they are
+    # never read mid-write, only data files are)
+    removed = ds.vacuum(keep_versions=1)
+    assert not any(r.startswith(("data/", "deletes/")) for r in removed), removed
+    # explicit zero-grace maintenance window reclaims as before
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert any(r.startswith(("data/", "deletes/")) for r in removed), removed
+    # the surviving snapshot is intact
+    assert ds.to_df().count() == ds.count_rows()

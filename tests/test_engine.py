@@ -335,7 +335,9 @@ def test_optimize_and_vacuum_sql(engine, spark):
     import os
 
     before_files = sum(len(fs) for _, _, fs in os.walk(ds.path))
-    eng.sql("VACUUM maint RETAIN 1 VERSIONS")
+    # GRACE 0: single-writer maintenance window — reclaim immediately
+    # (default grace protects concurrent writers; see Dataset.vacuum)
+    eng.sql("VACUUM maint RETAIN 1 VERSIONS GRACE 0 SECONDS")
     after_files = sum(len(fs) for _, _, fs in os.walk(ds.path))
     assert after_files < before_files  # pre-rewrite fragments reclaimed
     assert eng.sql("SELECT COUNT(*) AS n FROM maint").first()["n"] == 8
@@ -1049,3 +1051,111 @@ def test_branch_targeted_dml_sql(engine):
     engine.sql("INSERT INTO bw2@d2 VALUES (2)")
     assert engine.sql("SELECT COUNT(*) AS n FROM bw2 VERSION AS OF 't0'").first().n == 1
     assert engine.sql("SELECT COUNT(*) AS n FROM bw2 VERSION AS OF 'd2'").first().n == 2
+
+
+def test_adversarial_quoting_every_statement_family(engine):
+    """Literals containing keywords, commas, parens, and escaped quotes
+    must never split or re-route any statement (the quoting bug class the
+    r5 review passes kept finding — now tokenizer-guarded: the SET/WHERE
+    boundary, assignment commas, and COPY paths are parsed with the
+    quote+paren-aware scanner, never bare regex)."""
+    eng = engine
+    eng.create_table("aq", "k INT, v STRING, w DOUBLE")
+    # INSERT VALUES: commas, keywords, escaped quotes inside literals
+    eng.sql(
+        "INSERT INTO aq VALUES (1, 'a,b WHERE c', 1.0), "
+        "(2, 'it''s, WHEN MATCHED THEN', 2.0), (3, 'plain', 3.0)"
+    )
+    rows = {r.k: r.v for r in eng.sql("SELECT k, v FROM aq").collect()}
+    assert rows[1] == "a,b WHERE c" and rows[2] == "it's, WHEN MATCHED THEN"
+    # UPDATE: comma + WHERE + '=' inside a SET literal; literal in WHERE
+    eng.sql("UPDATE aq SET v = 'x, WHERE y = 1', w = w * 2 WHERE k = 1")
+    r1 = eng.sql("SELECT v, w FROM aq WHERE k = 1").first()
+    assert r1.v == "x, WHERE y = 1" and r1.w == 2.0
+    # nested function call commas still split correctly
+    eng.sql("UPDATE aq SET v = concat(v, ',', 'WHERE'), w = 9.0 WHERE k = 3")
+    r3 = eng.sql("SELECT v, w FROM aq WHERE k = 3").first()
+    assert r3.v == "plain,WHERE" and r3.w == 9.0
+    # WHERE-less UPDATE whose literal CONTAINS ' WHERE ' applies to all rows
+    eng.sql("UPDATE aq SET v = 'all WHERE none'")
+    assert {r.v for r in eng.sql("SELECT v FROM aq").collect()} == {"all WHERE none"}
+    # DELETE with a keyword-bearing literal predicate
+    eng.sql("DELETE FROM aq WHERE v <> 'all WHERE none' OR k = 2")
+    assert eng.sql("SELECT COUNT(*) AS n FROM aq").first().n == 2
+    # MERGE: USING subquery with keyword/comma literals inside
+    eng.sql(
+        "MERGE INTO aq USING (SELECT 1 AS k, 'm,erge WHEN MATCHED' AS v, 5.0 AS w) "
+        "ON k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert eng.sql("SELECT v FROM aq WHERE k = 1").first().v == "m,erge WHEN MATCHED"
+    # CREATE TABLE: DEFAULT literal with comma + keywords + escaped quote
+    eng.sql(
+        "CREATE TABLE aq2 (a INT, b STRING DEFAULT 'x,y NOT NULL it''s', "
+        "c DECIMAL(10,2) DEFAULT 1.5)"
+    )
+    eng.sql("INSERT INTO aq2 (a) VALUES (7)")
+    r = eng.sql("SELECT * FROM aq2").first()
+    assert r.b == "x,y NOT NULL it's" and float(r.c) == 1.5
+    # CREATE VIEW whose body contains quoted keywords and semicolon-free text
+    eng.sql("CREATE VIEW aqv AS SELECT k, 'VALUES, WHERE; sort of' AS tag FROM aq")
+    assert eng.sql("SELECT tag FROM aqv LIMIT 1").first().tag == "VALUES, WHERE; sort of"
+    # COPY path with an escaped quote
+    import os, tempfile
+
+    d = tempfile.mkdtemp(prefix="plan_spark_aq_")
+    odd = os.path.join(d, "it's data")
+    escaped = odd.replace("'", "''")
+    eng.sql(f"COPY aq TO '{escaped}'")
+    assert os.path.isdir(odd)
+    # statement splitter: ';' inside a literal is not a statement boundary
+    eng.sql("INSERT INTO aq VALUES (9, 'a;b', 0.0)")
+    assert eng.sql("SELECT v FROM aq WHERE k = 9").first().v == "a;b"
+
+
+def test_sql_tables_carry_row_ids_and_auto_route(engine):
+    """Every SQL-created table carries stable row ids (reference rowids.go
+    — core storage2), so CREATE INDEX ... USING btree/bitmap through the
+    SQL face auto-routes filtered scans (id_col = _rowid) instead of being
+    probe-only."""
+    eng = engine
+    eng.sql("CREATE TABLE rid (k BIGINT, grp STRING)")
+    for i in range(4):
+        eng.dataset("rid").append(
+            eng.spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id AS k", "CAST(id % 4 AS STRING) AS grp"
+            ).coalesce(1)
+        )
+    ds = eng.dataset("rid")
+    assert ds.manifest.row_ids
+    eng.sql("CREATE INDEX rk ON rid USING btree (k)")
+    ds = eng.dataset("rid")
+    assert ds.manifest.indexes["rk"]["params"]["id_col"] == "_rowid"
+    sel, pruned, trace = ds.plan_scan([("k", "=", 7)], explain=True)
+    t = {x["index"]: x for x in trace}["rk"]
+    assert t["chosen"], t
+    assert len(sel) == 1  # the probe routed to the owning fragment
+    # take_rows addressing works on SQL tables now
+    ids = ds.open_index("rk").range_ids(7, 7)
+    assert ds.take_rows(ids, columns=["grp"]).count() == 1
+
+
+def test_explain_scan_sql_face(engine):
+    """EXPLAIN SCAN t [WHERE pred] surfaces the index-selection trace as a
+    result set (index_selector.go observability through the SQL door)."""
+    eng = engine
+    eng.sql("CREATE TABLE esc (k BIGINT, grp STRING)")
+    for i in range(4):
+        eng.dataset("esc").append(
+            eng.spark.range(i * 50, (i + 1) * 50).selectExpr(
+                "id AS k", "CAST(id % 4 AS STRING) AS grp"
+            ).coalesce(1)
+        )
+    eng.sql("CREATE INDEX ek ON esc USING btree (k)")
+    rows = {r.index_name: r for r in eng.sql("EXPLAIN SCAN esc WHERE k = 7").collect()}
+    assert "selected 1 of 4 fragments" in rows["(scan)"].reason
+    assert rows["ek"].chosen and rows["ek"].est_fraction <= 0.3
+    # no predicate: index enumerated, not consulted
+    rows = {r.index_name: r for r in eng.sql("EXPLAIN SCAN esc").collect()}
+    assert not rows["ek"].chosen and "no filters" in rows["ek"].reason
+    # plain EXPLAIN still returns Catalyst's plan path untouched
+    assert eng.sql("EXPLAIN SELECT 1").collect()

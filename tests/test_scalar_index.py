@@ -796,3 +796,66 @@ def test_auto_index_composition_intersects_two_indexes(spark):
         for r in ds.to_df(use_indexes=False).filter("a = 42 AND b = 42").collect()
     ]
     assert got == want == [(42, 42)]
+
+
+def test_plan_scan_explain_selection_trace(spark):
+    """plan_scan(explain=True) reports the IndexSelector trace
+    (index_selector.go:36-78 observability): one (index, est_fraction,
+    chosen, reason) row per registered index — scalar indexes with their
+    cost-gate outcome, ANN/FTS faces with freshness, and the stale
+    fallback called out after an un-refreshed append."""
+    from plan_spark.dataset import Dataset
+
+    path = _tmp("trace_ds")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.transform(F.sequence(F.lit(1), F.lit(4)), lambda i: F.rand(7)).alias(
+            "emb"
+        ),
+    )
+    ds = Dataset.create(spark, path, df.repartition(2), row_ids=True)
+    ds.create_index("bt_k", kind="btree", column="k", n_runs=8)
+    ds.create_index("bm_grp", kind="bitmap", column="grp")
+    ds.create_index("ann", kind="ivf", column="emb", id_col="k", k=2)
+    sel, pruned, trace = ds.plan_scan([("k", "=", 7)], explain=True)
+    by = {t["index"]: t for t in trace}
+    assert set(by) == {"bt_k", "bm_grp", "ann"}
+    # hit path: the btree point probe clears the gate and is chosen
+    bt = by["bt_k"]
+    assert bt["chosen"] and bt["est_fraction"] <= 0.3
+    assert "probed" in bt["reason"]
+    # the bitmap had no =/IN conjunct on grp
+    assert not by["bm_grp"]["chosen"]
+    assert "no =/IN conjunct" in by["bm_grp"]["reason"]
+    # ANN face: fresh, never probed by filter routing
+    ann = by["ann"]
+    assert not ann["chosen"] and ann["est_fraction"] is None
+    assert "ann-face" in ann["reason"] and "FRESH" in ann["reason"]
+    # cost-gate path: a wide range is declined with the fraction recorded
+    _, _, t2 = ds.plan_scan([("k", ">=", 0)], explain=True)
+    bt2 = {t["index"]: t for t in t2}["bt_k"]
+    assert not bt2["chosen"] and "cost gate" in bt2["reason"]
+    assert bt2["est_fraction"] > 0.3
+    # stale-fallback path: an append stales every index; the trace says so
+    ds.append(
+        spark.range(400, 420).select(
+            F.col("id").alias("k"),
+            F.lit("9").alias("grp"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)), lambda i: F.rand(8)
+            ).alias("emb"),
+        ).coalesce(1)
+    )
+    _, _, t3 = ds.plan_scan([("k", "=", 7)], explain=True)
+    by3 = {t["index"]: t for t in t3}
+    assert "stale" in by3["bt_k"]["reason"] and not by3["bt_k"]["chosen"]
+    assert "STALE" in by3["ann"]["reason"]
+    # refresh restores the routing trace
+    ds.refresh_index("bt_k")
+    _, _, t4 = ds.plan_scan([("k", "=", 7)], explain=True)
+    assert {t["index"]: t for t in t4}["bt_k"]["chosen"]
+    # no-filter explain still enumerates every index
+    _, _, t5 = ds.plan_scan(explain=True)
+    assert {t["index"] for t in t5} == {"bt_k", "bm_grp", "ann"}
+    assert "no filters" in {t["index"]: t for t in t5}["bt_k"]["reason"]

@@ -370,6 +370,28 @@ class Dataset:
         with open(self._refs_path, "w") as fh:
             json.dump(refs, fh, indent=1, sort_keys=True)
 
+    @property
+    def _branches_path(self) -> str:
+        return os.path.join(self.path, "_branches.json")
+
+    def _branch_names(self) -> set[str]:
+        """Names in the shared refs namespace that are BRANCHES (mutable
+        pointers) rather than tags (immutable-by-convention) — the
+        reference's ref-kind distinction (refs.go:17-68 vs tags.go:9-32).
+        Writes must only ever move a branch: on_branch refuses tag names,
+        or a branch-targeted INSERT would silently convert a pinned
+        snapshot into a moving pointer."""
+        if os.path.exists(self._branches_path):
+            with open(self._branches_path) as fh:
+                return set(json.load(fh))
+        return set()
+
+    def _mark_branch(self, name: str, add: bool = True) -> None:
+        names = self._branch_names()
+        (names.add if add else names.discard)(name)
+        with open(self._branches_path, "w") as fh:
+            json.dump(sorted(names), fh)
+
     def delete_tag(self, name: str) -> None:
         """Remove a named ref (sdk/dataset.go DeleteTag); the version it
         pinned becomes vacuum-eligible again."""
@@ -379,6 +401,8 @@ class Dataset:
         del refs[name]
         with open(self._refs_path, "w") as fh:
             json.dump(refs, fh, indent=1, sort_keys=True)
+        if name in self._branch_names():
+            self._mark_branch(name, add=False)
 
     def list_tags(self) -> dict[str, int]:
         """All named refs -> version (sdk/dataset.go ListTags)."""
@@ -936,26 +960,12 @@ class Dataset:
     def _stab_intervals(
         intervals: list[tuple[int, int, int]], ids, hits: set[int]
     ) -> None:
-        """Add to ``hits`` the fragment id of EVERY interval containing each
-        id. Intervals may OVERLAP (compaction/update/merge rewrites produce
-        files whose __rowid footer ranges interleave), so a single bisect
-        match is not enough: walk back from the insertion point while any
-        earlier interval can still reach the id (prefix-max of interval
-        ends) — O(log n + overlap depth) per id, exact for any layout."""
-        import bisect
-
-        starts = [iv[0] for iv in intervals]
-        maxend = []
-        m = None
-        for lo, hi, _ in intervals:
-            m = hi if m is None else max(m, hi)
-            maxend.append(m)
-        for rid in ids:
-            k = bisect.bisect_right(starts, rid) - 1
-            while k >= 0 and maxend[k] >= rid:
-                if intervals[k][0] <= rid <= intervals[k][1]:
-                    hits.add(intervals[k][2])
-                k -= 1
+        """Point form of _stab_interval_overlaps: an id is the degenerate
+        run [id, id] (kept as a named face so probe call sites read as
+        what they are)."""
+        Dataset._stab_interval_overlaps(
+            intervals, ((rid, rid) for rid in ids), hits
+        )
 
     def _routing_usable(self, name: str) -> bool:
         """True when an index is sound for SCAN ROUTING even if not
@@ -1232,11 +1242,13 @@ class Dataset:
         hits: set[int],
     ) -> None:
         """Add to ``hits`` every fragment whose row-id interval OVERLAPS any
-        probe run [lo, hi] — the interval-vs-interval variant of
-        _stab_intervals (runs are the bitmap index's probe currency: a run
-        spanning a million rows stabs in one step instead of a million).
-        Same prefix-max-end walk-back, same overlapping-interval
-        soundness."""
+        probe run [lo, hi] — THE driver-side id/run -> fragment mapping
+        (point probes pass [id, id] via _stab_intervals). Fragment
+        intervals may OVERLAP (compaction/update/merge rewrites produce
+        files whose __rowid footer ranges interleave), so a single bisect
+        match is not enough: walk back from the insertion point while any
+        earlier interval can still reach the run (prefix-max of interval
+        ends) — O(log n + overlap depth) per run, exact for any layout."""
         import bisect
 
         starts = [iv[0] for iv in intervals]
@@ -1252,14 +1264,14 @@ class Dataset:
                     hits.add(intervals[k][2])
                 k -= 1
 
-    def _hits_for_runs(self, idx, vals: list, n_runs_est: int) -> set[int]:
-        """Fragment-hit set for one row-granular bitmap probe. Runs (not
-        ids) cross the boundary in both paths, so cost is O(runs), never
-        O(matching rows) — the whole point of RLE row bitmaps at 100 TB."""
+    def _map_runs_to_fragments(self, runs_df: DataFrame) -> set[int]:
+        """Distributed run -> owning-fragment mapping, shared by every
+        probe path: broadcast the (file-count-sized) row-id interval table
+        against the (lo, hi) run stream and collect the DISTINCT fragment
+        ids — output is O(fragments), never O(rows). The overlap join hits
+        EVERY containing interval, matching _stab_interval_overlaps'
+        semantics on the driver path (the two must never drift)."""
         ivs, hits = self._rowid_interval_table()
-        if n_runs_est <= self._DRIVER_PROBE_MAX_ROWS:
-            self._stab_interval_overlaps(ivs, idx.in_runs(vals), hits)
-            return hits
         intervals = [(fid, lo, hi) for lo, hi, fid in ivs]
         if intervals:
             from pyspark.sql.types import (
@@ -1277,7 +1289,7 @@ class Dataset:
                 ]),
             )
             rows = (
-                idx.runs_df(vals)
+                runs_df.select("lo", "hi")
                 .join(
                     F.broadcast(itab),
                     (F.col("lo") <= F.col("fhi")) & (F.col("hi") >= F.col("flo")),
@@ -1288,6 +1300,16 @@ class Dataset:
             )
             hits.update(r.fid for r in rows)
         return hits
+
+    def _hits_for_runs(self, idx, vals: list, n_runs_est: int) -> set[int]:
+        """Fragment-hit set for one row-granular bitmap probe. Runs (not
+        ids) cross the boundary in both paths, so cost is O(runs), never
+        O(matching rows) — the whole point of RLE row bitmaps at 100 TB."""
+        if n_runs_est <= self._DRIVER_PROBE_MAX_ROWS:
+            ivs, hits = self._rowid_interval_table()
+            self._stab_interval_overlaps(ivs, idx.in_runs(vals), hits)
+            return hits
+        return self._map_runs_to_fragments(idx.runs_df(vals))
 
     def _hits_for(self, est: int, probe, probe_driver) -> set[int]:
         """Fragment-hit set for ONE index probe (driver-side fast path for
@@ -1305,37 +1327,11 @@ class Dataset:
             intervals, hits = self._rowid_interval_table()
             self._stab_intervals(intervals, probe_driver(), hits)
             return hits
-        ids = probe()
-        # map matching row ids -> owning fragments: broadcast the (file-
-        # count-sized) interval table against the id stream and collect the
-        # DISTINCT fragment ids — output is O(fragments), never O(rows).
-        # The range join naturally hits EVERY containing interval, matching
-        # _stab_intervals' overlap semantics on the driver path.
-        ivs, hits = self._rowid_interval_table()
-        intervals = [(fid, lo, hi) for lo, hi, fid in ivs]
-        if intervals:
-            from pyspark.sql.types import (
-                LongType as _L,
-                StructField as _SF,
-                StructType as _ST,
-            )
-
-            itab = self.spark.createDataFrame(
-                intervals,
-                _ST([_SF("fid", _L(), False), _SF("lo", _L(), False), _SF("hi", _L(), False)]),
-            )
-            rows = (
-                ids.select(F.col("id"))
-                .join(
-                    F.broadcast(itab),
-                    (F.col("id") >= F.col("lo")) & (F.col("id") <= F.col("hi")),
-                )
-                .select("fid")
-                .distinct()
-                .collect()
-            )
-            hits.update(r.fid for r in rows)
-        return hits
+        # wide range: distributed probe, ids mapped to fragments as
+        # degenerate [id, id] runs through the ONE shared overlap join
+        return self._map_runs_to_fragments(
+            probe().select(F.col("id").alias("lo"), F.col("id").alias("hi"))
+        )
 
     def plan_scan(
         self, filters=None, use_indexes: bool = True, explain: bool = False
@@ -2439,6 +2435,9 @@ class Dataset:
                 continue  # stage claimed/committed mid-scan: rescan fresh
             if self._latest_version() != all_vs[-1]:
                 continue  # a commit landed mid-scan: its refs are unseen
+            if set(self._refs().values()) - keep:
+                continue  # a tag/branch landed on an unkept version
+                # mid-scan: it pins that manifest now — rescan with it
             referenced |= staged_refs
             break
         else:
@@ -2562,7 +2561,14 @@ class Dataset:
         branches vs immutable-by-convention tags) and return a handle whose
         future commits auto-advance it. The version chain stays linear; a
         branch is a moving pointer into it."""
+        existing = self._refs()
+        if name in existing and name not in self._branch_names():
+            raise ValueError(
+                f"{name!r} is a TAG (immutable); pick another branch name "
+                "or delete the tag first"
+            )
         self.tag(name, self.version)
+        self._mark_branch(name)
         b = Dataset.open(self.spark, self.path, version=self.version)
         b._branch = name
         return b
@@ -2574,8 +2580,16 @@ class Dataset:
         sdk/dataset.go committing against the ref's head). Unlike
         ``branch()``, which creates/moves the ref to THIS handle's version,
         ``on_branch`` refuses unknown names: a typo'd SQL ``t@b`` must not
-        silently fork a new ref."""
+        silently fork a new ref. It equally refuses TAG names: tags are
+        immutable-by-convention pins, and a write through one would
+        silently convert it into a moving pointer (and un-pin the version
+        it protected from vacuum)."""
         b = self.checkout(name)  # ValueError on unknown ref
+        if name not in self._branch_names():
+            raise ValueError(
+                f"{name!r} is a TAG, not a branch — writes may only target "
+                "branches (CREATE BRANCH) so pinned snapshots stay immutable"
+            )
         b._branch = name
         return b
 

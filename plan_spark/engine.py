@@ -55,71 +55,72 @@ _TT_KEYWORDS = (
 _TT_TRAILING_ALIAS = r"((?:\s+AS)?\s+" + _TT_KEYWORDS + r"\w+)?"
 
 
-def _find_top_level_kw(s: str, kw: str) -> int:
-    """Index of the first word-bounded, case-insensitive occurrence of
-    ``kw`` OUTSIDE single/double-quoted literals ('' escapes included) and
-    outside parentheses; -1 when absent. The statement grammar's keyword
-    splits (SET ... WHERE ..., etc.) must use this, never a regex: a
-    non-greedy ``(.*?)\\s+WHERE`` happily matches inside ``'a WHERE b'``
-    (the quoting bug class three review passes kept re-finding)."""
+def _scan_top_level(s: str):
+    """Yield (index, char, depth) for every character of ``s`` that sits at
+    the TOP LEVEL of the statement: outside single- and double-quoted
+    spans (both the SQL '' doubling escape and Spark's default
+    backslash escapes are honored — the MERGE scanner set the precedent)
+    and with the running parenthesis depth attached. Every operand split
+    in the statement grammar builds on this ONE scanner, so the
+    quoting/escaping rules can never drift between statement families
+    (the bug class three r5 review passes kept re-finding)."""
     n, i, depth = len(s), 0, 0
     quote: str | None = None
-    kl = len(kw)
-    ku = kw.upper()
+    esc = False
     while i < n:
         ch = s[i]
-        if quote:
-            if ch == quote:
+        if esc:
+            esc = False
+        elif quote:
+            if ch == "\\":
+                esc = True
+            elif ch == quote:
                 if quote == "'" and i + 1 < n and s[i + 1] == "'":
                     i += 2
                     continue
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and s[i : i + kl].upper() == ku:
+        else:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            yield i, ch, depth
+        i += 1
+
+
+def _find_top_level_kw(s: str, kw: str) -> int:
+    """Index of the first word-bounded, case-insensitive occurrence of
+    ``kw`` outside quoted literals and parentheses; -1 when absent. The
+    statement grammar's keyword splits (SET ... WHERE ..., etc.) must use
+    this, never a regex: a non-greedy ``(.*?)\\s+WHERE`` happily matches
+    inside ``'a WHERE b'``."""
+    kl = len(kw)
+    ku = kw.upper()
+    n = len(s)
+    for i, ch, depth in _scan_top_level(s):
+        if depth == 0 and s[i : i + kl].upper() == ku:
             before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
             j = i + kl
             after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
             if before_ok and after_ok:
                 return i
-        i += 1
     return -1
 
 
 def _split_top_level_commas(body: str) -> list[str]:
-    """Split a CREATE TABLE column body on commas OUTSIDE parentheses AND
-    outside single-quoted literals ('' escapes included) — a comma inside a
-    DEFAULT 'x,y' literal or a decimal(10,2) type must not split."""
-    parts, cur = [], []
-    depth, inq = 0, False
-    i, n = 0, len(body)
-    while i < n:
-        ch = body[i]
-        if inq:
-            if ch == "'":
-                if i + 1 < n and body[i + 1] == "'":
-                    cur.append("''")
-                    i += 2
-                    continue
-                inq = False
-        elif ch == "'":
-            inq = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-            i += 1
-            continue
-        cur.append(ch)
-        i += 1
-    parts.append("".join(cur))
+    """Split on commas outside parentheses and outside quoted literals —
+    a comma inside a DEFAULT 'x,y' literal, a "x,y" double-quoted string,
+    or a decimal(10,2) type must not split."""
+    cuts = [
+        i for i, ch, depth in _scan_top_level(body) if ch == "," and depth == 0
+    ]
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(body[prev:c])
+        prev = c + 1
+    parts.append(body[prev:])
     return parts
 
 

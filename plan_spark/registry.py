@@ -120,8 +120,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q11",  # new: YoY growth + CASE-guarded ratios + dim ride-along
     "tpcds_q23",  # new: multi-CTE frequent-item / 95%-of-max composition
     "tpcds_q4",  # new: 3-channel YoY growth (6-way self-join class)
-    "stream_curation",  # new: gate->dedup->window composed in one stream plan
-    "stream_full_outer_join",  # new: full-outer interval join, 2-sided flush
     "dedup_incremental",  # new: batch-vs-corpus MinHash-LSH dedup
     # ---- round 5: changed implementations (prior rows stale) ----
     "knn_ivf",  # changed: full-probe mode, now HASH-checked (was rows-only)

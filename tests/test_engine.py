@@ -1110,6 +1110,14 @@ def test_adversarial_quoting_every_statement_family(engine):
     # statement splitter: ';' inside a literal is not a statement boundary
     eng.sql("INSERT INTO aq VALUES (9, 'a;b', 0.0)")
     assert eng.sql("SELECT v FROM aq WHERE k = 9").first().v == "a;b"
+    # backslash-escaped quote inside a SET literal (Spark default parser
+    # semantics) must not close the quote early and split at the WHERE
+    eng.sql("UPDATE aq SET v = 'don\\'t WHERE x' WHERE k = 9")
+    assert eng.sql("SELECT v FROM aq WHERE k = 9").first().v == "don't WHERE x"
+    # double-quoted string (a literal in Spark's default mode) with a comma
+    eng.sql('UPDATE aq SET v = "x,y WHERE z", w = 4.0 WHERE k = 9')
+    r9 = eng.sql("SELECT v, w FROM aq WHERE k = 9").first()
+    assert r9.v == "x,y WHERE z" and r9.w == 4.0
 
 
 def test_sql_tables_carry_row_ids_and_auto_route(engine):
@@ -1159,3 +1167,20 @@ def test_explain_scan_sql_face(engine):
     assert not rows["ek"].chosen and "no filters" in rows["ek"].reason
     # plain EXPLAIN still returns Catalyst's plan path untouched
     assert eng.sql("EXPLAIN SELECT 1").collect()
+
+
+def test_branch_write_refuses_tags(engine):
+    """Tags are immutable pins — a t@tag write must refuse rather than
+    silently convert the tag into a moving pointer (which would also
+    un-pin its version from vacuum); and CREATE BRANCH refuses a name a
+    tag already holds."""
+    eng = engine
+    eng.create_table("tg", "a INT")
+    eng.insert_values("tg", [(1,)])
+    eng.sql("CREATE TAG snap ON tg")
+    with pytest.raises(ValueError, match="TAG, not a branch"):
+        eng.sql("INSERT INTO tg@snap VALUES (2)")
+    # the tag still pins the original version
+    assert eng.sql("SELECT COUNT(*) AS n FROM tg VERSION AS OF 'snap'").first().n == 1
+    with pytest.raises(ValueError, match="is a TAG"):
+        eng.sql("CREATE BRANCH snap ON tg")

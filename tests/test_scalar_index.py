@@ -288,17 +288,32 @@ def test_sql_create_index_two_columns_rejected_for_btree(spark):
 
 
 def test_rtree_coordinate_never_becomes_id(spark):
-    """Engine-created tables have no row ids: the id fallback must skip BOTH
-    indexed coordinate columns even when one is the first table column."""
+    """The rtree id must never be an indexed coordinate column. SQL tables
+    now carry stable row ids (rowids.go parity), so the SQL face resolves
+    id_col = _rowid — the probe result addresses take_rows directly; a
+    rowid-less Python-API dataset still falls back past BOTH coordinate
+    columns to the first non-indexed column."""
+    from plan_spark.dataset import Dataset
     from plan_spark.engine import Engine
 
     eng = Engine(spark, _tmp("eng_rt_id"))
     eng.sql("CREATE TABLE geo (px DOUBLE, py DOUBLE, name STRING)")
     eng.sql("INSERT INTO geo VALUES (1.0, 2.0, 'a'), (5.0, 6.0, 'b')")
     eng.sql("CREATE INDEX rt ON geo USING rtree (px, py)")
-    rt = eng.dataset("geo").open_index("rt")
-    got = sorted(r.id for r in rt.range_search(0.0, 0.0, 10.0, 10.0).collect())
-    assert got == ["a", "b"]  # ids are the non-indexed column, not px values
+    ds = eng.dataset("geo")
+    assert ds.manifest.indexes["rt"]["params"]["id_col"] == "_rowid"
+    rt = ds.open_index("rt")
+    ids = sorted(r.id for r in rt.range_search(0.0, 0.0, 10.0, 10.0).collect())
+    got = sorted(r.name for r in ds.take_rows(ids, columns=["name"]).collect())
+    assert got == ["a", "b"]
+    # rowid-less dataset: fallback skips px AND py, picks `name`
+    df = spark.createDataFrame([(1.0, 2.0, "a"), (5.0, 6.0, "b")], "px double, py double, name string")
+    d2 = Dataset.create(spark, _tmp("rt_noid"), df.coalesce(1))
+    d2.create_index("rt2", kind="rtree", column="px,py")
+    assert d2.manifest.indexes["rt2"]["params"]["id_col"] == "name"
+    rt2 = d2.open_index("rt2")
+    got2 = sorted(r.id for r in rt2.range_search(0.0, 0.0, 10.0, 10.0).collect())
+    assert got2 == ["a", "b"]
 
 
 def test_btree_batch_probe_parity(spark, points):

@@ -1292,8 +1292,13 @@ class Engine:
         m = re.match(r"(?is)^SHOW\s+TAGS\s+ON\s+(\w+)$", s)
         if m:
             ds = self.dataset(m.group(1))
+            branches = ds._branch_names()
             return self.spark.createDataFrame(
-                sorted(ds.list_tags().items()), "tag string, version int"
+                [
+                    (n, v, "branch" if n in branches else "tag")
+                    for n, v in sorted(ds.list_tags().items())
+                ],
+                "tag string, version int, kind string",
             )
         m = re.match(r"(?is)^SHOW\s+SCHEMAS$", s)
         if m:

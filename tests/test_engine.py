@@ -483,7 +483,9 @@ def test_describe_history_and_show_tags(engine):
         del_rows[0].n_rows_physical == 1 or del_rows[0].n_deletion_files >= 1
     )
     tags = eng.sql("SHOW TAGS ON vh").collect()
-    assert [(r.tag, r.version) for r in tags] == [("first", tagged[0].version)]
+    assert [(r.tag, r.version, r.kind) for r in tags] == [
+        ("first", tagged[0].version, "tag")
+    ]
 
 
 def test_restore_and_tag_sql(engine):

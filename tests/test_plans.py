@@ -86,6 +86,9 @@ def test_no_fact_table_is_ever_broadcast(spark):
         # codes relation (the fact) streams through the Hamming scan
         "knn_ivf_hnsw",  # broadcast sides = query set + candidate set
         # (|Q| * 3k rows) feeding the exact rerank; the corpus streams
+        "knn_ivf_pq",  # same rerank shape: broadcast sides = the 10-row
+        # query set + the candidate id set; the raw corpus streams through
+        # the exact-cosine rescore
     }
     # set-op rewrites (EXCEPT/INTERSECT -> anti/semi join) drop user join
     # hints, so their shape is threshold-governed only: broadcast at test SF

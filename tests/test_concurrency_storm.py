@@ -2,8 +2,8 @@
 commit protocol + conflict matrix (reference transaction_conflicts.go /
 detached_txn.go classes of bug): threads hammer ONE dataset with
 append / delete / compact / stage_append / commit_staged / cleanup /
-vacuum in random order, every ConflictError is legal, and afterwards the
-MANIFEST INVARIANTS must hold:
+vacuum / filtered-probe / refresh_index in random order, every
+ConflictError is legal, and afterwards the MANIFEST INVARIANTS must hold:
 
 1. version chain: every kept manifest loads, versions strictly increase,
    and every fragment/deletion file a kept manifest references EXISTS
@@ -45,7 +45,11 @@ def _mk(spark, path):
     base = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
     )
-    return Dataset.create(spark, path, base.coalesce(2), row_ids=True)
+    ds = Dataset.create(spark, path, base.coalesce(2), row_ids=True)
+    # a persisted scalar index up-front: the storm's probe/refresh ops
+    # exercise the index claim protocol + routing against live mutation
+    ds.create_index("storm_bt", kind="btree", column="k", n_runs=2)
+    return ds
 
 
 def test_concurrent_interleaving_storm(spark):
@@ -71,8 +75,8 @@ def test_concurrent_interleaving_storm(spark):
     scripts = [
         [rng.choices(
             ["append", "delete", "compact", "stage", "commit_staged",
-             "cleanup", "vacuum"],
-            weights=[5, 2, 1, 2, 3, 1, 1],
+             "cleanup", "vacuum", "probe", "refresh"],
+            weights=[5, 2, 1, 2, 3, 1, 1, 2, 1],
         )[0] for _ in range(ops_per_thread)]
         for _ in range(_THREADS)
     ]
@@ -130,6 +134,19 @@ def test_concurrent_interleaving_storm(spark):
                     ds.cleanup_expired()
                 elif op == "vacuum":
                     ds.vacuum(keep_versions=3)
+                elif op == "probe":
+                    # filtered read through the scan planner against live
+                    # mutation: routing (stale indexes skipped), pruning,
+                    # and deletion vectors must hold mid-storm; result
+                    # correctness is the post-storm invariant's job — here
+                    # it must simply never crash (grace protects the files)
+                    ds.plan_scan([("k", "=", 500 + tid)])
+                    ds.to_df(filters=[("k", "=", 500 + tid)]).count()
+                elif op == "refresh":
+                    # legal outcomes: fresh no-op, incremental insert,
+                    # ValueError (non-append history -> rebuild) or
+                    # ConflictError (claim held / descriptor moved)
+                    ds.refresh_index("storm_bt")
             except (ConflictError, ValueError):
                 pass  # legal race outcomes (incl. stage claimed/expired)
             except Exception as e:  # invariant-grade failure

@@ -273,6 +273,10 @@ class Dataset:
         os.makedirs(ds._versions_dir, exist_ok=True)
         os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
         os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
+        # seed the ref-kind marker: its ABSENCE is reserved for datasets
+        # written before kinds existed (legacy-permissive in on_branch)
+        with open(ds._branches_path, "w") as fh:
+            json.dump([], fh)
         schema = df.schema if df is not None else StructType([])
         frags: list[Fragment] = []
         maxid = 0
@@ -363,12 +367,25 @@ class Dataset:
                 return json.load(fh)
         return {}
 
-    def tag(self, name: str, version: int | None = None) -> None:
-        """Named version pointer (reference: tags.go:9-32)."""
+    def _set_ref(self, name: str, version: int) -> None:
+        """Raw ref write (shared by tag creation and branch auto-advance —
+        the kind policy lives in the public faces, not here)."""
         refs = self._refs()
-        refs[name] = version if version is not None else self.version
+        refs[name] = version
         with open(self._refs_path, "w") as fh:
             json.dump(refs, fh, indent=1, sort_keys=True)
+
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Named version pointer (reference: tags.go:9-32). Refuses names
+        registered as BRANCHES: re-tagging a branch would leave a ref the
+        user believes is pinned that branch writes keep moving — the same
+        tag/branch-kind confusion on_branch guards in the other direction."""
+        if name in self._branch_names():
+            raise ValueError(
+                f"{name!r} is a BRANCH (mutable); tags pin immutable "
+                "snapshots — pick another name or drop the branch first"
+            )
+        self._set_ref(name, version if version is not None else self.version)
 
     @property
     def _branches_path(self) -> str:
@@ -378,19 +395,53 @@ class Dataset:
         """Names in the shared refs namespace that are BRANCHES (mutable
         pointers) rather than tags (immutable-by-convention) — the
         reference's ref-kind distinction (refs.go:17-68 vs tags.go:9-32).
-        Writes must only ever move a branch: on_branch refuses tag names,
-        or a branch-targeted INSERT would silently convert a pinned
-        snapshot into a moving pointer."""
+        Writes must only ever move a branch: on_branch refuses tag names
+        and tag() refuses branch names, or one door or the other would
+        silently convert a pinned snapshot into a moving pointer.
+
+        An ABSENT marker file means a dataset written before ref kinds
+        existed (Dataset.create seeds an empty one now): every ref there
+        is treated as a branch for WRITE-permission purposes (legacy
+        behavior preserved — see on_branch) but as a tag for re-tagging."""
         if os.path.exists(self._branches_path):
             with open(self._branches_path) as fh:
                 return set(json.load(fh))
         return set()
 
     def _mark_branch(self, name: str, add: bool = True) -> None:
-        names = self._branch_names()
-        (names.add if add else names.discard)(name)
-        with open(self._branches_path, "w") as fh:
-            json.dump(sorted(names), fh)
+        """Kind-mark update: serialized by a lock file (two concurrent
+        branch() calls must not lose each other's marks) and written via
+        temp+rename so concurrent readers never see a torn file."""
+        import time as _time
+
+        lock = self._branches_path + ".lock"
+        for _ in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:  # crashed holder: the critical section is microseconds
+                    if _time.time() - os.path.getmtime(lock) > 5.0:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    pass
+                _time.sleep(0.01)
+        else:
+            raise ConflictError("branch-kind marker is locked; retry")
+        try:
+            names = self._branch_names()
+            (names.add if add else names.discard)(name)
+            tmp = self._branches_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(sorted(names), fh)
+            os.replace(tmp, self._branches_path)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def delete_tag(self, name: str) -> None:
         """Remove a named ref (sdk/dataset.go DeleteTag); the version it
@@ -498,7 +549,7 @@ class Dataset:
                 self._commit_new(new_m)
                 self._manifest = new_m
                 if self._branch:
-                    self.tag(self._branch, new_m.version)
+                    self._set_ref(self._branch, new_m.version)
                 return
             except FileExistsError:
                 base = self._load(self._latest_version())
@@ -2452,6 +2503,27 @@ class Dataset:
             except OSError:
                 return True  # vanished/unstattable: leave it alone
 
+        # LATE-PIN fold-in, immediately before any removal: a tag/branch
+        # created on an unkept version after the consistency loop must pin
+        # that version's manifest AND files together (folding refs in any
+        # later would keep a manifest whose data was already swept — a
+        # dangling snapshot, worse than the loud ref-gone failure). The
+        # residual race is the microseconds between this read and the
+        # removal loops — the no-global-lock residue every snapshot store
+        # carries; Delta narrows it identically with its retention horizon.
+        for v in set(self._refs().values()) - keep:
+            try:
+                mv = self._load(v)
+            except FileNotFoundError:
+                continue  # ref points at an already-reclaimed version
+            keep.add(v)
+            for f in mv.fragments:
+                referenced.add(f.path)
+                referenced.update(f.deletion_files)
+            for d in mv.indexes.values():
+                if d.get("path"):
+                    ref_idx_dirs.add(os.path.basename(d["path"]))
+
         removed: list[str] = []
         for sub in ("data", "deletes"):
             d = os.path.join(self.path, sub)
@@ -2487,8 +2559,11 @@ class Dataset:
                 removed.append(f"_indexes/{fn}")
         for v in all_vs:
             if v not in keep:
+                mp = self._manifest_path(v)
+                if _young(mp):
+                    continue  # freshly written manifest: never reclaimed
                 try:
-                    os.remove(self._manifest_path(v))
+                    os.remove(mp)
                 except FileNotFoundError:
                     continue  # a concurrent vacuum won this removal
                 removed.append(f"_versions/{v:08d}.manifest.json")
@@ -2526,6 +2601,10 @@ class Dataset:
         os.makedirs(ds._versions_dir, exist_ok=True)
         os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
         os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
+        # seed the ref-kind marker: its ABSENCE is reserved for datasets
+        # written before kinds existed (legacy-permissive in on_branch)
+        with open(ds._branches_path, "w") as fh:
+            json.dump([], fh)
         frags = [
             Fragment(
                 id=f.id,
@@ -2562,13 +2641,20 @@ class Dataset:
         future commits auto-advance it. The version chain stays linear; a
         branch is a moving pointer into it."""
         existing = self._refs()
-        if name in existing and name not in self._branch_names():
+        if (
+            os.path.exists(self._branches_path)  # legacy dataset: no kinds
+            and name in existing
+            and name not in self._branch_names()
+        ):
             raise ValueError(
                 f"{name!r} is a TAG (immutable); pick another branch name "
                 "or delete the tag first"
             )
-        self.tag(name, self.version)
+        # mark BEFORE the ref write: a crash between the two leaves a mark
+        # without a ref (on_branch fails on checkout — safe, retryable),
+        # never a ref the kind system believes is a tag
         self._mark_branch(name)
+        self._set_ref(name, self.version)
         b = Dataset.open(self.spark, self.path, version=self.version)
         b._branch = name
         return b
@@ -2585,7 +2671,10 @@ class Dataset:
         silently convert it into a moving pointer (and un-pin the version
         it protected from vacuum)."""
         b = self.checkout(name)  # ValueError on unknown ref
-        if name not in self._branch_names():
+        if (
+            os.path.exists(self._branches_path)  # legacy dataset: no kinds
+            and name not in self._branch_names()
+        ):
             raise ValueError(
                 f"{name!r} is a TAG, not a branch — writes may only target "
                 "branches (CREATE BRANCH) so pinned snapshots stay immutable"

@@ -90,6 +90,27 @@ def _scan_top_level(s: str):
         i += 1
 
 
+def _unquote_sql(body: str) -> str:
+    """Decode the INSIDE of a single-quoted SQL literal under Spark's
+    default parser semantics: backslash escapes are live and '' doubles a
+    quote. The capture regexes below must admit the same spans
+    (regex class: not-quote-not-backslash | backslash-anything | '')
+    itself would read."""
+    out, i, n = [], 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(body[i + 1])
+            i += 2
+        elif ch == "'" and i + 1 < n and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _find_top_level_kw(s: str, kw: str) -> int:
     """Index of the first word-bounded, case-insensitive occurrence of
     ``kw`` outside quoted literals and parentheses; -1 when absent. The
@@ -839,7 +860,7 @@ class Engine:
                 # 'value not null here' is consumed whole — the NOT NULL /
                 # PRIMARY KEY lookahead never fires inside the literal.
                 dm = re.search(
-                    r"(?is)\s+DEFAULT\s+('(?:[^']|'')*'|.+?)"
+                    r"(?is)\s+DEFAULT\s+('(?:[^'\\]|\\.|'')*'|.+?)"
                     r"(?=\s+NOT\s+NULL\b|\s+PRIMARY\s+KEY\b|$)",
                     part,
                 )
@@ -1006,7 +1027,7 @@ class Engine:
 
     def _stmt_copy(self, s: str) -> None:
         m = re.match(
-            r"(?is)^COPY\s+(\w+)\s+(FROM|TO)\s+'((?:[^']|'')+)'"
+            r"(?is)^COPY\s+(\w+)\s+(FROM|TO)\s+'((?:[^'\\]|\\.|'')+)'"
             r"(?:\s+WITH\s*\((.*)\))?$",
             s,
         )
@@ -1015,7 +1036,7 @@ class Engine:
         name, direction, path, opts = (
             m.group(1),
             m.group(2).upper(),
-            m.group(3).replace("''", "'"),  # SQL-escaped quotes in the path
+            _unquote_sql(m.group(3)),  # '' doubling + backslash escapes
             m.group(4) or "",
         )
         fmt = "parquet"
@@ -1443,7 +1464,7 @@ class Engine:
         is preserved — the restore itself is a versioned operation."""
         m = re.match(
             r"(?is)^RESTORE\s+(?:TABLE\s+)?(\w+)\s+(?:TO\s+)?"
-            r"VERSION\s+AS\s+OF\s+(?:(\d+)|'((?:[^']|'')*)')$",
+            r"VERSION\s+AS\s+OF\s+(?:(\d+)|'((?:[^'\\]|\\.|'')*)')$",
             s,
         )
         if not m:
@@ -1452,7 +1473,7 @@ class Engine:
         if m.group(2) is not None:
             ver = int(m.group(2))
         else:
-            ref = m.group(3).replace("''", "'")
+            ref = _unquote_sql(m.group(3))
             refs = ds.list_tags()
             if ref not in refs:
                 raise ValueError(f"no tag or branch named {ref!r}")

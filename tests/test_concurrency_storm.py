@@ -137,11 +137,15 @@ def test_concurrent_interleaving_storm(spark):
                 elif op == "probe":
                     # filtered read through the scan planner against live
                     # mutation: routing (stale indexes skipped), pruning,
-                    # and deletion vectors must hold mid-storm; result
-                    # correctness is the post-storm invariant's job — here
-                    # it must simply never crash (grace protects the files)
-                    ds.plan_scan([("k", "=", 500 + tid)])
-                    ds.to_df(filters=[("k", "=", 500 + tid)]).count()
+                    # and deletion vectors must hold mid-storm; it must
+                    # NEVER raise — not even ValueError, which the outer
+                    # handler forgives only for the lifecycle ops (a
+                    # broken filter parser or router must fail the storm)
+                    try:
+                        ds.plan_scan([("k", "=", 500 + tid)])
+                        ds.to_df(filters=[("k", "=", 500 + tid)]).count()
+                    except Exception as e:
+                        errors.append(f"probe: {type(e).__name__}: {e}")
                 elif op == "refresh":
                     # legal outcomes: fresh no-op, incremental insert,
                     # ValueError (non-append history -> rebuild) or

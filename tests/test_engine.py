@@ -1186,3 +1186,48 @@ def test_branch_write_refuses_tags(engine):
     assert eng.sql("SELECT COUNT(*) AS n FROM tg VERSION AS OF 'snap'").first().n == 1
     with pytest.raises(ValueError, match="is a TAG"):
         eng.sql("CREATE BRANCH snap ON tg")
+
+
+def test_ref_kind_guard_is_bidirectional(engine):
+    """tag()/CREATE TAG must refuse BRANCH names just as on_branch refuses
+    tag names — otherwise re-tagging a branch leaves a 'pinned' ref that
+    branch writes keep moving (the other door of the same bug)."""
+    eng = engine
+    eng.create_table("bd", "a INT")
+    eng.insert_values("bd", [(1,)])
+    eng.sql("CREATE BRANCH work ON bd")
+    with pytest.raises(ValueError, match="is a BRANCH"):
+        eng.sql("CREATE TAG work ON bd AS OF VERSION 1")
+    # the branch still advances with writes (auto-advance path unaffected)
+    eng.sql("INSERT INTO bd@work VALUES (2)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM bd VERSION AS OF 'work'").first().n == 2
+    # legacy dataset (pre-ref-kind): no _branches.json -> writes through
+    # any ref keep working (old behavior preserved, no hard upgrade break)
+    import os
+
+    ds = eng.dataset("bd")
+    os.remove(ds._branches_path)
+    eng.sql("INSERT INTO bd@work VALUES (3)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM bd VERSION AS OF 'work'").first().n == 3
+
+
+def test_copy_and_default_literals_honor_backslash_escapes(engine, tmp_path):
+    """COPY paths and CREATE TABLE DEFAULT literals must read
+    backslash-escaped quotes the way Spark's own parser would — the
+    shared-scanner contract extends to every quoted operand."""
+    import os
+
+    eng = engine
+    eng.create_table("bs", "k INT, v STRING")
+    eng.insert_values("bs", [(1, "x")])
+    odd = os.path.join(str(tmp_path), "don't dir")
+    escaped = odd.replace("\\", "\\\\").replace("'", "\\'")
+    eng.sql(f"COPY bs TO '{escaped}'")
+    assert os.path.isdir(odd)
+    # DEFAULT literal carrying an escaped quote + the NOT NULL keyword
+    eng.sql(
+        "CREATE TABLE bs2 (a INT, "
+        "b STRING DEFAULT 'it\\'s NOT NULL here' NOT NULL)"
+    )
+    eng.sql("INSERT INTO bs2 (a) VALUES (5)")
+    assert eng.sql("SELECT b FROM bs2").first().b == "it's NOT NULL here"

@@ -2399,3 +2399,296 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 shape: best/worst performers — two OPPOSITE rankings of one
+# pre-aggregated series, self-joined on rank
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q44_SQL = f"""
+WITH perf AS (
+  SELECT l_partkey,
+         CAST(SUM({REV_SQL}) AS DOUBLE) / COUNT(*) AS avg_rev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, avg_rev,
+         ROW_NUMBER() OVER (ORDER BY avg_rev ASC,  l_partkey ASC) AS rn_worst,
+         ROW_NUMBER() OVER (ORDER BY avg_rev DESC, l_partkey ASC) AS rn_best
+  FROM perf
+)
+SELECT b.rn_best AS rank,
+       b.l_partkey AS best_pk,  b.avg_rev AS best_avg,
+       w.l_partkey AS worst_pk, w.avg_rev AS worst_avg
+FROM ranked b JOIN ranked w ON b.rn_best = w.rn_worst
+WHERE b.rn_best <= 10
+ORDER BY rank
+"""
+
+
+@register("tpcds_q44", oracle=_TPCDS_Q44_SQL, tags=("tpcds", "window", "rank"))
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape (cases/tpcds/query/query44.sql): the best and the
+    worst performing items side by side — ONE pre-aggregated per-item
+    series ranked twice in OPPOSITE directions, the two rankings joined on
+    rank position (the text's asc/desc subquery pair). Performance here is
+    average revenue per lineitem of the part.
+
+    Scale shape: the ranked input is the per-PART aggregate (dimension-
+    sized, reduced map-side from the fact), so the two global row_number
+    windows sort part-count rows, never fact rows — the same contract the
+    text relies on (items, not store_sales, get ranked); the rank self-
+    join is rank-key equi on two copies of that same dimension-sized
+    series.
+
+    Determinism: avg_rev = exact decimal sum cast DOUBLE / bigint count —
+    identical IEEE expression on both engines; both rankings tie-break on
+    the unique part key, and the rank <= 10 cut rides the total order."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    perf = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(rev_col()).cast("double") / F.count(F.lit(1))).alias("avg_rev")
+        )
+    )
+    w_worst = Window.orderBy(F.asc("avg_rev"), F.asc("l_partkey"))
+    w_best = Window.orderBy(F.desc("avg_rev"), F.asc("l_partkey"))
+    ranked = perf.select(
+        "l_partkey",
+        "avg_rev",
+        F.row_number().over(w_worst).alias("rn_worst"),
+        F.row_number().over(w_best).alias("rn_best"),
+    )
+    b = ranked.select(
+        F.col("rn_best").alias("rank"),
+        F.col("l_partkey").alias("best_pk"),
+        F.col("avg_rev").alias("best_avg"),
+    ).filter(F.col("rank") <= 10)
+    w = ranked.select(
+        F.col("rn_worst").alias("rank"),
+        F.col("l_partkey").alias("worst_pk"),
+        F.col("avg_rev").alias("worst_avg"),
+    ).filter(F.col("rank") <= 10)
+    return (
+        b.join(F.broadcast(w), "rank")
+        .select("rank", "best_pk", "best_avg", "worst_pk", "worst_avg")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 shape: three-fact chain — sale, its return, and a LATER repurchase by
+# the same customer of the same item
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q25_SQL = f"""
+WITH sr AS (
+  SELECT s.l_partkey, o.o_custkey, o.o_orderdate,
+         CAST(s.l_quantity AS DECIMAL(9,2)) AS ret_qty
+  FROM lineitem s JOIN orders o ON s.l_orderkey = o.o_orderkey
+  WHERE s.l_returnflag = 'R'
+), chain AS (
+  SELECT sr.l_partkey, sr.ret_qty,
+         {REV_SQL.replace('l_extendedprice', 'l2.l_extendedprice').replace('l_discount', 'l2.l_discount')} AS rep_rev
+  FROM sr
+  JOIN orders o2 ON sr.o_custkey = o2.o_custkey AND o2.o_orderdate > sr.o_orderdate
+  JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey AND l2.l_partkey = sr.l_partkey
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(SUM(ret_qty) AS DOUBLE) AS returned_qty,
+       CAST(SUM(rep_rev) AS DOUBLE) AS repurchase_rev
+FROM chain JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("tpcds_q25", oracle=_TPCDS_Q25_SQL, tags=("tpcds", "multi-fact", "chain"))
+def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q25/q29 shape (cases/tpcds/query/query25.sql): the THREE-FACT
+    chain join — a sale, its return, and a later repurchase of the same
+    item by the same customer — aggregated per brand. On this fixture the
+    returned sale is the l_returnflag='R' line (dated by its order), and
+    the repurchase is any line of a LATER order by the same customer for
+    the same part.
+
+    Scale shape: the chain joins on (custkey) then (orderkey, partkey) —
+    every side is a fact slice, so all three joins are pinned shuffle_hash
+    (a year/flag filter shrinks a slice below the broadcast threshold at
+    fixture scale; broadcasting a fact slice deadlocks at 100 TB); the
+    date predicate rides the custkey join as a residual, and the brand
+    dimension broadcasts onto the (small) chain output.
+
+    Determinism: quantities and revenue are exact decimal sums cast to
+    DOUBLE once; counts are BIGINT; output totally ordered by brand."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    sr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey", dec("l_quantity").cast("decimal(9,2)").alias("ret_qty"))
+        .join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_partkey", "o_custkey", F.col("o_orderdate").alias("sale_date"), "ret_qty")
+    )
+    o2 = ords.select(
+        F.col("o_orderkey").alias("o2_ok"),
+        F.col("o_custkey").alias("o2_ck"),
+        F.col("o_orderdate").alias("o2_date"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"),
+        F.col("l_partkey").alias("l2_pk"),
+        rev_col().alias("rep_rev"),
+    )
+    chain = (
+        sr.join(
+            o2.hint("shuffle_hash"),
+            (F.col("o_custkey") == F.col("o2_ck"))
+            & (F.col("o2_date") > F.col("sale_date")),
+        )
+        .join(
+            l2.hint("shuffle_hash"),
+            (F.col("l2_ok") == F.col("o2_ok")) & (F.col("l2_pk") == F.col("l_partkey")),
+        )
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        chain.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chains"),
+            F.sum("ret_qty").cast("double").alias("returned_qty"),
+            F.sum("rep_rev").cast("double").alias("repurchase_rev"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 shape: cross-fact latency band counts — one conditional aggregate over
+# the day-difference of two joined event dates
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q50_SQL = """
+WITH lat AS (
+  SELECT year(o_orderdate) AS yr,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT yr,
+       CAST(SUM(CASE WHEN d <= -500 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(SUM(CASE WHEN d > -500 AND d <= 0    THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(SUM(CASE WHEN d > 0    AND d <= 500  THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(SUM(CASE WHEN d > 500  AND d <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+       CAST(SUM(CASE WHEN d > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+FROM lat GROUP BY yr ORDER BY yr
+"""
+
+
+@register("tpcds_q50", oracle=_TPCDS_Q50_SQL, tags=("tpcds", "conditional-agg", "latency"))
+def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50 shape (cases/tpcds/query/query50.sql): return-latency
+    band counts — the day difference between two JOINED fact dates bucketed
+    into 5 bands by one conditional aggregate (the text's 30/60/90/120/120+
+    over sale->return; here ship-vs-order with 500-day bands, since the
+    fixture's dates are independently drawn).
+
+    Scale shape: one orderkey-co-partitioned fact-fact join (shuffle_hash
+    pinned both ways), then a single map-side-combinable aggregate — the
+    bands are CASE expressions inside ONE pass, never five scans.
+
+    Determinism: the latency is a pure-integer day difference of the DATE
+    casts (identical on both engines — no dow/week convention involved);
+    band counts are BIGINT."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    lat = (
+        li.join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.year("o_orderdate").alias("yr"), d.alias("d"))
+    )
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        lat.groupBy("yr")
+        .agg(
+            band(F.col("d") <= -500, "b0"),
+            band((F.col("d") > -500) & (F.col("d") <= 0), "b1"),
+            band((F.col("d") > 0) & (F.col("d") <= 500), "b2"),
+            band((F.col("d") > 500) & (F.col("d") <= 1000), "b3"),
+            band(F.col("d") > 1000, "b4"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 shape: OR-of-AND band predicates across three joined relations, one
+# global average row
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q13_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING'   AND l_quantity BETWEEN 1  AND 15
+       AND o_totalprice BETWEEN 50000  AND 150000)
+   OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 16 AND 30
+       AND o_totalprice BETWEEN 100000 AND 200000)
+   OR (c_mktsegment = 'MACHINERY'  AND l_quantity BETWEEN 31 AND 50
+       AND o_totalprice BETWEEN 150000 AND 300000)
+"""
+
+
+@register("tpcds_q13", oracle=_TPCDS_Q13_SQL, tags=("tpcds", "or-bands"))
+def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13/q48 shape (cases/tpcds/query/query13.sql): one global
+    average row under an OR of three (demographic AND quantity-band AND
+    price-band) conjunct groups spanning three joined relations — the
+    disjunctive band filter the optimizer cannot push as a single
+    conjunct, evaluated in one pass.
+
+    Scale shape: customer is the broadcast dimension; the orders join is
+    orderkey-co-partitioned (shuffle_hash pinned — a fact); the OR
+    predicate applies as one residual filter after the joins, and the
+    single global aggregate combines map-side.
+
+    Determinism: averages are exact decimal sums cast DOUBLE divided by
+    the BIGINT count — identical IEEE expressions both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = F.col("c_mktsegment")
+    qty = F.col("l_quantity")
+    tp = F.col("o_totalprice")
+    pred = (
+        (seg == "BUILDING") & qty.between(1, 15) & tp.between(50000, 150000)
+    ) | (
+        (seg == "AUTOMOBILE") & qty.between(16, 30) & tp.between(100000, 200000)
+    ) | (
+        (seg == "MACHINERY") & qty.between(31, 50) & tp.between(150000, 300000)
+    )
+    joined = (
+        li.join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pred)
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return joined.agg(
+        n.alias("n"),
+        (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        F.sum(rev_col()).cast("double").alias("revenue"),
+    )

@@ -72,6 +72,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_auto_index_scan",  # changed: candidate thunks + bitmap routing member
     "knn_ivf_pq",  # new: IVF-PQ persisted index, full-probe + exact rerank
     "sql_lifecycle",  # changed: branch-targeted INSERT (t@branch) on the hash path
+    "tpcds_q44",  # new: opposing double-rank self-join (best/worst)
+    "tpcds_q25",  # new: three-fact chain (sale -> return -> repurchase)
+    "tpcds_q50",  # new: cross-fact latency band counts
+    "tpcds_q13",  # new: OR-of-AND band predicates, one global avg row
     # run_available_now changed (state partitions pinned to 2 on bounded
     # runs) -> every stream row re-verifies this round
     "stream_join",

@@ -2692,3 +2692,161 @@ def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
         F.sum(rev_col()).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q1 shape: entities above a FRACTION of their GROUP's average — agg-of-agg
+# threshold with cross-multiplied integer comparison
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q1_SQL = """
+WITH cr AS (
+  SELECT o_custkey, c_nationkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS ret_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey, c_nationkey
+), nat AS (
+  SELECT c_nationkey AS nk, CAST(SUM(ret_c) AS BIGINT) AS nat_c,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM cr GROUP BY c_nationkey
+)
+SELECT o_custkey, c_nationkey,
+       CAST(ret_c AS DOUBLE) / 100 AS returned
+FROM cr JOIN nat ON c_nationkey = nk
+WHERE ret_c * n_cust * 10 > 12 * nat_c
+ORDER BY ret_c DESC, o_custkey
+LIMIT 20
+"""
+
+
+@register("tpcds_q1", oracle=_TPCDS_Q1_SQL, tags=("tpcds", "agg-of-agg"))
+def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1/q30/q81 shape (cases/tpcds/query/query1.sql): customers
+    whose total returns exceed 1.2x the AVERAGE customer's returns within
+    their group (state in the text; nation here) — the agg-of-agg
+    correlated-average threshold with an identity ride-along.
+
+    Scale shape: per-customer returns aggregate once (map-side combined);
+    the group-level (nation) average is a second aggregate OVER THE FIRST's
+    output (customer-count-sized, never fact-sized) and broadcasts back
+    onto it — the decorrelated form of the text's correlated subquery.
+
+    Determinism: money rides integer cents end to end and the 1.2x
+    threshold cross-multiplies to a pure-BIGINT comparison
+    (ret * n * 10 > 12 * sum) — no float division at the filter boundary;
+    the LIMIT rides (exact cents DESC, unique custkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", cents_col("l_extendedprice").alias("price_c"))
+        .join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum("price_c").cast("long").alias("ret_c"))
+    )
+    nat = cr.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum("ret_c").cast("long").alias("nat_c"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    return (
+        cr.join(F.broadcast(nat), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("ret_c") * F.col("n_cust") * 10 > 12 * F.col("nat_c"))
+        .select(
+            "o_custkey",
+            "c_nationkey",
+            (F.col("ret_c").cast("double") / 100).alias("returned"),
+        )
+        .orderBy(F.desc((F.col("returned") * 100).cast("long")), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 shape: item-grain year-over-year DECLINE report — both years'
+# quantities and revenue from ONE conditional aggregate, integer-exact
+# decline predicate
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q75_SQL = f"""
+WITH py AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS q96_c,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+              THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS q97_c,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST({REV_SQL} * 10000 AS BIGINT) END) AS BIGINT) AS r96_t,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+              THEN CAST({REV_SQL} * 10000 AS BIGINT) END) AS BIGINT) AS r97_t
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(q96_c AS DOUBLE) / 100 AS qty_y1,
+       CAST(q97_c AS DOUBLE) / 100 AS qty_y2,
+       CAST(r97_t - r96_t AS DOUBLE) / 10000 AS rev_delta
+FROM py
+WHERE q96_c IS NOT NULL AND q97_c IS NOT NULL AND q97_c < q96_c
+ORDER BY q96_c - q97_c DESC, l_partkey
+LIMIT 50
+"""
+
+
+@register("tpcds_q75", oracle=_TPCDS_Q75_SQL, tags=("tpcds", "yoy", "decline"))
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape (cases/tpcds/query/query75.sql): the item-grain
+    year-over-year DECLINE report — current vs prior year quantity and
+    revenue per item, keeping items that sold LESS, ranked by the size of
+    the drop. Both years come from ONE conditional aggregate over a single
+    fact pass (never a per-year self-join of raw rows).
+
+    Scale shape: one orderkey-co-partitioned fact join (shuffle_hash
+    pinned), one per-item aggregate with map-side partials; the decline
+    filter and ordering run on the aggregate's item-sized output.
+
+    Determinism: quantities ride integer hundredths, revenue integer
+    1e-4 units (rev carries exactly 4 decimals), the decline predicate
+    and the ORDER BY drop are pure-BIGINT; emitted once as DOUBLE."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    yr = F.year("o_orderdate")
+    qty_c = (dec("l_quantity") * 100).cast("long")
+
+    def ycase(y, col):
+        return F.sum(F.when(yr == y, col)).cast("long")
+
+    py = (
+        li.join(ords.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(yr.isin(1996, 1997))
+        .groupBy("l_partkey")
+        .agg(
+            ycase(1996, qty_c).alias("q96_c"),
+            ycase(1997, qty_c).alias("q97_c"),
+            ycase(1996, rev_tenthc()).alias("r96_t"),
+            ycase(1997, rev_tenthc()).alias("r97_t"),
+        )
+    )
+    return (
+        py.filter(
+            F.col("q96_c").isNotNull()
+            & F.col("q97_c").isNotNull()
+            & (F.col("q97_c") < F.col("q96_c"))
+        )
+        .select(
+            "l_partkey",
+            (F.col("q96_c").cast("double") / 100).alias("qty_y1"),
+            (F.col("q97_c").cast("double") / 100).alias("qty_y2"),
+            ((F.col("r97_t") - F.col("r96_t")).cast("double") / 10000).alias(
+                "rev_delta"
+            ),
+            (F.col("q96_c") - F.col("q97_c")).alias("__drop"),
+        )
+        .orderBy(F.desc("__drop"), F.asc("l_partkey"))
+        .limit(50)
+        .drop("__drop")
+    )

@@ -72,6 +72,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_auto_index_scan",  # changed: candidate thunks + bitmap routing member
     "knn_ivf_pq",  # new: IVF-PQ persisted index, full-probe + exact rerank
     "sql_lifecycle",  # changed: branch-targeted INSERT (t@branch) on the hash path
+    "tpcds_q1",  # new: above-group-average returns (agg-of-agg threshold)
+    "tpcds_q75",  # new: item-grain YoY decline, one conditional agg
     "tpcds_q44",  # new: opposing double-rank self-join (best/worst)
     "tpcds_q25",  # new: three-fact chain (sale -> return -> repurchase)
     "tpcds_q50",  # new: cross-fact latency band counts

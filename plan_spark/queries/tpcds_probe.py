@@ -2444,15 +2444,18 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: avg_rev = exact decimal sum cast DOUBLE / bigint count —
     identical IEEE expression on both engines; both rankings tie-break on
     the unique part key, and the rank <= 10 cut rides the total order."""
-    from pyspark.sql import Window
-
     li = table(spark, sf_dir, "lineitem")
+    # persist the shared per-part aggregate: the best and worst branches
+    # both consume it — without the persist the fact is scanned and
+    # pre-aggregated twice (q65's lesson); count() materializes first
     perf = (
         li.groupBy("l_partkey")
         .agg(
             (F.sum(rev_col()).cast("double") / F.count(F.lit(1))).alias("avg_rev")
         )
+        .persist()
     )
+    perf.count()
     w_worst = Window.orderBy(F.asc("avg_rev"), F.asc("l_partkey"))
     w_best = Window.orderBy(F.desc("avg_rev"), F.asc("l_partkey"))
     ranked = perf.select(
@@ -2740,6 +2743,11 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # persist the shared per-customer aggregate: the output rows AND the
+    # nation-average re-aggregation both derive from it — without the
+    # persist Catalyst inlines it twice and scans the fact twice (same fix
+    # as q65); count() materializes before the self-consume (lazy persist
+    # does not dedupe concurrent computation)
     cr = (
         li.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", cents_col("l_extendedprice").alias("price_c"))
@@ -2747,7 +2755,9 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_custkey", "c_nationkey")
         .agg(F.sum("price_c").cast("long").alias("ret_c"))
+        .persist()
     )
+    cr.count()
     nat = cr.groupBy(F.col("c_nationkey").alias("nk")).agg(
         F.sum("ret_c").cast("long").alias("nat_c"),
         F.count(F.lit(1)).cast("long").alias("n_cust"),
@@ -2759,9 +2769,12 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "c_nationkey",
             (F.col("ret_c").cast("double") / 100).alias("returned"),
+            F.col("ret_c").alias("__key"),  # EXACT cents sort key — the
+            # double roundtrip (ret_c/100)*100 truncates ~5% of values by 1
         )
-        .orderBy(F.desc((F.col("returned") * 100).cast("long")), F.asc("o_custkey"))
+        .orderBy(F.desc("__key"), F.asc("o_custkey"))
         .limit(20)
+        .drop("__key")
     )
 
 

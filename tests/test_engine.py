@@ -1231,3 +1231,32 @@ def test_copy_and_default_literals_honor_backslash_escapes(engine, tmp_path):
     )
     eng.sql("INSERT INTO bs2 (a) VALUES (5)")
     assert eng.sql("SELECT b FROM bs2").first().b == "it's NOT NULL here"
+
+
+def test_bitmap_index_sql_face_routes_and_traces(engine):
+    """CREATE INDEX ... USING bitmap on a SQL table (row ids are default
+    now) builds the row-granular run table; EXPLAIN SCAN shows the exact
+    keystats estimate and the equality probe routes through it."""
+    eng = engine
+    eng.sql("CREATE TABLE bmx (k BIGINT, grp STRING)")
+    for i in range(4):
+        eng.dataset("bmx").append(
+            eng.spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id AS k",
+                "CASE WHEN id % 100 = 7 THEN 'rare' ELSE CAST(id % 3 AS STRING) END AS grp",
+            ).coalesce(1)
+        )
+    eng.sql("CREATE INDEX bmg ON bmx USING bitmap (grp)")
+    ds = eng.dataset("bmx")
+    assert ds.manifest.indexes["bmg"]["path"], "row-granular table expected"
+    rows = {
+        r.index_name: r
+        for r in eng.sql("EXPLAIN SCAN bmx WHERE grp = 'rare'").collect()
+    }
+    t = rows["bmg"]
+    assert t.chosen and t.est_rows == 4  # exact keystats: 4 rare rows
+    # the probe's runs address take_rows directly
+    idx = ds.open_index("bmg")
+    ids = [i for lo, hi in idx.equality_runs("rare") for i in range(lo, hi + 1)]
+    got = sorted(r.k for r in ds.take_rows(ids, columns=["k"]).collect())
+    assert got == [7, 107, 207, 307]

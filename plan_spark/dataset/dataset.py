@@ -415,14 +415,19 @@ class Dataset:
         import time as _time
 
         lock = self._branches_path + ".lock"
-        for _ in range(200):
+        # retry budget (800 x 10ms = 8s) must EXCEED the stale-lock horizon
+        # (1s) or a crashed holder's lock could never be reclaimed in-call
+        # and every branch()/delete_tag() would raise until it aged out;
+        # the critical section is microseconds, so 1s staleness is already
+        # hundreds of times the legitimate hold time
+        for _ in range(800):
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
                 break
             except FileExistsError:
-                try:  # crashed holder: the critical section is microseconds
-                    if _time.time() - os.path.getmtime(lock) > 5.0:
+                try:  # crashed holder
+                    if _time.time() - os.path.getmtime(lock) > 1.0:
                         os.remove(lock)
                         continue
                 except OSError:

@@ -230,8 +230,16 @@ class BitmapIndex:
         """Distributed probe face: (lo, hi) run rows for ``key IN values``
         — fence-pruned runs scan plus pending singletons, for when the run
         count itself is too large to route driver-side."""
-        files = self._probe_files(list(values))
+        values = list(values)
         runs_dir = os.path.join(self.path, "runs")
+        if not values:
+            # isin() with zero operands is invalid SQL; the contract matches
+            # in_runs([]) — no values, no runs (reachable when contradictory
+            # equality conjuncts intersect to the empty set upstream)
+            return self.spark.createDataFrame(
+                [], self.spark.read.parquet(runs_dir).schema
+            ).select("lo", "hi")
+        files = self._probe_files(values)
         if files is None:
             base = self.spark.read.parquet(runs_dir)
         elif not files:
@@ -292,10 +300,20 @@ class BitmapIndex:
         runs_dir = os.path.join(self.path, "runs")
         cur = self.spark.read.parquet(runs_dir)
         pend = os.path.join(self.path, "pending")
-        if os.path.isdir(pend) and any(
-            f.endswith(".parquet") for f in os.listdir(pend)
-        ):
-            p = self.spark.read.parquet(pend).select(
+        # Snapshot the pending files BEFORE reading: an insert()/
+        # refresh_index() landing between read and cleanup appends new part
+        # files, and rmtree-ing the whole dir would silently discard them —
+        # routing would then wrongly prune fragments containing those rows.
+        # Only the files actually folded into this merge are deleted below.
+        pend_files: list[str] = []
+        if os.path.isdir(pend):
+            pend_files = sorted(
+                os.path.join(pend, f)
+                for f in os.listdir(pend)
+                if f.endswith(".parquet")
+            )
+        if pend_files:
+            p = self.spark.read.parquet(*pend_files).select(
                 "key",
                 F.col("id").alias("lo"),
                 F.col("id").alias("hi"),
@@ -347,5 +365,10 @@ class BitmapIndex:
         os.rename(tmp, runs_dir)
         self._write_meta()
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(pend, ignore_errors=True)
+        # remove exactly the folded pending files; concurrent appends survive
+        for f in pend_files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
         return self

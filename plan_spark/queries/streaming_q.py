@@ -42,7 +42,12 @@ _GATED_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
 
 
 def _gated_available_now(
-    spark: SparkSession, sf_dir: str, build, name: str, output_mode: str = "complete"
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    name: str,
+    output_mode: str = "complete",
+    partitions: int = 2,
 ) -> DataFrame:
     """Bounded streaming run with layout-gated state parallelism.
 
@@ -75,7 +80,9 @@ def _gated_available_now(
             _GATED_SESSIONS[spark] = s
     else:
         s = spark
-    return run_available_now(build(s), name, output_mode=output_mode)
+    return run_available_now(
+        build(s), name, output_mode=output_mode, partitions=partitions
+    )
 
 
 _STREAM_TUMBLING_SQL = """
@@ -353,8 +360,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # partitions=8, not the JVM-state default 2: this operator's per-key
+    # work runs in PYTHON workers, so the pin bounds Python parallelism
+    # (r6 regression: 1.7 s -> 3.5 s when the shared helper pinned it to 2)
     out = _gated_available_now(
-        spark, sf_dir, build, "stream_stateful_sink", output_mode="update"
+        spark, sf_dir, build, "stream_stateful_sink", output_mode="update", partitions=8
     )
     final = (
         out.groupBy("user_id")

@@ -178,22 +178,54 @@ def test_unpartitioned_windows_have_preaggregated_input(spark):
 
     offenders: list[str] = []
 
+    def _cached_plan_is_reduced(imr) -> bool:
+        """A persisted subtree (q44/q65 shared-aggregate pattern) appears as
+        InMemoryRelation; it is a safe global-window input only if the plan
+        it CACHES was itself reduced (aggregate / window / limit) — a
+        persisted-but-unaggregated fact-sized relation must not pass."""
+        try:
+            phys = imr.cacheBuilder().cachedPlan()
+        except Exception:
+            return False
+
+        def walk(p) -> bool:
+            n = p.getClass().getSimpleName()
+            if n in (
+                "HashAggregateExec",
+                "ObjectHashAggregateExec",
+                "SortAggregateExec",
+                "WindowExec",
+                "TakeOrderedAndProjectExec",
+                "GlobalLimitExec",
+                "LocalLimitExec",
+            ):
+                return True
+            if n == "AdaptiveSparkPlanExec":  # children() hides the subtree
+                try:
+                    return walk(p.inputPlan())
+                except Exception:
+                    return False
+            for i in range(p.children().size()):
+                if walk(p.children().apply(i)):
+                    return True
+            return False
+
+        return walk(phys)
+
     def _has_agg_below(node) -> bool:
         for i in range(node.children().size()):
             ch = node.children().apply(i)
-            if ch.getClass().getSimpleName() in (
+            name = ch.getClass().getSimpleName()
+            if name in (
                 "Aggregate",
                 "Window",
-                # a persisted aggregate (q44/q65 shared-subtree pattern)
-                # appears as InMemoryRelation in the optimized plan: its
-                # CONTENT is the reduced aggregate output, so a global
-                # window over it is as safe as over the Aggregate itself
-                "InMemoryRelation",
                 # LIMIT below the window (Catalyst's rank-cut rewrite to
                 # TakeOrderedAndProject): the window input is top-k-sized
                 "GlobalLimit",
                 "LocalLimit",
             ):
+                return True
+            if name == "InMemoryRelation" and _cached_plan_is_reduced(ch):
                 return True
             if _has_agg_below(ch):
                 return True

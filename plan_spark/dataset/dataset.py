@@ -1586,11 +1586,24 @@ class Dataset:
             df = df.limit(int(limit))
         return df
 
-    def take_rows(self, ids: list[int], columns: list[str] | None = None) -> DataFrame:
+    def take_rows(
+        self,
+        ids: list[int] | None = None,
+        columns: list[str] | None = None,
+        runs: list[tuple[int, int]] | None = None,
+    ) -> DataFrame:
         """Address rows directly by stable row id (reference rowids.go /
         sdk TakeRows, projected variant TakeProjected sdk/dataset.go:1156):
         returns the matching rows with their ``_rowid`` column. Deleted
         rows are absent (their ids are never reused).
+
+        ``runs`` is the interval form: inclusive ``(lo, hi)`` row-id runs —
+        the currency the scalar indexes already speak (bitmap/btree probes
+        return runs, never row lists). Driver-side work stays O(runs) at
+        ANY selectivity: fragments prune by interval overlap and the scan
+        filters with OR-of-BETWEEN (or a broadcast interval join past 256
+        runs), so a million-row probe never materializes a million-element
+        Python list. Exactly one of ``ids``/``runs`` must be given.
 
         ``columns`` projects the lookup: Catalyst prunes the parquet
         ReadSchema to exactly the requested columns (+ the row-id
@@ -1605,14 +1618,31 @@ class Dataset:
         m = self.manifest
         if not m.row_ids:
             raise ValueError("dataset was not created with row_ids=True")
+        if (ids is None) == (runs is None):
+            raise ValueError("pass exactly one of ids= or runs=")
         if columns is not None:
             known = [f.name for f in self.schema.fields]
             missing = [c for c in columns if c not in known]
             if missing:
                 raise ValueError(f"unknown columns {missing}; table has {known}")
-        idset = sorted({int(i) for i in ids})
+        if runs is not None:
+            # normalize: sort + merge adjacent/overlapping intervals so the
+            # scan predicate and fragment pruning see a minimal disjoint set
+            norm: list[list[int]] = []
+            for lo, hi in sorted((int(lo), int(hi)) for lo, hi in runs):
+                if hi < lo:
+                    raise ValueError(f"invalid run ({lo}, {hi})")
+                if norm and lo <= norm[-1][1] + 1:
+                    norm[-1][1] = max(norm[-1][1], hi)
+                else:
+                    norm.append([lo, hi])
+            intervals = [(lo, hi) for lo, hi in norm]
+            idset: list[int] = []
+        else:
+            idset = sorted({int(i) for i in ids})
+            intervals = [(i, i) for i in idset]
         sel: list[Fragment] = []
-        for f in m.fragments:
+        for f in m.fragments if intervals else []:  # no intervals, no rows
             if f.row_start is not None and f.row_start >= 0:
                 lo, hi = f.row_start, f.row_start + f.rows - 1
             else:
@@ -1621,7 +1651,7 @@ class Dataset:
                     sel.append(f)  # no stats: cannot prove absence
                     continue
                 lo, hi = st["min"], st["max"]
-            if any(lo <= i <= hi for i in idset):
+            if any(rlo <= hi and rhi >= lo for rlo, rhi in intervals):
                 sel.append(f)
         if not sel:
             by_name = {f.name: f for f in self.schema.fields}
@@ -1641,7 +1671,27 @@ class Dataset:
                 df = df.withColumn(
                     colname, F.coalesce(F.col(colname), F.expr(default_expr))
                 )
-        out = df.filter(F.col(_ROWID).isin(idset))
+        if runs is not None:
+            if len(intervals) <= 256:
+                pred = None
+                for lo, hi in intervals:
+                    p = F.col(_ROWID).between(F.lit(lo), F.lit(hi))
+                    pred = p if pred is None else (pred | p)
+                out = df.filter(pred)
+            else:
+                # many runs: broadcast the interval table and range-join —
+                # the predicate tree stays bounded and the runs ship once
+                rdf = self.spark.createDataFrame(
+                    intervals, schema="__run_lo long, __run_hi long"
+                )
+                out = df.join(
+                    F.broadcast(rdf),
+                    (F.col(_ROWID) >= F.col("__run_lo"))
+                    & (F.col(_ROWID) <= F.col("__run_hi")),
+                    "leftsemi",
+                )
+        else:
+            out = df.filter(F.col(_ROWID).isin(idset))
         if columns is not None:
             out = out.select(*columns, _ROWID)
         return out

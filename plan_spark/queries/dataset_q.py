@@ -614,8 +614,10 @@ def ds_bitmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"row-granular probe must read far fewer rows than fragment "
         f"pruning alone ({probed} vs {frag_rows})"
     )
-    ids = [i for lo, hi in runs for i in range(lo, hi + 1)]
-    hits = ds.take_rows(ids, columns=["o_orderkey", "o_totalprice"])
+    # runs stay the currency end to end: take_rows(runs=...) prunes
+    # fragments by interval overlap and filters with BETWEEN — the driver
+    # never expands a run to per-row ids at any selectivity
+    hits = ds.take_rows(runs=runs, columns=["o_orderkey", "o_totalprice"])
     return hits.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec("o_totalprice")).cast("double").alias("total"),
@@ -806,7 +808,9 @@ pre AS (
   SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
   FROM orders GROUP BY o_orderstatus)
 SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before,
-       CAST(2 AS BIGINT) AS n_branch
+       CAST(2 AS BIGINT) AS n_branch,
+       CAST(3 AS BIGINT) AS n_rejected,
+       CAST(3 AS BIGINT) AS n_guard
 FROM cur JOIN pre ON cur.o_orderstatus = pre.o_orderstatus
 ORDER BY cur.o_orderstatus
 """
@@ -859,6 +863,26 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INSERT INTO ord@fixup (o_orderkey, o_orderstatus, o_totalprice) "
         "VALUES (-1, 'X', 10.0), (-2, 'X', 20.0)"
     )
+    # PRIMARY KEY enforcement on the hash path (reference
+    # pkg/storage/index.go:329 "duplicate key"): an enforced table rejects
+    # a dup-vs-existing insert, an intra-batch dup, and a NULL key — each
+    # caught violation counts into n_rejected, and n_guard proves the
+    # failed statements committed NOTHING (only the legal rows landed)
+    from plan_spark.engine import IntegrityError
+
+    eng.sql("CREATE TABLE guard (k BIGINT PRIMARY KEY, v STRING) WITH (ENFORCE)")
+    eng.sql("INSERT INTO guard VALUES (1, 'a'), (2, 'b')")
+    n_rejected = 0
+    for stmt in (
+        "INSERT INTO guard VALUES (2, 'dup-existing')",
+        "INSERT INTO guard VALUES (3, 'x'), (3, 'y')",
+        "INSERT INTO guard VALUES (NULL, 'null-key')",
+    ):
+        try:
+            eng.sql(stmt)
+        except IntegrityError:
+            n_rejected += 1
+    eng.sql("INSERT INTO guard VALUES (3, 'legal')")
     return eng.sql(
         """
         WITH cur AS (
@@ -871,10 +895,12 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ord VERSION AS OF 'pre' GROUP BY o_orderstatus),
         br AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_branch
-          FROM ord VERSION AS OF 'fixup' WHERE o_orderstatus = 'X')
-        SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before, br.n_branch
+          FROM ord VERSION AS OF 'fixup' WHERE o_orderstatus = 'X'),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_guard FROM guard)
+        SELECT cur.o_orderstatus, cur.n, cur.total, pre.n_before, br.n_branch,
+               CAST($REJ AS BIGINT) AS n_rejected, g.n_guard
         FROM cur JOIN pre ON cur.o_orderstatus = pre.o_orderstatus
-        CROSS JOIN br
+        CROSS JOIN br CROSS JOIN g
         ORDER BY cur.o_orderstatus
-        """
+        """.replace("$REJ", str(n_rejected))
     )

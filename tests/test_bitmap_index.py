@@ -10,6 +10,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from plan_spark.dataset import Dataset
@@ -105,6 +107,21 @@ def test_dataset_lifecycle_and_deletion_vectors(spark):
     got = sorted(r.k for r in hits.collect())
     want = sorted(k for k in range(4000) if k % 8 == 3 and k % 16 != 3)
     assert got == want, "take_rows must drop deletion-vectored ids"
+    # the interval form is the contract's native currency: identical rows
+    # with NO per-row id expansion anywhere (driver work is O(runs))
+    got_runs = sorted(
+        r.k
+        for r in ds.take_rows(runs=idx.equality_runs("3"), columns=["k"]).collect()
+    )
+    assert got_runs == want, "take_rows(runs=...) must equal the ids form"
+    # degenerate inputs: empty runs -> empty frame; overlapping runs merge
+    assert ds.take_rows(runs=[], columns=["k"]).count() == 0
+    merged = ds.take_rows(runs=[(10, 20), (15, 30), (31, 40)], columns=["k"])
+    assert merged.count() == ds.take_rows(runs=[(10, 40)], columns=["k"]).count()
+    with pytest.raises(ValueError):
+        ds.take_rows([1, 2], runs=[(1, 2)])
+    with pytest.raises(ValueError):
+        ds.take_rows()
     # the normal filtered-scan face composes the same way
     n = ds.to_df(filters=[("grp", "=", "3")]).count()
     assert n == len(want)

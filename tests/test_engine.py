@@ -110,9 +110,10 @@ def test_sql_rejects_unknown_and_malformed_statements(engine):
     # owned keyword, unsupported grammar -> hard error, never mis-routed
     # (WHERE-less DELETE is now the legal unconditional form, so the
     # malformed case is a DELETE missing its FROM)
-    with pytest.raises(ValueError, match="unsupported DELETE"):
+    with pytest.raises(ValueError, match="expected FROM"):
         engine.sql("DELETE mf WHERE a = 1")
-    with pytest.raises(ValueError, match="unsupported CREATE"):
+    # the statement cursor points at exactly what it couldn't parse
+    with pytest.raises(ValueError, match="expected USING"):
         engine.sql("CREATE INDEX ix ON mf(a)")
     with pytest.raises(ValueError, match="empty"):
         engine.sql("  ;  ")
@@ -237,7 +238,7 @@ def test_sql_merge_upsert(engine):
     rows = {r.k: r.v for r in engine.sql("SELECT k, v FROM mt").collect()}
     assert rows == {2: "B", 3: "c"}
 
-    with pytest.raises(ValueError, match="unsupported MERGE"):
+    with pytest.raises(ValueError, match="at least one WHEN"):
         engine.sql("MERGE INTO mt USING msrc ON mt.k = msrc.k")  # no WHEN
     with pytest.raises(ValueError, match="same-named equality"):
         engine.sql(

@@ -2,11 +2,15 @@
 processed by Arrow-batched pandas UDFs via mapInPandas.
 
 North-star surface (BASELINE.json): treat image/audio/video as binary
-columns. The container has no media libraries, so the actual decode is a
-clearly-marked STUB (deterministic fake features / NotImplementedError for
-real codecs) — but the Spark-side plumbing is real and tested: binary
-columns flow through Arrow batches, the UDF is vectorized per partition,
-schemas are explicit, and nothing ever materializes on the driver.
+columns. One REAL codec ships pure-stdlib: 24-bit uncompressed BMP
+(encode + decode, bottom-up and top-down variants, row padding) — so the
+image family (decode -> features, decode -> resample -> encode) runs on
+real encoded bytes end to end. Formats that genuinely need media libraries
+absent from this container (JPEG, H.264, ...) remain clearly-marked STUBS
+(deterministic fakes / NotImplementedError). The Spark-side plumbing is
+identical for both: binary columns flow through Arrow batches, the UDF is
+vectorized per partition, schemas are explicit, and nothing ever
+materializes on the driver.
 
 Scale: mapInPandas streams Arrow record batches per partition — memory is
 bounded by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -20,6 +24,85 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def bmp_codec():
+    """Factory returning (encode, decode) for 24-bit uncompressed BMP —
+    NESTED functions, so a pandas-UDF closure that captures them ships
+    them BY VALUE via cloudpickle (workers never need plan_spark on their
+    import path; the module-level factory is the repo's convention).
+
+    encode(width, height, rgb) -> bytes: ``rgb`` is row-major top-down
+    R,G,B bytes (len == width*height*3). Output is the standard layout:
+    14-byte file header + 40-byte BITMAPINFOHEADER, rows stored BOTTOM-UP
+    in B,G,R order, each row zero-padded to a 4-byte boundary.
+
+    decode(b) -> (width, height, rgb): accepts both bottom-up (positive
+    biHeight) and top-down (negative biHeight) files and returns row-major
+    top-down R,G,B bytes; raises ValueError on non-BMP magic, bit depths
+    other than 24, or compressed payloads."""
+    import struct
+
+    def encode(width: int, height: int, rgb: bytes) -> bytes:
+        if len(rgb) != width * height * 3:
+            raise ValueError(
+                f"rgb length {len(rgb)} != {width}x{height}x3"
+            )
+        row_raw = width * 3
+        pad = (-row_raw) % 4
+        row_size = row_raw + pad
+        img_size = row_size * height
+        out = bytearray()
+        out += struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+        out += struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+            2835, 2835, 0, 0,
+        )
+        zeros = b"\0" * pad
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = rgb[y * row_raw : (y + 1) * row_raw]
+            # RGB -> BGR per pixel
+            bgr = bytearray(row_raw)
+            bgr[0::3] = row[2::3]
+            bgr[1::3] = row[1::3]
+            bgr[2::3] = row[0::3]
+            out += bgr
+            out += zeros
+        return bytes(out)
+
+    def decode(b: bytes):
+        if len(b) < 54 or b[:2] != b"BM":
+            raise ValueError("not a BMP file (bad magic)")
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", b, 14)
+        planes, bpp = struct.unpack_from("<HH", b, 26)
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        if bpp != 24:
+            raise ValueError(f"unsupported BMP bit depth {bpp} (24 only)")
+        if compression != 0:
+            raise ValueError(f"unsupported BMP compression {compression}")
+        top_down = height < 0
+        height = abs(height)
+        if width <= 0 or height <= 0:
+            raise ValueError(f"invalid BMP dimensions {width}x{height}")
+        row_raw = width * 3
+        row_size = row_raw + ((-row_raw) % 4)
+        if len(b) < data_off + row_size * height:
+            raise ValueError("truncated BMP pixel data")
+        rgb = bytearray(row_raw * height)
+        for out_y in range(height):
+            src_y = out_y if top_down else height - 1 - out_y
+            start = data_off + src_y * row_size
+            bgr = b[start : start + row_raw]
+            base = out_y * row_raw
+            rgb[base + 0 : base + row_raw : 3] = bgr[2::3]
+            rgb[base + 1 : base + row_raw : 3] = bgr[1::3]
+            rgb[base + 2 : base + row_raw : 3] = bgr[0::3]
+        return width, height, bytes(rgb)
+
+    return encode, decode
 
 FEATURE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, checksum string, "
@@ -42,29 +125,86 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_bmp_payload(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Fixture generator writing REAL encoded bytes: one width x height
+    24-bit BMP per document, pixel values from the deterministic formula
+    ``32 + (doc_id*7 + i*13) % 95`` (printable ASCII range, so a SQL
+    oracle can reproduce both the channel statistics AND the md5 of the
+    decoded pixel stream with chr/string_agg). The payload on the wire is
+    a genuine BMP file — header, bottom-up rows, padding — which only a
+    real decoder can read back."""
+    enc, _ = bmp_codec()
+    n = width * height * 3
+
+    def _gen(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = bytes(32 + (d * 7 + i * 13) % 95 for i in range(n))
+                payloads.append(enc(width, height, px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/bmp",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _gen, schema="doc_id bigint, media_type string, payload binary"
+    )
+
+
 def decode_features(media: DataFrame) -> DataFrame:
-    """Run the (stub) decoder over the binary column via mapInPandas.
+    """Run the decoder over the binary column via mapInPandas:
+    ``image/bmp`` payloads take the REAL codec (header parse, bottom-up
+    row order, BGR swizzle, padding) and emit exact channel statistics —
+    feat = [mean_r, mean_g, mean_b, mean_all] with the checksum being the
+    md5 of the DECODED pixel stream (so a wrong decode can never hash
+    right); ``text/plain`` keeps the documented stub (md5-derived fake
+    features — the placeholder for formats whose codecs aren't in this
+    container); anything else is a loud NotImplementedError.
 
     The batch function is NESTED so cloudpickle ships it by value — workers
     never need this package on their import path (the harness may drive the
     session from any cwd)."""
+    _, dec = bmp_codec()
 
     def _decode_batch(it: Iterator) -> Iterator:
-        # STUB decoder (vectorized): real image/audio decode would go here
-        # (PIL/torchaudio etc. are not installed in this container). Emits
-        # deterministic features derived from the payload bytes so the
-        # pipeline is end-to-end testable; production swaps this closure.
         import pandas as pd
 
         for pdf in it:
             feats = []
             checks = []
-            for payload in pdf["payload"]:
+            for media_type, payload in zip(pdf["media_type"], pdf["payload"]):
                 b = bytes(payload)
-                digest = hashlib.md5(b).digest()
-                checks.append(hashlib.md5(b).hexdigest())
-                # fake 4-dim "embedding" from digest bytes — deterministic
-                feats.append([float(x) for x in digest[:4]])
+                if media_type == "image/bmp":
+                    w, h, rgb = dec(b)
+                    checks.append(hashlib.md5(rgb).hexdigest())
+                    npx = w * h
+                    feats.append(
+                        [
+                            sum(rgb[0::3]) / npx,
+                            sum(rgb[1::3]) / npx,
+                            sum(rgb[2::3]) / npx,
+                            sum(rgb) / (npx * 3),
+                        ]
+                    )
+                elif media_type == "text/plain":
+                    # STUB for codec-less formats: deterministic fake
+                    # features from the payload digest (production swaps
+                    # a real decoder into this closure, like the BMP arm)
+                    digest = hashlib.md5(b).digest()
+                    checks.append(hashlib.md5(b).hexdigest())
+                    feats.append([float(x) for x in digest[:4]])
+                else:
+                    raise NotImplementedError(
+                        f"no codec for {media_type!r} in this container "
+                        "(image/bmp and text/plain are supported)"
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -79,18 +219,40 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB frame sampler signature for video payloads: in this container it
-    raises at execution time for non-text media; plumbing kept so the plan
+    """Frame sampler: for ``image/bmp`` payloads it REALLY decodes and
+    emits every ``every_n``-th pixel row re-encoded as a 1-row BMP (the
+    1 -> many frame-extraction contract on real bytes); video codecs
+    (H.264 etc.) are genuinely absent from this container, so any other
+    media type raises at execution time — plumbing kept so the plan
     (binary in -> binary frames out) is schema-checked."""
+    enc, dec = bmp_codec()
 
     def _sample(it: Iterator) -> Iterator:
+        import pandas as pd
+
         for pdf in it:
-            if (pdf["media_type"] != "text/plain").any():
-                raise NotImplementedError(
-                    "video frame decode requires media libs not present in "
-                    "this container"
-                )
-            yield pdf[["doc_id", "media_type", "payload"]]
+            rows = {"doc_id": [], "media_type": [], "payload": []}
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if media_type == "image/bmp":
+                    w, h, rgb = dec(bytes(payload))
+                    for y in range(0, h, every_n):
+                        rows["doc_id"].append(doc_id)
+                        rows["media_type"].append(media_type)
+                        rows["payload"].append(
+                            enc(w, 1, rgb[y * w * 3 : (y + 1) * w * 3])
+                        )
+                elif media_type == "text/plain":
+                    rows["doc_id"].append(doc_id)
+                    rows["media_type"].append(media_type)
+                    rows["payload"].append(bytes(payload))
+                else:
+                    raise NotImplementedError(
+                        "video frame decode requires media libs not "
+                        "present in this container"
+                    )
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(
         _sample, schema="doc_id bigint, media_type string, payload binary"
@@ -98,20 +260,38 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def resize(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """STUB image resize: real decode->resample->encode needs PIL (absent in
-    this container), so payloads are deterministically truncated/padded to
-    width*height bytes as a stand-in — the Spark-side contract (binary in,
-    binary out + updated metadata, Arrow-batched per partition) is real."""
+    """Image resize. ``image/bmp`` runs the REAL pipeline — decode,
+    nearest-neighbor resample to width x height, re-encode — so the output
+    payload is again a valid BMP file (y_src = y*h_in//h_out,
+    x_src = x*w_in//w_out; exact integer arithmetic, no resample
+    filtering, so an oracle can reproduce every output pixel). Other media
+    types keep the documented STUB (truncate/pad to width*height bytes) —
+    the Spark-side contract (binary in, binary out + updated metadata,
+    Arrow-batched per partition) is identical for both."""
     n = width * height
+    enc, dec = bmp_codec()
 
     def _resize(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
             out = []
-            for payload in pdf["payload"]:
+            for media_type, payload in zip(pdf["media_type"], pdf["payload"]):
                 b = bytes(payload)
-                out.append((b + b"\0" * n)[:n])  # deterministic fake resample
+                if media_type == "image/bmp":
+                    w_in, h_in, rgb = dec(b)
+                    px = bytearray(n * 3)
+                    for y in range(height):
+                        y_src = y * h_in // height
+                        for x in range(width):
+                            x_src = x * w_in // width
+                            src = (y_src * w_in + x_src) * 3
+                            dst = (y * width + x) * 3
+                            px[dst : dst + 3] = rgb[src : src + 3]
+                    out.append(enc(width, height, bytes(px)))
+                else:
+                    # STUB resample for codec-less formats
+                    out.append((b + b"\0" * n)[:n])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

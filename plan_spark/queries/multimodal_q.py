@@ -11,50 +11,63 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
-from plan_spark.operators.multimodal import attach_payload, decode_features
+from plan_spark.operators.multimodal import (
+    attach_bmp_payload,
+    attach_payload,
+    decode_features,
+    resize,
+)
 from plan_spark.registry import register
 
-# hex pair -> byte value, as portable SQL (instr is 1-based in both engines)
-def _byte_sql(i: int) -> str:
-    c1 = f"substr(md5_hex, {2 * i + 1}, 1)"
-    c2 = f"substr(md5_hex, {2 * i + 2}, 1)"
-    return (
-        f"CAST((instr('0123456789abcdef', {c1}) - 1) * 16 "
-        f"+ (instr('0123456789abcdef', {c2}) - 1) AS DOUBLE)"
-    )
-
+# the BMP fixture's pixel formula (operators/multimodal.attach_bmp_payload):
+# pixel i of doc d = 32 + (d*7 + i*13) % 95 — printable ASCII, so DuckDB
+# reproduces the channel means AND the md5 of the decoded pixel stream
+_BMP_W, _BMP_H = 16, 16
+_BMP_N = _BMP_W * _BMP_H * 3
 
 _MM_SQL = f"""
-WITH m AS (
-  SELECT doc_id, 'text/plain' AS media_type,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         md5(text) AS md5_hex
-  FROM documents)
-SELECT doc_id, media_type, n_bytes, md5_hex AS checksum,
-       {_byte_sql(0)} AS f0, {_byte_sql(1)} AS f1,
-       {_byte_sql(2)} AS f2, {_byte_sql(3)} AS f3
-FROM m
+WITH px AS (
+  SELECT doc_id, i, 32 + (doc_id * 7 + i * 13) % 95 AS v
+  FROM documents, unnest(range(0, {_BMP_N})) AS u(i))
+SELECT doc_id,
+       CAST({_BMP_W} AS BIGINT) AS width,
+       CAST({_BMP_H} AS BIGINT) AS height,
+       md5(string_agg(chr(CAST(v AS INTEGER)), '' ORDER BY i)) AS checksum,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS DOUBLE) / {_BMP_W * _BMP_H}
+         AS mean_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS DOUBLE) / {_BMP_W * _BMP_H}
+         AS mean_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS DOUBLE) / {_BMP_W * _BMP_H}
+         AS mean_b,
+       CAST(SUM(v) AS DOUBLE) / {_BMP_N} AS mean_all
+FROM px
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
 
 @register("multimodal_features", oracle=_MM_SQL, tags=("multimodal", "pandas_udf"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> Arrow batches -> vectorized (stub) decoder ->
-    typed feature columns. The only Python in the engine's hot paths, and
-    it is Arrow-batched mapInPandas, never row-at-a-time."""
+    """REAL image decode on the hash path: every document gets a genuine
+    16x16 24-bit BMP payload (real header, bottom-up rows, BGR, padding —
+    operators/multimodal.attach_bmp_payload), and decode_features parses
+    the file back with the pure-stdlib codec to emit exact per-channel
+    means + the md5 of the DECODED pixel stream. The oracle rebuilds the
+    pixels from the generator formula — so any header-offset, row-order,
+    channel-swizzle, or padding bug in the decoder breaks the hash.
+    Arrow-batched mapInPandas, never row-at-a-time."""
     docs = table(spark, sf_dir, "documents")
-    media = attach_payload(docs)
+    media = attach_bmp_payload(docs, _BMP_W, _BMP_H)
     feats = decode_features(media)
     return feats.select(
         "doc_id",
-        "media_type",
-        "n_bytes",
+        F.lit(_BMP_W).cast("bigint").alias("width"),
+        F.lit(_BMP_H).cast("bigint").alias("height"),
         "checksum",
-        F.col("feat")[0].alias("f0"),
-        F.col("feat")[1].alias("f1"),
-        F.col("feat")[2].alias("f2"),
-        F.col("feat")[3].alias("f3"),
+        F.col("feat")[0].alias("mean_r"),
+        F.col("feat")[1].alias("mean_g"),
+        F.col("feat")[2].alias("mean_b"),
+        F.col("feat")[3].alias("mean_all"),
     ).orderBy("doc_id")
 
 
@@ -222,65 +235,63 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Image-resize shape: the payload as a row-major W-wide byte raster,
-# downsampled 2x by block mean — the resize kernel with the codec replaced
-# by raw bytes (edge blocks partial, exact-integer means).
+# nearest-neighbor downsampled 2x through the REAL BMP codec (decode ->
+# resample -> re-encode -> decode).
 # ---------------------------------------------------------------------------
 
-_RASTER_W = 32
-_RESIZE_DOCS = 150
+_RESIZE_DOCS = 400
+_RSZ_W, _RSZ_H = 8, 8  # 16x16 BMP -> 8x8 nearest-neighbor (exact 2x)
+_RSZ_N = _RSZ_W * _RSZ_H * 3
 
+# output pixel j: c = j%3, x2 = (j/3)%W2, y2 = (j/3)/W2; nearest-neighbor
+# source index = (y2*H//H2 * W + x2*W//W2)*3 + c over the generator formula
 _RESIZE_SQL = f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_RESIZE_DOCS}),
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_RESIZE_DOCS}),
 px AS (
-  SELECT doc_id,
-         CAST(((i - 1) // {_RASTER_W}) // 2 AS BIGINT) AS orow,
-         CAST(((i - 1) % {_RASTER_W}) // 2 AS BIGINT) AS ocol,
-         ascii(substr(text, i, 1)) AS b
-  FROM d, unnest(range(1, length(text) + 1)) AS u(i))
-SELECT doc_id, orow, ocol,
-       COUNT(*) AS n_px,
-       CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_px
-FROM px GROUP BY doc_id, orow, ocol
-ORDER BY doc_id, orow, ocol
+  SELECT doc_id, j,
+         32 + (doc_id * 7
+               + (((j // 3) // {_RSZ_W}) * {_BMP_H // _RSZ_H} * {_BMP_W}
+                  + ((j // 3) % {_RSZ_W}) * {_BMP_W // _RSZ_W}) * 39
+               + (j % 3) * 13) % 95 AS v
+  FROM d, unnest(range(0, {_RSZ_N})) AS u(j))
+SELECT doc_id,
+       CAST({_RSZ_W} AS BIGINT) AS width,
+       CAST({_RSZ_H} AS BIGINT) AS height,
+       md5(string_agg(chr(CAST(v AS INTEGER)), '' ORDER BY j)) AS checksum,
+       CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS DOUBLE) / {_RSZ_W * _RSZ_H}
+         AS mean_r,
+       CAST(SUM(v) AS DOUBLE) / {_RSZ_N} AS mean_all
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 
 @register("multimodal_resize", oracle=_RESIZE_SQL, tags=("multimodal", "pandas_udf"))
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2x block-mean downsample of the payload viewed as a 32-wide byte
-    raster: one output row per 2x2 block (count + exact-integer mean) —
-    the image-resize kernel shape, computed inside the Arrow batch.
+    """REAL decode -> resample -> encode -> decode on the hash path: each
+    document's genuine 16x16 BMP is decoded, nearest-neighbor downsampled
+    to 8x8, RE-ENCODED as a valid BMP (operators/multimodal.resize), and
+    decoded AGAIN by decode_features — so the emitted channel means and
+    decoded-pixel md5 certify the full round trip, not just one parse.
+    The oracle computes every output pixel from the generator formula via
+    the same integer nearest-neighbor map.
 
     Scale: per-payload work stays in the pandas closure (no per-pixel
-    explode shuffle); a real resizer (PIL/opencv) swaps into the same
-    closure with the same 1->N row contract."""
+    explode shuffle); a filtering resampler (PIL/opencv) swaps into the
+    same closure with the same contract."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _RESIZE_DOCS)
-    media = attach_payload(docs)
-
-    def _resize(it):
-        import pandas as _pd
-
-        for pdf in it:
-            rows = {"doc_id": [], "orow": [], "ocol": [], "n_px": [], "mean_px": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                blocks = {}
-                for i, v in enumerate(b):
-                    key = ((i // _RASTER_W) // 2, (i % _RASTER_W) // 2)
-                    s, n = blocks.get(key, (0, 0))
-                    blocks[key] = (s + v, n + 1)
-                for (orow, ocol), (s, n) in sorted(blocks.items()):
-                    rows["doc_id"].append(doc_id)
-                    rows["orow"].append(orow)
-                    rows["ocol"].append(ocol)
-                    rows["n_px"].append(n)
-                    rows["mean_px"].append(s / n)
-            yield _pd.DataFrame(rows)
-
-    out = media.mapInPandas(
-        _resize, "doc_id bigint, orow bigint, ocol bigint, n_px bigint, mean_px double"
-    )
-    return out.orderBy("doc_id", "orow", "ocol")
+    media = attach_bmp_payload(docs, _BMP_W, _BMP_H)
+    small = resize(media, _RSZ_W, _RSZ_H).select("doc_id", "media_type", "payload")
+    feats = decode_features(small)
+    return feats.select(
+        "doc_id",
+        F.lit(_RSZ_W).cast("bigint").alias("width"),
+        F.lit(_RSZ_H).cast("bigint").alias("height"),
+        "checksum",
+        F.col("feat")[0].alias("mean_r"),
+        F.col("feat")[3].alias("mean_all"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ import datetime as _dt
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -367,13 +368,64 @@ class Dataset:
                 return json.load(fh)
         return {}
 
+    def _file_lock(self, target: str):
+        """Exclusive lock file guarding a read-modify-write of ``target``
+        (refs / branch-kind markers): O_CREAT|O_EXCL acquisition, crashed
+        holders reclaimed after a 1s staleness horizon, and the retry
+        budget (8s) EXCEEDS that horizon so reclamation always fires
+        in-call. Context manager; raises ConflictError on exhaustion."""
+        import contextlib
+        import time as _time
+
+        lock = target + ".lock"
+
+        @contextlib.contextmanager
+        def _held():
+            for _ in range(800):
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:  # crashed holder: the critical section is micros
+                        if _time.time() - os.path.getmtime(lock) > 1.0:
+                            os.remove(lock)
+                            continue
+                    except OSError:
+                        pass
+                    _time.sleep(0.01)
+            else:
+                raise ConflictError(f"{os.path.basename(target)} is locked; retry")
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+        return _held()
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        """Atomic refs write (temp + rename): a concurrent reader sees the
+        old file or the new one, never torn JSON — a torn read surfaces as
+        json.JSONDecodeError, which is a ValueError subclass that callers
+        legitimately treat as a benign race (the r7 storm caught a branch
+        append whose data committed but whose ref write tore)."""
+        tmp = self._refs_path + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._refs_path)
+
     def _set_ref(self, name: str, version: int) -> None:
         """Raw ref write (shared by tag creation and branch auto-advance —
-        the kind policy lives in the public faces, not here)."""
-        refs = self._refs()
-        refs[name] = version
-        with open(self._refs_path, "w") as fh:
-            json.dump(refs, fh, indent=1, sort_keys=True)
+        the kind policy lives in the public faces, not here). Serialized:
+        an unlocked read-modify-write would let two concurrent ref updates
+        (tag here, branch advance there) silently drop one of the two."""
+        with self._file_lock(self._refs_path):
+            refs = self._refs()
+            refs[name] = version
+            self._write_refs(refs)
 
     def tag(self, name: str, version: int | None = None) -> None:
         """Named version pointer (reference: tags.go:9-32). Refuses names
@@ -409,54 +461,27 @@ class Dataset:
         return set()
 
     def _mark_branch(self, name: str, add: bool = True) -> None:
-        """Kind-mark update: serialized by a lock file (two concurrent
-        branch() calls must not lose each other's marks) and written via
-        temp+rename so concurrent readers never see a torn file."""
-        import time as _time
-
-        lock = self._branches_path + ".lock"
-        # retry budget (800 x 10ms = 8s) must EXCEED the stale-lock horizon
-        # (1s) or a crashed holder's lock could never be reclaimed in-call
-        # and every branch()/delete_tag() would raise until it aged out;
-        # the critical section is microseconds, so 1s staleness is already
-        # hundreds of times the legitimate hold time
-        for _ in range(800):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:  # crashed holder
-                    if _time.time() - os.path.getmtime(lock) > 1.0:
-                        os.remove(lock)
-                        continue
-                except OSError:
-                    pass
-                _time.sleep(0.01)
-        else:
-            raise ConflictError("branch-kind marker is locked; retry")
-        try:
+        """Kind-mark update: serialized by the shared lock helper (two
+        concurrent branch() calls must not lose each other's marks) and
+        written via temp+rename so concurrent readers never see a torn
+        file."""
+        with self._file_lock(self._branches_path):
             names = self._branch_names()
             (names.add if add else names.discard)(name)
-            tmp = self._branches_path + ".tmp"
+            tmp = self._branches_path + f".tmp.{os.getpid()}.{threading.get_ident()}"
             with open(tmp, "w") as fh:
                 json.dump(sorted(names), fh)
             os.replace(tmp, self._branches_path)
-        finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
 
     def delete_tag(self, name: str) -> None:
         """Remove a named ref (sdk/dataset.go DeleteTag); the version it
         pinned becomes vacuum-eligible again."""
-        refs = self._refs()
-        if name not in refs:
-            raise ValueError(f"no tag named {name!r}")
-        del refs[name]
-        with open(self._refs_path, "w") as fh:
-            json.dump(refs, fh, indent=1, sort_keys=True)
+        with self._file_lock(self._refs_path):
+            refs = self._refs()
+            if name not in refs:
+                raise ValueError(f"no tag named {name!r}")
+            del refs[name]
+            self._write_refs(refs)
         if name in self._branch_names():
             self._mark_branch(name, add=False)
 
@@ -552,12 +577,23 @@ class Dataset:
             new_m = self._apply(txn, base, read_m)
             try:
                 self._commit_new(new_m)
-                self._manifest = new_m
-                if self._branch:
-                    self._set_ref(self._branch, new_m.version)
-                return
             except FileExistsError:
                 base = self._load(self._latest_version())
+                continue
+            self._manifest = new_m
+            if self._branch:
+                # the data commit already LANDED: a ref-advance failure
+                # here must not masquerade as a "nothing happened" race
+                # (ConflictError/ValueError), or the caller retries the
+                # whole write and double-appends
+                try:
+                    self._set_ref(self._branch, new_m.version)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"commit v{new_m.version} landed but branch "
+                        f"{self._branch!r} could not advance: {e}"
+                    ) from e
+            return
 
     def _apply(self, txn: _Txn, base: Manifest, read_m: Manifest) -> Manifest:
         if txn.op == "overwrite" and base.version != txn.read_version:

@@ -355,22 +355,32 @@ class Engine:
         primary_key: list[str] | None = None,
         column_defaults: dict[str, str] | None = None,
         enforce_constraints: bool = False,
+        unique: list[list[str]] | None = None,
+        not_null: list[str] | None = None,
+        checks: list[str] | None = None,
     ) -> Dataset:
         """CREATE TABLE (reference builder_ddl.go:92). ``schema_ddl`` is a
-        Spark DDL string ("a INT, b STRING"). PRIMARY KEY is recorded as
-        metadata; by default it is UNENFORCED, same stance as Spark/the
-        lakehouse model (at 100 TB enforced uniqueness costs a shuffle per
-        insert). ``enforce_constraints=True`` (SQL: a trailing
+        Spark DDL string ("a INT, b STRING"). Constraints — PRIMARY KEY,
+        UNIQUE sets, NOT NULL columns, CHECK expressions (the reference's
+        full constraint surface, table_constraint.go:10-16) — are recorded
+        as metadata; by default they are UNENFORCED, same stance as Spark/
+        the lakehouse model (at 100 TB enforced uniqueness costs a key
+        join per insert). ``enforce_constraints=True`` (SQL: a trailing
         ``WITH (ENFORCE)``) opts into the reference's behavior — its ART
         index rejects duplicate-key INSERTs (pkg/storage/index.go:329):
-        every INSERT/COPY/MERGE-insert then validates NULL-free keys,
-        intra-batch uniqueness, and no collision with existing rows, and
-        raises IntegrityError. Validation is a distributed anti-join
-        against the target's CURRENT snapshot (AQE broadcasts the small
-        side), giving Delta-CHECK-class guarantees: sound under snapshot
-        isolation for any single writer; two simultaneous enforced inserts
-        of the same key are serialized only by the commit protocol's
-        append ordering, not re-validated at commit."""
+        every INSERT/COPY/MERGE-insert then validates NULL-free PK,
+        intra-batch + vs-existing uniqueness for the PK and every UNIQUE
+        set (SQL semantics: rows with a NULL key component are exempt from
+        UNIQUE, never from PK), NOT NULL columns, and CHECK expressions
+        (violated only when the predicate is FALSE — UNKNOWN passes, per
+        the standard); UPDATE re-validates NOT NULL + CHECK on the
+        post-assignment rows. All raise IntegrityError. Validation is a
+        distributed anti-join against the target's CURRENT snapshot (AQE
+        broadcasts the small side), giving Delta-CHECK-class guarantees:
+        sound under snapshot isolation for any single writer; two
+        simultaneous enforced inserts of the same key are serialized only
+        by the commit protocol's append ordering, not re-validated at
+        commit."""
         if schema not in self._catalog["schemas"]:
             raise ValueError(f"schema {schema!r} does not exist (CREATE SCHEMA first)")
         if name in self._catalog["schemas"][schema]["tables"]:
@@ -382,13 +392,26 @@ class Engine:
                 f"table name {name!r} uses the reserved __tt__ namespace "
                 "(time-travel snapshot views)"
             )
-        if enforce_constraints and not primary_key:
+        if enforce_constraints and not (
+            primary_key or unique or not_null or checks
+        ):
             # validate BEFORE Dataset.create: raising after the directory
             # exists would brick the name (catalog never registered, but
             # create refuses the non-empty path) until manual deletion
-            raise ValueError("WITH (ENFORCE) requires a PRIMARY KEY")
+            raise ValueError(
+                "WITH (ENFORCE) requires at least one constraint "
+                "(PRIMARY KEY / UNIQUE / NOT NULL / CHECK)"
+            )
         root = os.path.join(self.warehouse, schema, name)
         struct = StructType.fromDDL(schema_ddl)
+        known = {f.name for f in struct.fields}
+        for cols in [primary_key or []] + list(unique or []):
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(f"constraint references unknown columns {bad}")
+        bad = [c for c in (not_null or []) if c not in known]
+        if bad:
+            raise ValueError(f"NOT NULL references unknown columns {bad}")
         empty = self.spark.createDataFrame([], struct)
         # stable row ids on every SQL table (reference rowids.go — core
         # storage2, not an option there): Range segments cost zero storage
@@ -403,6 +426,9 @@ class Engine:
             "root": root,
             "primary_key": primary_key or [],
             "enforce_pk": bool(enforce_constraints),
+            "unique": [list(u) for u in (unique or [])],
+            "not_null": list(not_null or []),
+            "checks": list(checks or []),
         }
         self._save_catalog()
         return ds
@@ -460,40 +486,82 @@ class Engine:
         cast = df.select(
             *[df[f.name].cast(f.dataType) for f in ds.schema.fields]
         )
-        self._check_pk(name, schema, ds, cast)
+        self._check_constraints(name, schema, ds, cast)
         ds.append(cast)
 
-    def _check_pk(self, name: str, schema: str, ds: Dataset, batch: DataFrame) -> None:
-        """Opt-in PRIMARY KEY validation before an append (reference: the
-        ART index per unique constraint rejects violations with "duplicate
-        key", pkg/storage/index.go:329). Three checks, each a bounded
-        distributed job that short-circuits at the first witness (limit 1):
-        NULL key components, intra-batch duplicates, and collision with the
-        target ref's current rows. The existing-vs-batch probe is a plain
-        inner join on the key columns so AQE broadcasts whichever side is
-        small — a point INSERT never shuffles the table, a 1 TB COPY never
-        tries to broadcast itself."""
-        entry = self._entry(name.partition("@")[0], schema)
-        pk = entry.get("primary_key") or []
-        if not pk or not entry.get("enforce_pk"):
-            return
-        self._check_pk_frames(name, pk, ds.to_df(), batch)
-
-    def _check_pk_frames(
-        self, name: str, pk: list[str], existing: DataFrame, batch: DataFrame
+    def _check_constraints(
+        self, name: str, schema: str, ds: Dataset, batch: DataFrame
     ) -> None:
-        keys = batch.select(*pk)
+        """Opt-in constraint validation before an append (reference: the
+        ART index per unique constraint rejects violations with "duplicate
+        key", pkg/storage/index.go:329; the declared surface is
+        table_constraint.go:10-16 — NOT NULL / CHECK / UNIQUE / PK). Each
+        check is a bounded distributed job that short-circuits at the
+        first witness (limit 1). The existing-vs-batch key probe is a
+        plain inner join so AQE broadcasts whichever side is small — a
+        point INSERT never shuffles the table, a 1 TB COPY never tries to
+        broadcast itself."""
+        entry = self._entry(name.partition("@")[0], schema)
+        if not entry.get("enforce_pk"):
+            return
+        self._check_row_constraints(name, entry, batch)
+        pk = entry.get("primary_key") or []
+        uniques = entry.get("unique") or []
+        if not pk and not uniques:
+            return
+        existing = ds.to_df()
+        if pk:
+            self._check_key_frames(name, pk, existing, batch, kind="PRIMARY KEY")
+        for u in uniques:
+            self._check_key_frames(name, u, existing, batch, kind="UNIQUE")
+
+    def _check_row_constraints(self, name: str, entry: dict, batch: DataFrame) -> None:
+        """NOT NULL + CHECK over one batch of candidate rows (also run on
+        UPDATE's post-assignment rows). CHECK is violated only when the
+        predicate is FALSE — NULL/UNKNOWN passes, per the SQL standard."""
+        for c in entry.get("not_null") or []:
+            if c not in batch.columns:
+                continue
+            bad = batch.filter(F.col(c).isNull()).limit(1).count()
+            if bad:
+                raise IntegrityError(f"NULL in NOT NULL column {c!r} of {name}")
+        for chk in entry.get("checks") or []:
+            bad = (
+                batch.filter(~F.coalesce(F.expr(chk), F.lit(True)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise IntegrityError(
+                    f"CHECK ({chk}) violated on {name}: {tuple(bad[0])}"
+                )
+
+    def _check_key_frames(
+        self,
+        name: str,
+        cols: list[str],
+        existing: DataFrame,
+        batch: DataFrame,
+        kind: str = "PRIMARY KEY",
+    ) -> None:
+        keys = batch.select(*cols)
         null_pred = None
-        for c in pk:
+        for c in cols:
             p = F.col(c).isNull()
             null_pred = p if null_pred is None else (null_pred | p)
-        bad = keys.filter(null_pred).limit(1).collect()
-        if bad:
-            raise IntegrityError(
-                f"NULL in PRIMARY KEY {tuple(pk)} of {name}: {tuple(bad[0])}"
-            )
+        if kind == "PRIMARY KEY":
+            bad = keys.filter(null_pred).limit(1).collect()
+            if bad:
+                raise IntegrityError(
+                    f"NULL in PRIMARY KEY {tuple(cols)} of {name}: {tuple(bad[0])}"
+                )
+        else:
+            # SQL UNIQUE: rows with a NULL key component never collide
+            # (NULLs are distinct) — exempt them BEFORE the group count,
+            # which would otherwise group NULLs together and false-positive
+            keys = keys.filter(~null_pred)
         dup = (
-            keys.groupBy(*pk)
+            keys.groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1)
             .limit(1)
@@ -502,19 +570,19 @@ class Engine:
         if dup:
             raise IntegrityError(
                 f"duplicate key in INSERT batch for {name} "
-                f"PRIMARY KEY {tuple(pk)}: {tuple(dup[0])[:-1]}"
+                f"{kind} {tuple(cols)}: {tuple(dup[0])[:-1]}"
             )
         hit = (
             existing
-            .select(*pk)
-            .join(keys.distinct(), on=pk, how="inner")
+            .select(*cols)
+            .join(keys.distinct(), on=cols, how="inner")
             .limit(1)
             .collect()
         )
         if hit:
             raise IntegrityError(
                 f"duplicate key: {name} already contains "
-                f"PRIMARY KEY {tuple(pk)} = {tuple(hit[0])}"
+                f"{kind} {tuple(cols)} = {tuple(hit[0])}"
             )
 
     def create_view(
@@ -1112,12 +1180,23 @@ class Engine:
             p.end()
             schema_name = schema_name or "main"
             cols, pk = [], []
+            uniques: list[list[str]] = []
+            not_null: list[str] = []
+            checks: list[str] = []
             defaults: dict[str, str] = {}
             for part in _split_top_level_commas(body):
                 part = part.strip()
                 pm = re.match(r"(?is)^PRIMARY\s+KEY\s*\((.*)\)$", part)
                 if pm:
                     pk = [c.strip() for c in pm.group(1).split(",")]
+                    continue
+                um = re.match(r"(?is)^UNIQUE\s*\((.*)\)$", part)
+                if um:
+                    uniques.append([c.strip() for c in um.group(1).split(",")])
+                    continue
+                km = re.match(r"(?is)^CHECK\s*\((.*)\)$", part)
+                if km:
+                    checks.append(km.group(1).strip())
                     continue
                 # DEFAULT expr (builder_ddl.go declared defaults): recorded
                 # in the manifest, consumed by INSERT column-list resolution
@@ -1134,14 +1213,26 @@ class Engine:
                 if dm:
                     dval = dm.group(1).strip()
                     part = (part[: dm.start()] + " " + part[dm.end():]).strip()
-                cm = re.match(r"(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY|\s+NOT\s+NULL)*$", part)
+                cm = re.match(
+                    r"(?is)^(\w+)\s+(.+?)"
+                    r"(\s+PRIMARY\s+KEY|\s+NOT\s+NULL|\s+UNIQUE)*$",
+                    part,
+                )
                 if cm is None:
                     raise ValueError(f"unsupported column definition: {part!r}")
                 colname, coltype = cm.group(1), cm.group(2)
+                # attribute keywords live AFTER the type text — search only
+                # there, so a nested type like struct<unique:int> can never
+                # fake a constraint
+                attrs = part[cm.end(2):]
                 if dval is not None:
                     defaults[colname] = dval
-                if re.search(r"(?i)PRIMARY\s+KEY", part):
+                if re.search(r"(?i)PRIMARY\s+KEY", attrs):
                     pk.append(colname)
+                elif re.search(r"(?i)\bUNIQUE\b", attrs):
+                    uniques.append([colname])
+                if re.search(r"(?i)NOT\s+NULL", attrs):
+                    not_null.append(colname)
                 cols.append(f"{colname} {coltype}")
             self.create_table(
                 name,
@@ -1150,6 +1241,9 @@ class Engine:
                 primary_key=pk or None,
                 column_defaults=defaults or None,
                 enforce_constraints=enforce,
+                unique=uniques or None,
+                not_null=not_null or None,
+                checks=checks or None,
             )
             return
         raise ValueError(f"unsupported CREATE statement: {s[:120]!r}")
@@ -1430,11 +1524,11 @@ class Engine:
                 raise q.error("expected INSERT * / DO NOTHING")
         entry = self._entry(tgt, "main")
         pk = entry.get("primary_key") or []
-        if pk and entry.get("enforce_pk"):
+        if entry.get("enforce_pk"):
             # matched-UPDATE can only move a PK column when ON doesn't pin
             # it (ON k = k makes SET pk = s.pk a no-op); refuse the case
             # that could silently mint duplicates
-            touches_pk = when_matched == "update" and (
+            touches_pk = pk and when_matched == "update" and (
                 update_columns is None or any(c in update_columns for c in pk)
             )
             if touches_pk and not set(pk) <= set(keys):
@@ -1442,7 +1536,7 @@ class Engine:
                     f"MERGE into enforced table {tgt} may reassign PRIMARY "
                     f"KEY {tuple(pk)} columns only when ON covers the key"
                 )
-            if when_matched == "update":
+            if (pk or entry.get("unique")) and when_matched == "update":
                 # matched-UPDATE is a left join on the ON keys: duplicate
                 # source keys FAN OUT the matched target row (dataset.py
                 # merge_insert), minting duplicate PK rows — refuse before
@@ -1468,8 +1562,15 @@ class Engine:
                 # ON == PK already guarantees no collision with existing
                 # rows (inserts are the anti-join) — but NULL-free and
                 # intra-source uniqueness still need the checks; for
-                # ON != PK the full three-way validation applies
-                self._check_pk_frames(tgt, pk, tdf, inserts)
+                # ON != PK the full three-way validation applies, and
+                # UNIQUE sets + NOT NULL + CHECK validate the insert frame
+                self._check_row_constraints(tgt, entry, inserts)
+                if pk:
+                    self._check_key_frames(
+                        tgt, pk, tdf, inserts, kind="PRIMARY KEY"
+                    )
+                for u in entry.get("unique") or []:
+                    self._check_key_frames(tgt, u, tdf, inserts, kind="UNIQUE")
         self.dataset(tgt).merge_insert(
             source, keys, when_matched=when_matched,
             when_not_matched=when_not_matched, update_columns=update_columns,
@@ -1522,15 +1623,28 @@ class Engine:
             col, expr = a.split("=", 1)
             assignments[col.strip()] = expr.strip()
         entry = self._entry(name.partition("@")[0], "main")
-        pk = entry.get("primary_key") or []
-        if pk and entry.get("enforce_pk") and any(c in assignments for c in pk):
-            # conservative: reassigning a key column could mint duplicates
-            # mid-rewrite; the reference re-indexes under its MVCC lock —
-            # here the supported path is DELETE + INSERT (each validated)
-            raise IntegrityError(
-                f"UPDATE on enforced table {name} may not reassign "
-                f"PRIMARY KEY {tuple(pk)} columns (DELETE + INSERT instead)"
-            )
+        if entry.get("enforce_pk"):
+            keyed = (entry.get("primary_key") or []) + [
+                c for u in (entry.get("unique") or []) for c in u
+            ]
+            hit = [c for c in keyed if c in assignments]
+            if hit:
+                # conservative: reassigning a key column could mint
+                # duplicates mid-rewrite; the reference re-indexes under
+                # its MVCC lock — here the supported path is
+                # DELETE + INSERT (each validated)
+                raise IntegrityError(
+                    f"UPDATE on enforced table {name} may not reassign "
+                    f"key columns {hit} (DELETE + INSERT instead)"
+                )
+            if entry.get("not_null") or entry.get("checks"):
+                # validate the POST-assignment rows (limit-1 witness jobs)
+                # before the copy-on-write commit
+                ds = self._dataset_ref(name)
+                updated = ds.to_df().filter(F.expr(pred))
+                for col, expr in assignments.items():
+                    updated = updated.withColumn(col, F.expr(expr))
+                self._check_row_constraints(name, entry, updated)
         self._dataset_ref(name).update(assignments, pred)
 
     def _stmt_meta(self, s: str) -> DataFrame:
@@ -1570,17 +1684,24 @@ class Engine:
             entry = self._entry(tbl, schema_name)
             ds = Dataset.open(self.spark, entry["root"])
             defaults = ds.manifest.column_defaults
+            nn = set(entry.get("not_null") or [])
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
-                + ("" if f.nullable else " NOT NULL")
+                + ("" if f.nullable and f.name not in nn else " NOT NULL")
                 + (f" DEFAULT {defaults[f.name]}" if f.name in defaults else "")
                 for f in ds.schema.fields
             )
             pk = entry.get("primary_key") or []
-            pk_clause = f",\n  PRIMARY KEY ({', '.join(pk)})" if pk else ""
+            extras = ""
+            if pk:
+                extras += f",\n  PRIMARY KEY ({', '.join(pk)})"
+            for u in entry.get("unique") or []:
+                extras += f",\n  UNIQUE ({', '.join(u)})"
+            for chk in entry.get("checks") or []:
+                extras += f",\n  CHECK ({chk})"
             qual = tbl if schema_name == "main" else f"{schema_name}.{tbl}"
             enf = " WITH (ENFORCE)" if entry.get("enforce_pk") else ""
-            ddl = f"CREATE TABLE {qual} (\n  {cols}{pk_clause}\n){enf}"
+            ddl = f"CREATE TABLE {qual} (\n  {cols}{extras}\n){enf}"
             return self.spark.createDataFrame(
                 [(tbl, ddl)], "table_name string, create_stmt string"
             )

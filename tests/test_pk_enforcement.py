@@ -1,10 +1,13 @@
-"""Opt-in PRIMARY KEY enforcement (reference: the ART index per unique
-constraint rejects violating INSERTs with "duplicate key",
-pkg/storage/index.go:329; constraint declarations table_constraint.go:12-51,
-table.go:283-284). Default stays metadata-only (lakehouse stance); a table
-created WITH (ENFORCE) / enforce_constraints=True validates NULL-free keys,
-intra-batch uniqueness, and no collision with existing rows on every
-INSERT / COPY / MERGE-insert path, raising IntegrityError."""
+"""Opt-in constraint enforcement — the reference's full declared surface
+(NOT NULL / CHECK / UNIQUE / PRIMARY KEY, table_constraint.go:10-16; its
+ART index rejects violating INSERTs with "duplicate key",
+pkg/storage/index.go:329). Default stays metadata-only (lakehouse stance);
+a table created WITH (ENFORCE) / enforce_constraints=True validates
+NULL-free PK, intra-batch + vs-existing uniqueness for PK and UNIQUE sets
+(NULL components exempt from UNIQUE per SQL), NOT NULL columns, and CHECK
+expressions (FALSE violates, UNKNOWN passes) on every INSERT / COPY /
+MERGE path, with UPDATE re-validating post-assignment rows — all raising
+IntegrityError."""
 
 from __future__ import annotations
 
@@ -64,7 +67,7 @@ def test_unenforced_pk_still_permissive(engine):
 
 
 def test_enforce_requires_pk(engine):
-    with pytest.raises(ValueError, match="requires a PRIMARY KEY"):
+    with pytest.raises(ValueError, match="requires at least one constraint"):
         engine.sql("CREATE TABLE nopk (a INT) WITH (ENFORCE)")
     # the failed create must not brick the name (validation runs BEFORE
     # the dataset directory is written — r7 review finding)
@@ -167,6 +170,119 @@ def test_show_create_table_round_trips_enforce(engine):
     engine.sql("INSERT INTO t VALUES (1, 'a')")
     with pytest.raises(IntegrityError):
         engine.sql("INSERT INTO t VALUES (1, 'dup')")
+
+
+def test_unique_constraint(engine):
+    """UNIQUE enforces like PK but with SQL NULL semantics: rows carrying a
+    NULL key component never collide (NULLs are distinct)."""
+    engine.sql(
+        "CREATE TABLE uq (k INT PRIMARY KEY, email STRING UNIQUE) WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO uq VALUES (1, 'a@x'), (2, NULL), (3, NULL)")
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("INSERT INTO uq VALUES (4, 'a@x')")
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("INSERT INTO uq VALUES (5, 'b@x'), (6, 'b@x')")
+    engine.sql("INSERT INTO uq VALUES (7, NULL)")  # more NULLs: legal
+    assert engine.sql("SELECT COUNT(*) AS n FROM uq").collect()[0].n == 4
+
+
+def test_table_level_unique_composite(engine):
+    engine.sql(
+        "CREATE TABLE uq2 (k INT PRIMARY KEY, a INT, b INT, UNIQUE (a, b))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO uq2 VALUES (1, 1, 1), (2, 1, 2)")
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("INSERT INTO uq2 VALUES (3, 1, 2)")
+    engine.sql("INSERT INTO uq2 VALUES (4, 2, 2), (5, 1, NULL), (6, 1, NULL)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM uq2").collect()[0].n == 5
+
+
+def test_not_null_constraint(engine):
+    engine.sql(
+        "CREATE TABLE nn (k INT PRIMARY KEY, v STRING NOT NULL) WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO nn VALUES (1, 'a')")
+    with pytest.raises(IntegrityError, match="NOT NULL column 'v'"):
+        engine.sql("INSERT INTO nn VALUES (2, NULL)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM nn").collect()[0].n == 1
+
+
+def test_check_constraint(engine):
+    """CHECK violated only when FALSE — NULL operands pass (SQL standard)."""
+    engine.sql(
+        "CREATE TABLE ck2 (k INT PRIMARY KEY, qty INT, CHECK (qty > 0))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO ck2 VALUES (1, 5), (2, NULL)")  # NULL: UNKNOWN passes
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("INSERT INTO ck2 VALUES (3, 0)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ck2").collect()[0].n == 2
+
+
+def test_update_revalidates_row_constraints(engine):
+    engine.sql(
+        "CREATE TABLE up (k INT PRIMARY KEY, qty INT NOT NULL, CHECK (qty < 100))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO up VALUES (1, 10), (2, 50)")
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("UPDATE up SET qty = qty * 3 WHERE k = 2")  # 150 > 100
+    with pytest.raises(IntegrityError, match="NOT NULL"):
+        engine.sql("UPDATE up SET qty = NULL WHERE k = 1")
+    engine.sql("UPDATE up SET qty = qty + 1 WHERE k = 1")  # legal
+    assert engine.sql("SELECT qty FROM up WHERE k = 1").collect()[0].qty == 11
+    # unique-set columns may not be reassigned either
+    engine.sql(
+        "CREATE TABLE up2 (k INT PRIMARY KEY, e STRING UNIQUE) WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO up2 VALUES (1, 'a')")
+    with pytest.raises(IntegrityError, match="may not reassign"):
+        engine.sql("UPDATE up2 SET e = 'b' WHERE k = 1")
+
+
+def test_merge_insert_validates_unique_and_checks(engine):
+    engine.sql(
+        "CREATE TABLE mg (k INT PRIMARY KEY, e STRING UNIQUE, CHECK (k < 1000))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO mg VALUES (1, 'a')")
+    engine.sql("CREATE TABLE mgsrc (k INT, e STRING)")
+    engine.sql("INSERT INTO mgsrc VALUES (2, 'a')")  # new k, duplicate e
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("MERGE INTO mg USING mgsrc ON k WHEN NOT MATCHED THEN INSERT *")
+    engine.sql("CREATE TABLE mgsrc2 (k INT, e STRING)")
+    engine.sql("INSERT INTO mgsrc2 VALUES (2000, 'z')")  # violates CHECK
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("MERGE INTO mg USING mgsrc2 ON k WHEN NOT MATCHED THEN INSERT *")
+    assert engine.sql("SELECT COUNT(*) AS n FROM mg").collect()[0].n == 1
+
+
+def test_show_create_round_trips_all_constraints(engine):
+    engine.sql(
+        "CREATE TABLE rt (k INT PRIMARY KEY, e STRING UNIQUE, "
+        "q INT NOT NULL, CHECK (q >= 0)) WITH (ENFORCE)"
+    )
+    ddl = engine.sql("SHOW CREATE TABLE rt").collect()[0].create_stmt
+    assert "UNIQUE (e)" in ddl and "CHECK (q >= 0)" in ddl
+    assert "q INT NOT NULL" in ddl and "WITH (ENFORCE)" in ddl
+    engine.sql("DROP TABLE rt")
+    engine.sql(ddl)  # the emitted DDL parses and re-creates equivalently
+    engine.sql("INSERT INTO rt VALUES (1, 'a', 5)")
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("INSERT INTO rt VALUES (2, 'a', 5)")
+    with pytest.raises(IntegrityError, match="NOT NULL"):
+        engine.sql("INSERT INTO rt VALUES (3, 'c', NULL)")
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("INSERT INTO rt VALUES (4, 'd', -1)")
+
+
+def test_unenforced_constraints_stay_metadata(engine):
+    """Without ENFORCE, UNIQUE/NOT NULL/CHECK record but never reject."""
+    engine.sql("CREATE TABLE meta1 (k INT PRIMARY KEY, e STRING UNIQUE, CHECK (k > 0))")
+    engine.sql("INSERT INTO meta1 VALUES (-1, 'a'), (-1, 'a')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM meta1").collect()[0].n == 2
 
 
 def test_branch_targeted_insert_validates(engine):

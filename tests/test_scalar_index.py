@@ -590,7 +590,7 @@ def test_refresh_index_sql_face(spark):
     assert not eng.dataset("rt_t").index_fresh("ki")
     eng.sql("REFRESH INDEX ki ON rt_t")
     assert eng.dataset("rt_t").index_fresh("ki")
-    with pytest.raises(ValueError, match="unsupported REFRESH"):
+    with pytest.raises(ValueError, match="expected INDEX"):
         eng.sql("REFRESH TABLE rt_t")
 
 

@@ -358,6 +358,7 @@ class Engine:
         unique: list[list[str]] | None = None,
         not_null: list[str] | None = None,
         checks: list[str] | None = None,
+        foreign_keys: list[dict] | None = None,
     ) -> Dataset:
         """CREATE TABLE (reference builder_ddl.go:92). ``schema_ddl`` is a
         Spark DDL string ("a INT, b STRING"). Constraints — PRIMARY KEY,
@@ -393,14 +394,14 @@ class Engine:
                 "(time-travel snapshot views)"
             )
         if enforce_constraints and not (
-            primary_key or unique or not_null or checks
+            primary_key or unique or not_null or checks or foreign_keys
         ):
             # validate BEFORE Dataset.create: raising after the directory
             # exists would brick the name (catalog never registered, but
             # create refuses the non-empty path) until manual deletion
             raise ValueError(
                 "WITH (ENFORCE) requires at least one constraint "
-                "(PRIMARY KEY / UNIQUE / NOT NULL / CHECK)"
+                "(PRIMARY KEY / UNIQUE / NOT NULL / CHECK / FOREIGN KEY)"
             )
         root = os.path.join(self.warehouse, schema, name)
         struct = StructType.fromDDL(schema_ddl)
@@ -412,6 +413,39 @@ class Engine:
         bad = [c for c in (not_null or []) if c not in known]
         if bad:
             raise ValueError(f"NOT NULL references unknown columns {bad}")
+        fks: list[dict] = []
+        for fk in foreign_keys or []:
+            cols = list(fk["columns"])
+            ref_table = fk["ref_table"]
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(f"FOREIGN KEY references unknown columns {bad}")
+            if ref_table == name:
+                ref_fields = known  # self-referential FK (org charts etc.)
+                parent_pk = primary_key or []
+            else:
+                parent = self._entry(ref_table, "main")  # must exist, like any engine
+                pschema = Dataset.open(self.spark, parent["root"]).schema
+                ref_fields = {f.name for f in pschema.fields}
+                parent_pk = parent.get("primary_key") or []
+            ref_cols = list(fk.get("ref_columns") or parent_pk)
+            if not ref_cols:
+                raise ValueError(
+                    f"FOREIGN KEY REFERENCES {ref_table} needs explicit "
+                    "columns (the parent declares no PRIMARY KEY)"
+                )
+            bad = [c for c in ref_cols if c not in ref_fields]
+            if bad:
+                raise ValueError(
+                    f"FOREIGN KEY references unknown {ref_table} columns {bad}"
+                )
+            if len(cols) != len(ref_cols):
+                raise ValueError(
+                    f"FOREIGN KEY column count mismatch: {cols} vs {ref_cols}"
+                )
+            fks.append(
+                {"columns": cols, "ref_table": ref_table, "ref_columns": ref_cols}
+            )
         empty = self.spark.createDataFrame([], struct)
         # stable row ids on every SQL table (reference rowids.go — core
         # storage2, not an option there): Range segments cost zero storage
@@ -429,6 +463,7 @@ class Engine:
             "unique": [list(u) for u in (unique or [])],
             "not_null": list(not_null or []),
             "checks": list(checks or []),
+            "foreign_keys": fks,
         }
         self._save_catalog()
         return ds
@@ -448,6 +483,22 @@ class Engine:
                 f"cannot drop table {name!r}: view(s) {deps} reference it "
                 "(DROP VIEW first)"
             )
+        if schema == "main":
+            fk_deps = [
+                cname
+                for cname, centry in self._catalog["schemas"]["main"]["tables"].items()
+                if cname != name
+                and centry.get("enforce_pk")
+                and any(
+                    fk["ref_table"] == name
+                    for fk in centry.get("foreign_keys") or []
+                )
+            ]
+            if fk_deps:
+                raise ValueError(
+                    f"cannot drop table {name!r}: enforced FOREIGN KEYs in "
+                    f"{fk_deps} reference it (DROP those tables first)"
+                )
         shutil.rmtree(entry["root"], ignore_errors=True)
         del self._catalog["schemas"][schema]["tables"][name]
         self._save_catalog()
@@ -505,6 +556,7 @@ class Engine:
         if not entry.get("enforce_pk"):
             return
         self._check_row_constraints(name, entry, batch)
+        self._check_foreign_keys(name.partition("@")[0], entry, batch)
         pk = entry.get("primary_key") or []
         uniques = entry.get("unique") or []
         if not pk and not uniques:
@@ -514,6 +566,87 @@ class Engine:
             self._check_key_frames(name, pk, existing, batch, kind="PRIMARY KEY")
         for u in uniques:
             self._check_key_frames(name, u, existing, batch, kind="UNIQUE")
+
+    def _check_foreign_keys(self, base: str, entry: dict, batch: DataFrame) -> None:
+        """Child-side FK validation (MATCH SIMPLE: rows with any NULL FK
+        component are exempt): every complete FK tuple in the batch must
+        exist in the parent's current snapshot — one anti-join witness
+        probe per declared key (the parent key side is typically its PK,
+        small relative to a fact batch; AQE broadcasts whichever side is
+        small). Self-referential keys validate against parent UNION batch
+        so a manager and their report may arrive in one INSERT."""
+        for fk in entry.get("foreign_keys") or []:
+            cols, ref_table = fk["columns"], fk["ref_table"]
+            ref_cols = fk["ref_columns"]
+            tuples = batch.select(
+                *[F.col(c).alias(r) for c, r in zip(cols, ref_cols)]
+            )
+            pred = None
+            for r in ref_cols:
+                p = F.col(r).isNull()
+                pred = p if pred is None else (pred | p)
+            tuples = tuples.filter(~pred).distinct()
+            parent_df = self.dataset(ref_table).to_df().select(*ref_cols)
+            if ref_table == base:
+                # the batch's KEY values become parent rows on commit —
+                # union them so a manager and their report can arrive in
+                # one INSERT (the batch's key side, NOT its FK side)
+                parent_df = parent_df.unionByName(batch.select(*ref_cols))
+            orphan = tuples.join(parent_df, on=ref_cols, how="left_anti").limit(1).collect()
+            if orphan:
+                raise IntegrityError(
+                    f"FOREIGN KEY violation on {base}: {tuple(cols)} = "
+                    f"{tuple(orphan[0])} has no match in "
+                    f"{ref_table}{tuple(ref_cols)}"
+                )
+
+    def _check_fk_restrict(self, parent: str, doomed: DataFrame | None) -> None:
+        """Parent-side ON DELETE RESTRICT (the only action supported, like
+        most lakehouse engines): refuse a DELETE/TRUNCATE whose doomed rows
+        are still referenced by an ENFORCED child. ``doomed=None`` means
+        every row goes (TRUNCATE). Self-referential children check only
+        their SURVIVING rows — a row may reference another row deleted in
+        the same statement."""
+        children = [
+            (cname, centry, fk)
+            for cname, centry in self._catalog["schemas"]["main"]["tables"].items()
+            for fk in (centry.get("foreign_keys") or [])
+            if centry.get("enforce_pk") and fk["ref_table"] == parent
+        ]
+        if not children:
+            return
+        for cname, centry, fk in children:
+            ref_cols = fk["ref_columns"]
+            child_df = self.dataset(cname).to_df()
+            refs = child_df.select(
+                *[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)]
+            )
+            pred = None
+            for r in ref_cols:
+                p = F.col(r).isNull()
+                pred = p if pred is None else (pred | p)
+            refs = refs.filter(~pred)
+            if doomed is None:
+                if cname == parent:
+                    continue  # TRUNCATE empties the child's refs with it
+                hit = refs.limit(1).collect()
+            else:
+                d = doomed.select(*ref_cols).distinct()
+                if cname == parent:
+                    # surviving rows only: rows deleted by the same
+                    # statement may reference each other freely
+                    refs = (
+                        child_df.join(doomed.select(*ref_cols), on=ref_cols, how="left_anti")
+                        .select(*[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)])
+                        .filter(~pred)
+                    )
+                hit = refs.join(d, on=ref_cols, how="left_semi").limit(1).collect()
+            if hit:
+                raise IntegrityError(
+                    f"FOREIGN KEY RESTRICT: {cname}{tuple(fk['columns'])} "
+                    f"still references {parent}{tuple(ref_cols)} = "
+                    f"{tuple(hit[0])}"
+                )
 
     def _check_row_constraints(self, name: str, entry: dict, batch: DataFrame) -> None:
         """NOT NULL + CHECK over one batch of candidate rows (also run on
@@ -1183,6 +1316,7 @@ class Engine:
             uniques: list[list[str]] = []
             not_null: list[str] = []
             checks: list[str] = []
+            fks: list[dict] = []
             defaults: dict[str, str] = {}
             for part in _split_top_level_commas(body):
                 part = part.strip()
@@ -1197,6 +1331,24 @@ class Engine:
                 km = re.match(r"(?is)^CHECK\s*\((.*)\)$", part)
                 if km:
                     checks.append(km.group(1).strip())
+                    continue
+                fm = re.match(
+                    r"(?is)^FOREIGN\s+KEY\s*\(([\w\s,]+)\)\s*REFERENCES\s+"
+                    r"(\w+)(?:\s*\(([\w\s,]+)\))?$",
+                    part,
+                )
+                if fm:
+                    fks.append(
+                        {
+                            "columns": [c.strip() for c in fm.group(1).split(",")],
+                            "ref_table": fm.group(2),
+                            "ref_columns": (
+                                [c.strip() for c in fm.group(3).split(",")]
+                                if fm.group(3)
+                                else None
+                            ),
+                        }
+                    )
                     continue
                 # DEFAULT expr (builder_ddl.go declared defaults): recorded
                 # in the manifest, consumed by INSERT column-list resolution
@@ -1213,6 +1365,15 @@ class Engine:
                 if dm:
                     dval = dm.group(1).strip()
                     part = (part[: dm.start()] + " " + part[dm.end():]).strip()
+                # column-level REFERENCES t(r) — stripped after the DEFAULT
+                # literal (a default like 'see references' never matches)
+                col_ref = None
+                rm = re.search(
+                    r"(?is)\s+REFERENCES\s+(\w+)\s*\(\s*(\w+)\s*\)", part
+                )
+                if rm:
+                    col_ref = (rm.group(1), rm.group(2))
+                    part = (part[: rm.start()] + " " + part[rm.end():]).strip()
                 cm = re.match(
                     r"(?is)^(\w+)\s+(.+?)"
                     r"(\s+PRIMARY\s+KEY|\s+NOT\s+NULL|\s+UNIQUE)*$",
@@ -1233,6 +1394,14 @@ class Engine:
                     uniques.append([colname])
                 if re.search(r"(?i)NOT\s+NULL", attrs):
                     not_null.append(colname)
+                if col_ref is not None:
+                    fks.append(
+                        {
+                            "columns": [colname],
+                            "ref_table": col_ref[0],
+                            "ref_columns": [col_ref[1]],
+                        }
+                    )
                 cols.append(f"{colname} {coltype}")
             self.create_table(
                 name,
@@ -1244,6 +1413,7 @@ class Engine:
                 unique=uniques or None,
                 not_null=not_null or None,
                 checks=checks or None,
+                foreign_keys=fks or None,
             )
             return
         raise ValueError(f"unsupported CREATE statement: {s[:120]!r}")
@@ -1563,8 +1733,9 @@ class Engine:
                 # rows (inserts are the anti-join) — but NULL-free and
                 # intra-source uniqueness still need the checks; for
                 # ON != PK the full three-way validation applies, and
-                # UNIQUE sets + NOT NULL + CHECK validate the insert frame
+                # UNIQUE sets + NOT NULL + CHECK + FKs validate the frame
                 self._check_row_constraints(tgt, entry, inserts)
+                self._check_foreign_keys(tgt, entry, inserts)
                 if pk:
                     self._check_key_frames(
                         tgt, pk, tdf, inserts, kind="PRIMARY KEY"
@@ -1588,9 +1759,12 @@ class Engine:
                 raise ValueError(f"DELETE has WHERE but no predicate: {s[:120]!r}")
         else:
             p.end()
+        ds = self._dataset_ref(name)
+        base = name.partition("@")[0]
+        self._check_fk_restrict(base, ds.to_df().filter(F.expr(pred or "true")))
         # WHERE-less form deletes every row (builder_dml.go's unconditional
         # delete path) — the table and its history stay
-        self._dataset_ref(name).delete(pred or "true")
+        ds.delete(pred or "true")
 
     def _stmt_truncate(self, s: str) -> None:
         p = _Stmt(s)
@@ -1598,6 +1772,7 @@ class Engine:
         p.try_kw("TABLE")
         name = p.ident("table name")
         p.end()
+        self._check_fk_restrict(name, None)
         # delete-all as a normal versioned commit: the history (and any
         # tagged snapshots) survive — time travel still reaches old rows
         self.dataset(name).delete("true")
@@ -1637,7 +1812,13 @@ class Engine:
                     f"UPDATE on enforced table {name} may not reassign "
                     f"key columns {hit} (DELETE + INSERT instead)"
                 )
-            if entry.get("not_null") or entry.get("checks"):
+            fk_cols = {
+                c
+                for fk in entry.get("foreign_keys") or []
+                for c in fk["columns"]
+            }
+            touch_fk = any(c in assignments for c in fk_cols)
+            if entry.get("not_null") or entry.get("checks") or touch_fk:
                 # validate the POST-assignment rows (limit-1 witness jobs)
                 # before the copy-on-write commit
                 ds = self._dataset_ref(name)
@@ -1645,6 +1826,10 @@ class Engine:
                 for col, expr in assignments.items():
                     updated = updated.withColumn(col, F.expr(expr))
                 self._check_row_constraints(name, entry, updated)
+                if touch_fk:
+                    self._check_foreign_keys(
+                        name.partition("@")[0], entry, updated
+                    )
         self._dataset_ref(name).update(assignments, pred)
 
     def _stmt_meta(self, s: str) -> DataFrame:
@@ -1699,6 +1884,12 @@ class Engine:
                 extras += f",\n  UNIQUE ({', '.join(u)})"
             for chk in entry.get("checks") or []:
                 extras += f",\n  CHECK ({chk})"
+            for fk in entry.get("foreign_keys") or []:
+                extras += (
+                    f",\n  FOREIGN KEY ({', '.join(fk['columns'])}) "
+                    f"REFERENCES {fk['ref_table']} "
+                    f"({', '.join(fk['ref_columns'])})"
+                )
             qual = tbl if schema_name == "main" else f"{schema_name}.{tbl}"
             enf = " WITH (ENFORCE)" if entry.get("enforce_pk") else ""
             ddl = f"CREATE TABLE {qual} (\n  {cols}{extras}\n){enf}"

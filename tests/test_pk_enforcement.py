@@ -297,3 +297,139 @@ def test_branch_targeted_insert_validates(engine):
     with pytest.raises(IntegrityError, match="duplicate key"):
         engine.sql("INSERT INTO t VALUES (5, 'dup-at-head')")
     assert engine.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
+
+
+# ------------------------------------------------------------- foreign keys
+def _mk_fk(engine):
+    engine.sql("CREATE TABLE parent (k INT PRIMARY KEY, v STRING) WITH (ENFORCE)")
+    engine.sql("INSERT INTO parent VALUES (1, 'a'), (2, 'b')")
+    engine.sql(
+        "CREATE TABLE child (c INT PRIMARY KEY, pk INT, "
+        "FOREIGN KEY (pk) REFERENCES parent (k)) WITH (ENFORCE)"
+    )
+
+
+def test_fk_orphan_insert_rejected(engine):
+    _mk_fk(engine)
+    engine.sql("INSERT INTO child VALUES (10, 1), (11, 2)")
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("INSERT INTO child VALUES (12, 99)")
+    engine.sql("INSERT INTO child VALUES (13, NULL)")  # MATCH SIMPLE: NULL exempt
+    assert engine.sql("SELECT COUNT(*) AS n FROM child").collect()[0].n == 3
+
+
+def test_fk_references_defaults_to_parent_pk(engine):
+    engine.sql("CREATE TABLE p2 (k INT PRIMARY KEY) WITH (ENFORCE)")
+    engine.sql("INSERT INTO p2 VALUES (7)")
+    engine.sql(
+        "CREATE TABLE c2 (c INT PRIMARY KEY, pk INT, "
+        "FOREIGN KEY (pk) REFERENCES p2) WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO c2 VALUES (1, 7)")
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("INSERT INTO c2 VALUES (2, 8)")
+
+
+def test_fk_column_level_references(engine):
+    engine.sql("CREATE TABLE p3 (k INT PRIMARY KEY) WITH (ENFORCE)")
+    engine.sql("INSERT INTO p3 VALUES (5)")
+    engine.sql(
+        "CREATE TABLE c3 (c INT PRIMARY KEY, pk INT REFERENCES p3(k))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO c3 VALUES (1, 5)")
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("INSERT INTO c3 VALUES (2, 6)")
+
+
+def test_fk_delete_restrict(engine):
+    _mk_fk(engine)
+    engine.sql("INSERT INTO child VALUES (10, 1)")
+    with pytest.raises(IntegrityError, match="RESTRICT"):
+        engine.sql("DELETE FROM parent WHERE k = 1")
+    engine.sql("DELETE FROM parent WHERE k = 2")  # unreferenced: fine
+    engine.sql("DELETE FROM child WHERE c = 10")
+    engine.sql("DELETE FROM parent WHERE k = 1")  # now legal
+    assert engine.sql("SELECT COUNT(*) AS n FROM parent").collect()[0].n == 0
+
+
+def test_fk_truncate_and_drop_restrict(engine):
+    _mk_fk(engine)
+    engine.sql("INSERT INTO child VALUES (10, 1)")
+    with pytest.raises(IntegrityError, match="RESTRICT"):
+        engine.sql("TRUNCATE parent")
+    with pytest.raises(ValueError, match="FOREIGN KEY"):
+        engine.sql("DROP TABLE parent")
+    engine.sql("TRUNCATE child")
+    engine.sql("TRUNCATE parent")  # child empty: fine
+
+
+def test_fk_update_revalidates(engine):
+    _mk_fk(engine)
+    engine.sql("INSERT INTO child VALUES (10, 1)")
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("UPDATE child SET pk = 42 WHERE c = 10")
+    engine.sql("UPDATE child SET pk = 2 WHERE c = 10")  # valid retarget
+    assert engine.sql("SELECT pk FROM child").collect()[0].pk == 2
+
+
+def test_fk_self_referential(engine):
+    engine.sql(
+        "CREATE TABLE emp (id INT PRIMARY KEY, mgr INT, "
+        "FOREIGN KEY (mgr) REFERENCES emp (id)) WITH (ENFORCE)"
+    )
+    # manager + report in ONE batch: batch union makes it legal
+    engine.sql("INSERT INTO emp VALUES (1, NULL), (2, 1)")
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("INSERT INTO emp VALUES (3, 99)")
+    # deleting mgr 1 while 2 references it: RESTRICT
+    with pytest.raises(IntegrityError, match="RESTRICT"):
+        engine.sql("DELETE FROM emp WHERE id = 1")
+    # deleting BOTH in one statement: rows deleted together may reference
+    # each other freely
+    engine.sql("DELETE FROM emp WHERE id IN (1, 2)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM emp").collect()[0].n == 0
+
+
+def test_fk_merge_insert_validates(engine):
+    _mk_fk(engine)
+    engine.sql("CREATE TABLE fsrc (c INT, pk INT)")
+    engine.sql("INSERT INTO fsrc VALUES (20, 77)")
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("MERGE INTO child USING fsrc ON c WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_fk_requires_existing_parent_and_columns(engine):
+    with pytest.raises(KeyError, match="not found"):
+        engine.sql(
+            "CREATE TABLE cbad (c INT PRIMARY KEY, "
+            "FOREIGN KEY (c) REFERENCES ghost (k)) WITH (ENFORCE)"
+        )
+    engine.sql("CREATE TABLE pr (k INT PRIMARY KEY) WITH (ENFORCE)")
+    with pytest.raises(ValueError, match="unknown pr columns"):
+        engine.sql(
+            "CREATE TABLE cbad2 (c INT PRIMARY KEY, "
+            "FOREIGN KEY (c) REFERENCES pr (nope)) WITH (ENFORCE)"
+        )
+    # the failed creates never brick the names
+    engine.sql("CREATE TABLE cbad (c INT PRIMARY KEY) WITH (ENFORCE)")
+    engine.sql("CREATE TABLE cbad2 (c INT PRIMARY KEY) WITH (ENFORCE)")
+
+
+def test_fk_show_create_round_trips(engine):
+    _mk_fk(engine)
+    ddl = engine.sql("SHOW CREATE TABLE child").collect()[0].create_stmt
+    assert "FOREIGN KEY (pk) REFERENCES parent (k)" in ddl
+    engine.sql("DROP TABLE child")
+    engine.sql(ddl)
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("INSERT INTO child VALUES (1, 99)")
+
+
+def test_fk_unenforced_stays_metadata(engine):
+    engine.sql("CREATE TABLE pm (k INT PRIMARY KEY)")
+    engine.sql(
+        "CREATE TABLE cm (c INT, pk INT, FOREIGN KEY (pk) REFERENCES pm (k))"
+    )
+    engine.sql("INSERT INTO cm VALUES (1, 999)")  # no enforcement
+    assert engine.sql("SELECT COUNT(*) AS n FROM cm").collect()[0].n == 1

@@ -389,7 +389,17 @@ class Dataset:
                 except FileExistsError:
                     try:  # crashed holder: the critical section is micros
                         if _time.time() - os.path.getmtime(lock) > 1.0:
-                            os.remove(lock)
+                            # reclaim ATOMICALLY: rename first — exactly one
+                            # waiter wins; a bare remove would let waiter B
+                            # delete the lock waiter A just re-created and
+                            # admit two writers (the lost-update race this
+                            # lock exists to prevent)
+                            stale = (
+                                f"{lock}.stale.{os.getpid()}."
+                                f"{threading.get_ident()}"
+                            )
+                            os.rename(lock, stale)
+                            os.remove(stale)
                             continue
                     except OSError:
                         pass
@@ -1947,11 +1957,19 @@ class Dataset:
             # rewrites mix rows from many source positions, so the new files
             # carry ids physically (Array segment: row_start stays None)
             rewritten = rewritten.withColumnRenamed(_ROWID, _ROWID_STORED)
-        for col, expr in assignments.items():
-            rewritten = rewritten.withColumn(
-                col,
-                F.when(F.expr(predicate), F.expr(expr)).otherwise(F.col(col)),
-            )
+        # ONE select, not sequential withColumn: SQL UPDATE evaluates the
+        # predicate AND every assignment expression against the OLD row —
+        # chained withColumns would re-evaluate both against columns already
+        # mutated by earlier assignments (SET a = 2, b = -1 WHERE a = 1
+        # would skip b; SET a = b, b = a would fail to swap)
+        cond = F.expr(predicate)
+        assigned = {
+            col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            for col, expr in assignments.items()
+        }
+        rewritten = rewritten.select(
+            *[assigned.get(c, F.col(c)).alias(c) for c in rewritten.columns]
+        )
         frags = self._write_fragments(rewritten, start_id=m.max_fragment_id + 1)
         self._commit(
             _Txn(

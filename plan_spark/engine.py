@@ -414,6 +414,11 @@ class Engine:
         if bad:
             raise ValueError(f"NOT NULL references unknown columns {bad}")
         fks: list[dict] = []
+        if foreign_keys and schema != "main":
+            # the DML surface (and the RESTRICT scans guarding parents) is
+            # main-scoped; a half-enforced FK in another schema would dodge
+            # DELETE/DROP protection silently
+            raise ValueError("FOREIGN KEY constraints are supported in schema main only")
         for fk in foreign_keys or []:
             cols = list(fk["columns"])
             ref_table = fk["ref_table"]
@@ -540,6 +545,17 @@ class Engine:
         self._check_constraints(name, schema, ds, cast)
         ds.append(cast)
 
+    @staticmethod
+    def _any_null_pred(cols):
+        """OR-of-isNull over key columns — THE null-component test every
+        key/FK validation path shares (one implementation, so a future
+        change to NULL-key semantics cannot diverge between them)."""
+        pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            pred = p if pred is None else (pred | p)
+        return pred
+
     def _check_constraints(
         self, name: str, schema: str, ds: Dataset, batch: DataFrame
     ) -> None:
@@ -581,10 +597,7 @@ class Engine:
             tuples = batch.select(
                 *[F.col(c).alias(r) for c, r in zip(cols, ref_cols)]
             )
-            pred = None
-            for r in ref_cols:
-                p = F.col(r).isNull()
-                pred = p if pred is None else (pred | p)
+            pred = self._any_null_pred(ref_cols)
             tuples = tuples.filter(~pred).distinct()
             parent_df = self.dataset(ref_table).to_df().select(*ref_cols)
             if ref_table == base:
@@ -621,10 +634,7 @@ class Engine:
             refs = child_df.select(
                 *[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)]
             )
-            pred = None
-            for r in ref_cols:
-                p = F.col(r).isNull()
-                pred = p if pred is None else (pred | p)
+            pred = self._any_null_pred(ref_cols)
             refs = refs.filter(~pred)
             if doomed is None:
                 if cname == parent:
@@ -678,29 +688,43 @@ class Engine:
         kind: str = "PRIMARY KEY",
     ) -> None:
         keys = batch.select(*cols)
-        null_pred = None
-        for c in cols:
-            p = F.col(c).isNull()
-            null_pred = p if null_pred is None else (null_pred | p)
-        if kind == "PRIMARY KEY":
+        null_pred = self._any_null_pred(cols)
+        # fast path: ONE aggregate job answers both batch-local questions
+        # (any NULL component? any intra-batch duplicate?); the per-value
+        # witness probes below run only on the rare failure path, so the
+        # common accepted INSERT costs two jobs total (this + the existing
+        # probe), not four
+        stats = keys.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(null_pred.cast("long")).alias("__n_null"),
+            # count_distinct skips NULL inputs, and the when() maps every
+            # any-NULL-component row to NULL — so this is the distinct
+            # count over exactly the NULL-free rows (SQL UNIQUE's domain)
+            F.count_distinct(
+                F.when(~null_pred, F.struct(*cols))
+            ).alias("__n_dist"),
+        ).collect()[0]
+        # empty batch (INSERT ... SELECT with 0 rows): SUM aggregates to NULL
+        n_rows, n_null, n_dist = stats[0], stats[1] or 0, stats[2]
+        n_nonnull = n_rows - n_null
+        if kind == "PRIMARY KEY" and n_null:
             bad = keys.filter(null_pred).limit(1).collect()
-            if bad:
-                raise IntegrityError(
-                    f"NULL in PRIMARY KEY {tuple(cols)} of {name}: {tuple(bad[0])}"
-                )
-        else:
-            # SQL UNIQUE: rows with a NULL key component never collide
-            # (NULLs are distinct) — exempt them BEFORE the group count,
-            # which would otherwise group NULLs together and false-positive
+            raise IntegrityError(
+                f"NULL in PRIMARY KEY {tuple(cols)} of {name}: {tuple(bad[0])}"
+            )
+        # SQL UNIQUE: rows with a NULL key component never collide (NULLs
+        # are distinct) — they were excluded from __n_dist above and are
+        # excluded from the witness probe here
+        if kind != "PRIMARY KEY":
             keys = keys.filter(~null_pred)
-        dup = (
-            keys.groupBy(*cols)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+        if n_dist < n_nonnull:
+            dup = (
+                keys.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
             raise IntegrityError(
                 f"duplicate key in INSERT batch for {name} "
                 f"{kind} {tuple(cols)}: {tuple(dup[0])[:-1]}"
@@ -1698,14 +1722,24 @@ class Engine:
             # matched-UPDATE can only move a PK column when ON doesn't pin
             # it (ON k = k makes SET pk = s.pk a no-op); refuse the case
             # that could silently mint duplicates
-            touches_pk = pk and when_matched == "update" and (
-                update_columns is None or any(c in update_columns for c in pk)
-            )
-            if touches_pk and not set(pk) <= set(keys):
-                raise IntegrityError(
-                    f"MERGE into enforced table {tgt} may reassign PRIMARY "
-                    f"KEY {tuple(pk)} columns only when ON covers the key"
+            # ... and the same for every UNIQUE set: a matched-update that
+            # rewrites a unique column to a source value can mint a
+            # duplicate against OTHER rows — no bounded probe can clear it
+            # without a post-update full-table recheck, so refuse unless
+            # ON pins the set (making the assignment a no-op)
+            for key_set, kname in [(pk, "PRIMARY KEY")] + [
+                (u, "UNIQUE") for u in entry.get("unique") or []
+            ]:
+                touches = key_set and when_matched == "update" and (
+                    update_columns is None
+                    or any(c in update_columns for c in key_set)
                 )
+                if touches and not set(key_set) <= set(keys):
+                    raise IntegrityError(
+                        f"MERGE into enforced table {tgt} may reassign "
+                        f"{kname} {tuple(key_set)} columns only when ON "
+                        "covers the key"
+                    )
             if (pk or entry.get("unique")) and when_matched == "update":
                 # matched-UPDATE is a left join on the ON keys: duplicate
                 # source keys FAN OUT the matched target row (dataset.py
@@ -1724,6 +1758,31 @@ class Engine:
                         f"{tgt} ON {tuple(keys)}: {tuple(dup[0])[:-1]} "
                         "(matched-UPDATE would fan out the target row)"
                     )
+            if when_matched == "update" and (
+                entry.get("not_null")
+                or entry.get("checks")
+                or entry.get("foreign_keys")
+            ):
+                # validate the POST-update matched rows (NOT NULL / CHECK /
+                # FK — key reassignment was refused above): target rows
+                # with the updated columns replaced by the source's values
+                tdf0 = self.dataset(tgt).to_df()
+                upd_cols = (
+                    update_columns
+                    if update_columns is not None
+                    else [c for c in source.columns if c not in keys]
+                )
+                upd_cols = [c for c in upd_cols if c in tdf0.columns]
+                src_r = source.select(
+                    *keys, *[F.col(c).alias(f"__src_{c}") for c in upd_cols]
+                )
+                updated = tdf0.join(src_r, on=keys, how="inner")
+                for c in upd_cols:
+                    updated = updated.withColumn(c, F.col(f"__src_{c}")).drop(
+                        f"__src_{c}"
+                    )
+                self._check_row_constraints(tgt, entry, updated)
+                self._check_foreign_keys(tgt, entry, updated)
             if when_not_matched == "insert":
                 tdf = self.dataset(tgt).to_df()
                 inserts = source.join(
@@ -1761,6 +1820,9 @@ class Engine:
             p.end()
         ds = self._dataset_ref(name)
         base = name.partition("@")[0]
+        # branch-targeted deletes (t@b) validate like head deletes: this
+        # engine's branches are refs into ONE shared version log (a branch
+        # commit advances head), so the doomed rows leave the head view too
         self._check_fk_restrict(base, ds.to_df().filter(F.expr(pred or "true")))
         # WHERE-less form deletes every row (builder_dml.go's unconditional
         # delete path) — the table and its history stay

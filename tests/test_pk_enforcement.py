@@ -433,3 +433,74 @@ def test_fk_unenforced_stays_metadata(engine):
     )
     engine.sql("INSERT INTO cm VALUES (1, 999)")  # no enforcement
     assert engine.sql("SELECT COUNT(*) AS n FROM cm").collect()[0].n == 1
+
+
+# ------------------------------------------- r7 review-pass regression tests
+def test_merge_matched_update_validates_row_constraints(engine):
+    """Matched-UPDATE rows are validated too (review finding: the insert
+    frame alone was checked, letting SET * write CHECK/NOT NULL/FK
+    violations through the update path)."""
+    engine.sql(
+        "CREATE TABLE mu (k INT PRIMARY KEY, q INT NOT NULL, CHECK (q < 100))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO mu VALUES (1, 10)")
+    engine.sql("CREATE TABLE musrc (k INT, q INT)")
+    engine.sql("INSERT INTO musrc VALUES (1, 500)")
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("MERGE INTO mu USING musrc ON k WHEN MATCHED THEN UPDATE SET *")
+    engine.sql("CREATE TABLE musrc2 (k INT, q INT)")
+    engine.sql("INSERT INTO musrc2 VALUES (1, NULL)")
+    with pytest.raises(IntegrityError, match="NOT NULL"):
+        engine.sql("MERGE INTO mu USING musrc2 ON k WHEN MATCHED THEN UPDATE SET *")
+    assert engine.sql("SELECT q FROM mu").collect()[0].q == 10
+
+
+def test_merge_matched_update_cannot_reassign_unique(engine):
+    engine.sql(
+        "CREATE TABLE muq (k INT PRIMARY KEY, e STRING UNIQUE) WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO muq VALUES (1, 'a'), (2, 'b')")
+    engine.sql("CREATE TABLE muqsrc (k INT, e STRING)")
+    engine.sql("INSERT INTO muqsrc VALUES (2, 'a')")  # would duplicate e='a'
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("MERGE INTO muq USING muqsrc ON k WHEN MATCHED THEN UPDATE SET *")
+
+
+def test_merge_matched_update_validates_fk(engine):
+    _mk_fk(engine)
+    engine.sql("INSERT INTO child VALUES (10, 1)")
+    engine.sql("CREATE TABLE fkm (c INT, pk INT)")
+    engine.sql("INSERT INTO fkm VALUES (10, 77)")  # orphan retarget via update
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("MERGE INTO child USING fkm ON c WHEN MATCHED THEN UPDATE SET *")
+
+
+def test_update_assignments_see_old_values(engine):
+    """SQL UPDATE semantics: predicate AND assignment expressions evaluate
+    against the OLD row (review finding: chained withColumn re-evaluated
+    both against already-mutated columns)."""
+    engine.sql("CREATE TABLE sw (k INT PRIMARY KEY, a INT, b INT) WITH (ENFORCE)")
+    engine.sql("INSERT INTO sw VALUES (1, 10, 20)")
+    engine.sql("UPDATE sw SET a = b, b = a WHERE k = 1")  # the classic swap
+    r = engine.sql("SELECT a, b FROM sw").collect()[0]
+    assert (r.a, r.b) == (20, 10), "assignments must read pre-update values"
+    # predicate references a column the statement also assigns
+    engine.sql("CREATE TABLE sp (k INT PRIMARY KEY, a INT, b INT) WITH (ENFORCE)")
+    engine.sql("INSERT INTO sp VALUES (1, 1, 5)")
+    engine.sql("UPDATE sp SET a = 2, b = -1 WHERE a = 1")
+    r = engine.sql("SELECT a, b FROM sp").collect()[0]
+    assert (r.a, r.b) == (2, -1), "every assignment applies to OLD-matching rows"
+
+
+def test_fk_rejected_outside_main_schema(engine):
+    engine.sql("CREATE TABLE fp (k INT PRIMARY KEY) WITH (ENFORCE)")
+    engine.create_schema("side")
+    with pytest.raises(ValueError, match="schema main only"):
+        engine.create_table(
+            "fc",
+            "c INT, pk INT",
+            schema="side",
+            foreign_keys=[{"columns": ["pk"], "ref_table": "fp"}],
+            enforce_constraints=True,
+        )

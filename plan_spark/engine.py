@@ -613,6 +613,32 @@ class Engine:
                     f"{ref_table}{tuple(ref_cols)}"
                 )
 
+    @staticmethod
+    def _is_add_column(s: str) -> bool:
+        """ALTER TABLE t ADD COLUMN ... vs ADD <constraint> disambiguation."""
+        q = _Stmt(s)
+        q.kw("ALTER")
+        q.kw("TABLE")
+        q.ident("table name")
+        return q.try_kw("ADD", "COLUMN")
+
+    def _validate_current_rows(self, tbl: str, entry: dict) -> None:
+        """Validate the table's CURRENT rows against ``entry``'s declared
+        constraints (the ADD CONSTRAINT / SET ENFORCE contract: a table is
+        never 'enforced' while already violating a declaration). Uniqueness
+        runs as the intra-batch check over the whole table; FKs validate
+        the full child against its parents."""
+        ds = self.dataset(tbl)
+        full = ds.to_df()
+        empty = full.limit(0)
+        self._check_row_constraints(tbl, entry, full)
+        self._check_foreign_keys(tbl, entry, full)
+        pk = entry.get("primary_key") or []
+        if pk:
+            self._check_key_frames(tbl, pk, empty, full, kind="PRIMARY KEY")
+        for u in entry.get("unique") or []:
+            self._check_key_frames(tbl, u, empty, full, kind="UNIQUE")
+
     def _check_fk_restrict(self, parent: str, doomed: DataFrame | None) -> None:
         """Parent-side ON DELETE RESTRICT (the only action supported, like
         most lakehouse engines): refuse a DELETE/TRUNCATE whose doomed rows
@@ -2080,11 +2106,100 @@ class Engine:
         """ALTER TABLE t RENAME COLUMN a TO b | ALTER COLUMN a TYPE type |
         ADD COLUMN a type [DEFAULT expr] | DROP COLUMN a — the SQL face of
         the Dataset schema-evolution surface (reference sdk/dataset.go:623
-        AddColumns/AlterColumns/DropColumns)."""
+        AddColumns/AlterColumns/DropColumns) — plus the deferred-constraint
+        surface: ADD PRIMARY KEY/UNIQUE/CHECK/FOREIGN KEY/NOT NULL
+        (validated against the CURRENT rows when the table is enforced —
+        the Postgres ADD CONSTRAINT contract) and SET ENFORCE/NOENFORCE
+        (ENFORCE validates every declared constraint first, so a table can
+        never be 'enforced' while already violating its own declarations)."""
         p = _Stmt(s)
         p.kw("ALTER")
         p.kw("TABLE")
         tbl = p.ident("table name")
+        enforce = None
+        if p.try_kw("SET", "ENFORCE"):
+            enforce = True
+        elif p.try_kw("SET", "NOENFORCE"):
+            enforce = False
+        if enforce is not None:
+            p.end()
+            entry = self._entry(tbl, "main")
+            if enforce:
+                if not (
+                    entry.get("primary_key")
+                    or entry.get("unique")
+                    or entry.get("not_null")
+                    or entry.get("checks")
+                    or entry.get("foreign_keys")
+                ):
+                    raise ValueError("SET ENFORCE requires at least one constraint")
+                self._validate_current_rows(tbl, entry)
+            entry["enforce_pk"] = enforce
+            self._save_catalog()
+            return
+        if p.peek_word() == "ADD" and not self._is_add_column(s):
+            p.kw("ADD")
+            p.try_kw("CONSTRAINT")
+            entry = self._entry(tbl, "main")
+            probe = dict(entry)
+            if p.try_kw("PRIMARY", "KEY"):
+                if entry.get("primary_key"):
+                    raise ValueError(f"table {tbl} already has a PRIMARY KEY")
+                cols = [c.strip() for c in p.paren_body().split(",")]
+                probe = {**entry, "primary_key": cols, "unique": [],
+                         "not_null": [], "checks": [], "foreign_keys": []}
+                apply = lambda: entry.__setitem__("primary_key", cols)  # noqa: E731
+            elif p.try_kw("UNIQUE"):
+                cols = [c.strip() for c in p.paren_body().split(",")]
+                probe = {**entry, "primary_key": [], "unique": [cols],
+                         "not_null": [], "checks": [], "foreign_keys": []}
+                apply = lambda: entry.setdefault("unique", []).append(cols)  # noqa: E731
+            elif p.try_kw("CHECK"):
+                chk = p.paren_body().strip()
+                probe = {**entry, "primary_key": [], "unique": [],
+                         "not_null": [], "checks": [chk], "foreign_keys": []}
+                apply = lambda: entry.setdefault("checks", []).append(chk)  # noqa: E731
+            elif p.try_kw("NOT", "NULL"):
+                col = p.ident("column name")
+                probe = {**entry, "primary_key": [], "unique": [],
+                         "not_null": [col], "checks": [], "foreign_keys": []}
+                apply = lambda: entry.setdefault("not_null", []).append(col)  # noqa: E731
+            elif p.try_kw("FOREIGN", "KEY"):
+                cols = [c.strip() for c in p.paren_body().split(",")]
+                p.kw("REFERENCES")
+                ref_table = p.ident("parent table")
+                ref_cols = (
+                    [c.strip() for c in p.paren_body().split(",")]
+                    if p.has_paren()
+                    else (self._entry(ref_table, "main").get("primary_key") or [])
+                )
+                if not ref_cols or len(ref_cols) != len(cols):
+                    raise ValueError("FOREIGN KEY needs matching parent columns")
+                fk = {"columns": cols, "ref_table": ref_table, "ref_columns": ref_cols}
+                probe = {**entry, "primary_key": [], "unique": [],
+                         "not_null": [], "checks": [], "foreign_keys": [fk]}
+                apply = lambda: entry.setdefault("foreign_keys", []).append(fk)  # noqa: E731
+            else:
+                raise p.error("expected PRIMARY KEY / UNIQUE / CHECK / "
+                              "NOT NULL / FOREIGN KEY")
+            p.end()
+            known = {f.name for f in self.dataset(tbl).schema.fields}
+            ref_cols_here = [
+                c
+                for c in (probe.get("primary_key") or [])
+                + [c for u in probe.get("unique") or [] for c in u]
+                + (probe.get("not_null") or [])
+                + [c for fk in probe.get("foreign_keys") or [] for c in fk["columns"]]
+            ]
+            bad = [c for c in ref_cols_here if c not in known]
+            if bad:
+                raise ValueError(f"constraint references unknown columns {bad}")
+            if entry.get("enforce_pk"):
+                # existing rows must already satisfy the new constraint
+                self._validate_current_rows(tbl, probe)
+            apply()
+            self._save_catalog()
+            return
         if p.try_kw("RENAME", "COLUMN"):
             col = p.ident("column name")
             p.kw("TO")

@@ -504,3 +504,69 @@ def test_fk_rejected_outside_main_schema(engine):
             foreign_keys=[{"columns": ["pk"], "ref_table": "fp"}],
             enforce_constraints=True,
         )
+
+
+# --------------------------------------------- deferred constraints (ALTER)
+def test_alter_add_constraint_validates_existing_rows(engine):
+    engine.sql("CREATE TABLE ac (k INT PRIMARY KEY, e STRING, q INT) WITH (ENFORCE)")
+    engine.sql("INSERT INTO ac VALUES (1, 'a', 5), (2, 'a', -1)")
+    # existing duplicate 'a' blocks the UNIQUE add
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("ALTER TABLE ac ADD UNIQUE (e)")
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("ALTER TABLE ac ADD CHECK (q > 0)")
+    engine.sql("DELETE FROM ac WHERE k = 2")
+    engine.sql("ALTER TABLE ac ADD UNIQUE (e)")  # now clean
+    engine.sql("ALTER TABLE ac ADD CHECK (q > 0)")
+    with pytest.raises(IntegrityError, match="UNIQUE"):
+        engine.sql("INSERT INTO ac VALUES (3, 'a', 9)")
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("INSERT INTO ac VALUES (4, 'd', 0)")
+    ddl = engine.sql("SHOW CREATE TABLE ac").collect()[0].create_stmt
+    assert "UNIQUE (e)" in ddl and "CHECK (q > 0)" in ddl
+
+
+def test_alter_set_enforce_validates_everything(engine):
+    """A permissive table accumulates violations; SET ENFORCE must refuse
+    until the data is repaired, then enforcement switches on."""
+    engine.sql("CREATE TABLE se (k INT PRIMARY KEY, v STRING)")
+    engine.sql("INSERT INTO se VALUES (1, 'a'), (1, 'b')")  # metadata-only PK
+    with pytest.raises(IntegrityError, match="duplicate key"):
+        engine.sql("ALTER TABLE se SET ENFORCE")
+    engine.sql("DELETE FROM se WHERE v = 'b'")
+    engine.sql("ALTER TABLE se SET ENFORCE")
+    with pytest.raises(IntegrityError, match="duplicate key"):
+        engine.sql("INSERT INTO se VALUES (1, 'dup')")
+    engine.sql("ALTER TABLE se SET NOENFORCE")
+    engine.sql("INSERT INTO se VALUES (1, 'dup')")  # permissive again
+    assert engine.sql("SELECT COUNT(*) AS n FROM se").collect()[0].n == 2
+
+
+def test_alter_add_fk_and_not_null(engine):
+    engine.sql("CREATE TABLE afp (k INT PRIMARY KEY) WITH (ENFORCE)")
+    engine.sql("INSERT INTO afp VALUES (1)")
+    engine.sql("CREATE TABLE afc (c INT PRIMARY KEY, pk INT) WITH (ENFORCE)")
+    engine.sql("INSERT INTO afc VALUES (10, 99)")  # orphan, pre-constraint
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("ALTER TABLE afc ADD FOREIGN KEY (pk) REFERENCES afp (k)")
+    engine.sql("UPDATE afc SET pk = 1 WHERE c = 10")
+    engine.sql("ALTER TABLE afc ADD FOREIGN KEY (pk) REFERENCES afp")  # default PK
+    with pytest.raises(IntegrityError, match="FOREIGN KEY violation"):
+        engine.sql("INSERT INTO afc VALUES (11, 42)")
+    with pytest.raises(IntegrityError, match="RESTRICT"):
+        engine.sql("DELETE FROM afp WHERE k = 1")
+    engine.sql("ALTER TABLE afc ADD NOT NULL pk")
+    with pytest.raises(IntegrityError, match="NOT NULL"):
+        engine.sql("INSERT INTO afc VALUES (12, NULL)")
+
+
+def test_alter_add_column_still_works(engine):
+    """The ADD COLUMN path must not be shadowed by ADD <constraint>."""
+    engine.sql("CREATE TABLE acx (k INT PRIMARY KEY) WITH (ENFORCE)")
+    engine.sql("INSERT INTO acx VALUES (1)")
+    engine.sql("ALTER TABLE acx ADD COLUMN note STRING DEFAULT 'n/a'")
+    assert engine.sql("SELECT note FROM acx").collect()[0].note == "n/a"
+    with pytest.raises(ValueError, match="unknown columns"):
+        engine.sql("ALTER TABLE acx ADD UNIQUE (ghost)")
+    with pytest.raises(ValueError, match="already has a PRIMARY KEY"):
+        engine.sql("ALTER TABLE acx ADD PRIMARY KEY (note)")

@@ -85,3 +85,88 @@ def test_update_roundtrips_any_literal(spark, values, pred_lit):
         assert got == {i: v for i, v in enumerate(values)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------- _Stmt cursor properties
+@given(_ADVERSARIAL)
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cursor_paren_body_and_string_lit_roundtrip(content):
+    """The statement cursor's balanced-paren scan and string-literal
+    decoder must round-trip ANY content: a paren body containing quoted
+    parens/quotes comes back verbatim, and string_lit decodes exactly what
+    _sql_quote encoded (same escape rules as Spark's parser)."""
+    from plan_spark.engine import _Stmt
+
+    lit = _sql_quote(content)
+    # body contains a quoted literal with hostile chars + nested parens
+    body = f"x = {lit}, y = (1 + (2))"
+    p = _Stmt(f"({body}) TRAILER")
+    assert p.paren_body() == body
+    assert p.try_kw("TRAILER") and p.at_end()
+    q = _Stmt(f"{lit} rest")
+    assert q.string_lit() == content
+    assert q.try_kw("rest") and q.at_end()
+
+
+@given(_ADVERSARIAL)
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cursor_kw_never_matches_inside_literals_or_words(content):
+    """try_kw is word-bounded and literal-blind by construction: a keyword
+    embedded in an identifier or inside a quoted literal never matches."""
+    from plan_spark.engine import _Stmt
+
+    p = _Stmt("SELECTx FROM t")
+    assert not p.try_kw("SELECT")
+    lit = _sql_quote(f"WHERE {content}")
+    q = _Stmt(f"{lit} WHERE k")
+    assert q.string_lit() == f"WHERE {content}"
+    assert q.try_kw("WHERE")  # the real one, after the literal
+    assert q.ident("col") == "k"
+
+
+def test_cursor_statement_smoke(spark):
+    """Adversarial end-to-end heads through sql(): quoted literals carrying
+    keywords/parens in CREATE TABLE DEFAULTs, COPY paths, and MERGE
+    subqueries parse to the right statement."""
+    import os
+    import shutil
+    import tempfile
+
+    from plan_spark.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="plan_spark_cursor_")
+    try:
+        eng = Engine(spark, os.path.join(d, "wh"))
+        # DEFAULT literal containing ') WITH (ENFORCE' and commas/keywords
+        eng.sql(
+            "CREATE TABLE ct (a INT, b STRING DEFAULT "
+            "'x, PRIMARY KEY (oops) WITH (ENFORCE) NOT NULL')"
+        )
+        eng.sql("INSERT INTO ct (a) VALUES (1)")
+        v = eng.sql("SELECT b FROM ct").collect()[0].b
+        assert v == "x, PRIMARY KEY (oops) WITH (ENFORCE) NOT NULL"
+        # MERGE USING subquery with a literal containing ')' and WHEN
+        eng.sql("CREATE TABLE mt (k INT, v STRING)")
+        eng.sql("INSERT INTO mt VALUES (1, 'a')")
+        eng.sql(
+            "MERGE INTO mt USING (SELECT 2 AS k, ') WHEN MATCHED' AS v) "
+            "ON k WHEN NOT MATCHED THEN INSERT *"
+        )
+        rows = {r.k: r.v for r in eng.sql("SELECT k, v FROM mt").collect()}
+        assert rows == {1: "a", 2: ") WHEN MATCHED"}
+        # COPY TO a path containing spaces, then back
+        out = os.path.join(d, "od d")
+        eng.sql(f"COPY mt TO '{out}' WITH (FORMAT parquet)")
+        eng.sql("CREATE TABLE mt2 (k INT, v STRING)")
+        eng.sql(f"COPY mt2 FROM '{out}'")
+        assert eng.sql("SELECT COUNT(*) AS n FROM mt2").collect()[0].n == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -19,7 +19,12 @@ ConflictError is legal, and afterwards the MANIFEST INVARIANTS must hold:
    distinct KINDS, _branches.json): a TAG's version NEVER changes, a
    BRANCH head only ADVANCES (its writes auto-move the ref), and a write
    through a tag always refuses — all while vacuum/cleanup/compact churn
-   the version log around the refs.
+   the version log around the refs;
+6. schema evolution under interleaving: concurrent add_column against
+   appends/compacts/index refresh either commits or raises ConflictError
+   (schema-vs-schema conflicts are the matrix's declared conflict); the
+   final head must LOAD, every base column survives, and every
+   successfully-added column is readable with its default on old rows.
 
 The op count is deliberately modest for CI wall-time (each op is a real
 Spark job); set PLAN_SPARK_STORM_OPS=500 for the full soak the judge's
@@ -79,6 +84,7 @@ def test_concurrent_interleaving_storm(spark):
     branch_heads: dict[str, int] = {}
     dropped_refs: set[str] = set()
     ref_seq = [0] * _THREADS  # per-thread ref-name counters (no name races)
+    added_cols: set[str] = set()  # columns whose add_column COMMITTED
 
     # per-thread op scripts drawn up-front from one seeded generator so the
     # run replays; the INTERLEAVING itself is the random part under test
@@ -87,8 +93,9 @@ def test_concurrent_interleaving_storm(spark):
         [rng.choices(
             ["append", "delete", "compact", "stage", "commit_staged",
              "cleanup", "vacuum", "probe", "refresh",
-             "tag", "branch", "branch_write", "tag_write", "drop_ref"],
-            weights=[5, 2, 1, 2, 3, 1, 1, 2, 1, 2, 2, 3, 1, 1],
+             "tag", "branch", "branch_write", "tag_write", "drop_ref",
+             "add_col"],
+            weights=[5, 2, 1, 2, 3, 1, 1, 2, 1, 2, 2, 3, 1, 1, 1],
         )[0] for _ in range(ops_per_thread)]
         for _ in range(_THREADS)
     ]
@@ -225,6 +232,17 @@ def test_concurrent_interleaving_storm(spark):
                         errors.append(f"tag {name} accepted a write handle")
                     except (ValueError, ConflictError):
                         pass
+                elif op == "add_col":
+                    # schema evolution racing appends/compacts/refresh:
+                    # the conflict matrix declares schema-vs-schema a
+                    # ConflictError; anything that commits must be
+                    # readable afterwards with its default on old rows
+                    with lock:
+                        col = f"xc_{tid}_{ref_seq[tid]}"
+                        ref_seq[tid] += 1
+                    ds.add_column(col, "int", default=str(tid))
+                    with lock:
+                        added_cols.add(col)
                 elif op == "drop_ref":
                     # drop an own-thread tag (never a branch another op may
                     # be writing through); double-drop races are legal
@@ -291,6 +309,21 @@ def test_concurrent_interleaving_storm(spark):
     # never reclaim a pinned snapshot — the r6 late-pin fold-in class)
     for name, ver in final_refs.items():
         ds._load(ver)
+
+    # (6) schema evolution: base columns survive; every committed
+    # add_column is present and readable — old rows carry its declared
+    # default (the thread id), never garbage
+    final_cols = set(ds.schema.fieldNames())
+    assert {"k", "grp"} <= final_cols, f"base columns lost: {final_cols}"
+    missing_cols = added_cols - final_cols
+    assert not missing_cols, f"committed add_column vanished: {missing_cols}"
+    for col in sorted(added_cols):
+        tid = int(col.split("_")[1])
+        vals = {
+            r[0]
+            for r in ds.to_df().select(col).distinct().collect()
+        }
+        assert vals <= {tid}, f"{col} must read its default everywhere, got {vals}"
 
     # (2) stable row ids unique in the final snapshot
     final = ds.to_df(with_row_id=True).select("k", "_rowid").cache()

@@ -369,50 +369,41 @@ class Dataset:
         return {}
 
     def _file_lock(self, target: str):
-        """Exclusive lock file guarding a read-modify-write of ``target``
-        (refs / branch-kind markers): O_CREAT|O_EXCL acquisition, crashed
-        holders reclaimed after a 1s staleness horizon, and the retry
-        budget (8s) EXCEEDS that horizon so reclamation always fires
-        in-call. Context manager; raises ConflictError on exhaustion."""
+        """Exclusive lock guarding a read-modify-write of ``target`` (refs /
+        branch-kind markers): ``flock`` on a PERSISTENT lock file. The
+        kernel releases the lock when the holder's fd closes — including on
+        process death — so there is NO staleness-reclaim protocol at all
+        (the r7 reviews showed every create/getmtime/remove or rename
+        reclaim scheme has a TOCTOU window that admits two writers). The
+        lock file is never deleted, which is what makes flock sound: every
+        contender locks the SAME inode forever. Local-filesystem warehouses
+        only — the same assumption the O_EXCL scheme already made; an
+        object-store deployment serializes refs through its own
+        conditional-put primitive instead. Context manager; raises
+        ConflictError after an 8s budget."""
         import contextlib
+        import fcntl
         import time as _time
 
         lock = target + ".lock"
 
         @contextlib.contextmanager
         def _held():
-            for _ in range(800):
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
-                    break
-                except FileExistsError:
-                    try:  # crashed holder: the critical section is micros
-                        if _time.time() - os.path.getmtime(lock) > 1.0:
-                            # reclaim ATOMICALLY: rename first — exactly one
-                            # waiter wins; a bare remove would let waiter B
-                            # delete the lock waiter A just re-created and
-                            # admit two writers (the lost-update race this
-                            # lock exists to prevent)
-                            stale = (
-                                f"{lock}.stale.{os.getpid()}."
-                                f"{threading.get_ident()}"
-                            )
-                            os.rename(lock, stale)
-                            os.remove(stale)
-                            continue
-                    except OSError:
-                        pass
-                    _time.sleep(0.01)
-            else:
-                raise ConflictError(f"{os.path.basename(target)} is locked; retry")
+            fd = os.open(lock, os.O_CREAT | os.O_RDWR)
             try:
+                for _ in range(800):
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        _time.sleep(0.01)
+                else:
+                    raise ConflictError(
+                        f"{os.path.basename(target)} is locked; retry"
+                    )
                 yield
             finally:
-                try:
-                    os.remove(lock)
-                except OSError:
-                    pass
+                os.close(fd)  # closing the fd releases the flock
 
         return _held()
 
@@ -1962,6 +1953,14 @@ class Dataset:
         # chained withColumns would re-evaluate both against columns already
         # mutated by earlier assignments (SET a = 2, b = -1 WHERE a = 1
         # would skip b; SET a = b, b = a would fail to swap)
+        unknown = set(assignments) - set(rewritten.columns)
+        if unknown:
+            # dict-driven select would silently DROP these (the chained
+            # withColumn it replaced failed loudly at analysis time)
+            raise ValueError(
+                f"UPDATE assigns unknown column(s) {sorted(unknown)}; "
+                f"table has {[f.name for f in self.schema.fields]}"
+            )
         cond = F.expr(predicate)
         assigned = {
             col: F.when(cond, F.expr(expr)).otherwise(F.col(col))

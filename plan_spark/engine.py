@@ -1808,7 +1808,16 @@ class Engine:
                         f"__src_{c}"
                     )
                 self._check_row_constraints(tgt, entry, updated)
-                self._check_foreign_keys(tgt, entry, updated)
+                # FK probe only when an FK column is actually updated —
+                # untouched FK values were valid when written, and the
+                # child-vs-parent join is the expensive part
+                fk_cols = {
+                    c
+                    for fk in entry.get("foreign_keys") or []
+                    for c in fk["columns"]
+                }
+                if fk_cols & set(upd_cols):
+                    self._check_foreign_keys(tgt, entry, updated)
             if when_not_matched == "insert":
                 tdf = self.dataset(tgt).to_df()
                 inserts = source.join(
@@ -1908,11 +1917,19 @@ class Engine:
             touch_fk = any(c in assignments for c in fk_cols)
             if entry.get("not_null") or entry.get("checks") or touch_fk:
                 # validate the POST-assignment rows (limit-1 witness jobs)
-                # before the copy-on-write commit
+                # before the copy-on-write commit — built with ONE select
+                # so every assignment reads the OLD row, exactly mirroring
+                # Dataset.update (a chained withColumn here would validate
+                # a different post-image than the one that commits)
                 ds = self._dataset_ref(name)
-                updated = ds.to_df().filter(F.expr(pred))
-                for col, expr in assignments.items():
-                    updated = updated.withColumn(col, F.expr(expr))
+                matched = ds.to_df().filter(F.expr(pred))
+                assigned = {c: F.expr(e) for c, e in assignments.items()}
+                updated = matched.select(
+                    *[
+                        assigned.get(c, F.col(c)).alias(c)
+                        for c in matched.columns
+                    ]
+                )
                 self._check_row_constraints(name, entry, updated)
                 if touch_fk:
                     self._check_foreign_keys(
@@ -2168,13 +2185,34 @@ class Engine:
                 cols = [c.strip() for c in p.paren_body().split(",")]
                 p.kw("REFERENCES")
                 ref_table = p.ident("parent table")
+                # same validation as create_table's FK loop: the parent
+                # must exist and the referenced columns must be real, or
+                # bogus metadata persists and explodes far from this
+                # statement (at SET ENFORCE or a later INSERT)
+                if ref_table == tbl:
+                    ref_fields = {
+                        f.name for f in self.dataset(tbl).schema.fields
+                    }
+                    parent_pk = entry.get("primary_key") or []
+                else:
+                    parent = self._entry(ref_table, "main")
+                    ref_fields = {
+                        f.name
+                        for f in Dataset.open(self.spark, parent["root"]).schema.fields
+                    }
+                    parent_pk = parent.get("primary_key") or []
                 ref_cols = (
                     [c.strip() for c in p.paren_body().split(",")]
                     if p.has_paren()
-                    else (self._entry(ref_table, "main").get("primary_key") or [])
+                    else parent_pk
                 )
                 if not ref_cols or len(ref_cols) != len(cols):
                     raise ValueError("FOREIGN KEY needs matching parent columns")
+                bad = [c for c in ref_cols if c not in ref_fields]
+                if bad:
+                    raise ValueError(
+                        f"FOREIGN KEY references unknown {ref_table} columns {bad}"
+                    )
                 fk = {"columns": cols, "ref_table": ref_table, "ref_columns": ref_cols}
                 probe = {**entry, "primary_key": [], "unique": [],
                          "not_null": [], "checks": [], "foreign_keys": [fk]}

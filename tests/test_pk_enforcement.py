@@ -570,3 +570,44 @@ def test_alter_add_column_still_works(engine):
         engine.sql("ALTER TABLE acx ADD UNIQUE (ghost)")
     with pytest.raises(ValueError, match="already has a PRIMARY KEY"):
         engine.sql("ALTER TABLE acx ADD PRIMARY KEY (note)")
+
+
+# ----------------------------------------------- r7 second-review regressions
+def test_update_validator_matches_written_image(engine):
+    """The pre-write validator must compute the SAME post-image the update
+    kernel writes (old-value semantics), in both directions."""
+    engine.sql(
+        "CREATE TABLE vv (k INT PRIMARY KEY, a INT, b INT, CHECK (b > 0))"
+        " WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO vv VALUES (1, -5, 1)")
+    # written image: b = OLD a = -5 -> violates CHECK -> must refuse
+    with pytest.raises(IntegrityError, match="CHECK"):
+        engine.sql("UPDATE vv SET a = 1, b = a WHERE k = 1")
+    assert engine.sql("SELECT a, b FROM vv").collect()[0][:] == (-5, 1)
+    engine.sql("UPDATE vv SET a = 5 WHERE k = 1")
+    # written image: b = OLD a = 5 -> valid; a new-value validator would
+    # spuriously refuse (it would see b = NEW a = -1)
+    engine.sql("UPDATE vv SET a = -1, b = a WHERE k = 1")
+    r = engine.sql("SELECT a, b FROM vv").collect()[0]
+    assert (r.a, r.b) == (-1, 5)
+
+
+def test_update_unknown_column_is_loud(engine):
+    engine.sql("CREATE TABLE uc (k INT PRIMARY KEY, price INT) WITH (ENFORCE)")
+    engine.sql("INSERT INTO uc VALUES (1, 10)")
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.sql("UPDATE uc SET prcie = 0 WHERE k = 1")  # typo must not no-op
+    assert engine.sql("SELECT price FROM uc").collect()[0].price == 10
+
+
+def test_alter_add_fk_validates_parent_even_unenforced(engine):
+    engine.sql("CREATE TABLE np (k INT PRIMARY KEY)")  # NOT enforced
+    engine.sql("CREATE TABLE nc (c INT PRIMARY KEY, pk INT)")
+    with pytest.raises(KeyError, match="not found"):
+        engine.sql("ALTER TABLE nc ADD FOREIGN KEY (pk) REFERENCES ghost (k)")
+    with pytest.raises(ValueError, match="unknown np columns"):
+        engine.sql("ALTER TABLE nc ADD FOREIGN KEY (pk) REFERENCES np (nope)")
+    engine.sql("ALTER TABLE nc ADD FOREIGN KEY (pk) REFERENCES np (k)")  # valid
+    ddl = engine.sql("SHOW CREATE TABLE nc").collect()[0].create_stmt
+    assert "REFERENCES np (k)" in ddl

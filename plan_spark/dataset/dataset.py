@@ -1727,6 +1727,14 @@ class Dataset:
                     & (F.col(_ROWID) <= F.col("__run_hi")),
                     "leftsemi",
                 )
+        elif len(idset) > 10_000:
+            # a literal IN list this size bloats the plan (and its
+            # serialized form) linearly — ship the ids once as a broadcast
+            # relation instead; the semi join stays a single scan
+            idf = self.spark.createDataFrame(
+                [(int(i),) for i in idset], schema=f"{_ROWID} long"
+            )
+            out = df.join(F.broadcast(idf), on=_ROWID, how="leftsemi")
         else:
             out = df.filter(F.col(_ROWID).isin(idset))
         if columns is not None:

@@ -224,3 +224,26 @@ def test_no_row_ids_falls_back_to_fragment_sets(spark):
     assert "grp" in ds.manifest.bitmap_columns
     with pytest.raises(ValueError, match="nothing to open"):
         ds.open_index("bm")
+
+
+def test_take_rows_large_id_list_uses_join_path(spark):
+    """A >10k-id take_rows must return exactly the right rows through the
+    broadcast-semi-join fallback (a literal IN list that size bloats the
+    plan linearly at 100 TB probe scales)."""
+    path = _tmp("bm_bigids")
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("string").alias("grp")
+    )
+    # range-partitioned + sorted so the assigned row id == k exactly
+    # (the ds_rowid_take convention), letting the assert address by value
+    ds = Dataset.create(
+        spark,
+        path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        row_ids=True,
+    )
+    want = list(range(0, 30_000, 2))  # 15k ids -> join path
+    got = ds.take_rows(want, columns=["k"])
+    assert "isin" not in got._jdf.queryExecution().optimizedPlan().toString().lower()
+    ks = sorted(r.k for r in got.collect())
+    assert ks == sorted(want)

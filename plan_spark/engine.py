@@ -28,10 +28,15 @@ from pyspark.sql.types import StructType
 from plan_spark.dataset import Dataset
 
 
-class IntegrityError(ValueError):
+class IntegrityError(RuntimeError):
     """A declared constraint was violated by a write (reference: ART-index
     uniqueness enforcement rejects INSERTs with "duplicate key",
-    pkg/storage/index.go:329; constraint plumbing table_constraint.go:12-51)."""
+    pkg/storage/index.go:329; constraint plumbing table_constraint.go:12-51).
+
+    Deliberately NOT a ValueError: the repo's concurrency convention treats
+    ValueError from a racing write as a benign retry/ignore (see
+    tests/test_concurrency_storm.py) — a constraint violation must never be
+    absorbed by that handler class."""
 
 
 # Column types Catalyst's ANALYZE ... FOR COLUMNS accepts (arrays/maps/structs
@@ -428,11 +433,13 @@ class Engine:
             if ref_table == name:
                 ref_fields = known  # self-referential FK (org charts etc.)
                 parent_pk = primary_key or []
+                parent_uniques = [list(u) for u in (unique or [])]
             else:
                 parent = self._entry(ref_table, "main")  # must exist, like any engine
                 pschema = Dataset.open(self.spark, parent["root"]).schema
                 ref_fields = {f.name for f in pschema.fields}
                 parent_pk = parent.get("primary_key") or []
+                parent_uniques = parent.get("unique") or []
             ref_cols = list(fk.get("ref_columns") or parent_pk)
             if not ref_cols:
                 raise ValueError(
@@ -448,6 +455,7 @@ class Engine:
                 raise ValueError(
                     f"FOREIGN KEY column count mismatch: {cols} vs {ref_cols}"
                 )
+            self._require_key_of_parent(ref_table, ref_cols, parent_pk, parent_uniques)
             fks.append(
                 {"columns": cols, "ref_table": ref_table, "ref_columns": ref_cols}
             )
@@ -546,6 +554,25 @@ class Engine:
         ds.append(cast)
 
     @staticmethod
+    def _require_key_of_parent(
+        ref_table: str, ref_cols: list[str], parent_pk: list[str],
+        parent_uniques: list[list[str]],
+    ) -> None:
+        """The SQL standard's FK rule: REFERENCES columns must be the
+        parent's PRIMARY KEY or a declared UNIQUE set — that is what makes
+        key-VALUE matching in the RESTRICT and child-validation scans exact
+        (a non-unique referenced set would make "does this key survive?"
+        ambiguous across duplicate parent rows)."""
+        if set(ref_cols) == set(parent_pk):
+            return
+        if any(set(ref_cols) == set(u) for u in parent_uniques):
+            return
+        raise ValueError(
+            f"FOREIGN KEY must reference {ref_table}'s PRIMARY KEY or a "
+            f"declared UNIQUE set; {sorted(ref_cols)} is neither"
+        )
+
+    @staticmethod
     def _any_null_pred(cols):
         """OR-of-isNull over key columns — THE null-component test every
         key/FK validation path shares (one implementation, so a future
@@ -639,44 +666,52 @@ class Engine:
         for u in entry.get("unique") or []:
             self._check_key_frames(tbl, u, empty, full, kind="UNIQUE")
 
-    def _check_fk_restrict(self, parent: str, doomed: DataFrame | None) -> None:
-        """Parent-side ON DELETE RESTRICT (the only action supported, like
-        most lakehouse engines): refuse a DELETE/TRUNCATE whose doomed rows
-        are still referenced by an ENFORCED child. ``doomed=None`` means
-        every row goes (TRUNCATE). Self-referential children check only
-        their SURVIVING rows — a row may reference another row deleted in
-        the same statement."""
-        children = [
+    def _fk_children(self, parent: str) -> list[tuple[str, dict, dict]]:
+        """Every ENFORCED foreign key (child table, entry, fk) that
+        references ``parent`` — the set whose refs a parent-side write must
+        not orphan."""
+        return [
             (cname, centry, fk)
             for cname, centry in self._catalog["schemas"]["main"]["tables"].items()
             for fk in (centry.get("foreign_keys") or [])
             if centry.get("enforce_pk") and fk["ref_table"] == parent
         ]
-        if not children:
-            return
-        for cname, centry, fk in children:
+
+    def _check_fk_restrict(
+        self, parent: str, old_df: DataFrame, new_df: DataFrame
+    ) -> None:
+        """Parent-side ON DELETE RESTRICT (the only action supported, like
+        most lakehouse engines), generalized to ANY statement that can
+        remove key values from a referenced parent — DELETE, TRUNCATE,
+        MERGE matched-DELETE, UPDATE of a referenced column, RESTORE.
+
+        Given the parent's pre-image and post-image, a key VALUE "vanishes"
+        when it is present (NULL-free) in the old image and absent from the
+        new one; the statement is refused if any enforced child still
+        references a vanished value. Matching by key VALUE (not row
+        identity) is exactly the standard's semantics: with duplicate
+        parent key rows, a key surviving in another row keeps child refs
+        valid — a DELETE of one duplicate is never wrongly refused.
+        Self-referential children check their POST-image refs, so rows
+        removed by the same statement may reference each other freely.
+
+        One bounded job pair per enforced child FK: the vanished-key frame
+        is a distinct-project of the parent (key-sized), and the child probe
+        is a limit-1 semi-join witness (AQE broadcasts the small side)."""
+        for cname, centry, fk in self._fk_children(parent):
             ref_cols = fk["ref_columns"]
-            child_df = self.dataset(cname).to_df()
-            refs = child_df.select(
-                *[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)]
-            )
             pred = self._any_null_pred(ref_cols)
-            refs = refs.filter(~pred)
-            if doomed is None:
-                if cname == parent:
-                    continue  # TRUNCATE empties the child's refs with it
-                hit = refs.limit(1).collect()
-            else:
-                d = doomed.select(*ref_cols).distinct()
-                if cname == parent:
-                    # surviving rows only: rows deleted by the same
-                    # statement may reference each other freely
-                    refs = (
-                        child_df.join(doomed.select(*ref_cols), on=ref_cols, how="left_anti")
-                        .select(*[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)])
-                        .filter(~pred)
-                    )
-                hit = refs.join(d, on=ref_cols, how="left_semi").limit(1).collect()
+            vanished = (
+                old_df.select(*ref_cols)
+                .filter(~pred)
+                .distinct()
+                .join(new_df.select(*ref_cols), on=ref_cols, how="left_anti")
+            )
+            child_src = new_df if cname == parent else self.dataset(cname).to_df()
+            refs = child_src.select(
+                *[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)]
+            ).filter(~pred)
+            hit = refs.join(vanished, on=ref_cols, how="left_semi").limit(1).collect()
             if hit:
                 raise IntegrityError(
                     f"FOREIGN KEY RESTRICT: {cname}{tuple(fk['columns'])} "
@@ -690,7 +725,14 @@ class Engine:
         predicate is FALSE — NULL/UNKNOWN passes, per the SQL standard."""
         for c in entry.get("not_null") or []:
             if c not in batch.columns:
-                continue
+                # never skip silently: an absent constrained column means
+                # the metadata and the live schema have diverged (or a
+                # caller built a partial frame) — both are bugs to surface,
+                # not enforcement to disable
+                raise IntegrityError(
+                    f"NOT NULL column {c!r} of {name} is absent from the "
+                    "write batch (constraint metadata out of sync?)"
+                )
             bad = batch.filter(F.col(c).isNull()).limit(1).count()
             if bad:
                 raise IntegrityError(f"NULL in NOT NULL column {c!r} of {name}")
@@ -1179,12 +1221,17 @@ class Engine:
 
     @staticmethod
     def _split_statements(text: str) -> list[str]:
-        """Split on ';' outside single/double-quoted literals. Multi-statement
-        input is rejected by sql() — this exists to DETECT it reliably, not to
-        execute batches (each statement may mutate catalog state the next one
-        reads; callers should sequence them explicitly)."""
+        """Split on ';' outside single/double-quoted literals, stripping
+        ``--``-to-end-of-line comments (outside literals) so verbatim .sql
+        file contents — leading dialect markers, trailing semicolons — run
+        through the front door unmodified. Multi-statement input is rejected
+        by sql() — this exists to DETECT it reliably, not to execute batches
+        (each statement may mutate catalog state the next one reads; callers
+        should sequence them explicitly)."""
         parts, buf, quote, esc = [], [], None, False
-        for ch in text:
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
             if esc:  # backslash escape inside a literal (Spark default)
                 buf.append(ch)
                 esc = False
@@ -1194,6 +1241,12 @@ class Engine:
                     esc = True
                 elif ch == quote:
                     quote = None
+            elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+                # line comment: skip to (not past) the newline, so the
+                # newline still separates the surrounding tokens
+                j = text.find("\n", i)
+                i = n if j < 0 else j
+                continue
             elif ch in ("'", '"'):
                 quote = ch
                 buf.append(ch)
@@ -1202,6 +1255,7 @@ class Engine:
                 buf = []
             else:
                 buf.append(ch)
+            i += 1
         parts.append("".join(buf))
         return [p.strip() for p in parts if p.strip()]
 
@@ -1836,6 +1890,15 @@ class Engine:
                     )
                 for u in entry.get("unique") or []:
                     self._check_key_frames(tgt, u, tdf, inserts, kind="UNIQUE")
+        if when_matched == "delete" and self._fk_children(tgt):
+            # matched-DELETE on a referenced parent takes the same RESTRICT
+            # scan as DELETE: the post-image drops the rows whose ON keys
+            # match the source. Rows added by a WHEN NOT MATCHED INSERT in
+            # the same statement are conservatively NOT counted as
+            # survivors — a refusal here is loud and safe, never silent.
+            old = self.dataset(tgt).to_df()
+            new = old.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+            self._check_fk_restrict(tgt, old, new)
         self.dataset(tgt).merge_insert(
             source, keys, when_matched=when_matched,
             when_not_matched=when_not_matched, update_columns=update_columns,
@@ -1858,7 +1921,12 @@ class Engine:
         # branch-targeted deletes (t@b) validate like head deletes: this
         # engine's branches are refs into ONE shared version log (a branch
         # commit advances head), so the doomed rows leave the head view too
-        self._check_fk_restrict(base, ds.to_df().filter(F.expr(pred or "true")))
+        if self._fk_children(base):
+            old = ds.to_df()
+            # survivors keep rows where the predicate is FALSE or UNKNOWN
+            # (SQL DELETE removes only rows where WHERE is TRUE)
+            new = old.filter(~F.coalesce(F.expr(pred or "true"), F.lit(False)))
+            self._check_fk_restrict(base, old, new)
         # WHERE-less form deletes every row (builder_dml.go's unconditional
         # delete path) — the table and its history stay
         ds.delete(pred or "true")
@@ -1869,7 +1937,9 @@ class Engine:
         p.try_kw("TABLE")
         name = p.ident("table name")
         p.end()
-        self._check_fk_restrict(name, None)
+        if self._fk_children(name):
+            old = self.dataset(name).to_df()
+            self._check_fk_restrict(name, old, old.limit(0))
         # delete-all as a normal versioned commit: the history (and any
         # tagged snapshots) survive — time travel still reaches old rows
         self.dataset(name).delete("true")
@@ -1935,6 +2005,28 @@ class Engine:
                     self._check_foreign_keys(
                         name.partition("@")[0], entry, updated
                     )
+        base = name.partition("@")[0]
+        children = self._fk_children(base)
+        ref_touched = any(
+            c in assignments for _, _, fk in children for c in fk["ref_columns"]
+        )
+        if ref_touched:
+            # an UPDATE that reassigns a column referenced by an enforced
+            # child's FK can remove key VALUES from the parent — exactly a
+            # RESTRICT event. Build the post-image (matched rows with every
+            # assignment evaluated against the OLD row — one select,
+            # mirroring Dataset.update — unioned with untouched rows) and
+            # run the vanished-key scan. Child-driven: runs whether or not
+            # the parent itself is enforced.
+            ds0 = self._dataset_ref(name)
+            full = ds0.to_df()
+            matched = full.filter(F.expr(pred))
+            untouched = full.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+            assigned = {c: F.expr(e) for c, e in assignments.items()}
+            post = matched.select(
+                *[assigned.get(c, F.col(c)).alias(c) for c in full.columns]
+            )
+            self._check_fk_restrict(base, full, untouched.unionByName(post))
         self._dataset_ref(name).update(assignments, pred)
 
     def _stmt_meta(self, s: str) -> DataFrame:
@@ -2194,6 +2286,7 @@ class Engine:
                         f.name for f in self.dataset(tbl).schema.fields
                     }
                     parent_pk = entry.get("primary_key") or []
+                    parent_uniques = entry.get("unique") or []
                 else:
                     parent = self._entry(ref_table, "main")
                     ref_fields = {
@@ -2201,6 +2294,7 @@ class Engine:
                         for f in Dataset.open(self.spark, parent["root"]).schema.fields
                     }
                     parent_pk = parent.get("primary_key") or []
+                    parent_uniques = parent.get("unique") or []
                 ref_cols = (
                     [c.strip() for c in p.paren_body().split(",")]
                     if p.has_paren()
@@ -2213,6 +2307,9 @@ class Engine:
                     raise ValueError(
                         f"FOREIGN KEY references unknown {ref_table} columns {bad}"
                     )
+                self._require_key_of_parent(
+                    ref_table, ref_cols, parent_pk, parent_uniques
+                )
                 fk = {"columns": cols, "ref_table": ref_table, "ref_columns": ref_cols}
                 probe = {**entry, "primary_key": [], "unique": [],
                          "not_null": [], "checks": [], "foreign_keys": [fk]}
@@ -2243,7 +2340,36 @@ class Engine:
             p.kw("TO")
             new = p.ident("new name")
             p.end()
+            entry = self._entry(tbl, "main")
+            if any(
+                re.search(rf"\b{re.escape(col)}\b", chk)
+                for chk in entry.get("checks") or []
+            ):
+                # CHECKs are stored as SQL text — rewriting an expression is
+                # not mechanical (quoted literals, qualified names), so the
+                # safe contract is DROP CHECK / rename / re-ADD
+                raise ValueError(
+                    f"cannot rename column {col!r} of {tbl}: a CHECK "
+                    "expression references it (DROP CHECK first)"
+                )
             self.dataset(tbl).alter_columns({"path": col, "rename": new})
+            # constraint metadata must track the live schema: a stale name
+            # in primary_key/unique/not_null/foreign_keys would silently
+            # disable enforcement (or fail every later write with a raw
+            # AnalysisException). Child FKs referencing THIS table rename
+            # their ref_columns too (tbl's own row in the tables dict covers
+            # the self-referential case).
+            ren = lambda c: new if c == col else c  # noqa: E731
+            entry["primary_key"] = [ren(c) for c in entry.get("primary_key") or []]
+            entry["unique"] = [[ren(c) for c in u] for u in entry.get("unique") or []]
+            entry["not_null"] = [ren(c) for c in entry.get("not_null") or []]
+            for fk in entry.get("foreign_keys") or []:
+                fk["columns"] = [ren(c) for c in fk["columns"]]
+            for centry in self._catalog["schemas"]["main"]["tables"].values():
+                for fk in centry.get("foreign_keys") or []:
+                    if fk["ref_table"] == tbl:
+                        fk["ref_columns"] = [ren(c) for c in fk["ref_columns"]]
+            self._save_catalog()
             return
         if p.try_kw("ALTER", "COLUMN"):
             col = p.ident("column name")
@@ -2269,9 +2395,121 @@ class Engine:
         if p.try_kw("DROP", "COLUMN"):
             col = p.ident("column name")
             p.end()
+            entry = self._entry(tbl, "main")
+            holders = []
+            if col in (entry.get("primary_key") or []):
+                holders.append("PRIMARY KEY")
+            if any(col in u for u in entry.get("unique") or []):
+                holders.append("UNIQUE")
+            if any(
+                re.search(rf"\b{re.escape(col)}\b", chk)
+                for chk in entry.get("checks") or []
+            ):
+                holders.append("CHECK")
+            if any(col in fk["columns"] for fk in entry.get("foreign_keys") or []):
+                holders.append("FOREIGN KEY")
+            ref_by = sorted(
+                cname
+                for cname, centry in self._catalog["schemas"]["main"]["tables"].items()
+                for fk in centry.get("foreign_keys") or []
+                if fk["ref_table"] == tbl and col in fk["ref_columns"]
+            )
+            if holders or ref_by:
+                used = " / ".join(holders)
+                if ref_by:
+                    used = (used + " and " if used else "") + (
+                        f"FOREIGN KEYs in {ref_by}"
+                    )
+                raise ValueError(
+                    f"cannot drop column {col!r} of {tbl}: used by {used} "
+                    "(DROP the constraint first)"
+                )
             self.dataset(tbl).drop_column(col)
+            if col in (entry.get("not_null") or []):
+                # a column-level NOT NULL drops with its column (Postgres
+                # semantics) — never leave a stale name in the metadata
+                entry["not_null"] = [c for c in entry["not_null"] if c != col]
+                self._save_catalog()
+            return
+        if p.try_kw("DROP"):
+            # constraint removal — the escape hatch the RENAME/DROP COLUMN
+            # refusals point at. ALTER TABLE t DROP PRIMARY KEY |
+            # UNIQUE (cols) | CHECK (expr) | NOT NULL col | FOREIGN KEY (cols)
+            p.try_kw("CONSTRAINT")  # noise word, accepted
+            entry = self._entry(tbl, "main")
+            if p.try_kw("PRIMARY", "KEY"):
+                pk = entry.get("primary_key") or []
+                if not pk:
+                    raise ValueError(f"table {tbl} has no PRIMARY KEY")
+                self._refuse_referenced_key(tbl, entry, pk, drop_pk=True)
+                entry["primary_key"] = []
+            elif p.try_kw("UNIQUE"):
+                cols = [c.strip() for c in p.paren_body().split(",")]
+                uniques = entry.get("unique") or []
+                if not any(set(u) == set(cols) for u in uniques):
+                    raise ValueError(f"table {tbl} has no UNIQUE {tuple(cols)}")
+                self._refuse_referenced_key(tbl, entry, cols, drop_unique=cols)
+                entry["unique"] = [u for u in uniques if set(u) != set(cols)]
+            elif p.try_kw("CHECK"):
+                chk = p.paren_body().strip()
+                if chk not in (entry.get("checks") or []):
+                    raise ValueError(f"table {tbl} has no CHECK ({chk})")
+                entry["checks"] = [c for c in entry["checks"] if c != chk]
+            elif p.try_kw("NOT", "NULL"):
+                col = p.ident("column name")
+                if col not in (entry.get("not_null") or []):
+                    raise ValueError(f"table {tbl} has no NOT NULL on {col!r}")
+                entry["not_null"] = [c for c in entry["not_null"] if c != col]
+            elif p.try_kw("FOREIGN", "KEY"):
+                cols = [c.strip() for c in p.paren_body().split(",")]
+                fks = entry.get("foreign_keys") or []
+                if not any(fk["columns"] == cols for fk in fks):
+                    raise ValueError(f"table {tbl} has no FOREIGN KEY {tuple(cols)}")
+                entry["foreign_keys"] = [fk for fk in fks if fk["columns"] != cols]
+            else:
+                raise p.error(
+                    "expected COLUMN / PRIMARY KEY / UNIQUE / CHECK / "
+                    "NOT NULL / FOREIGN KEY"
+                )
+            p.end()
+            self._save_catalog()
             return
         raise ValueError(f"unsupported ALTER statement: {s[:120]!r}")
+
+    def _refuse_referenced_key(
+        self,
+        tbl: str,
+        entry: dict,
+        cols: list[str],
+        drop_pk: bool = False,
+        drop_unique: list[str] | None = None,
+    ) -> None:
+        """Dropping a PK/UNIQUE set must not orphan a declared FOREIGN KEY:
+        every FK's ref_columns were validated to be a parent key at
+        declaration (``_require_key_of_parent``), and that invariant is what
+        keeps the RESTRICT value-matching exact. Refuse unless another
+        declared key with the same column set remains after the drop."""
+        remaining = []
+        pk = entry.get("primary_key") or []
+        if pk and not drop_pk:
+            remaining.append(set(pk))
+        for u in entry.get("unique") or []:
+            if drop_unique is not None and set(u) == set(drop_unique):
+                continue
+            remaining.append(set(u))
+        if set(cols) in remaining:
+            return
+        ref_by = sorted(
+            cname
+            for cname, centry in self._catalog["schemas"]["main"]["tables"].items()
+            for fk in centry.get("foreign_keys") or []
+            if fk["ref_table"] == tbl and set(fk["ref_columns"]) == set(cols)
+        )
+        if ref_by:
+            raise ValueError(
+                f"cannot drop key {tuple(cols)} of {tbl}: FOREIGN KEYs in "
+                f"{ref_by} reference it (DROP those FOREIGN KEYs first)"
+            )
 
     def _stmt_refresh(self, s: str) -> None:
         """REFRESH INDEX i ON t — incremental catch-up of a stale index to
@@ -2348,6 +2586,29 @@ class Engine:
                 raise ValueError(f"no tag or branch named {ref!r}")
             ver = refs[ref]  # ref file lookup — no manifest load needed
         p.end()
+        if self._fk_children(tbl):
+            # restoring a referenced parent to a snapshot that lacks key
+            # values still referenced by an enforced child is a RESTRICT
+            # event too (the restored state orphans those refs) — validate
+            # BEFORE the restore commit lands
+            self._check_fk_restrict(tbl, ds.to_df(), ds.checkout(ver).to_df())
+        entry = self._entry(tbl, "main")
+        if entry.get("enforce_pk"):
+            # the mirror hazard: restoring an ENFORCED table can resurrect
+            # rows written before a constraint was ADDed (old snapshots were
+            # never validated against it) or rows whose FK parents have
+            # since been deleted — validate the restored frame like SET
+            # ENFORCE validates current rows
+            restored = ds.checkout(ver).to_df()
+            self._check_row_constraints(tbl, entry, restored)
+            self._check_foreign_keys(tbl, entry, restored)
+            for key_set, kname in [(entry.get("primary_key") or [], "PRIMARY KEY")] + [
+                (u, "UNIQUE") for u in entry.get("unique") or []
+            ]:
+                if key_set:
+                    self._check_key_frames(
+                        tbl, key_set, restored.limit(0), restored, kind=kname
+                    )
         ds.restore(ver)
         self._registered.pop(("main", tbl), None)
 

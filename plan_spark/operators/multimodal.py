@@ -40,8 +40,15 @@ def bmp_codec():
     decode(b) -> (width, height, rgb): accepts both bottom-up (positive
     biHeight) and top-down (negative biHeight) files and returns row-major
     top-down R,G,B bytes; raises ValueError on non-BMP magic, bit depths
-    other than 24, or compressed payloads."""
+    other than 24, or compressed payloads.
+
+    Pixel shuffles (row flip, BGR<->RGB swizzle, stride padding) are numpy
+    reshape/slice — integer copies only, bit-identical to the per-row
+    reference loops they replaced, and they keep the inner loop out of
+    Python at real image sizes (numpy ships on every pandas executor)."""
     import struct
+
+    import numpy as np
 
     def encode(width: int, height: int, rgb: bytes) -> bytes:
         if len(rgb) != width * height * 3:
@@ -58,16 +65,11 @@ def bmp_codec():
             "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
             2835, 2835, 0, 0,
         )
-        zeros = b"\0" * pad
-        for y in range(height - 1, -1, -1):  # bottom-up
-            row = rgb[y * row_raw : (y + 1) * row_raw]
-            # RGB -> BGR per pixel
-            bgr = bytearray(row_raw)
-            bgr[0::3] = row[2::3]
-            bgr[1::3] = row[1::3]
-            bgr[2::3] = row[0::3]
-            out += bgr
-            out += zeros
+        img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+        rows = np.zeros((height, row_size), dtype=np.uint8)
+        # flip vertically (bottom-up storage) and swizzle RGB -> BGR
+        rows[:, :row_raw] = img[::-1, :, ::-1].reshape(height, row_raw)
+        out += rows.tobytes()
         return bytes(out)
 
     def decode(b: bytes):
@@ -91,16 +93,13 @@ def bmp_codec():
         row_size = row_raw + ((-row_raw) % 4)
         if len(b) < data_off + row_size * height:
             raise ValueError("truncated BMP pixel data")
-        rgb = bytearray(row_raw * height)
-        for out_y in range(height):
-            src_y = out_y if top_down else height - 1 - out_y
-            start = data_off + src_y * row_size
-            bgr = b[start : start + row_raw]
-            base = out_y * row_raw
-            rgb[base + 0 : base + row_raw : 3] = bgr[2::3]
-            rgb[base + 1 : base + row_raw : 3] = bgr[1::3]
-            rgb[base + 2 : base + row_raw : 3] = bgr[0::3]
-        return width, height, bytes(rgb)
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_size * height, offset=data_off
+        ).reshape(height, row_size)
+        img = rows[:, :row_raw].reshape(height, width, 3)[:, :, ::-1]  # BGR->RGB
+        if not top_down:
+            img = img[::-1]  # bottom-up storage -> top-down rows
+        return width, height, img.tobytes()
 
     return encode, decode
 
@@ -174,6 +173,7 @@ def decode_features(media: DataFrame) -> DataFrame:
     _, dec = bmp_codec()
 
     def _decode_batch(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -185,12 +185,17 @@ def decode_features(media: DataFrame) -> DataFrame:
                     w, h, rgb = dec(b)
                     checks.append(hashlib.md5(rgb).hexdigest())
                     npx = w * h
+                    # exact integer channel sums (int64, no float accum),
+                    # divided in Python — identical to the scalar-loop
+                    # result, so oracle hashes are unchanged
+                    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                    csum = px.sum(axis=0, dtype=np.int64)
                     feats.append(
                         [
-                            sum(rgb[0::3]) / npx,
-                            sum(rgb[1::3]) / npx,
-                            sum(rgb[2::3]) / npx,
-                            sum(rgb) / (npx * 3),
+                            int(csum[0]) / npx,
+                            int(csum[1]) / npx,
+                            int(csum[2]) / npx,
+                            int(csum.sum()) / (npx * 3),
                         ]
                     )
                 elif media_type == "text/plain":
@@ -272,7 +277,12 @@ def resize(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     enc, dec = bmp_codec()
 
     def _resize(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
+
+        # the nearest-neighbor source grid depends only on target dims,
+        # so index vectors are computed once per (w_in, h_in) shape
+        ys_cache: dict[tuple[int, int], tuple] = {}
 
         for pdf in it:
             out = []
@@ -280,15 +290,20 @@ def resize(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
                 b = bytes(payload)
                 if media_type == "image/bmp":
                     w_in, h_in, rgb = dec(b)
-                    px = bytearray(n * 3)
-                    for y in range(height):
-                        y_src = y * h_in // height
-                        for x in range(width):
-                            x_src = x * w_in // width
-                            src = (y_src * w_in + x_src) * 3
-                            dst = (y * width + x) * 3
-                            px[dst : dst + 3] = rgb[src : src + 3]
-                    out.append(enc(width, height, bytes(px)))
+                    key = (w_in, h_in)
+                    if key not in ys_cache:
+                        ys_cache[key] = (
+                            np.arange(height, dtype=np.int64) * h_in // height,
+                            np.arange(width, dtype=np.int64) * w_in // width,
+                        )
+                    ys, xs = ys_cache[key]
+                    img = np.frombuffer(rgb, dtype=np.uint8).reshape(
+                        h_in, w_in, 3
+                    )
+                    # integer fancy-indexing == y*h_in//h_out per pixel —
+                    # bit-identical to the scalar nearest-neighbor loop
+                    px = img[ys][:, xs]
+                    out.append(enc(width, height, px.tobytes()))
                 else:
                     # STUB resample for codec-less formats
                     out.append((b + b"\0" * n)[:n])

@@ -904,3 +904,128 @@ def sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cur.o_orderstatus
         """.replace("$REJ", str(n_rejected))
     )
+
+
+_TPCH_Q1_VERBATIM = """-- duckdb and postgresql
+select
+\tl_returnflag,
+\tl_linestatus,
+\tsum(l_quantity) as sum_qty,
+\tsum(l_extendedprice) as sum_base_price,
+\tsum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+\tsum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge,
+\tavg(l_quantity) as avg_qty,
+\tavg(l_extendedprice) as avg_price,
+\tavg(l_discount) as avg_disc,
+\tcount(*) as count_order
+from
+\tlineitem
+where
+\tl_shipdate <= date '1998-12-01' - interval '112 day'
+group by
+\tl_returnflag,
+\tl_linestatus
+order by
+\tl_returnflag,
+\tl_linestatus
+;
+"""
+
+# Oracle discipline for the VERBATIM text: the Spark table declares
+# overflow-safe decimals (12,2)/(6,4), so every sum in the spec text is an
+# exact decimal ((12,2)x(7,4)x(7,4) tops out at (28,10) — no precision-38
+# truncation, both engines keep the exact rational). Spark's avg(decimal)
+# is HALF_UP(sum/count) at scale s+4=6; DuckDB has no half-up decimal avg,
+# so the oracle reproduces it in exact integer arithmetic: with the sum in
+# scale-k integer units, micro-units m = (sum_k * 10^(6-k) * 2 + n) // (2n)
+# IS half-up for positive values, and CAST(m AS DOUBLE)/1e6 equals Spark's
+# decimal(16,6)->double cast bit-for-bit (m < 2^53, one correctly-rounded
+# division each side). avg(decimal(6,4)) keeps scale 4+4=8, hence the
+# 1e8 denominator on avg_disc.
+#
+# sum_charge is the one place Spark CANNOT stay exact: the literal 1
+# promotes to decimal(10,0), so ep*(1-disc)*(1+tax) wants precision 44 and
+# Spark's allowPrecisionLoss HALF_UPs each row's product from scale 10 to
+# scale 6 before summing. The oracle reproduces that per-row rounding in
+# HUGEINT scale-10 units — (u*2 + 10^4) // (2*10^4) is half-up for the
+# all-positive charges — then sums the exact micro-units.
+_TPCH_VERBATIM_SQL = """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+         CAST(l_discount AS DECIMAL(6,4)) AS disc,
+         CAST(l_tax AS DECIMAL(6,4)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 112 DAY
+),
+g AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(qty) AS sum_qty_d,
+         SUM(ep) AS sum_base_d,
+         SUM(ep * (1 - disc)) AS sum_disc_d,
+         SUM((CAST(ep * 100 AS HUGEINT)
+              * CAST((1 - disc) * 10000 AS HUGEINT)
+              * CAST((1 + tax) * 10000 AS HUGEINT) * 2 + 10000)
+             // 20000) AS charge_c,
+         SUM(CAST(qty * 100 AS HUGEINT)) AS qty_c,
+         SUM(CAST(ep * 100 AS HUGEINT)) AS ep_c,
+         SUM(CAST(disc * 10000 AS HUGEINT)) AS disc_c,
+         COUNT(*) AS n
+  FROM f GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(sum_qty_d AS DOUBLE) AS sum_qty,
+  CAST(sum_base_d AS DOUBLE) AS sum_base_price,
+  CAST(sum_disc_d AS DOUBLE) AS sum_disc_price,
+  CAST(charge_c AS DOUBLE) / 1000000 AS sum_charge,
+  CAST((qty_c * 10000 * 2 + n) // (2 * n) AS DOUBLE) / 1000000 AS avg_qty,
+  CAST((ep_c * 10000 * 2 + n) // (2 * n) AS DOUBLE) / 1000000 AS avg_price,
+  CAST((disc_c * 10000 * 2 + n) // (2 * n) AS DOUBLE) / 100000000 AS avg_disc,
+  CAST(n AS BIGINT) AS count_order
+FROM g ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_verbatim", oracle=_TPCH_VERBATIM_SQL, tags=("engine", "sql", "tpch"))
+def sql_tpch_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN q1.sql file text through the SQL front door —
+    the tester harness's exact input path (reference cmd/tester/main.go:32-60
+    reads cases/tpch/query/qN.sql and feeds the raw text to the engine;
+    q1 is the one spec text that is BOTH schema-runnable on the slimmed
+    fixtures and non-vacuous on their 1995-2001 date range). The text runs
+    UNMODIFIED: comment header, tab indentation, ``date - interval '112
+    day'`` arithmetic, trailing semicolon. tests/test_tpch_verbatim.py
+    widens this to every runnable spec text; this row keeps one verbatim
+    text on the driver's hash-checked gate every round.
+
+    Determinism: the front-door CREATE TABLE declares overflow-safe
+    decimals (COPY casts the parquet doubles on load, engine.insert_df),
+    so the verbatim sums are exact decimal in BOTH engines and avg is
+    Spark's single exact division — shuffle order can never change a bit.
+    Only the hash-facing projection casts to DOUBLE/BIGINT."""
+    from plan_spark.engine import Engine
+
+    path = _scratch("sql_tpch_verbatim", sf_dir)
+    eng = Engine(spark, path)
+    eng.sql(
+        "CREATE TABLE lineitem (l_returnflag STRING, l_linestatus STRING, "
+        "l_quantity DECIMAL(12,2), l_extendedprice DECIMAL(12,2), "
+        "l_discount DECIMAL(6,4), l_tax DECIMAL(6,4), l_shipdate TIMESTAMP)"
+    )
+    eng.sql(f"COPY lineitem FROM '{sf_dir}/lineitem.parquet'")
+    qfile = "/root/reference/cases/tpch/query/q1.sql"
+    text = open(qfile).read() if os.path.exists(qfile) else _TPCH_Q1_VERBATIM
+    res = eng.sql(text)
+    return res.select(
+        "l_returnflag",
+        "l_linestatus",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in (
+                "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                "avg_qty", "avg_price", "avg_disc",
+            )
+        ],
+        F.col("count_order").cast("bigint").alias("count_order"),
+    )

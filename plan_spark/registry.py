@@ -58,64 +58,60 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # ---- round 7: window debt (r6 judge item 1) ----
-    # The r6 dataset.py machinery rewrite (vacuum rescan loop, stage/commit
-    # claims, create_index kind table, routing composition, row_ids-at-CREATE)
-    # changed shared Dataset paths AFTER these rows' last driver verification
-    # (r3-r5). Re-verify first.
-    "ds_detached_scan",
-    "ds_refresh_scan",
-    "ds_index_knn",
-    "ds_btree_scan",
-    "ds_rtree_scan",
-    "ds_clone_restore",
-    "ds_evolve_scan",
-    "ds_nested_scan",
-    # ---- round 7: new/changed this round ----
-    "stream_stateful",  # changed: applyInPandasWithState run re-sized (r6 perf item)
-    "sql_lifecycle",  # changed: PK/UNIQUE enforcement proof on the hash path
-    "ds_bitmap_scan",  # changed: take_rows(runs=...) interval form end-to-end
-    "ds_auto_index_scan",  # changed: auto-router bitmap member uses the runs form
-    "multimodal_features",  # changed: real BMP decode replaces the stub path
-    "multimodal_resize",  # changed: same (real decoded pixels on the hash path)
-    # ---- padding: the least-recently-driver-verified remaining rows ----
-    # (all hold green r2-r4 driver rows and stay pytest-oracle-checked)
-    "retention_cohorts",  # r4
-    "knn_l2",  # r4
-    "knn_dot",  # r4
-    "fts_bool",  # r4
-    "tpcds_q89",  # r4
-    "tpcds_q34",  # r4
-    "tpcds_q88",  # r4
-    "tpcds_q74",  # r4
-    "emb_gram",  # r4
-    "stream_semi_join",  # r4 + r6
-    "ds_zorder_scan",  # r3
-    "ds_pruned_scan",  # r2
-    "ds_delete_scan",  # r2
-    "ds_merge_scan",  # r2
-    "ds_timetravel",  # r2
-    "ds_rowid_take",  # r4
-    "rollup_agg",  # r2
-    "cube_agg",  # r2
-    "gsets_agg",  # r2
-    "setop_union",  # r2
-    "setop_intersect",  # r2
-    "setop_except",  # r2
-    "range_join_q",  # r2
-    "asof_join_q",  # r2
-    "w_topn",  # r2
-    "w_rank",  # r2
-    "w_running",  # r2
-    "w_lag",  # r2
-    "w_movavg",  # r2
-    "w_dist",  # r2
-    "paginate",  # r2
-    "dedup_minhash",  # r2
-    "dedup_simhash",  # r2
-    "quality_filter",  # r2
-    "pii_redact",  # r2
-    "decontam",  # r2
+    # ---- round 8: new/changed this round ----
+    "sql_tpch_verbatim",  # NEW: reference q1.sql verbatim through Engine.sql
+    "multimodal_features",  # changed: numpy-vectorized BMP kernels (hashes fixed)
+    "multimodal_resize",  # changed: same (vectorized nearest-neighbor grid)
+    "multimodal_frames",  # r3 + kernel file changed
+    "multimodal_audio",  # r3 + multimodal_q.py churn (r7 verdict item 1)
+    "multimodal_dedup",  # r5 but multimodal_q.py edited r7 (verdict head)
+    # ---- round 8: the r1-r3 driver-verification tail (r7 verdict item 1).
+    # With these 50, every registry row's newest driver verification is r4+
+    # after this round: zero pre-r4 debt remains.
+    "fts_bm25",  # r1
+    "dedup_embed",  # r1
+    "dedup_exact",  # r2
+    "fingerprint",  # r2
+    "knn_brute",  # r2
+    "knn_filtered",  # r2
+    "lang_id",  # r2
+    "q1",  # r2 (whole TPC-H set below)
+    "q3",
+    "q4",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q19",
+    "q20",
+    "q21",
+    "q22",
+    "sessionize",  # r2
+    "text_stats",  # r2
+    "time_bucket_agg",  # r2
+    "token_cjk",  # r2
+    "token_count",  # r2
+    "chunk_docs",  # r3
+    "json_props_agg",  # r3
+    "pack_sequences",  # r3
+    "percentile_exact",  # r3
+    "rep_filter",  # r3
+    "tpcds_q36",  # r3
+    "tpcds_q47",  # r3
+    "tpcds_q51",  # r3
+    "tpcds_q59",  # r3
+    "tpcds_q67",  # r3
+    "tpcds_q98",  # r3
+    "vocab_topk",  # r3
 )
 
 # Complementary: names pushed to the very END of the registry — queries

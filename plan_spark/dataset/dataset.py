@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from plan_spark.dataset.manifest import Fragment, Manifest
+from plan_spark.faults import fault_point
 
 
 class ConflictError(Exception):
@@ -581,6 +582,10 @@ class Dataset:
             except FileExistsError:
                 base = self._load(self._latest_version())
                 continue
+            # crash window: the manifest is durable but nothing downstream
+            # (in-memory head, branch ref advance) has happened yet — the
+            # r7 torn-ref race lived exactly here
+            fault_point("commit.manifest_landed")
             self._manifest = new_m
             if self._branch:
                 # the data commit already LANDED: a ref-advance failure
@@ -2640,7 +2645,25 @@ class Dataset:
                 if d.get("path"):
                     ref_idx_dirs.add(os.path.basename(d["path"]))
 
+        # crash windows: manifests BEYOND retention go first, then their
+        # files — so ANY prefix of the sweep is a consistent on-disk state
+        # (a crash leaves at worst unreferenced files for the next vacuum,
+        # never a surviving manifest whose files were already deleted — the
+        # dangling-snapshot state the fault-injection storm caught when the
+        # order was files-first)
+        fault_point("vacuum.before_remove")
         removed: list[str] = []
+        for v in all_vs:
+            if v not in keep:
+                mp = self._manifest_path(v)
+                if _young(mp):
+                    continue  # freshly written manifest: never reclaimed
+                try:
+                    os.remove(mp)
+                except FileNotFoundError:
+                    continue  # a concurrent vacuum won this removal
+                removed.append(f"_versions/{v:08d}.manifest.json")
+                fault_point("vacuum.mid_remove")
         for sub in ("data", "deletes"):
             d = os.path.join(self.path, sub)
             for fn in os.listdir(d):
@@ -2652,6 +2675,7 @@ class Dataset:
                     except FileNotFoundError:
                         continue  # a concurrent vacuum won this removal
                     removed.append(rel)
+                    fault_point("vacuum.mid_remove")
         # persisted index builds live under _indexes/<name>_<token>; dirs no
         # kept manifest references (failed builds, losing racers, dropped
         # indexes past retention) are orphans — reclaim them. A dir carrying
@@ -2673,16 +2697,6 @@ class Dataset:
                     continue  # just built: its create_index commit may be landing
                 shutil.rmtree(os.path.join(idx_root, fn), ignore_errors=True)
                 removed.append(f"_indexes/{fn}")
-        for v in all_vs:
-            if v not in keep:
-                mp = self._manifest_path(v)
-                if _young(mp):
-                    continue  # freshly written manifest: never reclaimed
-                try:
-                    os.remove(mp)
-                except FileNotFoundError:
-                    continue  # a concurrent vacuum won this removal
-                removed.append(f"_versions/{v:08d}.manifest.json")
         return removed
 
     # ------------------------------------------- restore / clone / branches
@@ -3451,6 +3465,10 @@ class Dataset:
             if os.path.exists(fp):
                 os.remove(fp)
                 removed.append(a["path"])
+                # crash window: staged data partially reclaimed, payload
+                # still present — the sweep must be re-runnable and the
+                # stage must refuse to commit, never land partial data
+                fault_point("stage.reclaim_mid")
         for names in payload.get("new_deletes", {}).values():
             for rel in names:
                 fp = os.path.join(self.path, rel)
@@ -3510,6 +3528,9 @@ class Dataset:
         p = os.path.join(self._staged_dir(), f"{stage_id}.json")
         claim = p + ".committing"
         os.rename(p, claim)  # atomic claim — reclaimers skip non-.json files
+        # crash window: claim held, nothing committed — recovery is
+        # cleanup_expired's stale-claim un-rename after _CLAIM_TTL
+        fault_point("stage.claimed")
         try:
             with open(claim) as fh:
                 payload = json.load(fh)
@@ -3528,6 +3549,10 @@ class Dataset:
             if os.path.exists(claim):
                 os.rename(claim, p)  # un-claim: stage visible again
             raise
+        # crash window: the staged manifest LANDED but the claim file
+        # survives — the retry must dedup via the __stage__ key, never
+        # double-apply
+        fault_point("stage.committed_before_unclaim")
         os.remove(claim)
         return self
 

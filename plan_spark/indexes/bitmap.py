@@ -39,11 +39,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from plan_spark.faults import fault_point
 from plan_spark.indexes.btree import (
-    fence_target,
+    fences_stale,
+    finish_fold,
     footer_fences,
     probe_file_list,
+    publish_fences,
     read_fences,
+    write_fold_marker,
 )
 
 # window partitions during the build are bounded to this many rows; runs
@@ -123,7 +127,7 @@ class BitmapIndex:
             for k, n in zip(t["key"].to_pylist(), t["n"].to_pylist()):
                 rows, cnt = stats.get(k, (0, 0))
                 stats[k] = (rows + n, cnt + 1)
-        pq.write_table(
+        publish_fences(
             pa.table(
                 {
                     "file": [f for f, _, _ in fen],
@@ -132,10 +136,10 @@ class BitmapIndex:
                     "n": data_n,
                 }
             ),
-            fence_target(os.path.join(self.path, "fences.parquet")),
+            os.path.join(self.path, "fences.parquet"),
         )
         keys = sorted(stats)
-        pq.write_table(
+        publish_fences(
             pa.table(
                 {
                     "key": keys,
@@ -143,7 +147,7 @@ class BitmapIndex:
                     "n_runs": [stats[k][1] for k in keys],
                 }
             ),
-            fence_target(os.path.join(self.path, "keystats.parquet")),
+            os.path.join(self.path, "keystats.parquet"),
         )
 
     # ------------------------------------------------------------- meta
@@ -172,8 +176,26 @@ class BitmapIndex:
             if f.endswith(".parquet")
         )
 
+    def _recover_runs(self) -> None:
+        """Self-heal after a crash inside compact()'s swap (mirror of
+        BtreeIndex._recover_runs): restore runs/ from runs_old/ if the
+        crash hit between the two renames, and rebuild fences+keystats
+        from the current runs' footers if the crash hit before the meta
+        rewrite (they would otherwise name replaced files forever).
+        A crash before the pending cleanup leaves folded singletons that
+        probes also read — benign: in_runs interval-unions and the query
+        faces apply distinct()."""
+        runs = os.path.join(self.path, "runs")
+        old = os.path.join(self.path, "runs_old")
+        if not os.path.isdir(runs) and os.path.isdir(old):
+            os.rename(old, runs)
+        finish_fold(self.path)  # complete an interrupted pending cleanup
+        if fences_stale(os.path.join(self.path, "fences.parquet")):
+            self._write_meta()
+
     # ------------------------------------------------------------- search
     def _probe_files(self, values) -> list[str] | None:
+        self._recover_runs()  # crashed-compact self-heal before routing
         fences = read_fences(os.path.join(self.path, "fences.parquet"))
         hit = [
             r.file
@@ -231,6 +253,7 @@ class BitmapIndex:
         — fence-pruned runs scan plus pending singletons, for when the run
         count itself is too large to route driver-side."""
         values = list(values)
+        self._recover_runs()  # crashed-compact self-heal before any read
         runs_dir = os.path.join(self.path, "runs")
         if not values:
             # isin() with zero operands is invalid SQL; the contract matches
@@ -297,6 +320,7 @@ class BitmapIndex:
         (key, block) — runs-count work end to end."""
         import shutil
 
+        self._recover_runs()  # finish any interrupted predecessor first
         runs_dir = os.path.join(self.path, "runs")
         cur = self.spark.read.parquet(runs_dir)
         pend = os.path.join(self.path, "pending")
@@ -359,16 +383,19 @@ class BitmapIndex:
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        write_fold_marker(tmp, pend_files)
         old = os.path.join(self.path, "runs_old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(runs_dir, old)
+        # crash window: runs/ gone — _recover_runs restores from runs_old/
+        fault_point("bitmap.swap_mid")
         os.rename(tmp, runs_dir)
+        # crash window: new runs live (fold marker inside), fences/keystats
+        # still name the old files — recovery finishes the fold and
+        # rebuilds the meta from footers
+        fault_point("bitmap.before_meta")
         self._write_meta()
         shutil.rmtree(old, ignore_errors=True)
         # remove exactly the folded pending files; concurrent appends survive
-        for f in pend_files:
-            try:
-                os.remove(f)
-            except FileNotFoundError:
-                pass
+        finish_fold(self.path)
         return self

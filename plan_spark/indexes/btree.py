@@ -23,9 +23,12 @@ query time; the single build-time shuffle is the repartitionByRange.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from plan_spark.faults import fault_point
 
 
 def probe_file_list(index_path: str, files: list | None) -> list:
@@ -61,16 +64,75 @@ def read_fences(path: str) -> list:
     ]
 
 
-def fence_target(path: str) -> str:
-    """Clear any previous fence artifact (pyarrow file or a Spark-written
-    directory from older builds) so the single-file write replaces it."""
-    import shutil
+def publish_fences(table, path: str) -> None:
+    """Atomic fence publish: temp sibling + rename, so a probe racing a
+    rebuild (fence self-heal runs on the READ path after a crashed
+    compact) sees the old table or the new one, never a torn or absent
+    file."""
+    import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        shutil.rmtree(path)
-    elif os.path.exists(path):
-        os.remove(path)
-    return path
+        import shutil
+
+        shutil.rmtree(path)  # Spark-written dir artifact from older builds
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def write_fold_marker(tmp_runs_dir: str, pend_files: list[str]) -> None:
+    """Record the pending files a compact folded into ``tmp_runs_dir`` —
+    INSIDE the new runs dir, so the marker becomes visible atomically with
+    the rename swap. A crash after the swap but before the pending cleanup
+    would otherwise leave probes reading the folded rows TWICE (runs and
+    pending) — a silent wrong answer from the raw probe faces;
+    finish_fold() completes the interrupted removal instead. Spark ignores
+    ``_``-prefixed files in a parquet directory and footer_fences filters
+    on ``.parquet``, so the marker never pollutes reads."""
+    import json
+
+    with open(os.path.join(tmp_runs_dir, "_folded.json"), "w") as fh:
+        json.dump([os.path.basename(f) for f in pend_files], fh)
+
+
+def finish_fold(index_path: str) -> None:
+    """Complete a (possibly interrupted) compact's pending cleanup: remove
+    every pending file the runs' fold marker names, then the marker.
+    Idempotent and crash-safe at every step — file removals are
+    existence-checked and the marker goes last."""
+    import json
+
+    marker = os.path.join(index_path, "runs", "_folded.json")
+    if not os.path.exists(marker):
+        return
+    try:
+        with open(marker) as fh:
+            names = json.load(fh)
+    except (OSError, ValueError):
+        return  # unreadable marker: leave it; the next compact's swap
+        # replaces the whole runs dir (marker included) with a fresh one
+    pend = os.path.join(index_path, "pending")
+    for fn in names:
+        try:
+            os.remove(os.path.join(pend, fn))
+        except FileNotFoundError:
+            pass
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass  # a concurrent recovery finished first
+
+
+def fences_stale(path: str) -> bool:
+    """True when the fence table is missing, unreadable, or names a file
+    that no longer exists — the on-disk states a crash between compact()'s
+    rename swap and the fence rewrite leaves behind."""
+    if not os.path.exists(path):
+        return True
+    try:
+        return any(not os.path.exists(r.file) for r in read_fences(path))
+    except Exception:
+        return True  # torn/garbled table: rebuild from footers
 
 
 def footer_fences(
@@ -164,7 +226,7 @@ class BtreeIndex:
         import pyarrow.parquet as pq
 
         rows = footer_fences(os.path.join(self.path, "runs"), ["key"])
-        pq.write_table(
+        publish_fences(
             pa.table(
                 {
                     "file": [f for f, _, _ in rows],
@@ -173,7 +235,7 @@ class BtreeIndex:
                     "n": [n for _, _, n in rows],
                 }
             ),
-            fence_target(os.path.join(self.path, "fences.parquet")),
+            os.path.join(self.path, "fences.parquet"),
         )
 
     # ------------------------------------------------------------- search
@@ -181,6 +243,7 @@ class BtreeIndex:
         """Fence routing: the run files whose [min,max] interval intersects
         [lo, hi] (None = unbounded side). Returns None when every file
         matches (read the whole runs dir — cheaper than listing paths)."""
+        self._recover_runs()  # crashed-compact self-heal before routing
         # the fence table is n_runs rows BY CONSTRUCTION (file-count-sized,
         # never row-count-sized) — one local metadata read, route driver-side
         fences = read_fences(os.path.join(self.path, "fences.parquet"))
@@ -198,11 +261,19 @@ class BtreeIndex:
         """Self-heal after a crash inside compact()'s swap: if runs/ is
         missing but runs_old/ exists, the crash hit between the two
         renames — restore the old runs (pending was not yet cleared, so no
-        data is lost; the interrupted compact simply never happened)."""
+        data is lost; the interrupted compact simply never happened). If
+        the fence table names a file the swap replaced (crash between the
+        second rename and the fence rewrite), rebuild it from the current
+        runs' footers — O(files) work, published atomically. Duplicates
+        from a crash before the pending cleanup are benign: every consumer
+        folds probe output into a hit SET / interval union."""
         runs = os.path.join(self.path, "runs")
         old = os.path.join(self.path, "runs_old")
         if not os.path.isdir(runs) and os.path.isdir(old):
             os.rename(old, runs)
+        finish_fold(self.path)  # complete an interrupted pending cleanup
+        if fences_stale(os.path.join(self.path, "fences.parquet")):
+            self._write_fences()
 
     def _scan(self, files: list[str] | None) -> DataFrame:
         self._recover_runs()
@@ -297,11 +368,28 @@ class BtreeIndex:
         return self
 
     def compact(self, n_runs: int = 8) -> "BtreeIndex":
-        """Fold pending into the runs: rebuild from runs+pending (one range
-        shuffle over the index pairs — never the base table)."""
+        """Fold pending into the runs: rebuild from runs + a SNAPSHOT of the
+        pending files (one range shuffle over the index pairs — never the
+        base table). Exactly the snapshotted files are removed afterwards,
+        via the fold marker written into the new runs dir — so a crash at
+        any point either never happened, or is completed by the next
+        probe's recovery; folded rows are never readable twice."""
         import shutil
 
-        merged = self._scan(None)
+        self._recover_runs()  # finish any interrupted predecessor first
+        pend = os.path.join(self.path, "pending")
+        pend_files = (
+            [
+                os.path.join(pend, f)
+                for f in sorted(os.listdir(pend))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(pend)
+            else []
+        )
+        merged = self.spark.read.parquet(os.path.join(self.path, "runs"))
+        if pend_files:
+            merged = merged.unionByName(self.spark.read.parquet(*pend_files))
         tmp = os.path.join(self.path, "runs_tmp")
         (
             merged.repartitionByRange(n_runs, "key")
@@ -309,6 +397,7 @@ class BtreeIndex:
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        write_fold_marker(tmp, pend_files)
         # rename-aside swap: a crash at any point leaves a recoverable
         # state — either runs/ still holds the old data, or runs_old/ does
         # and _recover_runs() restores it on the next probe. (The window
@@ -318,11 +407,18 @@ class BtreeIndex:
         runs, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
         os.rename(runs, old)
+        # crash window: runs/ gone, runs_old/ holds the data — the next
+        # probe's _recover_runs() must restore it losslessly
+        fault_point("btree.swap_mid")
         os.rename(tmp, runs)
+        # crash window: new runs live (fold marker inside), fences still
+        # describe the old file names — recovery finishes the fold and
+        # rebuilds fences from footers
+        fault_point("btree.before_fences")
         # fences BEFORE deleting the old runs: a crash mid-sequence leaves
         # fences pointing at files that still exist (old ones), never at
         # deleted paths
         self._write_fences()
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
+        finish_fold(self.path)  # remove exactly the folded pending files
         return self

@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from plan_spark.faults import fault_point
+
 
 def _interleave(bx, by):
     """Bit-interleave two 16-bit bucket columns into a z-value."""
@@ -119,12 +121,12 @@ class RtreeIndex:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from plan_spark.indexes.btree import fence_target, footer_fences
+        from plan_spark.indexes.btree import footer_fences, publish_fences
 
         rows = footer_fences(
             os.path.join(self.path, "runs"), ["xmin", "xmax", "ymin", "ymax"]
         )
-        pq.write_table(
+        publish_fences(
             pa.table(
                 {
                     "file": [f for f, _, _ in rows],
@@ -135,22 +137,30 @@ class RtreeIndex:
                     "n": [n for _, _, n in rows],
                 }
             ),
-            fence_target(os.path.join(self.path, "fences.parquet")),
+            os.path.join(self.path, "fences.parquet"),
         )
 
     # ------------------------------------------------------------- search
     def _fences(self):
         from plan_spark.indexes.btree import read_fences
 
+        self._recover_runs()  # crashed-compact self-heal before routing
         return read_fences(os.path.join(self.path, "fences.parquet"))
 
     def _recover_runs(self) -> None:
         """Self-heal after a crash inside compact()'s swap (see
-        BtreeIndex._recover_runs): restore runs_old/ when runs/ vanished."""
+        BtreeIndex._recover_runs): restore runs_old/ when runs/ vanished,
+        and rebuild fences from the current runs' footers when they name
+        replaced files (crash between the swap and the fence rewrite)."""
+        from plan_spark.indexes.btree import fences_stale, finish_fold
+
         runs = os.path.join(self.path, "runs")
         old = os.path.join(self.path, "runs_old")
         if not os.path.isdir(runs) and os.path.isdir(old):
             os.rename(old, runs)
+        finish_fold(self.path)  # complete an interrupted pending cleanup
+        if fences_stale(os.path.join(self.path, "fences.parquet")):
+            self._write_fences()
 
     def _scan(self, files: list[str] | None) -> DataFrame:
         self._recover_runs()
@@ -330,16 +340,35 @@ class RtreeIndex:
         return self
 
     def compact(self, n_runs: int = 8) -> "RtreeIndex":
-        """Re-pack runs+pending (one range shuffle over the index rows)."""
+        """Re-pack runs + a SNAPSHOT of the pending files (one range
+        shuffle over the index rows); the fold marker in the new runs dir
+        lets recovery finish the pending cleanup after a crash, so folded
+        rows are never readable twice (see btree.write_fold_marker)."""
         import shutil
         import uuid
 
-        merged = self._scan(None)
+        from plan_spark.indexes.btree import finish_fold, write_fold_marker
+
+        self._recover_runs()  # finish any interrupted predecessor first
+        pend = os.path.join(self.path, "pending")
+        pend_files = (
+            [
+                os.path.join(pend, f)
+                for f in sorted(os.listdir(pend))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(pend)
+            else []
+        )
+        merged = self.spark.read.parquet(os.path.join(self.path, "runs"))
+        if pend_files:
+            merged = merged.unionByName(self.spark.read.parquet(*pend_files))
         tmp = os.path.join(self.path, f"rebuild_{uuid.uuid4().hex[:8]}")
         RtreeIndex.build(
             self.spark, merged, "xmin", "ymin", "id",
             path=tmp, n_runs=n_runs, x2_col="xmax", y2_col="ymax",
         )
+        write_fold_marker(os.path.join(tmp, "runs"), pend_files)
         # rename-aside swap (same shape as BtreeIndex.compact): a crash at
         # any point leaves either runs/ or runs_old/ intact and
         # _recover_runs() self-heals on the next probe; single-maintainer
@@ -347,7 +376,12 @@ class RtreeIndex:
         dst, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
         shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
         os.rename(dst, old)
+        # crash window: runs/ gone — _recover_runs restores from runs_old/
+        fault_point("rtree.swap_mid")
         os.rename(os.path.join(tmp, "runs"), dst)
+        # crash window: new runs live, fences still name the old files —
+        # fences_stale() triggers the rebuild on the next probe
+        fault_point("rtree.before_fences")
         # fences recomputed AFTER the move (they store absolute paths; the
         # rebuild's own fences point into tmp) and BEFORE deleting the old
         # runs, so a crash mid-sequence never leaves fences referencing
@@ -355,5 +389,5 @@ class RtreeIndex:
         self._write_fences()
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
+        finish_fold(self.path)  # remove exactly the folded pending files
         return self

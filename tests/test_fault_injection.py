@@ -1,0 +1,479 @@
+"""Crash-point fault injection (reference pkg/storage2/util/fault_inject.go
+class of testing): arm a named fault site inside a dangerous protocol
+window, crash there, REOPEN from disk, and assert the recovery contract —
+the dataset/index either recovers (self-heal or documented recovery step)
+or refuses loudly. NEVER a silent wrong answer.
+
+Two crash mechanisms, per plan_spark/faults.py:
+- InjectedCrash (BaseException) raised in-process at handler-free sites —
+  the on-disk state at the raise is the crash image;
+- PLAN_SPARK_FAULT + PLAN_SPARK_FAULT_MODE=exit in a Spark-free child
+  process that dies with os._exit(77) — the literal crash image, proving
+  no finally/except cleanup is load-bearing (the staged-commit metadata
+  path runs without a SparkSession at all).
+
+The seeded crash-recovery storm at the bottom sweeps every site ×6 with
+random preceding histories (the r7 soak cadence that caught the torn
+_set_ref race)."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from plan_spark.dataset.dataset import (
+    _CLAIM_TTL,
+    _STAGE_GRACE,
+    Dataset,
+    StageExpiredError,
+)
+from plan_spark.faults import InjectedCrash, arm_fault, clear_faults
+
+
+@pytest.fixture(autouse=True)
+def _disarm():
+    clear_faults()
+    yield
+    clear_faults()
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "plan_spark_faults", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+def _mk(spark, path, n=200) -> Dataset:
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    return Dataset.create(spark, path, df.coalesce(2), row_ids=True)
+
+
+def _chain_consistent(ds: Dataset) -> None:
+    """The storm's invariant 1: every kept manifest loads and every file it
+    references exists — must hold after ANY crash."""
+    for v in ds.versions():
+        m = ds._load(v)
+        for f in m.fragments:
+            assert os.path.exists(os.path.join(ds.path, f.path)), (
+                f"v{v} references missing {f.path}"
+            )
+            for d in f.deletion_files:
+                assert os.path.exists(os.path.join(ds.path, d)), (
+                    f"v{v} references missing deletion file {d}"
+                )
+
+
+def _backdate(path: str, by: float) -> None:
+    t = time.time() - by
+    os.utime(path, (t, t))
+
+
+# --------------------------------------------------------------- indexes
+
+
+def _btree_probe_ids(idx, lo, hi):
+    return sorted(r.id for r in idx.range_query(lo, hi).collect())
+
+
+def test_btree_swap_mid_recovers(spark):
+    from plan_spark.indexes.btree import BtreeIndex
+
+    path = _scratch("bt_swap")
+    pairs = spark.range(0, 500).select(F.col("id").alias("k"), F.col("id").alias("i"))
+    idx = BtreeIndex.build(spark, pairs, "k", "i", path=path, n_runs=4)
+    idx.insert(
+        spark.range(500, 520).select(F.col("id").alias("k"), F.col("id").alias("i")),
+        "k", "i",
+    )
+    want = _btree_probe_ids(idx, 490, 510)
+    arm_fault("btree.swap_mid")
+    with pytest.raises(InjectedCrash):
+        idx.compact()
+    # crash image: runs/ is GONE; the next probe must self-heal losslessly
+    fresh = BtreeIndex(spark, path)
+    assert _btree_probe_ids(fresh, 490, 510) == want
+    # and a retried compact completes from the recovered state
+    fresh.compact()
+    assert _btree_probe_ids(fresh, 490, 510) == want
+
+
+def test_btree_before_fences_selfheals(spark):
+    from plan_spark.indexes.btree import BtreeIndex, fences_stale, read_fences
+
+    path = _scratch("bt_fences")
+    pairs = spark.range(0, 500).select(F.col("id").alias("k"), F.col("id").alias("i"))
+    idx = BtreeIndex.build(spark, pairs, "k", "i", path=path, n_runs=4)
+    idx.insert(
+        spark.range(500, 520).select(F.col("id").alias("k"), F.col("id").alias("i")),
+        "k", "i",
+    )
+    want = _btree_probe_ids(idx, 490, 510)
+    arm_fault("btree.before_fences")
+    with pytest.raises(InjectedCrash):
+        idx.compact()
+    # crash image: new runs live, fences name the REPLACED files
+    fp = os.path.join(path, "fences.parquet")
+    assert fences_stale(fp)
+    fresh = BtreeIndex(spark, path)
+    assert _btree_probe_ids(fresh, 490, 510) == want
+    # the probe rebuilt the fence table; it now names live files only
+    assert not fences_stale(fp)
+    assert all(os.path.exists(r.file) for r in read_fences(fp))
+
+
+def test_bitmap_swap_and_meta_crashes(spark):
+    from plan_spark.indexes.bitmap import BitmapIndex
+
+    path = _scratch("bm")
+    rows = spark.range(0, 400).select(
+        (F.col("id") % 5).alias("v"), F.col("id").alias("i")
+    )
+    idx = BitmapIndex.build(spark, rows, "v", "i", path=path, n_runs=2)
+    idx.insert(
+        spark.range(400, 440).select((F.col("id") % 5).alias("v"), F.col("id").alias("i")),
+        "v", "i",
+    )
+    want = idx.in_runs([2])
+    for site in ("bitmap.swap_mid", "bitmap.before_meta"):
+        arm_fault(site)
+        with pytest.raises(InjectedCrash):
+            idx.compact()
+        fresh = BitmapIndex(spark, path)
+        assert fresh.in_runs([2]) == want, f"probe wrong after {site}"
+    # final retried compact converges
+    idx.compact()
+    assert BitmapIndex(spark, path).in_runs([2]) == want
+
+
+def test_rtree_swap_and_fences_crashes(spark):
+    from plan_spark.indexes.rtree import RtreeIndex
+
+    path = _scratch("rt")
+    pts = spark.range(0, 300).select(
+        (F.col("id") % 20).cast("double").alias("x"),
+        (F.col("id") % 15).cast("double").alias("y"),
+        F.col("id").alias("i"),
+    )
+    idx = RtreeIndex.build(spark, pts, "x", "y", "i", path=path, n_runs=3)
+
+    def probe(ix):
+        return sorted(ix.range_ids(2.0, 2.0, 5.0, 5.0))
+
+    want = probe(idx)
+    for site in ("rtree.swap_mid", "rtree.before_fences"):
+        arm_fault(site)
+        with pytest.raises(InjectedCrash):
+            idx.compact()
+        assert probe(RtreeIndex(spark, path)) == want, f"probe wrong after {site}"
+    idx.compact()
+    assert probe(RtreeIndex(spark, path)) == want
+
+
+# ----------------------------------------------------------- commit / refs
+
+
+def test_branch_ref_crash_after_manifest(spark):
+    """Crash in the r7 torn-ref window: the data manifest lands, the branch
+    ref never advances. Contract: the chain is consistent, the branch reads
+    its OLD snapshot (the write never reported success), and the next
+    branch write advances normally."""
+    path = _scratch("branch_ref")
+    ds = _mk(spark, path)
+    ds.branch("fix")
+    h = Dataset.open(spark, path).on_branch("fix")
+    v_before = h.version
+    arm_fault("commit.manifest_landed")
+    with pytest.raises(InjectedCrash):
+        h.append(
+            spark.range(10_000, 10_010).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+            )
+        )
+    ds = Dataset.open(spark, path)
+    _chain_consistent(ds)
+    # the orphan manifest exists (durable) but the ref still pins the old
+    # version — the branch view must be the old CONSISTENT snapshot
+    assert max(ds.versions()) > v_before
+    assert ds.list_tags()["fix"] == v_before
+    h2 = Dataset.open(spark, path).on_branch("fix")
+    assert h2.to_df().filter(F.col("k") >= 10_000).count() == 0
+    # recovery = just write again; the ref advances with the new commit
+    h2.append(
+        spark.range(10_100, 10_110).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+    )
+    ds = Dataset.open(spark, path)
+    assert ds.list_tags()["fix"] > v_before
+    hv = Dataset.open(spark, path, version=ds.list_tags()["fix"])
+    assert hv.to_df().filter(F.col("k") >= 10_100).count() == 10
+
+
+def test_stage_claimed_crash_then_recovery(spark):
+    """Crash while holding the .committing claim, before any commit: the
+    stage is invisible and undeleteable (loud refusals), cleanup_expired
+    un-claims it after _CLAIM_TTL, and the retry commits exactly once."""
+    path = _scratch("stage_claim")
+    ds = _mk(spark, path)
+    sid = ds.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=3600,
+    )
+    v0 = Dataset.open(spark, path).version
+    arm_fault("stage.claimed")
+    with pytest.raises(InjectedCrash):
+        ds.commit_staged(sid)
+    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
+    assert os.path.exists(claim)
+    ds = Dataset.open(spark, path)
+    assert ds.version == v0, "nothing may have committed"
+    assert sid not in ds.staged(), "claimed stage must be invisible"
+    with pytest.raises(FileNotFoundError):
+        ds.commit_staged(sid)  # claim held: loud, not silent
+    with pytest.raises(ValueError, match="mid-commit"):
+        ds.delete_staged(sid)
+    # recovery: the claim goes stale after _CLAIM_TTL; cleanup un-claims
+    _backdate(claim, _CLAIM_TTL + 1)
+    ds.cleanup_expired()
+    assert sid in Dataset.open(spark, path).staged()
+    ds = Dataset.open(spark, path).commit_staged(sid)
+    assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10
+    _chain_consistent(ds)
+
+
+def test_stage_committed_before_unclaim_is_idempotent(spark):
+    """Crash AFTER the staged manifest landed but before the claim cleanup:
+    the retry must consume the stage via the __stage__ dedup key — exactly
+    once, never a double apply."""
+    path = _scratch("stage_dup")
+    ds = _mk(spark, path)
+    sid = ds.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=3600,
+    )
+    arm_fault("stage.committed_before_unclaim")
+    with pytest.raises(InjectedCrash):
+        ds.commit_staged(sid)
+    ds = Dataset.open(spark, path)
+    assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "commit landed"
+    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
+    assert os.path.exists(claim), "claim survives the crash"
+    _backdate(claim, _CLAIM_TTL + 1)
+    ds.cleanup_expired()  # un-claims the stale .committing
+    ds = Dataset.open(spark, path).commit_staged(sid)  # retry: dedup, not re-apply
+    assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
+    assert sid not in ds.staged()
+    _chain_consistent(ds)
+
+
+def test_vacuum_crash_any_prefix_is_safe(spark):
+    """Vacuum dies mid-removal: because only never-referenced files are
+    touched, ANY prefix of the sweep must leave every kept version fully
+    readable; the retried vacuum finishes the job."""
+    path = _scratch("vac")
+    ds = _mk(spark, path)
+    for start in (10_000, 10_100, 10_200):
+        ds.append(
+            spark.range(start, start + 10).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+            )
+        )
+    ds.compact(strategy="count", target_files=2)
+    n = ds.to_df().count()
+    arm_fault("vacuum.mid_remove")
+    with pytest.raises(InjectedCrash):
+        ds.vacuum(keep_versions=1, grace_seconds=0.0)
+    ds = Dataset.open(spark, path)
+    _chain_consistent(ds)
+    assert ds.to_df().count() == n
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert removed, "the retried vacuum finishes the interrupted sweep"
+    _chain_consistent(Dataset.open(spark, path))
+    assert Dataset.open(spark, path).to_df().count() == n
+
+
+def test_reclaim_mid_crash_refuses_partial_commit(spark):
+    """cleanup_expired dies after reclaiming SOME of a stage's files: the
+    payload survives, so commit_staged must refuse loudly (expired) — a
+    silent commit would land partial data — and the retried cleanup
+    finishes."""
+    path = _scratch("reclaim")
+    ds = _mk(spark, path)
+    sid = ds.stage_append(
+        spark.range(10_000, 10_020).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ).repartition(2),
+        ttl_seconds=0.0,  # expired immediately
+    )
+    p = os.path.join(ds._staged_dir(), f"{sid}.json")
+    # age the stage past the reclaim grace
+    payload = json.load(open(p))
+    payload["expires_at"] = time.time() - _STAGE_GRACE - 1
+    json.dump(payload, open(p, "w"))
+    arm_fault("stage.reclaim_mid")
+    with pytest.raises(InjectedCrash):
+        ds.cleanup_expired()
+    ds = Dataset.open(spark, path)
+    assert sid in ds.staged(), "payload survives the crash"
+    with pytest.raises(StageExpiredError):
+        ds.commit_staged(sid)
+    v = Dataset.open(spark, path)
+    assert v.to_df().filter(F.col("k") >= 10_000).count() == 0
+    ds = Dataset.open(spark, path)
+    ds.cleanup_expired()  # idempotent second sweep finishes
+    assert sid not in ds.staged()
+    _chain_consistent(ds)
+
+
+# ------------------------------------------------------- exit-mode child
+
+
+def test_exit_mode_crash_image_in_subprocess(spark):
+    """The literal crash image: a Spark-free child process claims + commits
+    a staged append and dies with os._exit(77) before the claim cleanup —
+    no finally/except handler runs, unlike the in-process raise mode. This
+    also proves the staged-commit metadata path needs no SparkSession."""
+    path = _scratch("exit_mode")
+    ds = _mk(spark, path)
+    sid = ds.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=3600,
+    )
+    v0 = ds.version
+    child = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]);"
+         "from plan_spark.dataset import Dataset;"
+         "Dataset.open(None, sys.argv[2]).commit_staged(sys.argv[3])",
+         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         path, sid],
+        env={**os.environ,
+             "PLAN_SPARK_FAULT": "stage.committed_before_unclaim",
+             "PLAN_SPARK_FAULT_MODE": "exit"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert child.returncode == 77, f"child did not die at the site: {child.stderr}"
+    ds = Dataset.open(spark, path)
+    assert ds.version > v0 and ds.to_df().filter(F.col("k") >= 10_000).count() == 10
+    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
+    assert os.path.exists(claim)
+    _backdate(claim, _CLAIM_TTL + 1)
+    ds.cleanup_expired()
+    ds = Dataset.open(spark, path).commit_staged(sid)
+    assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
+    _chain_consistent(ds)
+
+
+# ----------------------------------------------------- crash-recovery storm
+
+
+def test_crash_recovery_storm(spark):
+    """Seeded sweep: every dataset-protocol site ×6 rounds with randomized
+    preceding histories. After each crash: reopen, full chain invariant,
+    key conservation (a crashed op either happened entirely or not at all —
+    appended key blocks are complete or absent), then recover claims and
+    keep going. Set PLAN_SPARK_FAULT_STORM_ROUNDS to widen."""
+    rounds = int(os.environ.get("PLAN_SPARK_FAULT_STORM_ROUNDS", "6"))
+    rng = random.Random(20260816)
+    path = _scratch("storm")
+    ds = _mk(spark, path)
+    next_key = [10_000]
+    committed: set[int] = set()  # key-block starts whose op reported success
+
+    def block():
+        k = next_key[0]
+        next_key[0] += 10
+        return k
+
+    def new_rows(k):
+        return spark.range(k, k + 10).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+
+    sites = [
+        "commit.manifest_landed", "stage.claimed",
+        "stage.committed_before_unclaim", "vacuum.before_remove",
+        "vacuum.mid_remove", "stage.reclaim_mid",
+    ]
+    for r in range(rounds):
+        for site in sites:
+            ds = Dataset.open(spark, path)
+            # random preceding history so each crash hits a different state
+            for _ in range(rng.randrange(0, 3)):
+                k = block()
+                ds.append(new_rows(k))
+                committed.add(k)
+            k = block()
+            try:
+                arm_fault(site)
+                if site.startswith("vacuum"):
+                    ds.append(new_rows(k))
+                    committed.add(k)
+                    ds.vacuum(keep_versions=1, grace_seconds=0.0)
+                elif site == "stage.reclaim_mid":
+                    sid = ds.stage_append(new_rows(k), ttl_seconds=0.0)
+                    p = os.path.join(ds._staged_dir(), f"{sid}.json")
+                    payload = json.load(open(p))
+                    payload["expires_at"] = time.time() - _STAGE_GRACE - 1
+                    json.dump(payload, open(p, "w"))
+                    ds.cleanup_expired()
+                elif site.startswith("stage."):
+                    sid = ds.stage_append(new_rows(k), ttl_seconds=3600)
+                    ds.commit_staged(sid)
+                    committed.add(k)  # unreachable: the fault fires first
+                else:
+                    ds.append(new_rows(k))
+                    committed.add(k)  # unreachable: the fault fires first
+            except InjectedCrash:
+                pass
+            finally:
+                clear_faults()
+            # ---- after every crash: reopen + invariants
+            ds = Dataset.open(spark, path)
+            _chain_consistent(ds)
+            keys = [row.k for row in ds.to_df().filter(F.col("k") >= 10_000).collect()]
+            blocks: dict[int, int] = {}
+            for kk in keys:
+                b = kk - (kk % 10)
+                blocks[b] = blocks.get(b, 0) + 1
+            for b, c in blocks.items():
+                assert c == 10, f"torn block {b} after {site} (round {r})"
+            missing = committed - set(blocks)
+            assert not missing, f"acked blocks lost after {site}: {sorted(missing)}"
+            # recover any stale claims so later rounds can proceed
+            sdir = ds._staged_dir()
+            for fn in os.listdir(sdir):
+                if fn.endswith(".committing"):
+                    _backdate(os.path.join(sdir, fn), _CLAIM_TTL + 1)
+            ds.cleanup_expired()
+            # staged-but-uncommitted blocks may legally land later; fold in
+            for sid in Dataset.open(spark, path).staged():
+                try:
+                    ds = Dataset.open(spark, path).commit_staged(sid)
+                except (StageExpiredError, FileNotFoundError):
+                    continue
+            ds = Dataset.open(spark, path)
+            for row in ds.to_df().filter(F.col("k") >= 10_000).select("k").distinct().collect():
+                committed.add(row.k - (row.k % 10))
+    # final: a full vacuum + reopen stays consistent
+    Dataset.open(spark, path).vacuum(keep_versions=1, grace_seconds=0.0)
+    ds = Dataset.open(spark, path)
+    _chain_consistent(ds)

@@ -76,7 +76,13 @@ def test_btree_insert_then_compact_invariant(spark, points):
     assert set(range(90000, 90020)).issubset(set(before))
     bt.compact(n_runs=4)
     assert sorted(r.id for r in bt.range_query(50.0, 60.0).collect()) == before
-    assert not os.path.isdir(os.path.join(bt.path, "pending"))
+    # compact removes exactly the FOLDED pending parquet files (via the
+    # fold marker, so recovery can finish after a crash); the dir may
+    # survive with Spark artifacts only — probes treat that as empty
+    pend = os.path.join(bt.path, "pending")
+    assert not os.path.isdir(pend) or not any(
+        f.endswith(".parquet") for f in os.listdir(pend)
+    )
 
 
 # ---------------------------------------------------------------- rtree
@@ -146,7 +152,13 @@ def test_rtree_insert_then_compact(spark, points):
     assert rt.nearest_neighbors(50.0001, 50.0001, 1)[0][0] == 70001
     rt.compact(n_runs=4)
     assert rt.nearest_neighbors(50.0001, 50.0001, 1)[0][0] == 70001
-    assert not os.path.isdir(os.path.join(rt.path, "pending"))
+    # compact removes exactly the FOLDED pending parquet files (via the
+    # fold marker, so recovery can finish after a crash); the dir may
+    # survive with Spark artifacts only — probes treat that as empty
+    pend = os.path.join(rt.path, "pending")
+    assert not os.path.isdir(pend) or not any(
+        f.endswith(".parquet") for f in os.listdir(pend)
+    )
 
 
 # ------------------------------------------------- dataset + SQL lifecycle

@@ -889,6 +889,17 @@ class Engine:
         self._save_catalog()
         self._drop_view_temps(name, schema)
 
+    @staticmethod
+    def _check_mentions(col: str, check_sql: str) -> bool:
+        """Whether a CHECK expression's TEXT references ``col`` as an
+        identifier. String literals are blanked first ('' doubling kept
+        whole) so a column name appearing INSIDE a literal — e.g.
+        ``status IN ('k', 'v')`` vs a column named k — never blocks a
+        rename/drop; still conservative on identifiers (qualified or
+        quoted names match by word boundary)."""
+        no_lits = re.sub(r"'(?:[^']|'')*'", "''", check_sql)
+        return re.search(rf"\b{re.escape(col)}\b", no_lits) is not None
+
     def _view_dependents(self, name: str, schema: str, *, skip=None) -> list[str]:
         """Stored views whose SQL references the relation (table or view)
         {schema}.{name} under ANY of its referenceable aliases — the bare
@@ -1237,8 +1248,8 @@ class Engine:
                 esc = False
             elif quote:
                 buf.append(ch)
-                if ch == "\\":
-                    esc = True
+                if ch == "\\" and quote != "`":
+                    esc = True  # backslash escapes in string literals only
                 elif ch == quote:
                     quote = None
             elif ch == "-" and i + 1 < n and text[i + 1] == "-":
@@ -1247,7 +1258,10 @@ class Engine:
                 j = text.find("\n", i)
                 i = n if j < 0 else j
                 continue
-            elif ch in ("'", '"'):
+            elif ch in ("'", '"', "`"):
+                # backticks too: a `col--umn` identifier must never be
+                # clipped by the comment stripper (Spark quotes
+                # identifiers with backticks; `` doubles inside)
                 quote = ch
                 buf.append(ch)
             elif ch == ";":
@@ -1890,6 +1904,42 @@ class Engine:
                     )
                 for u in entry.get("unique") or []:
                     self._check_key_frames(tgt, u, tdf, inserts, kind="UNIQUE")
+        if when_matched == "update" and self._fk_children(tgt):
+            upd_cols_m = (
+                update_columns
+                if update_columns is not None
+                else [c for c in source.columns if c not in keys]
+            )
+            ref_touched = any(
+                c in upd_cols_m
+                for _, _, fk in self._fk_children(tgt)
+                for c in fk["ref_columns"]
+            )
+            if ref_touched:
+                # matched-UPDATE reassigning a column an enforced child's
+                # FK references can remove key VALUES from the parent — a
+                # RESTRICT event. Child-driven: runs whether or not the
+                # parent itself is enforced (the enforced-parent guards
+                # above don't cover an unenforced parent with enforced
+                # children — the same gap _stmt_update closes). Post-image
+                # = untouched rows ∪ matched rows with the source's values
+                # substituted, merge_insert's exact semantics.
+                old = self.dataset(tgt).to_df()
+                cols_m = [c for c in upd_cols_m if c in old.columns]
+                src_r = source.select(
+                    *keys, *[F.col(c).alias(f"__src_{c}") for c in cols_m]
+                )
+                matched_m = old.join(src_r, on=keys, how="inner")
+                for c in cols_m:
+                    matched_m = matched_m.withColumn(
+                        c, F.col(f"__src_{c}")
+                    ).drop(f"__src_{c}")
+                untouched_m = old.join(
+                    source.select(*keys).distinct(), on=keys, how="left_anti"
+                )
+                self._check_fk_restrict(
+                    tgt, old, untouched_m.unionByName(matched_m)
+                )
         if when_matched == "delete" and self._fk_children(tgt):
             # matched-DELETE on a referenced parent takes the same RESTRICT
             # scan as DELETE: the post-image drops the rows whose ON keys
@@ -2342,7 +2392,7 @@ class Engine:
             p.end()
             entry = self._entry(tbl, "main")
             if any(
-                re.search(rf"\b{re.escape(col)}\b", chk)
+                self._check_mentions(col, chk)
                 for chk in entry.get("checks") or []
             ):
                 # CHECKs are stored as SQL text — rewriting an expression is
@@ -2402,7 +2452,7 @@ class Engine:
             if any(col in u for u in entry.get("unique") or []):
                 holders.append("UNIQUE")
             if any(
-                re.search(rf"\b{re.escape(col)}\b", chk)
+                self._check_mentions(col, chk)
                 for chk in entry.get("checks") or []
             ):
                 holders.append("CHECK")
@@ -2463,9 +2513,13 @@ class Engine:
             elif p.try_kw("FOREIGN", "KEY"):
                 cols = [c.strip() for c in p.paren_body().split(",")]
                 fks = entry.get("foreign_keys") or []
-                if not any(fk["columns"] == cols for fk in fks):
+                # set comparison, like DROP UNIQUE and every other key
+                # face: the column LIST order is presentation, not identity
+                if not any(set(fk["columns"]) == set(cols) for fk in fks):
                     raise ValueError(f"table {tbl} has no FOREIGN KEY {tuple(cols)}")
-                entry["foreign_keys"] = [fk for fk in fks if fk["columns"] != cols]
+                entry["foreign_keys"] = [
+                    fk for fk in fks if set(fk["columns"]) != set(cols)
+                ]
             else:
                 raise p.error(
                     "expected COLUMN / PRIMARY KEY / UNIQUE / CHECK / "
@@ -2586,20 +2640,23 @@ class Engine:
                 raise ValueError(f"no tag or branch named {ref!r}")
             ver = refs[ref]  # ref file lookup — no manifest load needed
         p.end()
+        entry = self._entry(tbl, "main")
+        restored = None  # one checkout serves both validation blocks
         if self._fk_children(tbl):
             # restoring a referenced parent to a snapshot that lacks key
             # values still referenced by an enforced child is a RESTRICT
             # event too (the restored state orphans those refs) — validate
             # BEFORE the restore commit lands
-            self._check_fk_restrict(tbl, ds.to_df(), ds.checkout(ver).to_df())
-        entry = self._entry(tbl, "main")
+            restored = ds.checkout(ver).to_df()
+            self._check_fk_restrict(tbl, ds.to_df(), restored)
         if entry.get("enforce_pk"):
             # the mirror hazard: restoring an ENFORCED table can resurrect
             # rows written before a constraint was ADDed (old snapshots were
             # never validated against it) or rows whose FK parents have
             # since been deleted — validate the restored frame like SET
             # ENFORCE validates current rows
-            restored = ds.checkout(ver).to_df()
+            if restored is None:
+                restored = ds.checkout(ver).to_df()
             self._check_row_constraints(tbl, entry, restored)
             self._check_foreign_keys(tbl, entry, restored)
             for key_set, kname in [(entry.get("primary_key") or [], "PRIMARY KEY")] + [

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from plan_spark.faults import fault_point
 from plan_spark.indexes.btree import (
+    crash_artifacts,
     fences_stale,
     finish_fold,
     footer_fences,
@@ -127,17 +128,12 @@ class BitmapIndex:
             for k, n in zip(t["key"].to_pylist(), t["n"].to_pylist()):
                 rows, cnt = stats.get(k, (0, 0))
                 stats[k] = (rows + n, cnt + 1)
-        publish_fences(
-            pa.table(
-                {
-                    "file": [f for f, _, _ in fen],
-                    "min_key": [s["key"][0] for _, s, _ in fen],
-                    "max_key": [s["key"][1] for _, s, _ in fen],
-                    "n": data_n,
-                }
-            ),
-            os.path.join(self.path, "fences.parquet"),
-        )
+        # keystats FIRST, fences LAST: fences.parquet is the staleness
+        # sentinel the crash recovery keys on (fences_stale in
+        # _recover_runs), so it must be the COMMIT point of the meta pair —
+        # a crash between the two publishes then leaves fences stale and
+        # the next probe rebuilds both; the reverse order would leave fresh
+        # fences over stale keystats forever
         keys = sorted(stats)
         publish_fences(
             pa.table(
@@ -148,6 +144,20 @@ class BitmapIndex:
                 }
             ),
             os.path.join(self.path, "keystats.parquet"),
+        )
+        # crash window between the meta pair's two publishes: keystats is
+        # new, fences still old -> stale -> the next probe rebuilds BOTH
+        fault_point("bitmap.meta_mid")
+        publish_fences(
+            pa.table(
+                {
+                    "file": [f for f, _, _ in fen],
+                    "min_key": [s["key"][0] for _, s, _ in fen],
+                    "max_key": [s["key"][1] for _, s, _ in fen],
+                    "n": data_n,
+                }
+            ),
+            os.path.join(self.path, "fences.parquet"),
         )
 
     # ------------------------------------------------------------- meta
@@ -185,6 +195,8 @@ class BitmapIndex:
         A crash before the pending cleanup leaves folded singletons that
         probes also read — benign: in_runs interval-unions and the query
         faces apply distinct()."""
+        if not crash_artifacts(self.path):
+            return  # clean index: zero cost beyond three stat calls
         runs = os.path.join(self.path, "runs")
         old = os.path.join(self.path, "runs_old")
         if not os.path.isdir(runs) and os.path.isdir(old):

@@ -123,6 +123,22 @@ def finish_fold(index_path: str) -> None:
         pass  # a concurrent recovery finished first
 
 
+def crash_artifacts(index_path: str) -> bool:
+    """Cheap probe-path trigger (3 stat calls) for the crashed-compact
+    recovery sweep: every crash image inside compact()'s dangerous windows
+    leaves at least one of these on disk, because runs_old/ is removed only
+    AFTER the fence rewrite and the fold marker only after that. When none
+    is present the index is clean and probes skip the fences_stale read
+    entirely — recovery must not tax the hot path."""
+    runs = os.path.join(index_path, "runs")
+    return (
+        not os.path.isdir(runs)
+        or os.path.isdir(os.path.join(index_path, "runs_old"))
+        or os.path.exists(os.path.join(runs, "_folded.json"))
+        or not os.path.exists(os.path.join(index_path, "fences.parquet"))
+    )
+
+
 def fences_stale(path: str) -> bool:
     """True when the fence table is missing, unreadable, or names a file
     that no longer exists — the on-disk states a crash between compact()'s
@@ -267,6 +283,8 @@ class BtreeIndex:
         runs' footers — O(files) work, published atomically. Duplicates
         from a crash before the pending cleanup are benign: every consumer
         folds probe output into a hit SET / interval union."""
+        if not crash_artifacts(self.path):
+            return  # clean index: zero cost beyond three stat calls
         runs = os.path.join(self.path, "runs")
         old = os.path.join(self.path, "runs_old")
         if not os.path.isdir(runs) and os.path.isdir(old):

@@ -152,8 +152,14 @@ class RtreeIndex:
         BtreeIndex._recover_runs): restore runs_old/ when runs/ vanished,
         and rebuild fences from the current runs' footers when they name
         replaced files (crash between the swap and the fence rewrite)."""
-        from plan_spark.indexes.btree import fences_stale, finish_fold
+        from plan_spark.indexes.btree import (
+            crash_artifacts,
+            fences_stale,
+            finish_fold,
+        )
 
+        if not crash_artifacts(self.path):
+            return  # clean index: zero cost beyond three stat calls
         runs = os.path.join(self.path, "runs")
         old = os.path.join(self.path, "runs_old")
         if not os.path.isdir(runs) and os.path.isdir(old):
@@ -350,6 +356,12 @@ class RtreeIndex:
         from plan_spark.indexes.btree import finish_fold, write_fold_marker
 
         self._recover_runs()  # finish any interrupted predecessor first
+        # a crashed compact strands its uuid-named rebuild dir (a full
+        # index copy); single-maintainer means any one present here is
+        # stale — reclaim before building another
+        for fn in os.listdir(self.path):
+            if fn.startswith("rebuild_"):
+                shutil.rmtree(os.path.join(self.path, fn), ignore_errors=True)
         pend = os.path.join(self.path, "pending")
         pend_files = (
             [

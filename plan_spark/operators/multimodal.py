@@ -136,13 +136,18 @@ def attach_bmp_payload(docs: DataFrame, width: int = 16, height: int = 16) -> Da
     n = width * height * 3
 
     def _gen(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
+
+        # i*13 term is doc-independent: one arange per batch, the d*7
+        # offset added per doc — same integers as the scalar formula
+        base = (np.arange(n, dtype=np.int64) * 13)
 
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                px = bytes(32 + (d * 7 + i * 13) % 95 for i in range(n))
+                px = (32 + (d * 7 + base) % 95).astype(np.uint8).tobytes()
                 payloads.append(enc(width, height, px))
             yield pd.DataFrame(
                 {

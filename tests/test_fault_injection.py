@@ -477,3 +477,42 @@ def test_crash_recovery_storm(spark):
     Dataset.open(spark, path).vacuum(keep_versions=1, grace_seconds=0.0)
     ds = Dataset.open(spark, path)
     _chain_consistent(ds)
+
+
+def test_bitmap_meta_mid_crash_keystats_consistent(spark):
+    """Crash between the meta pair's two publishes (keystats new, fences
+    old): fences are the commit point, so the next probe rebuilds BOTH and
+    keystats can never stay stale behind fresh fences (the review's
+    ordering finding)."""
+    from plan_spark.indexes.bitmap import BitmapIndex
+
+    path = _scratch("bm_meta")
+    rows = spark.range(0, 300).select(
+        (F.col("id") % 4).alias("v"), F.col("id").alias("i")
+    )
+    idx = BitmapIndex.build(spark, rows, "v", "i", path=path, n_runs=2)
+    idx.insert(
+        spark.range(300, 340).select((F.col("id") % 4).alias("v"), F.col("id").alias("i")),
+        "v", "i",
+    )
+    want_runs = idx.in_runs([1])
+    arm_fault("bitmap.meta_mid")
+    with pytest.raises(InjectedCrash):
+        idx.compact()
+    fresh = BitmapIndex(spark, path)
+    assert fresh.in_runs([1]) == want_runs
+    # keystats must describe the CURRENT runs: per-value rows re-derived
+    # from the run files equal the keystats table exactly
+    ks = fresh.keystats()
+    import pyarrow.parquet as pq
+
+    runs_dir = os.path.join(path, "runs")
+    derived = {}
+    for fn in os.listdir(runs_dir):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(runs_dir, fn), columns=["key", "n"])
+        for k, n in zip(t["key"].to_pylist(), t["n"].to_pylist()):
+            r, c = derived.get(k, (0, 0))
+            derived[k] = (r + n, c + 1)
+    assert ks == derived

@@ -270,3 +270,79 @@ def test_drop_missing_constraint_loud(engine):
         engine.sql("ALTER TABLE t DROP CHECK (k > 0)")
     with pytest.raises(ValueError, match="has no FOREIGN KEY"):
         engine.sql("ALTER TABLE t DROP FOREIGN KEY (k)")
+
+
+# ---- round-8 review follow-ups -------------------------------------------
+
+
+def test_merge_matched_update_restricted_unenforced_parent(engine):
+    """MERGE matched-UPDATE reassigning a column an enforced child's FK
+    references must RESTRICT even when the parent itself is UNENFORCED —
+    the same child-driven rule UPDATE already applies (the review found
+    the MERGE face unguarded: k=100 vanished silently)."""
+    engine.sql("CREATE TABLE p (id INT PRIMARY KEY, k INT, UNIQUE (k))")
+    engine.sql("INSERT INTO p VALUES (1, 100), (2, 200)")
+    engine.sql(
+        "CREATE TABLE c (cid INT PRIMARY KEY, pk INT, "
+        "FOREIGN KEY (pk) REFERENCES p (k)) WITH (ENFORCE)"
+    )
+    engine.sql("INSERT INTO c VALUES (10, 100)")
+    with pytest.raises(IntegrityError, match="RESTRICT"):
+        engine.sql(
+            "MERGE INTO p USING (SELECT 1 AS id, 999 AS k) s ON id "
+            "WHEN MATCHED THEN UPDATE SET k = s.k"
+        )
+    assert engine.sql("SELECT k FROM p WHERE id = 1").collect()[0].k == 100
+    # moving an UNreferenced key value is fine
+    engine.sql(
+        "MERGE INTO p USING (SELECT 2 AS id, 999 AS k) s ON id "
+        "WHEN MATCHED THEN UPDATE SET k = s.k"
+    )
+    assert engine.sql("SELECT k FROM p WHERE id = 2").collect()[0].k == 999
+
+
+def test_merge_matched_update_nonref_column_passes(engine):
+    """Updating columns no child references skips the RESTRICT scan."""
+    _parent_child(engine)
+    engine.sql(
+        "MERGE INTO p USING (SELECT 1 AS k, 'zz' AS v) s ON k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert engine.sql("SELECT v FROM p WHERE k = 1").collect()[0].v == "zz"
+
+
+def test_drop_foreign_key_column_order_insensitive(engine):
+    """DROP FOREIGN KEY identifies the key by column SET, like every other
+    key face (the review found an ordered-list compare)."""
+    engine.sql("CREATE TABLE pp (a INT, b INT, v STRING, PRIMARY KEY (a, b))")
+    engine.sql(
+        "CREATE TABLE cc (id INT PRIMARY KEY, fa INT, fb INT, "
+        "FOREIGN KEY (fa, fb) REFERENCES pp (a, b))"
+    )
+    engine.sql("ALTER TABLE cc DROP FOREIGN KEY (fb, fa)")  # reordered
+    assert not engine._entry("cc", "main").get("foreign_keys")
+
+
+def test_rename_column_matching_check_literal_passes(engine):
+    """A column name appearing only INSIDE a CHECK's string literal must
+    not block RENAME/DROP (the review found a raw word-boundary regex)."""
+    engine.sql(
+        "CREATE TABLE t (k INT, status STRING, CHECK (status IN ('k', 'v')))"
+    )
+    engine.sql("INSERT INTO t VALUES (1, 'k')")
+    engine.sql("ALTER TABLE t RENAME COLUMN k TO kk")
+    assert "kk" in engine.dataset("t").to_df().columns
+    # a REAL identifier mention still blocks
+    engine.sql("CREATE TABLE t2 (n INT, CHECK (n > 0))")
+    with pytest.raises(ValueError, match="CHECK"):
+        engine.sql("ALTER TABLE t2 RENAME COLUMN n TO m")
+
+
+def test_backquoted_identifier_with_double_dash(engine):
+    """`a--b` inside backticks is an identifier, not a comment — the
+    statement splitter must pass it through intact."""
+    df = engine.sql("SELECT 1 AS `a--b`")
+    assert df.columns == ["a--b"] and df.collect()[0][0] == 1
+    # and a real comment after a backquoted identifier still strips
+    df = engine.sql("SELECT 2 AS `x` -- trailing comment\n")
+    assert df.collect()[0].x == 2

@@ -170,3 +170,42 @@ def test_cursor_statement_smoke(spark):
         assert eng.sql("SELECT COUNT(*) AS n FROM mt2").collect()[0].n == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.sampled_from(list("ab-`'\" ;\n") + ["--", "x`y"]),
+        min_size=0,
+        max_size=10,
+    ).map("".join)
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_preserves_quoted_regions(content):
+    """_split_statements strips -- comments and splits on ';' only OUTSIDE
+    single-quoted, double-quoted, AND backquoted regions: any content
+    packed into a literal or a backtick identifier survives verbatim
+    (the r8 review found `a--b` identifiers being clipped)."""
+    from plan_spark.engine import Engine
+
+    # single-quoted literal: whatever the content, the statement is one
+    # piece and the literal is intact
+    lit = "'" + content.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    out = Engine._split_statements(f"SELECT {lit} AS s")
+    assert len(out) == 1 and lit in out[0]
+    # backquoted identifier: backticks guard -- and ; (`` doubling aside)
+    if "`" not in content:
+        ident = f"`{content or 'x'}`"
+        out = Engine._split_statements(f"SELECT 1 AS {ident}")
+        assert out == [f"SELECT 1 AS {ident}"]
+
+
+def test_split_statements_comment_and_semicolon_edges():
+    from plan_spark.engine import Engine
+
+    f = Engine._split_statements
+    assert f("SELECT `a--b` FROM t") == ["SELECT `a--b` FROM t"]
+    assert f("SELECT 1 -- c\n;") == ["SELECT 1 \n"] or f(
+        "SELECT 1 -- c\n;"
+    ) == ["SELECT 1"]
+    assert f("SELECT ';--' AS s") == ["SELECT ';--' AS s"]
+    assert len(f("SELECT 1; SELECT 2")) == 2

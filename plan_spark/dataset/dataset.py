@@ -2943,6 +2943,10 @@ class Dataset:
             sentinel = os.path.join(full, "_INFLIGHT")
             with open(sentinel, "w") as fh:
                 fh.write(name)
+            # crash window: died mid-build — the stale sentinel + partial
+            # dir must be invisible to readers (no descriptor committed)
+            # and swept by vacuum only after _INFLIGHT_TTL
+            fault_point("index.build_mid")
             try:
                 if kind == "bitmap":
                     from plan_spark.indexes.bitmap import BitmapIndex
@@ -3010,6 +3014,11 @@ class Dataset:
                 raise
         else:
             raise ValueError(f"unknown index kind {kind!r}")
+        # crash window: build complete, descriptor never committed — the
+        # finished dir is an orphan (sentinel still present: the except
+        # above only runs on BUILD failure) that vacuum reclaims after TTL;
+        # a retried create_index builds fresh under a new unique dir
+        fault_point("index.built_before_commit")
         try:
             self._commit(txn)
         finally:

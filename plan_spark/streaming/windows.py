@@ -347,6 +347,9 @@ def user_totals_stateful(spark: SparkSession, sf_dir: str):
             F.col("m.n_events").alias("n_events"),
             F.col("m.total_value").alias("total_value"),
         )
+        # bounded-run ORACLE face only: the driver frame is user-count-
+        # sized here. An unbounded deployment of this operator ends in a
+        # writeStream sink (streaming/sink.py), never a driver collect.
         .toPandas()
     )
 

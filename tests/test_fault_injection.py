@@ -516,3 +516,76 @@ def test_bitmap_meta_mid_crash_keystats_consistent(spark):
             r, c = derived.get(k, (0, 0))
             derived[k] = (r + n, c + 1)
     assert ks == derived
+
+
+def test_index_build_crash_windows(spark):
+    """create_index dies (a) mid-build or (b) after the build but before
+    the descriptor commit: the dataset must be untouched (no descriptor,
+    scans fine), vacuum must NOT sweep the dir while its in-flight
+    sentinel is fresh, must sweep it once stale, and a retried
+    create_index succeeds under a fresh unique dir."""
+    from plan_spark.dataset.dataset import _INFLIGHT_TTL
+
+    for site in ("index.build_mid", "index.built_before_commit"):
+        path = _scratch(f"idx_{site.split('.')[1]}")
+        ds = _mk(spark, path)
+        v0 = ds.version
+        arm_fault(site)
+        with pytest.raises(InjectedCrash):
+            ds.create_index("bt", kind="btree", column="k", n_runs=2)
+        ds = Dataset.open(spark, path)
+        assert ds.version == v0 and "bt" not in ds.manifest.indexes
+        assert ds.to_df().count() == 200  # dataset unaffected
+        idx_root = os.path.join(path, "_indexes")
+        orphans = os.listdir(idx_root)
+        assert len(orphans) == 1, f"exactly one orphan build dir: {orphans}"
+        orphan = os.path.join(idx_root, orphans[0])
+        assert os.path.exists(os.path.join(orphan, "_INFLIGHT")), site
+        # fresh sentinel: vacuum must leave the (possibly running) build
+        ds.vacuum(keep_versions=1, grace_seconds=0.0)
+        assert os.path.isdir(orphan), f"vacuum swept a fresh build ({site})"
+        # stale sentinel + aged dir: vacuum reclaims the orphan
+        _backdate(os.path.join(orphan, "_INFLIGHT"), _INFLIGHT_TTL + 1)
+        _backdate(orphan, _INFLIGHT_TTL + 1)
+        ds.vacuum(keep_versions=1, grace_seconds=0.0)
+        assert not os.path.isdir(orphan), f"stale orphan survived ({site})"
+        # retry lands, probes work
+        ds = Dataset.open(spark, path)
+        ds.create_index("bt", kind="btree", column="k", n_runs=2)
+        assert "bt" in ds.manifest.indexes
+        ids = [r.id for r in ds.open_index("bt").equality_query(42).collect()]
+        assert len(ids) == 1
+        _chain_consistent(ds)
+
+
+def test_refresh_claim_crash_image_refuses_loudly(spark):
+    """The crash image of a refresher that died mid-refresh is its
+    _REFRESHING claim file (its buffered insert may or may not have landed
+    in the SHARED index files — indistinguishable). Contract: a fresh
+    foreign claim reads as 'concurrent refresh', a stale one as 'rebuild
+    required' — never a steal-and-reinsert (which would double the delta);
+    the rebuild path restores correct probes."""
+    from plan_spark.dataset.dataset import _INFLIGHT_TTL, ConflictError
+
+    path = _scratch("refresh_claim")
+    ds = _mk(spark, path)
+    ds.create_index("bt", kind="btree", column="k", n_runs=2)
+    ds.append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+    )
+    claim = os.path.join(path, ds.manifest.indexes["bt"]["path"], "_REFRESHING")
+    open(claim, "w").close()
+    with pytest.raises(ConflictError, match="concurrently"):
+        Dataset.open(spark, path).refresh_index("bt")
+    _backdate(claim, _INFLIGHT_TTL + 1)
+    with pytest.raises(ConflictError, match="rebuild"):
+        Dataset.open(spark, path).refresh_index("bt")
+    # the documented recovery: rebuild into a fresh staged dir
+    ds = Dataset.open(spark, path)
+    ds.drop_index("bt")
+    ds.create_index("bt", kind="btree", column="k", n_runs=2)
+    ids = [r.id for r in ds.open_index("bt").equality_query(10_005).collect()]
+    assert len(ids) == 1
+    _chain_consistent(ds)

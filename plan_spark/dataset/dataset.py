@@ -3554,6 +3554,30 @@ class Dataset:
             # a prior attempt's manifest landed but its claim cleanup was
             # interrupted: the work is done — consume the stage
             self._manifest = self._load(self._latest_version())
+            if self._branch:
+                # the dead attempt may ALSO have died before its ref
+                # advance (the exit-mode fault test's finding): without
+                # this, the retry acknowledges success while the branch
+                # still pins the old version and cannot see the rows.
+                # The landing point is the first retained manifest whose
+                # stream watermark carries this stage's dedup key
+                # (watermarks copy forward, so this is <= what the dead
+                # attempt would have set — and ordinary branch commits
+                # rebase onto head anyway, so interleaved commits below
+                # it are already branch-visible by design).
+                key = f"__stage__:{stage_id}"
+                landed = next(
+                    (
+                        v
+                        for v in self.versions()
+                        if self._load(v).stream_state.get(key, -1) >= 0
+                    ),
+                    None,
+                )
+                if landed is not None and self._refs().get(
+                    self._branch, -1
+                ) < landed:
+                    self._set_ref(self._branch, landed)
         except BaseException:
             if os.path.exists(claim):
                 os.rename(claim, p)  # un-claim: stage visible again

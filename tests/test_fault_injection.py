@@ -589,3 +589,49 @@ def test_refresh_claim_crash_image_refuses_loudly(spark):
     ids = [r.id for r in ds.open_index("bt").equality_query(10_005).collect()]
     assert len(ids) == 1
     _chain_consistent(ds)
+
+
+def test_exit_mode_branch_ref_window_in_subprocess(spark):
+    """Exit-mode crash image for the r7 torn-ref window, via a Spark-free
+    child committing a STAGED append through a branch handle: the child
+    dies the instant the manifest lands (os._exit — the RuntimeError
+    wrapper and claim-restore handlers never run). Contract on reopen: the
+    chain is consistent, the branch still pins its old version, and the
+    claim-recovery + retry path lands the write exactly once WITH the ref
+    advance."""
+    path = _scratch("exit_branch")
+    ds = _mk(spark, path)
+    ds.branch("fix")
+    h = Dataset.open(spark, path).on_branch("fix")
+    v0 = h.version
+    sid = h.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=3600,
+    )
+    child = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]);"
+         "from plan_spark.dataset import Dataset;"
+         "Dataset.open(None, sys.argv[2]).on_branch('fix').commit_staged(sys.argv[3])",
+         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         path, sid],
+        env={**os.environ,
+             "PLAN_SPARK_FAULT": "commit.manifest_landed",
+             "PLAN_SPARK_FAULT_MODE": "exit"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert child.returncode == 77, f"child did not die at the site: {child.stderr}"
+    ds = Dataset.open(spark, path)
+    _chain_consistent(ds)
+    assert max(ds.versions()) > v0, "manifest is durable"
+    assert ds.list_tags()["fix"] == v0, "ref never advanced (crash image)"
+    # recovery: un-claim after TTL, retry — dedup key makes it exactly-once
+    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
+    assert os.path.exists(claim)
+    _backdate(claim, _CLAIM_TTL + 1)
+    ds.cleanup_expired()
+    h2 = Dataset.open(spark, path).on_branch("fix").commit_staged(sid)
+    assert h2.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
+    assert Dataset.open(spark, path).list_tags()["fix"] > v0, "ref advanced on retry"

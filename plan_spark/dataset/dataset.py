@@ -429,6 +429,22 @@ class Dataset:
             refs[name] = version
             self._write_refs(refs)
 
+    def _advance_ref(self, name: str, version: int) -> None:
+        """Monotonic, existence-preserving ref advance — the crash-recovery
+        catch-up face. The compare lives INSIDE the locked read-modify-
+        write: comparing outside and then calling _set_ref would let a
+        concurrent branch commit's advance be rolled back (ref regression =
+        an acknowledged commit turning invisible). A ref deleted since the
+        crash stays deleted — recreating it would resurrect a branch
+        without its kind mark."""
+        with self._file_lock(self._refs_path):
+            refs = self._refs()
+            cur = refs.get(name)
+            if cur is None or cur >= version:
+                return
+            refs[name] = version
+            self._write_refs(refs)
+
     def tag(self, name: str, version: int | None = None) -> None:
         """Named version pointer (reference: tags.go:9-32). Refuses names
         registered as BRANCHES: re-tagging a branch would leave a ref the
@@ -3559,25 +3575,26 @@ class Dataset:
                 # advance (the exit-mode fault test's finding): without
                 # this, the retry acknowledges success while the branch
                 # still pins the old version and cannot see the rows.
-                # The landing point is the first retained manifest whose
-                # stream watermark carries this stage's dedup key
-                # (watermarks copy forward, so this is <= what the dead
-                # attempt would have set — and ordinary branch commits
-                # rebase onto head anyway, so interleaved commits below
-                # it are already branch-visible by design).
-                key = f"__stage__:{stage_id}"
-                landed = next(
-                    (
-                        v
-                        for v in self.versions()
-                        if self._load(v).stream_state.get(key, -1) >= 0
-                    ),
-                    None,
-                )
-                if landed is not None and self._refs().get(
-                    self._branch, -1
-                ) < landed:
-                    self._set_ref(self._branch, landed)
+                # _advance_ref is monotonic-under-the-lock (no rollback of
+                # a concurrent advance) and skips a since-deleted branch;
+                # ordinary branch commits rebase onto head, so interleaved
+                # commits below the landing point are already
+                # branch-visible by design. A failure HERE must restore
+                # the claim itself before raising: an exception inside
+                # this handler bypasses the sibling un-claim handler, and
+                # a stranded .committing would make the caller's retry
+                # fail with a bare FileNotFoundError for _CLAIM_TTL.
+                try:
+                    landed = self._stage_landed_version(stage_id)
+                    if landed is not None:
+                        self._advance_ref(self._branch, landed)
+                except BaseException as e:
+                    if os.path.exists(claim):
+                        os.rename(claim, p)  # stage visible; retry redoes this
+                    raise RuntimeError(
+                        f"stage {stage_id} already committed but branch "
+                        f"{self._branch!r} could not catch up: {e}"
+                    ) from e
         except BaseException:
             if os.path.exists(claim):
                 os.rename(claim, p)  # un-claim: stage visible again
@@ -3588,6 +3605,27 @@ class Dataset:
         fault_point("stage.committed_before_unclaim")
         os.remove(claim)
         return self
+
+    def _stage_landed_version(self, stage_id: str) -> int | None:
+        """The retained version where this stage's commit LANDED: oldest
+        manifest still carrying its ``__stage__`` watermark key. Watermarks
+        copy forward, so the scan walks from HEAD down and stops at the
+        first non-carrier — O(post-landing manifests), near-head for a
+        crash retry, never O(history). A manifest vacuumed mid-scan acts as
+        the boundary: the oldest carrier seen is still a version containing
+        the stage's rows, so advancing a ref to it stays conservative
+        (<= head, >= the true landing point)."""
+        key = f"__stage__:{stage_id}"
+        landed = None
+        for v in reversed(self.versions()):
+            try:
+                if self._load(v).stream_state.get(key, -1) >= 0:
+                    landed = v
+                else:
+                    break
+            except FileNotFoundError:
+                break  # vacuumed below here
+        return landed
 
     def _do_commit_staged(self, stage_id: str, payload: dict) -> None:
         self._manifest = self._load(self._latest_version())

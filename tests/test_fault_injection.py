@@ -635,3 +635,38 @@ def test_exit_mode_branch_ref_window_in_subprocess(spark):
     h2 = Dataset.open(spark, path).on_branch("fix").commit_staged(sid)
     assert h2.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
     assert Dataset.open(spark, path).list_tags()["fix"] > v0, "ref advanced on retry"
+
+
+def test_retry_catchup_never_resurrects_deleted_branch(spark):
+    """Between the crash and the retry, an operator deletes the branch:
+    the retry's ref catch-up must consume the stage WITHOUT recreating the
+    ref (resurrecting it would re-protect the version and bring back a
+    kind-unmarked branch). The advance is also monotonic under the lock —
+    a ref already ahead is left alone."""
+    path = _scratch("no_resurrect")
+    ds = _mk(spark, path)
+    ds.branch("fix")
+    h = Dataset.open(spark, path).on_branch("fix")
+    sid = h.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=3600,
+    )
+    arm_fault("commit.manifest_landed")
+    with pytest.raises(InjectedCrash):
+        h.commit_staged(sid)
+    # a long-lived branch handle obtained BEFORE the deletion (a fresh
+    # on_branch correctly refuses an unknown ref — the hazard is a stale
+    # handle retrying after an operator dropped the branch)
+    h2 = Dataset.open(spark, path).on_branch("fix")
+    ds = Dataset.open(spark, path)
+    ds.delete_tag("fix")  # operator drops the branch before any retry
+    # raise-mode propagated through the un-claim handler, so the stage is
+    # already visible again as .json — retry straight away
+    assert sid in ds.staged()
+    h2.commit_staged(sid)  # dedup path; catch-up must skip the dead ref
+    ds = Dataset.open(spark, path)
+    assert "fix" not in ds.list_tags(), "deleted branch resurrected"
+    assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10
+    _chain_consistent(ds)

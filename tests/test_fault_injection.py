@@ -670,3 +670,126 @@ def test_retry_catchup_never_resurrects_deleted_branch(spark):
     assert "fix" not in ds.list_tags(), "deleted branch resurrected"
     assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10
     _chain_consistent(ds)
+
+
+def test_concurrent_fault_storm(spark):
+    """Faults firing UNDER concurrency — the two storms composed: worker
+    threads hammer one dataset (append / stage / commit_staged / vacuum /
+    probe) while the seeded controller arms a random protocol site every
+    few operations; whichever thread hits the site first dies there (its
+    InjectedCrash is a legal outcome) and the OTHERS keep writing against
+    the live crash image. Invariants at the end, after claim recovery:
+    the chain is consistent, every PRESENT key block is complete (appends
+    and staged commits are atomic — landed entirely or not at all), every
+    ACKED block is present, and no staged transaction is left wedged."""
+    import threading
+
+    from plan_spark.dataset.dataset import ConflictError
+
+    rng = random.Random(20260817)
+    path = _scratch("conc_fault")
+    _mk(spark, path)
+    lock = threading.Lock()
+    next_key = [10_000]
+    acked: set[int] = set()
+    stages: list[str] = []
+    crashes: list[str] = []
+    errors: list[str] = []
+    sites = [
+        "commit.manifest_landed", "stage.claimed",
+        "stage.committed_before_unclaim", "vacuum.before_remove",
+        "vacuum.mid_remove",
+    ]
+
+    def block():
+        with lock:
+            k = next_key[0]
+            next_key[0] += 10
+            return k
+
+    def rows(k):
+        return spark.range(k, k + 10).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+
+    scripts = [
+        [rng.choices(
+            ["append", "stage", "commit_staged", "vacuum", "probe"],
+            weights=[4, 3, 3, 1, 2],
+        )[0] for _ in range(25)]
+        for _ in range(4)
+    ]
+
+    def worker(tid):
+        for i, op in enumerate(scripts[tid]):
+            # the controller role is folded in: thread 0 re-arms a random
+            # site every few ops (arming is idempotent and thread-safe)
+            if tid == 0 and i % 4 == 1:
+                arm_fault(rng.choice(sites))
+            try:
+                ds = Dataset.open(spark, path)
+                if op == "append":
+                    k = block()
+                    ds.append(rows(k).coalesce(1))
+                    with lock:
+                        acked.add(k)
+                elif op == "stage":
+                    k = block()
+                    sid = ds.stage_append(rows(k).coalesce(1), ttl_seconds=3600)
+                    with lock:
+                        stages.append(sid)
+                elif op == "commit_staged":
+                    with lock:
+                        sid = stages.pop() if stages else None
+                    if sid:
+                        ds.commit_staged(sid)
+                elif op == "vacuum":
+                    ds.vacuum(keep_versions=2, grace_seconds=0.0)
+                elif op == "probe":
+                    ds.to_df().filter(F.col("k") >= 10_000).count()
+            except InjectedCrash as e:
+                with lock:
+                    crashes.append(f"{op}@{e}")
+            except (ConflictError, ValueError, FileNotFoundError):
+                pass  # legal race outcomes (incl. claim-held stage retries)
+            except RuntimeError:
+                pass  # landed-but-catchup-failed is loud AND claim-restoring
+            except Exception as e:
+                with lock:
+                    errors.append(f"{op}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    clear_faults()
+    assert not errors, f"invariant-grade exceptions: {errors[:5]}"
+    assert crashes, "the storm must actually fire faults"
+
+    # recovery: free stale claims, reclaim/commit leftover stages
+    ds = Dataset.open(spark, path)
+    sdir = ds._staged_dir()
+    for fn in os.listdir(sdir):
+        if fn.endswith(".committing"):
+            _backdate(os.path.join(sdir, fn), _CLAIM_TTL + 1)
+    ds.cleanup_expired()
+    for sid in Dataset.open(spark, path).staged():
+        try:
+            Dataset.open(spark, path).commit_staged(sid)
+        except (StageExpiredError, FileNotFoundError, ConflictError):
+            continue
+    ds = Dataset.open(spark, path)
+    assert not any(
+        fn.endswith(".committing") for fn in os.listdir(sdir)
+    ), "a stage stayed wedged after recovery"
+    _chain_consistent(ds)
+    keys = [r.k for r in ds.to_df().filter(F.col("k") >= 10_000).collect()]
+    per_block: dict[int, int] = {}
+    for k in keys:
+        b = k - (k % 10)
+        per_block[b] = per_block.get(b, 0) + 1
+    torn = {b: c for b, c in per_block.items() if c != 10}
+    assert not torn, f"torn blocks under concurrent faults: {torn}"
+    missing = acked - set(per_block)
+    assert not missing, f"acked appends lost: {sorted(missing)[:5]}"

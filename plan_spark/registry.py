@@ -118,18 +118,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
 # whose implementation is unchanged and already holds green driver rows
 # from earlier rounds (still hash-checked every pytest run), freeing
 # window slots for never-driver-checked or just-changed queries.
-_WINDOW_LAST: tuple[str, ...] = (
-    "text_stats",  # green r1+r2, unchanged
-    "lang_id",  # green r1+r2, unchanged
-    "fingerprint",  # green r1+r2, unchanged
-    "token_count",  # green r1+r2, unchanged
-    "dedup_exact",  # green r1+r2, unchanged
-    "token_cjk",  # green r2, unchanged
-    "knn_brute",  # green r1+r2, unchanged
-    "knn_filtered",  # green r2, unchanged
-    "dedup_embed",  # green r1 + pytest-oracle since, unchanged this round
-    "fts_bm25",  # green r1 + pytest-oracle since, unchanged this round
-)
+# r8: empty — every row r7 pushed back here is deliberately FRONTED this
+# round (the r1-r3 verification-tail rotation); a name in both lists would
+# keep its front position anyway (dict.update preserves insertion order),
+# but listing them here again would misstate the intent.
+_WINDOW_LAST: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -752,8 +752,15 @@ def test_concurrent_fault_storm(spark):
                     crashes.append(f"{op}@{e}")
             except (ConflictError, ValueError, FileNotFoundError):
                 pass  # legal race outcomes (incl. claim-held stage retries)
-            except RuntimeError:
-                pass  # landed-but-catchup-failed is loud AND claim-restoring
+            except RuntimeError as e:
+                # the ONLY legal RuntimeErrors here are the two documented
+                # landed-but-ref-behind reports (both loud and, for the
+                # staged face, claim-restoring) — anything else is a bug
+                if "could not catch up" in str(e) or "could not advance" in str(e):
+                    pass
+                else:
+                    with lock:
+                        errors.append(f"{op}: RuntimeError: {e}")
             except Exception as e:
                 with lock:
                     errors.append(f"{op}: {type(e).__name__}: {e}")

@@ -1,7 +1,7 @@
 """Crash-point fault injection for the storage protocols.
 
 Counterpart of the reference's fault-injection harness
-(pkg/storage2/util/fault_inject.go): named fault POINTS are compiled into
+(pkg/util/fault_inject.go): named fault POINTS are compiled into
 the known-dangerous windows of the commit / detached-stage / ref-advance /
 index-swap / vacuum sequences, and tests arm them to simulate a process
 dying at exactly that instruction. The invariant under test is always the

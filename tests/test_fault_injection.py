@@ -1,4 +1,4 @@
-"""Crash-point fault injection (reference pkg/storage2/util/fault_inject.go
+"""Crash-point fault injection (reference pkg/util/fault_inject.go
 class of testing): arm a named fault site inside a dangerous protocol
 window, crash there, REOPEN from disk, and assert the recovery contract —
 the dataset/index either recovers (self-heal or documented recovery step)

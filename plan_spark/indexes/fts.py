@@ -115,7 +115,20 @@ class FtsIndex:
         return self.spark.read.parquet(os.path.join(self.path, "doclen"))
 
     def corpus(self) -> DataFrame:
+        self._recover_corpus()
         return self.spark.read.parquet(os.path.join(self.path, "corpus"))
+
+    def _recover_corpus(self) -> None:
+        """Self-heal after a crash inside insert()'s stats swap (the same
+        rename-aside recovery shape as the scalar indexes): corpus/ missing
+        with corpus_old/ present means the crash hit between the two
+        renames — restore the old stats. Stale-but-present stats (crash
+        BEFORE the swap) are sound: BM25 constants lag one insert and the
+        next insert's rewrite corrects them from the full doclen table."""
+        corpus_dir = os.path.join(self.path, "corpus")
+        old = corpus_dir + "_old"
+        if not os.path.isdir(corpus_dir) and os.path.isdir(old):
+            os.rename(old, corpus_dir)
 
     def _bm25(self, posting: DataFrame) -> DataFrame:
         """(doc_id, bm25) over a (pre-pruned) posting DataFrame — the ONE
@@ -221,7 +234,18 @@ class FtsIndex:
         ).coalesce(1).write.mode("overwrite").parquet(stats_tmp)
         import shutil
 
+        from plan_spark.faults import fault_point
+
+        # rename-aside swap (scalar-index shape): the old rmtree-then-
+        # rename left a window where corpus/ was simply GONE — every BM25
+        # query would fail forever with no recovery path
         corpus_dir = os.path.join(self.path, "corpus")
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+        old = corpus_dir + "_old"
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+        if os.path.isdir(corpus_dir):
+            os.rename(corpus_dir, old)
+        # crash window: corpus/ gone — _recover_corpus restores from _old
+        fault_point("fts.corpus_swap_mid")
         os.rename(stats_tmp, corpus_dir)
+        shutil.rmtree(old, ignore_errors=True)
         return self

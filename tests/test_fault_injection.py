@@ -800,3 +800,39 @@ def test_concurrent_fault_storm(spark):
     assert not torn, f"torn blocks under concurrent faults: {torn}"
     missing = acked - set(per_block)
     assert not missing, f"acked appends lost: {sorted(missing)[:5]}"
+
+
+def test_fts_corpus_swap_crash_recovers(spark):
+    """FTS insert dies between the corpus-stats renames: the old
+    rmtree-then-rename shape left corpus/ GONE forever (every BM25 query
+    dead with no recovery); the rename-aside swap + reader-side restore
+    must keep queries working and a retried insert must converge."""
+    from plan_spark.indexes.fts import FtsIndex
+
+    path = _scratch("fts_swap")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = FtsIndex.build(spark, docs, id_col="doc_id", text_col="text", path=path)
+    base_hits = sorted(
+        r.doc_id for r in idx.search(["alpha"], top_k=None).collect()
+    )
+    extra = spark.createDataFrame(
+        [(100, "alpha delta epsilon")], "doc_id long, text string"
+    )
+    arm_fault("fts.corpus_swap_mid")
+    with pytest.raises(InjectedCrash):
+        idx.insert(extra)
+    # crash image: corpus/ missing, corpus_old/ holds the stats — a query
+    # must self-heal and still see the appended posting rows
+    fresh = FtsIndex(spark, path)
+    hits = sorted(r.doc_id for r in fresh.search(["alpha"], top_k=None).collect())
+    assert hits == sorted(base_hits + [100])
+    # the stats lag one insert (documented-sound); the retried rewrite
+    # converges them — n_docs now counts the appended doc
+    fresh.insert(
+        spark.createDataFrame([(101, "alpha zeta")], "doc_id long, text string")
+    )
+    n_docs = FtsIndex(spark, path).corpus().collect()[0].n_docs
+    assert n_docs == 52

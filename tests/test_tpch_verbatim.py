@@ -39,23 +39,69 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+# deterministic key->name mapping applied IDENTICALLY on both engines:
+# the fixture's synthetic NATION_i names make every spec text that filters
+# on real nation names vacuous (q7's FRANCE/ARGENTINA pair). The spec's
+# 25 names are assigned by n_nationkey, EXCEPT that FRANCE and ARGENTINA
+# land on keys 20 and 19 — the supplier<->customer pair with the most
+# cross trade inside q7's 1995-1996 ship window at sf0.001 (10 suppliers
+# total, so most nation pairs carry zero) — making q7 genuinely exercise
+# its comma-join + OR-of-nation-pairs shape. Date-window (q5) and
+# p_type-literal (q8) vacuity is data-range-bound and stays — asserted
+# empty on BOTH engines below.
+_NATION_NAMES = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+    "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA", "ROMANIA",
+    "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM", "UNITED STATES",
+]
+for _a, _b in ((6, 20), (1, 19)):  # FRANCE -> key 20, ARGENTINA -> key 19
+    _NATION_NAMES[_a], _NATION_NAMES[_b] = _NATION_NAMES[_b], _NATION_NAMES[_a]
+
+
 @pytest.fixture(scope="module")
 def tpch_engine(spark):
     """An Engine whose tables are the sf0.001 fixture parquet, loaded via
-    the front door (CREATE TABLE from the parquet schema + COPY FROM)."""
+    the front door (CREATE TABLE from the parquet schema + COPY FROM);
+    nation names are remapped to the spec's names on BOTH engines."""
+    from pyspark.sql import functions as F
+
     d = tempfile.mkdtemp(prefix="plan_spark_verbatim_")
     eng = Engine(spark, d)
     sf = "/root/testdata/sf0.001"
+    nation_remap = os.path.join(d, "nation_remap.parquet")
+    (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .withColumn(
+            "n_name",
+            F.element_at(
+                F.array(*[F.lit(n) for n in _NATION_NAMES]),
+                F.col("n_nationkey").cast("int") + 1,
+            ),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(nation_remap)
+    )
     for t in TABLES:
         schema = spark.read.parquet(f"{sf}/{t}.parquet").schema
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
         eng.create_table(t, ddl)
-        eng.sql(f"COPY {t} FROM '{sf}/{t}.parquet'")
+        src = nation_remap if t == "nation" else f"{sf}/{t}.parquet"
+        eng.sql(f"COPY {t} FROM '{src}'")
     con = duckdb.connect()
+    names_sql = ", ".join(f"'{n}'" for n in _NATION_NAMES)
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+        if t == "nation":
+            con.execute(
+                f"CREATE VIEW nation AS SELECT n_nationkey, "
+                f"list_value({names_sql})[n_nationkey + 1] AS n_name, "
+                f"n_regionkey FROM read_parquet('{sf}/nation.parquet')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
     yield eng, con
     con.close()
     shutil.rmtree(d, ignore_errors=True)
@@ -100,6 +146,28 @@ def test_verbatim_q1_nonvacuous(tpch_engine):
     text = open(f"{QUERY_DIR}/q1.sql").read()
     rows = eng.sql(text).collect()
     assert len(rows) >= 4 and all(r.count_order > 0 for r in rows)
+
+
+@pytest.mark.parametrize("q", [7, 14, 18])
+def test_verbatim_more_nonvacuous(tpch_engine, q):
+    """These spec texts must return DATA (q7 via the nation-name remap,
+    q14/q18 via predicate windows the fixture range covers) — an empty
+    match on both engines would be a vacuous pass."""
+    eng, _ = tpch_engine
+    df = eng.sql(open(f"{QUERY_DIR}/q{q}.sql").read()).toPandas()
+    assert len(df.dropna(how="all")) > 0, f"q{q} is vacuous"
+
+
+@pytest.mark.parametrize("q", [5, 8])
+def test_verbatim_vacuous_on_both_engines(tpch_engine, q):
+    """q5/q8 stay empty (1994 order window / exact p_type literal the
+    synthetic fixtures don't contain) — asserted empty on BOTH engines so
+    a fixture change that un-vacuouses them flips this test, prompting a
+    promotion into the non-vacuous guard above."""
+    eng, con = tpch_engine
+    text = open(f"{QUERY_DIR}/q{q}.sql").read()
+    assert len(eng.sql(text).toPandas().dropna(how="all")) == 0
+    assert len(con.execute(text).df().dropna(how="all")) == 0
 
 
 @pytest.mark.parametrize("q", UNRUNNABLE)

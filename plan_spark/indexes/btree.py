@@ -95,14 +95,15 @@ def write_fold_marker(tmp_runs_dir: str, pend_files: list[str]) -> None:
         json.dump([os.path.basename(f) for f in pend_files], fh)
 
 
-def finish_fold(index_path: str) -> None:
+def finish_fold(index_path: str, dir_name: str = "runs") -> None:
     """Complete a (possibly interrupted) compact's pending cleanup: remove
-    every pending file the runs' fold marker names, then the marker.
+    every pending file the fold marker (inside ``dir_name`` — runs for the
+    scalar indexes, nodes for the graph indexes) names, then the marker.
     Idempotent and crash-safe at every step — file removals are
     existence-checked and the marker goes last."""
     import json
 
-    marker = os.path.join(index_path, "runs", "_folded.json")
+    marker = os.path.join(index_path, dir_name, "_folded.json")
     if not os.path.exists(marker):
         return
     try:

@@ -452,24 +452,73 @@ class HnswIndex:
 
     def compact(self) -> "HnswIndex":
         """Fold the pending buffer into the sharded graphs (the reference's
-        background re-shard): rebuild from nodes+pending with the persisted
-        build parameters. Deterministic given content (id-sorted builds)."""
+        background re-shard): rebuild from nodes + a SNAPSHOT of the
+        pending files with the persisted build parameters, into a staging
+        dir, then rename-aside swap — the previous build-in-place
+        overwrite left a crash mid-write with a partial nodes dir and no
+        recovery (silently missing vectors in every later probe).
+        Deterministic given content (id-sorted builds)."""
+        import shutil
+
+        from plan_spark.faults import fault_point
+        from plan_spark.indexes.btree import finish_fold, write_fold_marker
+
+        self._recover_nodes()  # finish any interrupted predecessor first
         meta = _read_meta(self.path)
-        pending = _read_pending(self.spark, self.path)
+        pend = os.path.join(self.path, "pending")
+        pend_files = (
+            [
+                os.path.join(pend, f)
+                for f in sorted(os.listdir(pend))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(pend)
+            else []
+        )
         merged = self.nodes().select("id", "v")
-        if pending is not None:
-            merged = merged.unionByName(pending.select("id", "v"))
-        merged = merged.localCheckpoint(eager=True)  # read before overwrite
+        if pend_files:
+            merged = merged.unionByName(
+                self.spark.read.parquet(*pend_files).select("id", "v")
+            )
+        merged = merged.localCheckpoint(eager=True)  # read before the swap
+        tmp = os.path.join(self.path, "compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)  # stale crashed-compact dir
         HnswIndex.build(
-            self.spark, merged, id_col="id", vec_col="v", path=self.path,
+            self.spark, merged, id_col="id", vec_col="v", path=tmp,
             n_shards=meta["n_shards"], m=meta["m"],
             ef_construction=meta["ef_construction"], seed=meta["seed"],
             metric=meta.get("metric", "cosine"),
         )
+        write_fold_marker(os.path.join(tmp, "nodes"), pend_files)
+        nodes = os.path.join(self.path, "nodes")
+        old = os.path.join(self.path, "nodes_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(nodes, old)
+        # crash window: nodes/ gone — _recover_nodes restores from _old
+        fault_point("hnsw.swap_mid")
+        os.rename(os.path.join(tmp, "nodes"), nodes)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        finish_fold(self.path, dir_name="nodes")
         return self
+
+    def _recover_nodes(self) -> None:
+        """Self-heal after a crash inside compact()'s swap (scalar-index
+        shape): restore nodes/ from nodes_old/ when the crash hit between
+        the renames, and finish the folded-pending removal so probes never
+        read folded vectors twice (duplicate candidates would displace
+        real neighbours from a top-k beam)."""
+        from plan_spark.indexes.btree import finish_fold
+
+        nodes = os.path.join(self.path, "nodes")
+        old = os.path.join(self.path, "nodes_old")
+        if not os.path.isdir(nodes) and os.path.isdir(old):
+            os.rename(old, nodes)
+        finish_fold(self.path, dir_name="nodes")
 
     # ------------------------------------------------------------- search
     def nodes(self) -> DataFrame:
+        self._recover_nodes()
         return self.spark.read.parquet(os.path.join(self.path, "nodes"))
 
     def search(

@@ -175,9 +175,20 @@ class IvfHnswIndex:
         the result identical to building from the merged assignment."""
         import numpy as np
 
-        pending = _read_pending(self.spark, self.path)
-        if pending is None:
+        self._recover_nodes()  # finish any interrupted predecessor first
+        pend = os.path.join(self.path, "pending")
+        pend_files = (
+            [
+                os.path.join(pend, f)
+                for f in sorted(os.listdir(pend))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(pend)
+            else []
+        )
+        if not pend_files:
             return self
+        pending = self.spark.read.parquet(*pend_files)
         meta = _read_meta(self.path)
         c_rows = sorted(self.centroids().collect(), key=lambda r: r.cluster)
         C = np.array([r.cv for r in c_rows], dtype=np.float64)
@@ -208,8 +219,19 @@ class IvfHnswIndex:
             self.nodes()
             .select("cluster", "id", "v")
             .unionByName(assigned_pending)
-            .localCheckpoint(eager=True)  # read fully before the overwrite
+            .localCheckpoint(eager=True)  # read fully before the swap
         )
+        # staging + rename-aside swap (scalar-index shape): the previous
+        # in-place overwrite left a crash mid-write with a partial nodes
+        # dir and no recovery; the fold marker lets _recover_nodes finish
+        # the pending cleanup so folded vectors are never candidates twice
+        import shutil
+
+        from plan_spark.faults import fault_point
+        from plan_spark.indexes.btree import finish_fold, write_fold_marker
+
+        tmp = os.path.join(self.path, "nodes_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
         (
             merged.groupBy("cluster")
             .applyInPandas(
@@ -220,12 +242,31 @@ class IvfHnswIndex:
             )
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(os.path.join(self.path, "nodes"))
+            .parquet(tmp)
         )
-        import shutil
-
-        shutil.rmtree(os.path.join(self.path, "pending"), ignore_errors=True)
+        write_fold_marker(tmp, pend_files)
+        nodes = os.path.join(self.path, "nodes")
+        old = os.path.join(self.path, "nodes_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(nodes, old)
+        # crash window: nodes/ gone — _recover_nodes restores from _old
+        fault_point("ivf_hnsw.swap_mid")
+        os.rename(tmp, nodes)
+        shutil.rmtree(old, ignore_errors=True)
+        finish_fold(self.path, dir_name="nodes")
         return self
+
+    def _recover_nodes(self) -> None:
+        """Self-heal after a crash inside compact()'s swap: restore nodes/
+        from nodes_old/ and finish the folded-pending removal (see
+        HnswIndex._recover_nodes)."""
+        from plan_spark.indexes.btree import finish_fold
+
+        nodes = os.path.join(self.path, "nodes")
+        old = os.path.join(self.path, "nodes_old")
+        if not os.path.isdir(nodes) and os.path.isdir(old):
+            os.rename(old, nodes)
+        finish_fold(self.path, dir_name="nodes")
 
     # ------------------------------------------------------- batch search
     def search_df(
@@ -323,6 +364,7 @@ class IvfHnswIndex:
         return self.spark.read.parquet(os.path.join(self.path, "centroids.parquet"))
 
     def nodes(self) -> DataFrame:
+        self._recover_nodes()
         return self.spark.read.parquet(os.path.join(self.path, "nodes"))
 
     def search(

@@ -836,3 +836,53 @@ def test_fts_corpus_swap_crash_recovers(spark):
     )
     n_docs = FtsIndex(spark, path).corpus().collect()[0].n_docs
     assert n_docs == 52
+
+
+def test_graph_index_swap_crashes(spark):
+    """HNSW / IVF-HNSW compacts die mid-swap: the previous in-place nodes
+    overwrite would have left a partial graph with silently missing
+    vectors; the rename-aside + fold-marker recovery must keep search
+    results identical and a retried compact must converge."""
+    import numpy as np
+
+    from plan_spark.indexes.hnsw import HnswIndex
+    from plan_spark.indexes.ivf_hnsw import IvfHnswIndex
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)],
+        "id long, v array<double>",
+    )
+    extra = spark.createDataFrame(
+        [(300 + i, [float(x) for x in rng.normal(size=8)]) for i in range(10)],
+        "id long, v array<double>",
+    )
+    q = {0: [float(x) for x in rng.normal(size=8)]}
+
+    hn = HnswIndex.build(
+        spark, vecs, id_col="id", vec_col="v",
+        path=_scratch("hnsw_swap"), n_shards=2, seed=3,
+    )
+    hn.insert(extra, id_col="id", vec_col="v")
+    want = [r.c_id for r in hn.search(q, top_k=5).collect()]
+    arm_fault("hnsw.swap_mid")
+    with pytest.raises(InjectedCrash):
+        hn.compact()
+    fresh = HnswIndex(spark, hn.path)
+    assert [r.c_id for r in fresh.search(q, top_k=5).collect()] == want
+    fresh.compact()
+    assert [r.c_id for r in fresh.search(q, top_k=5).collect()] == want
+
+    iv = IvfHnswIndex.build(
+        spark, vecs, id_col="id", vec_col="v",
+        path=_scratch("ivfh_swap"), k=4, seed=3,
+    )
+    iv.insert(extra, id_col="id", vec_col="v")
+    want = [r.c_id for r in iv.search(q, top_k=5, nprobe=4).collect()]
+    arm_fault("ivf_hnsw.swap_mid")
+    with pytest.raises(InjectedCrash):
+        iv.compact()
+    fresh = IvfHnswIndex(spark, iv.path)
+    assert [r.c_id for r in fresh.search(q, top_k=5, nprobe=4).collect()] == want
+    fresh.compact()
+    assert [r.c_id for r in fresh.search(q, top_k=5, nprobe=4).collect()] == want

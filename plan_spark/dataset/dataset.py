@@ -2698,6 +2698,23 @@ class Dataset:
         # a fresh _INFLIGHT sentinel is a build still running (referenced by
         # no manifest YET) and must survive; a stale sentinel (> TTL) is a
         # crashed build's leftover and sweeps normally.
+        # writer staging dirs (_staging_<uuid>) are consumed by the write
+        # that created them; one left on disk belongs to a writer that
+        # DIED mid-write (its files were never renamed into data/, so no
+        # manifest can reference them). Reclaim only well past the
+        # in-flight horizon — a very large live write stages for a while,
+        # and _INFLIGHT_TTL is the same patience the index builds get.
+        for fn in os.listdir(self.path):
+            if not fn.startswith("_staging_"):
+                continue
+            full = os.path.join(self.path, fn)
+            try:
+                stale = now - os.path.getmtime(full) > _INFLIGHT_TTL
+            except OSError:
+                continue  # consumed under us
+            if stale:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(fn)
         idx_root = os.path.join(self.path, "_indexes")
         if os.path.isdir(idx_root):
             for fn in os.listdir(idx_root):

@@ -326,8 +326,17 @@ class Engine:
         return {"schemas": {"main": {"tables": {}}}}
 
     def _save_catalog(self) -> None:
-        with open(self._catalog_path, "w") as fh:
+        """Atomic catalog write (temp + rename): a crash mid-write must
+        never leave torn JSON — the catalog is the engine's root metadata,
+        and a torn file would brick EVERY later Engine open with a parse
+        error and no recovery path. Readers see the old catalog or the
+        new one."""
+        import threading
+
+        tmp = f"{self._catalog_path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as fh:
             json.dump(self._catalog, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._catalog_path)
 
     def create_schema(self, name: str) -> None:
         """CREATE SCHEMA (reference builder_ddl.go:30)."""

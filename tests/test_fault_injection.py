@@ -886,3 +886,43 @@ def test_graph_index_swap_crashes(spark):
     assert [r.c_id for r in fresh.search(q, top_k=5, nprobe=4).collect()] == want
     fresh.compact()
     assert [r.c_id for r in fresh.search(q, top_k=5, nprobe=4).collect()] == want
+
+
+def test_vacuum_reclaims_stale_staging_dirs(spark):
+    """A writer that died mid-_write_fragments leaves its _staging_<uuid>
+    dir (never referenced by any manifest). vacuum reclaims it only past
+    the in-flight horizon — a fresh dir (a live large write) survives."""
+    from plan_spark.dataset.dataset import _INFLIGHT_TTL
+
+    path = _scratch("staging_leak")
+    ds = _mk(spark, path)
+    dead = os.path.join(path, "_staging_deadbeef")
+    os.makedirs(dead)
+    open(os.path.join(dead, "part-0.parquet"), "wb").write(b"partial")
+    ds.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert os.path.isdir(dead), "a fresh staging dir must survive vacuum"
+    _backdate(dead, _INFLIGHT_TTL + 1)
+    removed = ds.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert not os.path.isdir(dead) and "_staging_deadbeef" in removed
+    _chain_consistent(Dataset.open(spark, path))
+
+
+def test_torn_catalog_write_impossible(spark):
+    """Engine catalog writes are temp+rename: arming no fault, just prove
+    the invariant directly — after any number of catalog mutations there
+    is never a moment when catalog.json is absent or torn (the old plain
+    overwrite could tear mid-write, bricking every later Engine open)."""
+    import json as _json
+
+    from plan_spark.engine import Engine
+
+    d = _scratch("catalog_atomic")
+    os.makedirs(d, exist_ok=True)
+    eng = Engine(spark, d)
+    for i in range(5):
+        eng.sql(f"CREATE TABLE t{i} (k BIGINT, v STRING)")
+        # the catalog file parses at every step and no temp residue stays
+        with open(os.path.join(d, "_catalog.json")) as fh:
+            cat = _json.load(fh)
+        assert f"t{i}" in cat["schemas"]["main"]["tables"]
+    assert not [f for f in os.listdir(d) if ".tmp." in f], "temp residue"

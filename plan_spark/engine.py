@@ -320,6 +320,18 @@ class Engine:
 
     # ------------------------------------------------------------- catalog
     def _load_catalog(self) -> dict:
+        # sweep temp residue from writers that DIED between creating their
+        # temp file and the replace — repeated crashes must not accumulate
+        # junk beside the root metadata (live writers are unaffected: a
+        # concurrent os.replace of a removed temp fails loudly as a race,
+        # and the engine is single-process per warehouse by contract)
+        base = os.path.basename(self._catalog_path)
+        for fn in os.listdir(self.warehouse):
+            if fn.startswith(f"{base}.tmp."):
+                try:
+                    os.remove(os.path.join(self.warehouse, fn))
+                except OSError:
+                    pass
         if os.path.exists(self._catalog_path):
             with open(self._catalog_path) as fh:
                 return json.load(fh)
@@ -334,9 +346,16 @@ class Engine:
         import threading
 
         tmp = f"{self._catalog_path}.tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as fh:
-            json.dump(self._catalog, fh, indent=1, sort_keys=True)
-        os.replace(tmp, self._catalog_path)
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(self._catalog, fh, indent=1, sort_keys=True)
+            os.replace(tmp, self._catalog_path)
+        except BaseException:
+            try:
+                os.remove(tmp)  # no residue on a failed/interrupted write
+            except OSError:
+                pass
+            raise
 
     def create_schema(self, name: str) -> None:
         """CREATE SCHEMA (reference builder_ddl.go:30)."""

@@ -48,6 +48,9 @@ from plan_spark.indexes.btree import (
     probe_file_list,
     publish_fences,
     read_fences,
+    recover_dir,
+    snapshot_pending,
+    swap_dir,
     write_fold_marker,
 )
 
@@ -197,11 +200,7 @@ class BitmapIndex:
         faces apply distinct()."""
         if not crash_artifacts(self.path):
             return  # clean index: zero cost beyond three stat calls
-        runs = os.path.join(self.path, "runs")
-        old = os.path.join(self.path, "runs_old")
-        if not os.path.isdir(runs) and os.path.isdir(old):
-            os.rename(old, runs)
-        finish_fold(self.path)  # complete an interrupted pending cleanup
+        recover_dir(self.path, "runs")
         if fences_stale(os.path.join(self.path, "fences.parquet")):
             self._write_meta()
 
@@ -335,19 +334,12 @@ class BitmapIndex:
         self._recover_runs()  # finish any interrupted predecessor first
         runs_dir = os.path.join(self.path, "runs")
         cur = self.spark.read.parquet(runs_dir)
-        pend = os.path.join(self.path, "pending")
         # Snapshot the pending files BEFORE reading: an insert()/
         # refresh_index() landing between read and cleanup appends new part
-        # files, and rmtree-ing the whole dir would silently discard them —
+        # files, and folding the whole dir would silently discard them —
         # routing would then wrongly prune fragments containing those rows.
         # Only the files actually folded into this merge are deleted below.
-        pend_files: list[str] = []
-        if os.path.isdir(pend):
-            pend_files = sorted(
-                os.path.join(pend, f)
-                for f in os.listdir(pend)
-                if f.endswith(".parquet")
-            )
+        pend_files = snapshot_pending(self.path)
         if pend_files:
             p = self.spark.read.parquet(*pend_files).select(
                 "key",
@@ -396,18 +388,12 @@ class BitmapIndex:
             .parquet(tmp)
         )
         write_fold_marker(tmp, pend_files)
-        old = os.path.join(self.path, "runs_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(runs_dir, old)
-        # crash window: runs/ gone — _recover_runs restores from runs_old/
-        fault_point("bitmap.swap_mid")
-        os.rename(tmp, runs_dir)
+        swap_dir(self.path, tmp, "runs", "bitmap.swap_mid")
         # crash window: new runs live (fold marker inside), fences/keystats
         # still name the old files — recovery finishes the fold and
         # rebuilds the meta from footers
         fault_point("bitmap.before_meta")
         self._write_meta()
-        shutil.rmtree(old, ignore_errors=True)
         # remove exactly the folded pending files; concurrent appends survive
         finish_fold(self.path)
         return self

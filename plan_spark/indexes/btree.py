@@ -124,6 +124,70 @@ def finish_fold(index_path: str, dir_name: str = "runs") -> None:
         pass  # a concurrent recovery finished first
 
 
+def snapshot_pending(index_path: str) -> list[str]:
+    """The sorted pending parquet files at this instant — the exact fold
+    set a compact merges and later removes. Snapshotting (instead of
+    reading the dir wholesale) is what lets concurrent inserts land new
+    files without being silently discarded by the cleanup."""
+    pend = os.path.join(index_path, "pending")
+    if not os.path.isdir(pend):
+        return []
+    return [
+        os.path.join(pend, f)
+        for f in sorted(os.listdir(pend))
+        if f.endswith(".parquet")
+    ]
+
+
+def recover_dir(index_path: str, name: str) -> None:
+    """Crash recovery for a rename-aside-swapped directory ``name`` —
+    shared by every index family so a fix lands everywhere at once
+    (three hand-rolled copies had already diverged):
+
+    - ``name``/ missing with ``name``_old/ present: the swap died between
+      its two renames — restore. The rename is GUARDED: two concurrent
+      recoverers race benignly (the loser's ENOENT is swallowed; state is
+      correct either way), and a reader firing inside a healthy compact's
+      two-syscall swap window must never crash the read.
+    - both present: the swap completed but the crash hit before the _old
+      cleanup — reclaim the full-size leftover copy now instead of
+      waiting for a compact that may never run.
+    - finally, finish the folded-pending removal the marker records.
+    """
+    import shutil
+
+    cur = os.path.join(index_path, name)
+    old = cur + "_old"
+    if not os.path.isdir(cur) and os.path.isdir(old):
+        try:
+            os.rename(old, cur)
+        except OSError:
+            pass  # a concurrent recoverer won the restore
+    elif os.path.isdir(cur) and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    finish_fold(index_path, dir_name=name)
+
+
+def swap_dir(index_path: str, new_dir: str, name: str, fault_site: str) -> None:
+    """Rename-aside publish of ``new_dir`` as ``index_path``/``name``:
+    current goes aside to ``name``_old, the replacement renames in, the
+    aside copy is reclaimed. A crash at any point is recoverable by
+    recover_dir on the next read. The two-syscall window where ``name``
+    is absent is shared with a racing reader's recovery: if that reader
+    restores _old first, THIS compact's rename-in fails loudly with
+    OSError — the documented retry-the-compact outcome (single-maintainer
+    compaction, readers never crash, never a silent wrong answer)."""
+    import shutil
+
+    cur = os.path.join(index_path, name)
+    old = cur + "_old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(cur, old)
+    fault_point(fault_site)
+    os.rename(new_dir, cur)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def crash_artifacts(index_path: str) -> bool:
     """Cheap probe-path trigger (3 stat calls) for the crashed-compact
     recovery sweep: every crash image inside compact()'s dangerous windows
@@ -286,11 +350,7 @@ class BtreeIndex:
         folds probe output into a hit SET / interval union."""
         if not crash_artifacts(self.path):
             return  # clean index: zero cost beyond three stat calls
-        runs = os.path.join(self.path, "runs")
-        old = os.path.join(self.path, "runs_old")
-        if not os.path.isdir(runs) and os.path.isdir(old):
-            os.rename(old, runs)
-        finish_fold(self.path)  # complete an interrupted pending cleanup
+        recover_dir(self.path, "runs")
         if fences_stale(os.path.join(self.path, "fences.parquet")):
             self._write_fences()
 
@@ -396,16 +456,7 @@ class BtreeIndex:
         import shutil
 
         self._recover_runs()  # finish any interrupted predecessor first
-        pend = os.path.join(self.path, "pending")
-        pend_files = (
-            [
-                os.path.join(pend, f)
-                for f in sorted(os.listdir(pend))
-                if f.endswith(".parquet")
-            ]
-            if os.path.isdir(pend)
-            else []
-        )
+        pend_files = snapshot_pending(self.path)
         merged = self.spark.read.parquet(os.path.join(self.path, "runs"))
         if pend_files:
             merged = merged.unionByName(self.spark.read.parquet(*pend_files))
@@ -417,27 +468,14 @@ class BtreeIndex:
             .parquet(tmp)
         )
         write_fold_marker(tmp, pend_files)
-        # rename-aside swap: a crash at any point leaves a recoverable
-        # state — either runs/ still holds the old data, or runs_old/ does
-        # and _recover_runs() restores it on the next probe. (The window
-        # between the two renames is two syscalls wide; compaction assumes
-        # a single maintainer, same as the reference's index builder — a
-        # probe racing the swap itself retries via recovery.)
-        runs, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-        os.rename(runs, old)
-        # crash window: runs/ gone, runs_old/ holds the data — the next
-        # probe's _recover_runs() must restore it losslessly
-        fault_point("btree.swap_mid")
-        os.rename(tmp, runs)
+        # rename-aside swap (swap_dir): a crash at any point leaves a state
+        # recover_dir restores on the next probe; "btree.swap_mid" fires in
+        # the runs-absent window
+        swap_dir(self.path, tmp, "runs", "btree.swap_mid")
         # crash window: new runs live (fold marker inside), fences still
         # describe the old file names — recovery finishes the fold and
         # rebuilds fences from footers
         fault_point("btree.before_fences")
-        # fences BEFORE deleting the old runs: a crash mid-sequence leaves
-        # fences pointing at files that still exist (old ones), never at
-        # deleted paths
         self._write_fences()
-        shutil.rmtree(old, ignore_errors=True)
         finish_fold(self.path)  # remove exactly the folded pending files
         return self

@@ -119,16 +119,16 @@ class FtsIndex:
         return self.spark.read.parquet(os.path.join(self.path, "corpus"))
 
     def _recover_corpus(self) -> None:
-        """Self-heal after a crash inside insert()'s stats swap (the same
-        rename-aside recovery shape as the scalar indexes): corpus/ missing
-        with corpus_old/ present means the crash hit between the two
-        renames — restore the old stats. Stale-but-present stats (crash
+        """Self-heal after a crash inside insert()'s stats swap (the shared
+        rename-aside recovery, btree.recover_dir): corpus/ missing with
+        corpus_old/ present means the crash hit between the two renames —
+        restore the old stats; both present means the crash hit before the
+        cleanup — reclaim the leftover. Stale-but-present stats (crash
         BEFORE the swap) are sound: BM25 constants lag one insert and the
         next insert's rewrite corrects them from the full doclen table."""
-        corpus_dir = os.path.join(self.path, "corpus")
-        old = corpus_dir + "_old"
-        if not os.path.isdir(corpus_dir) and os.path.isdir(old):
-            os.rename(old, corpus_dir)
+        from plan_spark.indexes.btree import recover_dir
+
+        recover_dir(self.path, "corpus")
 
     def _bm25(self, posting: DataFrame) -> DataFrame:
         """(doc_id, bm25) over a (pre-pruned) posting DataFrame — the ONE
@@ -227,25 +227,20 @@ class FtsIndex:
             .write.mode("append")
             .parquet(os.path.join(self.path, "posting"))
         )
+        # recover FIRST: on a crash image (corpus/ missing, corpus_old/
+        # the only copy) the swap below would otherwise rmtree the backup
+        # and a second crash would leave NOTHING — the exact unrecoverable
+        # state this path exists to prevent
+        self._recover_corpus()
         stats_tmp = os.path.join(self.path, "corpus_new")
         self.doclen().agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         ).coalesce(1).write.mode("overwrite").parquet(stats_tmp)
-        import shutil
+        from plan_spark.indexes.btree import swap_dir
 
-        from plan_spark.faults import fault_point
-
-        # rename-aside swap (scalar-index shape): the old rmtree-then-
-        # rename left a window where corpus/ was simply GONE — every BM25
-        # query would fail forever with no recovery path
-        corpus_dir = os.path.join(self.path, "corpus")
-        old = corpus_dir + "_old"
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-        if os.path.isdir(corpus_dir):
-            os.rename(corpus_dir, old)
-        # crash window: corpus/ gone — _recover_corpus restores from _old
-        fault_point("fts.corpus_swap_mid")
-        os.rename(stats_tmp, corpus_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        # rename-aside swap (shared shape): the old rmtree-then-rename left
+        # a window where corpus/ was simply GONE — every BM25 query would
+        # fail forever with no recovery path
+        swap_dir(self.path, stats_tmp, "corpus", "fts.corpus_swap_mid")
         return self

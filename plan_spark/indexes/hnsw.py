@@ -444,6 +444,11 @@ class HnswIndex:
         if _read_meta(self.path).get("metric", "cosine") == "cosine":
             norm = _unit(norm, "v")
         norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
+        # recovery BEFORE listing pending: a crashed compact's fold marker
+        # means finish_fold is about to delete folded pending files — a
+        # listing snapshotted first would make the count() below read
+        # paths recovery just removed (Spark FileNotFound)
+        self._recover_nodes()
         pending = _read_pending(self.spark, self.path)
         n_graph = self.nodes().count()
         if pending is not None and pending.count() > rebuild_frac * max(n_graph, 1):
@@ -460,21 +465,16 @@ class HnswIndex:
         Deterministic given content (id-sorted builds)."""
         import shutil
 
-        from plan_spark.faults import fault_point
-        from plan_spark.indexes.btree import finish_fold, write_fold_marker
+        from plan_spark.indexes.btree import (
+            finish_fold,
+            snapshot_pending,
+            swap_dir,
+            write_fold_marker,
+        )
 
         self._recover_nodes()  # finish any interrupted predecessor first
         meta = _read_meta(self.path)
-        pend = os.path.join(self.path, "pending")
-        pend_files = (
-            [
-                os.path.join(pend, f)
-                for f in sorted(os.listdir(pend))
-                if f.endswith(".parquet")
-            ]
-            if os.path.isdir(pend)
-            else []
-        )
+        pend_files = snapshot_pending(self.path)
         merged = self.nodes().select("id", "v")
         if pend_files:
             merged = merged.unionByName(
@@ -490,31 +490,20 @@ class HnswIndex:
             metric=meta.get("metric", "cosine"),
         )
         write_fold_marker(os.path.join(tmp, "nodes"), pend_files)
-        nodes = os.path.join(self.path, "nodes")
-        old = os.path.join(self.path, "nodes_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(nodes, old)
-        # crash window: nodes/ gone — _recover_nodes restores from _old
-        fault_point("hnsw.swap_mid")
-        os.rename(os.path.join(tmp, "nodes"), nodes)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_dir(self.path, os.path.join(tmp, "nodes"), "nodes", "hnsw.swap_mid")
         shutil.rmtree(tmp, ignore_errors=True)
         finish_fold(self.path, dir_name="nodes")
         return self
 
     def _recover_nodes(self) -> None:
-        """Self-heal after a crash inside compact()'s swap (scalar-index
-        shape): restore nodes/ from nodes_old/ when the crash hit between
-        the renames, and finish the folded-pending removal so probes never
-        read folded vectors twice (duplicate candidates would displace
-        real neighbours from a top-k beam)."""
-        from plan_spark.indexes.btree import finish_fold
+        """Self-heal after a crash inside compact()'s swap: restore nodes/
+        from nodes_old/, reclaim a completed swap's leftover copy, and
+        finish the folded-pending removal so probes never read folded
+        vectors twice (duplicate candidates would displace real neighbours
+        from a top-k beam). See btree.recover_dir for the race contract."""
+        from plan_spark.indexes.btree import recover_dir
 
-        nodes = os.path.join(self.path, "nodes")
-        old = os.path.join(self.path, "nodes_old")
-        if not os.path.isdir(nodes) and os.path.isdir(old):
-            os.rename(old, nodes)
-        finish_fold(self.path, dir_name="nodes")
+        recover_dir(self.path, "nodes")
 
     # ------------------------------------------------------------- search
     def nodes(self) -> DataFrame:

@@ -161,6 +161,10 @@ class IvfHnswIndex:
             "v",
         )
         norm.write.mode("append").parquet(os.path.join(self.path, "pending"))
+        # recovery BEFORE listing pending: a crashed compact's fold marker
+        # means finish_fold is about to delete folded files — a listing
+        # snapshotted first would read paths recovery just removed
+        self._recover_nodes()
         pending = _read_pending(self.spark, self.path)
         n_graph = self.nodes().count()
         if pending is not None and pending.count() > rebuild_frac * max(n_graph, 1):
@@ -175,17 +179,10 @@ class IvfHnswIndex:
         the result identical to building from the merged assignment."""
         import numpy as np
 
+        from plan_spark.indexes.btree import snapshot_pending
+
         self._recover_nodes()  # finish any interrupted predecessor first
-        pend = os.path.join(self.path, "pending")
-        pend_files = (
-            [
-                os.path.join(pend, f)
-                for f in sorted(os.listdir(pend))
-                if f.endswith(".parquet")
-            ]
-            if os.path.isdir(pend)
-            else []
-        )
+        pend_files = snapshot_pending(self.path)
         if not pend_files:
             return self
         pending = self.spark.read.parquet(*pend_files)
@@ -227,8 +224,11 @@ class IvfHnswIndex:
         # the pending cleanup so folded vectors are never candidates twice
         import shutil
 
-        from plan_spark.faults import fault_point
-        from plan_spark.indexes.btree import finish_fold, write_fold_marker
+        from plan_spark.indexes.btree import (
+            finish_fold,
+            swap_dir,
+            write_fold_marker,
+        )
 
         tmp = os.path.join(self.path, "nodes_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -245,28 +245,16 @@ class IvfHnswIndex:
             .parquet(tmp)
         )
         write_fold_marker(tmp, pend_files)
-        nodes = os.path.join(self.path, "nodes")
-        old = os.path.join(self.path, "nodes_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(nodes, old)
-        # crash window: nodes/ gone — _recover_nodes restores from _old
-        fault_point("ivf_hnsw.swap_mid")
-        os.rename(tmp, nodes)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_dir(self.path, tmp, "nodes", "ivf_hnsw.swap_mid")
         finish_fold(self.path, dir_name="nodes")
         return self
 
     def _recover_nodes(self) -> None:
-        """Self-heal after a crash inside compact()'s swap: restore nodes/
-        from nodes_old/ and finish the folded-pending removal (see
-        HnswIndex._recover_nodes)."""
-        from plan_spark.indexes.btree import finish_fold
+        """Self-heal after a crash inside compact()'s swap (see
+        btree.recover_dir for the restore/leftover/fold contract)."""
+        from plan_spark.indexes.btree import recover_dir
 
-        nodes = os.path.join(self.path, "nodes")
-        old = os.path.join(self.path, "nodes_old")
-        if not os.path.isdir(nodes) and os.path.isdir(old):
-            os.rename(old, nodes)
-        finish_fold(self.path, dir_name="nodes")
+        recover_dir(self.path, "nodes")
 
     # ------------------------------------------------------- batch search
     def search_df(

@@ -155,16 +155,12 @@ class RtreeIndex:
         from plan_spark.indexes.btree import (
             crash_artifacts,
             fences_stale,
-            finish_fold,
+            recover_dir,
         )
 
         if not crash_artifacts(self.path):
             return  # clean index: zero cost beyond three stat calls
-        runs = os.path.join(self.path, "runs")
-        old = os.path.join(self.path, "runs_old")
-        if not os.path.isdir(runs) and os.path.isdir(old):
-            os.rename(old, runs)
-        finish_fold(self.path)  # complete an interrupted pending cleanup
+        recover_dir(self.path, "runs")
         if fences_stale(os.path.join(self.path, "fences.parquet")):
             self._write_fences()
 
@@ -353,7 +349,12 @@ class RtreeIndex:
         import shutil
         import uuid
 
-        from plan_spark.indexes.btree import finish_fold, write_fold_marker
+        from plan_spark.indexes.btree import (
+            finish_fold,
+            snapshot_pending,
+            swap_dir,
+            write_fold_marker,
+        )
 
         self._recover_runs()  # finish any interrupted predecessor first
         # a crashed compact strands its uuid-named rebuild dir (a full
@@ -362,16 +363,7 @@ class RtreeIndex:
         for fn in os.listdir(self.path):
             if fn.startswith("rebuild_"):
                 shutil.rmtree(os.path.join(self.path, fn), ignore_errors=True)
-        pend = os.path.join(self.path, "pending")
-        pend_files = (
-            [
-                os.path.join(pend, f)
-                for f in sorted(os.listdir(pend))
-                if f.endswith(".parquet")
-            ]
-            if os.path.isdir(pend)
-            else []
-        )
+        pend_files = snapshot_pending(self.path)
         merged = self.spark.read.parquet(os.path.join(self.path, "runs"))
         if pend_files:
             merged = merged.unionByName(self.spark.read.parquet(*pend_files))
@@ -381,25 +373,13 @@ class RtreeIndex:
             path=tmp, n_runs=n_runs, x2_col="xmax", y2_col="ymax",
         )
         write_fold_marker(os.path.join(tmp, "runs"), pend_files)
-        # rename-aside swap (same shape as BtreeIndex.compact): a crash at
-        # any point leaves either runs/ or runs_old/ intact and
-        # _recover_runs() self-heals on the next probe; single-maintainer
-        # assumption as in the reference's index builder
-        dst, old = os.path.join(self.path, "runs"), os.path.join(self.path, "runs_old")
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-        os.rename(dst, old)
-        # crash window: runs/ gone — _recover_runs restores from runs_old/
-        fault_point("rtree.swap_mid")
-        os.rename(os.path.join(tmp, "runs"), dst)
+        swap_dir(self.path, os.path.join(tmp, "runs"), "runs", "rtree.swap_mid")
         # crash window: new runs live, fences still name the old files —
-        # fences_stale() triggers the rebuild on the next probe
+        # fences_stale() triggers the rebuild on the next probe (fences
+        # store absolute paths, so the rebuild's own fences in tmp are
+        # useless and self._write_fences recomputes from the final dir)
         fault_point("rtree.before_fences")
-        # fences recomputed AFTER the move (they store absolute paths; the
-        # rebuild's own fences point into tmp) and BEFORE deleting the old
-        # runs, so a crash mid-sequence never leaves fences referencing
-        # deleted files
         self._write_fences()
-        shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         finish_fold(self.path)  # remove exactly the folded pending files
         return self

@@ -695,10 +695,12 @@ def test_concurrent_fault_storm(spark):
     stages: list[str] = []
     crashes: list[str] = []
     errors: list[str] = []
+    # vacuum.mid_remove is omitted: with the (mandatory) live-writer age
+    # grace nothing is ever young enough to remove here, so it cannot
+    # fire — the single-threaded crash_recovery_storm covers it instead
     sites = [
         "commit.manifest_landed", "stage.claimed",
         "stage.committed_before_unclaim", "vacuum.before_remove",
-        "vacuum.mid_remove",
     ]
 
     def block():
@@ -744,7 +746,11 @@ def test_concurrent_fault_storm(spark):
                     if sid:
                         ds.commit_staged(sid)
                 elif op == "vacuum":
-                    ds.vacuum(keep_versions=2, grace_seconds=0.0)
+                    # the age grace MUST outlive the storm: grace 0 is
+                    # documented single-writer-only — with live concurrent
+                    # writers it can sweep a mid-flight append's files
+                    # BEFORE its manifest lands (the flake this fixed)
+                    ds.vacuum(keep_versions=2, grace_seconds=600.0)
                 elif op == "probe":
                     ds.to_df().filter(F.col("k") >= 10_000).count()
             except InjectedCrash as e:

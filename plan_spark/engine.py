@@ -924,8 +924,11 @@ class Engine:
         whole) so a column name appearing INSIDE a literal — e.g.
         ``status IN ('k', 'v')`` vs a column named k — never blocks a
         rename/drop; still conservative on identifiers (qualified or
-        quoted names match by word boundary)."""
-        no_lits = re.sub(r"'(?:[^']|'')*'", "''", check_sql)
+        quoted names match by word boundary). The literal pattern consumes
+        backslash escapes exactly like _split_statements does, so a
+        ``'a\\''`` literal cannot shift the boundary and blank a real
+        identifier after it."""
+        no_lits = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", check_sql)
         return re.search(rf"\b{re.escape(col)}\b", no_lits) is not None
 
     def _view_dependents(self, name: str, schema: str, *, skip=None) -> list[str]:

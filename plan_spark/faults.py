@@ -42,18 +42,18 @@ class InjectedCrash(BaseException):
 
 
 _lock = threading.Lock()
-_armed: dict[str, int] = {}  # site -> remaining hits before firing
-_mode: str = "raise"
+# site -> (remaining hits before firing, mode). Mode is PER SITE so a test
+# arming mixed modes ('a' raise + 'b' exit) gets the crash mechanism it
+# asked for at each site, not whichever mode was armed last.
+_armed: dict[str, tuple[int, str]] = {}
 
 
 def arm_fault(site: str, nth: int = 1, mode: str = "raise") -> None:
     """Arm ``site`` to fire on its ``nth`` hit (then disarm itself)."""
-    global _mode
     if mode not in ("raise", "exit"):
         raise ValueError(f"unknown fault mode {mode!r}")
     with _lock:
-        _armed[site] = nth
-        _mode = mode
+        _armed[site] = (nth, mode)
 
 
 def clear_faults() -> None:
@@ -66,14 +66,14 @@ def fault_point(site: str) -> None:
     if not _armed:  # fast path — production is always here
         return
     with _lock:
-        n = _armed.get(site)
-        if n is None:
+        ent = _armed.get(site)
+        if ent is None:
             return
+        n, mode = ent
         if n > 1:
-            _armed[site] = n - 1
+            _armed[site] = (n - 1, mode)
             return
         del _armed[site]
-        mode = _mode
     if mode == "exit":
         os._exit(77)  # the crash image: no finally/except/atexit runs
     raise InjectedCrash(site)

@@ -80,6 +80,45 @@ def publish_fences(table, path: str) -> None:
     os.replace(tmp, path)
 
 
+_TMP_RX = None  # compiled lazily; recover paths must stay import-light
+
+
+def sweep_dead_tmps(dir_path: str) -> None:
+    """Reclaim ``*.tmp.<pid>.<tid>`` residue from CRASHED publishers: a
+    process dying between pq.write_table and os.replace strands a
+    full-size fence temp that nothing else removes (the engine sweeps the
+    analogous catalog temps; index dirs had no sweep). Only temps whose
+    embedded pid is dead are removed — a LIVE publisher's in-flight temp
+    (fence self-heal runs on the read path, so concurrent publishers are
+    legal) is never yanked out from under its os.replace. Pid reuse can
+    delay one sweep until the recycled pid exits; residue stays bounded."""
+    global _TMP_RX
+    if _TMP_RX is None:
+        import re
+
+        _TMP_RX = re.compile(r"\.tmp\.(\d+)\.\d+$")
+    try:
+        names = os.listdir(dir_path)
+    except OSError:
+        return
+    for fn in names:
+        m = _TMP_RX.search(fn)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+            continue  # owner alive — temp may be in flight
+        except ProcessLookupError:
+            pass
+        except OSError:
+            continue  # EPERM etc: pid exists under another uid — leave it
+        try:
+            os.remove(os.path.join(dir_path, fn))
+        except OSError:
+            pass  # a concurrent sweeper won
+
+
 def write_fold_marker(tmp_runs_dir: str, pend_files: list[str]) -> None:
     """Record the pending files a compact folded into ``tmp_runs_dir`` —
     INSIDE the new runs dir, so the marker becomes visible atomically with
@@ -166,6 +205,7 @@ def recover_dir(index_path: str, name: str) -> None:
     elif os.path.isdir(cur) and os.path.isdir(old):
         shutil.rmtree(old, ignore_errors=True)
     finish_fold(index_path, dir_name=name)
+    sweep_dead_tmps(index_path)  # crashed publish_fences residue
 
 
 def swap_dir(index_path: str, new_dir: str, name: str, fault_site: str) -> None:

@@ -30,7 +30,6 @@ import datetime as _dt
 import json
 import os
 import shutil
-import threading
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -39,6 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from plan_spark.dataset.commit import (
+    CasConflict,
+    CommitHandler,
+    detect_handler,
+    handler_named,
+    write_handler_marker,
+)
 from plan_spark.dataset.manifest import Fragment, Manifest
 from plan_spark.faults import fault_point
 
@@ -78,7 +84,7 @@ _BITMAP_MAX_NDV = 64
 # expiry check cannot race a concurrent reclaim of its files (the window
 # collapses to clock skew greater than the grace).
 _STAGE_GRACE = 30.0
-# a .json.committing claim older than this is an interrupted commit_staged;
+# a "committing" stage claim older than this is an interrupted commit_staged;
 # cleanup_expired un-claims it (the retry is idempotent — see commit_staged)
 _CLAIM_TTL = 900.0
 
@@ -221,6 +227,10 @@ class Dataset:
         self.path = os.path.abspath(path)
         self._manifest: Manifest | None = None
         self._branch: str | None = None  # auto-advanced ref (see branch())
+        # the commit protocol recorded at creation (_commit.json): every
+        # handle — including crash-recovery child processes — must speak
+        # the same one (reference commit.go:11-27 CommitHandler)
+        self._handler: CommitHandler = detect_handler(self.path)
 
     # ------------------------------------------------------------------ io
     @property
@@ -255,8 +265,15 @@ class Dataset:
         bitmap_columns: list[str] | None = None,
         row_ids: bool = False,
         column_defaults: dict[str, str] | None = None,
+        commit_handler: str = "local",
     ) -> "Dataset":
-        """``bloom_columns`` declares point-lookup columns: every fragment
+        """``commit_handler`` selects the atomic commit protocol: "local"
+        (O_EXCL/flock/rename — single-host warehouses) or "cas"
+        (compare-and-set only — the object-store protocol, reference
+        s3_commit.go). Recorded in ``_commit.json`` so every later open
+        speaks the same protocol.
+
+        ``bloom_columns`` declares point-lookup columns: every fragment
         write (this one and all future appends/rewrites) emits parquet bloom
         filters for them — the engine's BloomFilter scalar index.
 
@@ -275,6 +292,8 @@ class Dataset:
         os.makedirs(ds._versions_dir, exist_ok=True)
         os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
         os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
+        ds._handler = handler_named(commit_handler)
+        write_handler_marker(ds.path, ds._handler.name)
         # seed the ref-kind marker: its ABSENCE is reserved for datasets
         # written before kinds existed (legacy-permissive in on_branch)
         with open(ds._branches_path, "w") as fh:
@@ -369,81 +388,50 @@ class Dataset:
                 return json.load(fh)
         return {}
 
-    def _file_lock(self, target: str):
-        """Exclusive lock guarding a read-modify-write of ``target`` (refs /
-        branch-kind markers): ``flock`` on a PERSISTENT lock file. The
-        kernel releases the lock when the holder's fd closes — including on
-        process death — so there is NO staleness-reclaim protocol at all
-        (the r7 reviews showed every create/getmtime/remove or rename
-        reclaim scheme has a TOCTOU window that admits two writers). The
-        lock file is never deleted, which is what makes flock sound: every
-        contender locks the SAME inode forever. Local-filesystem warehouses
-        only — the same assumption the O_EXCL scheme already made; an
-        object-store deployment serializes refs through its own
-        conditional-put primitive instead. Context manager; raises
-        ConflictError after an 8s budget."""
-        import contextlib
-        import fcntl
-        import time as _time
-
-        lock = target + ".lock"
-
-        @contextlib.contextmanager
-        def _held():
-            fd = os.open(lock, os.O_CREAT | os.O_RDWR)
-            try:
-                for _ in range(800):
-                    try:
-                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        break
-                    except OSError:
-                        _time.sleep(0.01)
-                else:
-                    raise ConflictError(
-                        f"{os.path.basename(target)} is locked; retry"
-                    )
-                yield
-            finally:
-                os.close(fd)  # closing the fd releases the flock
-
-        return _held()
-
-    def _write_refs(self, refs: dict[str, int]) -> None:
-        """Atomic refs write (temp + rename): a concurrent reader sees the
-        old file or the new one, never torn JSON — a torn read surfaces as
-        json.JSONDecodeError, which is a ValueError subclass that callers
-        legitimately treat as a benign race (the r7 storm caught a branch
-        append whose data committed but whose ref write tore)."""
-        tmp = self._refs_path + f".tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as fh:
-            json.dump(refs, fh, indent=1, sort_keys=True)
-        os.replace(tmp, self._refs_path)
+    def _update_control(self, path: str, mutate) -> object:
+        """Serialized read-modify-write of a control object through the
+        commit handler (local = flock around the RMW, the kernel releases
+        it on process death so there is no staleness-reclaim protocol; cas
+        = ETag retry loop, reference s3_commit.go). Handler contention
+        surfaces as the caller-visible ConflictError the storm treats as
+        legal."""
+        try:
+            return self._handler.update_json(path, mutate)
+        except CasConflict as e:
+            raise ConflictError(str(e)) from None
 
     def _set_ref(self, name: str, version: int) -> None:
         """Raw ref write (shared by tag creation and branch auto-advance —
-        the kind policy lives in the public faces, not here). Serialized:
-        an unlocked read-modify-write would let two concurrent ref updates
-        (tag here, branch advance there) silently drop one of the two."""
-        with self._file_lock(self._refs_path):
-            refs = self._refs()
+        the kind policy lives in the public faces, not here). Serialized by
+        the handler: an unserialized read-modify-write would let two
+        concurrent ref updates (tag here, branch advance there) silently
+        drop one of the two."""
+
+        def mut(refs):
+            refs = dict(refs or {})
             refs[name] = version
-            self._write_refs(refs)
+            return refs
+
+        self._update_control(self._refs_path, mut)
 
     def _advance_ref(self, name: str, version: int) -> None:
         """Monotonic, existence-preserving ref advance — the crash-recovery
-        catch-up face. The compare lives INSIDE the locked read-modify-
+        catch-up face. The compare lives INSIDE the serialized read-modify-
         write: comparing outside and then calling _set_ref would let a
         concurrent branch commit's advance be rolled back (ref regression =
         an acknowledged commit turning invisible). A ref deleted since the
         crash stays deleted — recreating it would resurrect a branch
         without its kind mark."""
-        with self._file_lock(self._refs_path):
-            refs = self._refs()
+
+        def mut(refs):
+            refs = dict(refs or {})
             cur = refs.get(name)
             if cur is None or cur >= version:
-                return
+                return refs  # unchanged: re-landing the same state is benign
             refs[name] = version
-            self._write_refs(refs)
+            return refs
+
+        self._update_control(self._refs_path, mut)
 
     def tag(self, name: str, version: int | None = None) -> None:
         """Named version pointer (reference: tags.go:9-32). Refuses names
@@ -479,27 +467,30 @@ class Dataset:
         return set()
 
     def _mark_branch(self, name: str, add: bool = True) -> None:
-        """Kind-mark update: serialized by the shared lock helper (two
+        """Kind-mark update: serialized by the commit handler (two
         concurrent branch() calls must not lose each other's marks) and
-        written via temp+rename so concurrent readers never see a torn
+        installed atomically so concurrent readers never see a torn
         file."""
-        with self._file_lock(self._branches_path):
-            names = self._branch_names()
+
+        def mut(names):
+            names = set(names or [])
             (names.add if add else names.discard)(name)
-            tmp = self._branches_path + f".tmp.{os.getpid()}.{threading.get_ident()}"
-            with open(tmp, "w") as fh:
-                json.dump(sorted(names), fh)
-            os.replace(tmp, self._branches_path)
+            return sorted(names)
+
+        self._update_control(self._branches_path, mut)
 
     def delete_tag(self, name: str) -> None:
         """Remove a named ref (sdk/dataset.go DeleteTag); the version it
         pinned becomes vacuum-eligible again."""
-        with self._file_lock(self._refs_path):
-            refs = self._refs()
+
+        def mut(refs):
+            refs = dict(refs or {})
             if name not in refs:
                 raise ValueError(f"no tag named {name!r}")
             del refs[name]
-            self._write_refs(refs)
+            return refs
+
+        self._update_control(self._refs_path, mut)
         if name in self._branch_names():
             self._mark_branch(name, add=False)
 
@@ -569,9 +560,9 @@ class Dataset:
 
     # ------------------------------------------------------------- commit
     def _commit_new(self, m: Manifest) -> None:
-        fd = os.open(self._manifest_path(m.version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            fh.write(m.to_json())
+        # create-if-absent decides the optimistic-commit winner (reference
+        # commit.go:20): O_EXCL locally, conditional-put on an object store
+        self._handler.commit(self._manifest_path(m.version), m.to_json())
 
     def _commit(self, txn: _Txn) -> None:
         """Optimistic commit: atomically create manifest v+1; on collision,
@@ -2549,9 +2540,11 @@ class Dataset:
         data files outside any manifest until commit_staged, so vacuum must
         pin them or a vacuum between stage_append and commit_staged breaks
         the later commit. EXPIRED stages no longer pin (their commit is
-        permanently refused); a CLAIM (.json.committing) pins
-        unconditionally — the holder is mid-commit and its files must
-        survive even past expiry+grace. FileNotFoundError propagates: a
+        permanently refused); a COMMITTING claim pins unconditionally —
+        the holder is mid-commit and its files must survive even past
+        expiry+grace; a RECLAIMING claim does not pin (its files are being
+        deleted by the reclaimer; both removers tolerate losing the race).
+        FileNotFoundError propagates: a
         payload vanishing mid-scan means a claim/commit/reclaim raced us
         and the CALLER must rescan from a fresh snapshot (swallowing it
         here could unpin files a concurrent commit is about to reference)."""
@@ -2560,12 +2553,14 @@ class Dataset:
         if not os.path.isdir(staged_dir):
             return refs
         for fn in os.listdir(staged_dir):
-            claimed = fn.endswith(".json.committing")
-            if not fn.endswith(".json") and not claimed:
+            if not fn.endswith(".json"):
                 continue
             with open(os.path.join(staged_dir, fn)) as fh:
                 payload = json.load(fh)
-            if not claimed:
+            state = payload.get("state", "open")
+            if state == "reclaiming":
+                continue
+            if state != "committing":
                 exp = payload.get("expires_at")
                 if exp is not None and now >= exp + _STAGE_GRACE:
                     continue
@@ -2675,7 +2670,7 @@ class Dataset:
                 if _young(mp):
                     continue  # freshly written manifest: never reclaimed
                 try:
-                    os.remove(mp)
+                    self._handler.delete(mp)
                 except FileNotFoundError:
                     continue  # a concurrent vacuum won this removal
                 removed.append(f"_versions/{v:08d}.manifest.json")
@@ -2764,6 +2759,10 @@ class Dataset:
         os.makedirs(ds._versions_dir, exist_ok=True)
         os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
         os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
+        # the clone inherits the source's commit protocol: its files live
+        # on the same store, so its commits need the same atomic primitive
+        ds._handler = self._handler
+        write_handler_marker(ds.path, ds._handler.name)
         # seed the ref-kind marker: its ABSENCE is reserved for datasets
         # written before kinds existed (legacy-permissive in on_branch)
         with open(ds._branches_path, "w") as fh:
@@ -3211,10 +3210,23 @@ class Dataset:
             full = os.path.join(self.path, desc["path"])
             claim = os.path.join(full, "_REFRESHING")
             try:
-                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                # create-if-absent through the commit handler (object-store
+                # conditional put); the claim carries its own timestamp so
+                # staleness is content-defined on every store
+                self._handler.create_exclusive(
+                    claim, json.dumps({"ts": time.time()})
+                )
             except FileExistsError:
                 try:
-                    stale = time.time() - os.path.getmtime(claim) > _INFLIGHT_TTL
+                    try:
+                        with open(claim) as fh:
+                            ts = json.load(fh).get("ts", 0.0)
+                    except ValueError:
+                        # torn/empty claim (a claimant died inside its own
+                        # create): fall back to the file clock so it ages
+                        # out instead of blocking refresh forever
+                        ts = os.path.getmtime(claim)
+                    stale = time.time() - ts > _INFLIGHT_TTL
                 except OSError:
                     stale = False  # claim just released; caller retries
                 if not stale:
@@ -3335,9 +3347,21 @@ class Dataset:
 
         now = time.time()
         return {
+            # claim state machine: open -> committing (commit_staged holds
+            # the claim) / reclaiming (a reclaimer holds it) -> consumed
+            # (payload deleted). A STATE FIELD, not a file rename, so the
+            # transition is one conditional put on any store — object
+            # stores have no atomic rename (reference s3_commit.go).
+            "state": "open",
             "created_at": now,
             "expires_at": (now + ttl_seconds) if ttl_seconds is not None else None,
         }
+
+    def _stage_path(self, stage_id: str) -> str:
+        return os.path.join(self._staged_dir(), f"{stage_id}.json")
+
+    def _write_stage(self, sid: str, payload: dict) -> None:
+        self._handler.create_exclusive(self._stage_path(sid), json.dumps(payload))
 
     def stage_append(self, df: DataFrame, ttl_seconds: float | None = None) -> str:
         """Detached transaction (reference detached_txn.go:23-192): write the
@@ -3364,8 +3388,7 @@ class Dataset:
                 for f in frags
             ],
         }
-        with open(os.path.join(self._staged_dir(), f"{sid}.json"), "w") as fh:
-            json.dump(payload, fh)
+        self._write_stage(sid, payload)
         return sid
 
     def stage_delete(self, predicate: str, ttl_seconds: float | None = None) -> str:
@@ -3395,8 +3418,7 @@ class Dataset:
             "removed_ids": sorted(dead_ids),
             "new_deletes": {str(fid): names for fid, names in new_deletes.items()},
         }
-        with open(os.path.join(self._staged_dir(), f"{sid}.json"), "w") as fh:
-            json.dump(payload, fh)
+        self._write_stage(sid, payload)
         return sid
 
     def stage_overwrite(self, df: DataFrame, ttl_seconds: float | None = None) -> str:
@@ -3416,13 +3438,34 @@ class Dataset:
                 for f in frags
             ],
         }
-        with open(os.path.join(self._staged_dir(), f"{sid}.json"), "w") as fh:
-            json.dump(payload, fh)
+        self._write_stage(sid, payload)
         return sid
 
     def staged(self) -> list[str]:
+        """Stage ids currently OPEN (claim state machine: a stage held by a
+        commit_staged or a reclaimer is invisible here, exactly as the old
+        rename-claim made it invisible to the .json listing)."""
+        out = []
+        for sid, payload in self._stage_payloads():
+            if payload.get("state", "open") == "open":
+                out.append(sid)
+        return sorted(out)
+
+    def _stage_payloads(self) -> list[tuple[str, dict]]:
+        """(stage_id, payload) for every staged-txn object on disk,
+        whatever its claim state; payloads consumed mid-listing are
+        skipped (their work is done)."""
         d = self._staged_dir()
-        return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as fh:
+                    out.append((fn[:-5], json.load(fh)))
+            except FileNotFoundError:
+                continue
+        return out
 
     def staged_info(self) -> list[dict]:
         """Status metadata for every staged transaction (reference
@@ -3432,12 +3475,9 @@ class Dataset:
 
         now = time.time()
         out = []
-        for sid in self.staged():
-            try:
-                with open(os.path.join(self._staged_dir(), f"{sid}.json")) as fh:
-                    p = json.load(fh)
-            except FileNotFoundError:
-                continue  # claimed mid-listing: status is "committing", skip
+        for sid, p in self._stage_payloads():
+            if p.get("state", "open") != "open":
+                continue  # claimed: status is "committing"/"reclaiming", skip
             exp = p.get("expires_at")
             out.append(
                 {
@@ -3463,38 +3503,63 @@ class Dataset:
         commit_staged that passed its expiry check on another handle cannot
         lose its files mid-commit. Returns removed paths.
 
-        Also recovers ORPHANED CLAIMS: a ``.json.committing`` file older
-        than _CLAIM_TTL is a commit_staged whose process died mid-commit —
-        renamed back to ``.json`` so the stage is visible/retryable again
-        (the retry is idempotent via the __stage__ dedup key: if the dead
-        attempt's manifest landed, the retry consumes the stage without
-        double-applying)."""
+        Also recovers ORPHANED CLAIMS: a ``committing`` claim older than
+        _CLAIM_TTL is a commit_staged whose process died mid-commit —
+        flipped back to ``open`` (one conditional put) so the stage is
+        visible/retryable again (the retry is idempotent via the __stage__
+        dedup key: if the dead attempt's manifest landed, the retry
+        consumes the stage without double-applying); a ``reclaiming``
+        claim is a reclaimer that died mid-sweep — _reclaim_stage is
+        idempotent, so the sweep simply resumes."""
         import time
 
         now = time.time()
         removed: list[str] = []
-        sdir = self._staged_dir()
-        for fn in os.listdir(sdir):
-            if not fn.endswith(".json.committing"):
+        for sid, payload in self._stage_payloads():
+            state = payload.get("state", "open")
+            if state == "committing":
+                claim_ts = payload.get("claim_ts") or payload.get("created_at", now)
+                if now - claim_ts >= _CLAIM_TTL:
+                    self._transition_stage(sid, "open", ("committing",))
                 continue
-            full = os.path.join(sdir, fn)
-            try:
-                if now - os.path.getmtime(full) >= _CLAIM_TTL:
-                    os.rename(full, full[: -len(".committing")])
-            except OSError:
-                pass  # claim finished (removed/renamed) under us — fine
-        for sid in self.staged():
-            p = os.path.join(self._staged_dir(), f"{sid}.json")
-            try:
-                with open(p) as fh:
-                    payload = json.load(fh)
-            except FileNotFoundError:
-                continue  # claimed/reclaimed under us: nothing to clean here
+            if state == "reclaiming":
+                removed.extend(self._reclaim_stage(sid, payload))
+                continue
             exp = payload.get("expires_at")
             if exp is None or now < exp + _STAGE_GRACE:
                 continue
-            removed.extend(self._reclaim_stage(sid, payload))
+            # claim-for-reclaim FIRST (conditional put): once reclaiming,
+            # a racing commit_staged refuses at its own claim — the
+            # rename-era TOCTOU between the expiry read and the file sweep
+            # is gone entirely
+            claimed = self._transition_stage(sid, "reclaiming", ("open",))
+            if claimed is None:
+                continue  # a committer/reclaimer won the claim race
+            removed.extend(self._reclaim_stage(sid, claimed))
         return removed
+
+    def _transition_stage(
+        self, stage_id: str, new_state: str, from_states: tuple[str, ...]
+    ) -> dict | None:
+        """Conditionally move a stage's claim state (one serialized RMW =
+        one conditional put). Returns the updated payload, or None when the
+        stage vanished or is held in a state outside ``from_states`` —
+        the caller lost the race and must not proceed."""
+
+        class _Race(Exception):
+            pass
+
+        def mut(cur):
+            if cur is None or cur.get("state", "open") not in from_states:
+                raise _Race()
+            cur = dict(cur)
+            cur["state"] = new_state
+            return cur
+
+        try:
+            return self._update_control(self._stage_path(stage_id), mut)
+        except _Race:
+            return None
 
     def _reclaim_stage(self, stage_id: str, payload: dict) -> list[str]:
         """Remove a stage's payload file plus every staged data file and
@@ -3518,7 +3583,7 @@ class Dataset:
                     os.remove(fp)
                     removed.append(rel)
         try:
-            os.remove(os.path.join(self._staged_dir(), f"{stage_id}.json"))
+            self._handler.delete(self._stage_path(stage_id))
             removed.append(f"_staged/{stage_id}.json")
         except FileNotFoundError:
             pass  # a concurrent reclaimer consumed the payload first
@@ -3529,18 +3594,25 @@ class Dataset:
         (reference DeleteDetached, sdk/dataset.go:1243): its payload, data
         files, and deletion sidecars are reclaimed — none were ever
         referenced by a manifest. A stage currently CLAIMED by a running
-        commit_staged cannot be deleted (rename it back first via
-        cleanup_expired's stale-claim recovery if the committer died).
-        Returns removed paths."""
-        p = os.path.join(self._staged_dir(), f"{stage_id}.json")
-        if not os.path.exists(p):
-            if os.path.exists(p + ".committing"):
+        commit_staged cannot be deleted (cleanup_expired's stale-claim
+        recovery reopens it if the committer died). Returns removed paths.
+
+        The payload is claimed for RECLAIM first (one conditional put), so
+        a commit_staged racing this call loses at its own claim instead of
+        committing files this sweep is deleting."""
+
+        def _claim(cur):
+            if cur is None:
+                raise ValueError(f"no staged transaction {stage_id!r}")
+            if cur.get("state", "open") == "committing":
                 raise ValueError(
                     f"stage {stage_id} is mid-commit (claimed); refusing"
                 )
-            raise ValueError(f"no staged transaction {stage_id!r}")
-        with open(p) as fh:
-            payload = json.load(fh)
+            cur = dict(cur)
+            cur["state"] = "reclaiming"  # idempotent resume if already there
+            return cur
+
+        payload = self._update_control(self._stage_path(stage_id), _claim)
         return self._reclaim_stage(stage_id, payload)
 
     def commit_staged(self, stage_id: str) -> "Dataset":
@@ -3549,33 +3621,48 @@ class Dataset:
         (append), conflict-checked (delete), or rejected (overwrite).
         An expired stage (ttl_seconds elapsed) refuses permanently.
 
-        The payload file is CLAIMED first (atomic rename to
-        ``.json.committing``): once claimed, the stage is invisible to
+        The payload is CLAIMED first — its ``state`` field moves
+        open -> committing in ONE conditional put (no rename: object
+        stores have none). Once claimed, the stage is invisible to
         ``staged()``/``cleanup_expired()`` and its files are pinned
         UNCONDITIONALLY by vacuum(), so a commit that starts just before
         expiry but outlives the reclaim grace can never have its data files
         deleted mid-commit by a concurrent reclaimer. On any failure the
-        claim is renamed back, restoring stage visibility; a concurrent
-        double-commit of the same stage loses the rename and fails loudly.
+        claim flips back to open, restoring stage visibility; a concurrent
+        double-commit of the same stage loses the claim CAS and fails
+        loudly.
 
         Crash safety: the staged txn commits with a ``__stage__:<id>``
         dedup key through the stream-commit watermark machinery, so the
         whole operation is IDEMPOTENT — if the process dies between the
         manifest write and the claim cleanup, ``cleanup_expired()`` later
-        un-claims the stale ``.committing`` file and a retried
+        reopens the stale ``committing`` claim and a retried
         commit_staged sees DuplicateBatchError, consumes the stage, and
         reports success instead of double-applying."""
         import time
 
-        p = os.path.join(self._staged_dir(), f"{stage_id}.json")
-        claim = p + ".committing"
-        os.rename(p, claim)  # atomic claim — reclaimers skip non-.json files
+        p = self._stage_path(stage_id)
+
+        def _claim(cur):
+            if cur is None:
+                # parity with the rename-era protocol: a consumed or
+                # never-staged id surfaces as FileNotFoundError
+                raise FileNotFoundError(p)
+            st = cur.get("state", "open")
+            if st != "open":
+                raise ConflictError(
+                    f"stage {stage_id} is {st} (claimed); refusing"
+                )
+            cur = dict(cur)
+            cur["state"] = "committing"
+            cur["claim_ts"] = time.time()
+            return cur
+
+        payload = self._update_control(p, _claim)
         # crash window: claim held, nothing committed — recovery is
-        # cleanup_expired's stale-claim un-rename after _CLAIM_TTL
+        # cleanup_expired's stale-claim reopen after _CLAIM_TTL
         fault_point("stage.claimed")
         try:
-            with open(claim) as fh:
-                payload = json.load(fh)
             exp = payload.get("expires_at")
             if exp is not None and time.time() >= exp:
                 raise StageExpiredError(
@@ -3596,31 +3683,32 @@ class Dataset:
                 # a concurrent advance) and skips a since-deleted branch;
                 # ordinary branch commits rebase onto head, so interleaved
                 # commits below the landing point are already
-                # branch-visible by design. A failure HERE must restore
+                # branch-visible by design. A failure HERE must reopen
                 # the claim itself before raising: an exception inside
                 # this handler bypasses the sibling un-claim handler, and
-                # a stranded .committing would make the caller's retry
-                # fail with a bare FileNotFoundError for _CLAIM_TTL.
+                # a stranded committing claim would make the caller's retry
+                # fail with a bare claim conflict for _CLAIM_TTL.
                 try:
                     landed = self._stage_landed_version(stage_id)
                     if landed is not None:
                         self._advance_ref(self._branch, landed)
                 except BaseException as e:
-                    if os.path.exists(claim):
-                        os.rename(claim, p)  # stage visible; retry redoes this
+                    self._transition_stage(stage_id, "open", ("committing",))
                     raise RuntimeError(
                         f"stage {stage_id} already committed but branch "
                         f"{self._branch!r} could not catch up: {e}"
                     ) from e
         except BaseException:
-            if os.path.exists(claim):
-                os.rename(claim, p)  # un-claim: stage visible again
+            self._transition_stage(stage_id, "open", ("committing",))
             raise
-        # crash window: the staged manifest LANDED but the claim file
+        # crash window: the staged manifest LANDED but the claim object
         # survives — the retry must dedup via the __stage__ key, never
         # double-apply
         fault_point("stage.committed_before_unclaim")
-        os.remove(claim)
+        try:
+            self._handler.delete(p)
+        except FileNotFoundError:
+            pass  # a concurrent recovery consumed the stage first
         return self
 
     def _stage_landed_version(self, stage_id: str) -> int | None:

@@ -49,26 +49,33 @@ _THREADS = 6
 _SEED = 20260815
 
 
-def _mk(spark, path):
+def _mk(spark, path, commit_handler="local"):
     # key space: [0, 1000) is the DELETABLE subspace seeded at creation;
     # appended keys start at 10_000 and are never delete targets
     base = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
     )
-    ds = Dataset.create(spark, path, base.coalesce(2), row_ids=True)
+    ds = Dataset.create(
+        spark, path, base.coalesce(2), row_ids=True,
+        commit_handler=commit_handler,
+    )
     # a persisted scalar index up-front: the storm's probe/refresh ops
     # exercise the index claim protocol + routing against live mutation
     ds.create_index("storm_bt", kind="btree", column="k", n_runs=2)
     return ds
 
 
-def test_concurrent_interleaving_storm(spark):
+@pytest.mark.parametrize("commit_handler", ["local", "cas"])
+def test_concurrent_interleaving_storm(spark, commit_handler):
+    """Runs once per commit protocol: "local" (O_EXCL/flock/rename) and
+    "cas" (compare-and-set only — the object-store protocol, reference
+    s3_commit.go). Identical invariants must hold under both."""
     path = os.path.join(
-        tempfile.gettempdir(), "plan_spark_storm", "ds"
+        tempfile.gettempdir(), f"plan_spark_storm_{commit_handler}", "ds"
     )
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    _mk(spark, path)
+    _mk(spark, path, commit_handler)
 
     rng = random.Random(_SEED)
     lock = threading.Lock()

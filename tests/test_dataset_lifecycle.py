@@ -342,24 +342,24 @@ def test_commit_staged_consumes_stage_once(spark, tmp_path_ds, base_df):
 
 def test_commit_staged_idempotent_after_claim_crash(spark, tmp_path_ds, base_df):
     """Crash recovery: if a commit_staged dies AFTER its manifest landed but
-    BEFORE the claim cleanup, cleanup_expired un-claims the stale file and a
-    retry consumes the stage WITHOUT double-applying (the __stage__ dedup
-    key raises DuplicateBatchError internally; the retry reports success)."""
-    import shutil as _sh
-
+    BEFORE the claim cleanup, cleanup_expired reopens the stale committing
+    claim and a retry consumes the stage WITHOUT double-applying (the
+    __stage__ dedup key raises DuplicateBatchError internally; the retry
+    reports success)."""
     ds = Dataset.create(spark, tmp_path_ds, base_df)
     sid = ds.stage_append(_more(spark, 200, 230))
     staged_dir = os.path.join(tmp_path_ds, "_staged")
     p = os.path.join(staged_dir, f"{sid}.json")
-    backup = p + ".bak"
-    _sh.copy(p, backup)
+    with open(p) as fh:
+        payload = json.load(fh)
     ds2 = Dataset.open(spark, tmp_path_ds).commit_staged(sid)
     assert ds2.count_rows() == 230
-    # simulate the crash leftover: the payload resurfaces as a stale claim
-    _sh.copy(backup, p + ".committing")
-    os.remove(backup)
-    old = __import__("time").time() - 3600
-    os.utime(p + ".committing", (old, old))
+    # simulate the crash leftover: the payload resurfaces as a STALE
+    # committing claim (state field, claim_ts long past _CLAIM_TTL)
+    payload["state"] = "committing"
+    payload["claim_ts"] = __import__("time").time() - 3600
+    with open(p, "w") as fh:
+        json.dump(payload, fh)
     # recovery: cleanup_expired un-claims it...
     Dataset.open(spark, tmp_path_ds).cleanup_expired()
     assert sid in Dataset.open(spark, tmp_path_ds).staged()
@@ -370,7 +370,7 @@ def test_commit_staged_idempotent_after_claim_crash(spark, tmp_path_ds, base_df)
 
 
 def test_vacuum_pins_claimed_stage_files(spark, tmp_path_ds, base_df):
-    """A claimed stage (.json.committing) pins its data files through
+    """A claimed stage (state=committing) pins its data files through
     vacuum — the mid-commit reclaim race the claim protocol closes."""
     ds = Dataset.create(spark, tmp_path_ds, base_df)
     sid = ds.stage_append(_more(spark, 200, 240), ttl_seconds=0.001)
@@ -378,9 +378,11 @@ def test_vacuum_pins_claimed_stage_files(spark, tmp_path_ds, base_df):
 
     _t.sleep(0.1)  # expired + past grace? grace is 30s, so expiry alone
     p = os.path.join(tmp_path_ds, "_staged", f"{sid}.json")
-    os.rename(p, p + ".committing")  # simulate an in-flight claim
-    with open(p + ".committing") as fh:
+    with open(p) as fh:
         payload = json.load(fh)
+    payload["state"] = "committing"  # simulate an in-flight claim
+    with open(p, "w") as fh:
+        json.dump(payload, fh)
     staged_files = [a["path"] for a in payload["added"]]
     assert staged_files
     removed = Dataset.open(spark, tmp_path_ds).vacuum(keep_versions=1, grace_seconds=0.0)

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from plan_spark.dataset.dataset import (
     _CLAIM_TTL,
     _STAGE_GRACE,
+    ConflictError,
     Dataset,
     StageExpiredError,
 )
@@ -78,6 +79,32 @@ def _chain_consistent(ds: Dataset) -> None:
 def _backdate(path: str, by: float) -> None:
     t = time.time() - by
     os.utime(path, (t, t))
+
+
+def _claim_state(sdir: str, sid: str) -> str | None:
+    """The stage's claim state ("open"/"committing"/"reclaiming"), or None
+    if the payload was consumed."""
+    try:
+        with open(os.path.join(sdir, f"{sid}.json")) as fh:
+            return json.load(fh).get("state", "open")
+    except FileNotFoundError:
+        return None
+
+
+def _backdate_claims(sdir: str, by: float) -> None:
+    """Age every committing claim's claim_ts so cleanup_expired's stale-
+    claim recovery fires (the state-field analog of utime on the old
+    .json.committing files)."""
+    for fn in os.listdir(sdir):
+        if not fn.endswith(".json"):
+            continue
+        full = os.path.join(sdir, fn)
+        with open(full) as fh:
+            payload = json.load(fh)
+        if payload.get("state") == "committing":
+            payload["claim_ts"] = time.time() - by
+            with open(full, "w") as fh:
+                json.dump(payload, fh)
 
 
 # --------------------------------------------------------------- indexes
@@ -237,17 +264,16 @@ def test_stage_claimed_crash_then_recovery(spark):
     arm_fault("stage.claimed")
     with pytest.raises(InjectedCrash):
         ds.commit_staged(sid)
-    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
-    assert os.path.exists(claim)
+    assert _claim_state(ds._staged_dir(), sid) == "committing"
     ds = Dataset.open(spark, path)
     assert ds.version == v0, "nothing may have committed"
     assert sid not in ds.staged(), "claimed stage must be invisible"
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ConflictError, match="claimed"):
         ds.commit_staged(sid)  # claim held: loud, not silent
     with pytest.raises(ValueError, match="mid-commit"):
         ds.delete_staged(sid)
-    # recovery: the claim goes stale after _CLAIM_TTL; cleanup un-claims
-    _backdate(claim, _CLAIM_TTL + 1)
+    # recovery: the claim goes stale after _CLAIM_TTL; cleanup reopens it
+    _backdate_claims(ds._staged_dir(), _CLAIM_TTL + 1)
     ds.cleanup_expired()
     assert sid in Dataset.open(spark, path).staged()
     ds = Dataset.open(spark, path).commit_staged(sid)
@@ -272,10 +298,11 @@ def test_stage_committed_before_unclaim_is_idempotent(spark):
         ds.commit_staged(sid)
     ds = Dataset.open(spark, path)
     assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "commit landed"
-    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
-    assert os.path.exists(claim), "claim survives the crash"
-    _backdate(claim, _CLAIM_TTL + 1)
-    ds.cleanup_expired()  # un-claims the stale .committing
+    assert _claim_state(ds._staged_dir(), sid) == "committing", (
+        "claim survives the crash"
+    )
+    _backdate_claims(ds._staged_dir(), _CLAIM_TTL + 1)
+    ds.cleanup_expired()  # reopens the stale committing claim
     ds = Dataset.open(spark, path).commit_staged(sid)  # retry: dedup, not re-apply
     assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
     assert sid not in ds.staged()
@@ -310,9 +337,10 @@ def test_vacuum_crash_any_prefix_is_safe(spark):
 
 def test_reclaim_mid_crash_refuses_partial_commit(spark):
     """cleanup_expired dies after reclaiming SOME of a stage's files: the
-    payload survives, so commit_staged must refuse loudly (expired) — a
-    silent commit would land partial data — and the retried cleanup
-    finishes."""
+    payload survives in the RECLAIMING claim state (cleanup claims before
+    sweeping — the conditional put that closed the rename-era TOCTOU), so
+    commit_staged must refuse loudly — a silent commit would land partial
+    data — and the retried cleanup resumes the idempotent sweep."""
     path = _scratch("reclaim")
     ds = _mk(spark, path)
     sid = ds.stage_append(
@@ -330,8 +358,11 @@ def test_reclaim_mid_crash_refuses_partial_commit(spark):
     with pytest.raises(InjectedCrash):
         ds.cleanup_expired()
     ds = Dataset.open(spark, path)
-    assert sid in ds.staged(), "payload survives the crash"
-    with pytest.raises(StageExpiredError):
+    assert _claim_state(ds._staged_dir(), sid) == "reclaiming", (
+        "payload survives the crash, claimed for reclaim"
+    )
+    assert sid not in ds.staged(), "a reclaiming stage is invisible"
+    with pytest.raises(ConflictError, match="reclaiming"):
         ds.commit_staged(sid)
     v = Dataset.open(spark, path)
     assert v.to_df().filter(F.col("k") >= 10_000).count() == 0
@@ -344,13 +375,21 @@ def test_reclaim_mid_crash_refuses_partial_commit(spark):
 # ------------------------------------------------------- exit-mode child
 
 
-def test_exit_mode_crash_image_in_subprocess(spark):
+@pytest.mark.parametrize("commit_handler", ["local", "cas"])
+def test_exit_mode_crash_image_in_subprocess(spark, commit_handler):
     """The literal crash image: a Spark-free child process claims + commits
     a staged append and dies with os._exit(77) before the claim cleanup —
     no finally/except handler runs, unlike the in-process raise mode. This
-    also proves the staged-commit metadata path needs no SparkSession."""
-    path = _scratch("exit_mode")
-    ds = _mk(spark, path)
+    also proves the staged-commit metadata path needs no SparkSession, and
+    (via the marker file) that a recovery process picks up the dataset's
+    recorded commit protocol on both handlers."""
+    path = _scratch(f"exit_mode_{commit_handler}")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    ds = Dataset.create(
+        spark, path, df.coalesce(2), row_ids=True, commit_handler=commit_handler
+    )
     sid = ds.stage_append(
         spark.range(10_000, 10_010).select(
             F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
@@ -373,9 +412,8 @@ def test_exit_mode_crash_image_in_subprocess(spark):
     assert child.returncode == 77, f"child did not die at the site: {child.stderr}"
     ds = Dataset.open(spark, path)
     assert ds.version > v0 and ds.to_df().filter(F.col("k") >= 10_000).count() == 10
-    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
-    assert os.path.exists(claim)
-    _backdate(claim, _CLAIM_TTL + 1)
+    assert _claim_state(ds._staged_dir(), sid) == "committing"
+    _backdate_claims(ds._staged_dir(), _CLAIM_TTL + 1)
     ds.cleanup_expired()
     ds = Dataset.open(spark, path).commit_staged(sid)
     assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
@@ -385,16 +423,24 @@ def test_exit_mode_crash_image_in_subprocess(spark):
 # ----------------------------------------------------- crash-recovery storm
 
 
-def test_crash_recovery_storm(spark):
+@pytest.mark.parametrize("commit_handler", ["local", "cas"])
+def test_crash_recovery_storm(spark, commit_handler):
     """Seeded sweep: every dataset-protocol site ×6 rounds with randomized
-    preceding histories. After each crash: reopen, full chain invariant,
-    key conservation (a crashed op either happened entirely or not at all —
-    appended key blocks are complete or absent), then recover claims and
-    keep going. Set PLAN_SPARK_FAULT_STORM_ROUNDS to widen."""
+    preceding histories, once per COMMIT PROTOCOL (local O_EXCL/flock vs
+    cas compare-and-set-only — the object-store protocol). After each
+    crash: reopen, full chain invariant, key conservation (a crashed op
+    either happened entirely or not at all — appended key blocks are
+    complete or absent), then recover claims and keep going. Set
+    PLAN_SPARK_FAULT_STORM_ROUNDS to widen."""
     rounds = int(os.environ.get("PLAN_SPARK_FAULT_STORM_ROUNDS", "6"))
     rng = random.Random(20260816)
-    path = _scratch("storm")
-    ds = _mk(spark, path)
+    path = _scratch(f"storm_{commit_handler}")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    ds = Dataset.create(
+        spark, path, df.coalesce(2), row_ids=True, commit_handler=commit_handler
+    )
     next_key = [10_000]
     committed: set[int] = set()  # key-block starts whose op reported success
 
@@ -459,10 +505,7 @@ def test_crash_recovery_storm(spark):
             missing = committed - set(blocks)
             assert not missing, f"acked blocks lost after {site}: {sorted(missing)}"
             # recover any stale claims so later rounds can proceed
-            sdir = ds._staged_dir()
-            for fn in os.listdir(sdir):
-                if fn.endswith(".committing"):
-                    _backdate(os.path.join(sdir, fn), _CLAIM_TTL + 1)
+            _backdate_claims(ds._staged_dir(), _CLAIM_TTL + 1)
             ds.cleanup_expired()
             # staged-but-uncommitted blocks may legally land later; fold in
             for sid in Dataset.open(spark, path).staged():
@@ -628,9 +671,8 @@ def test_exit_mode_branch_ref_window_in_subprocess(spark):
     assert max(ds.versions()) > v0, "manifest is durable"
     assert ds.list_tags()["fix"] == v0, "ref never advanced (crash image)"
     # recovery: un-claim after TTL, retry — dedup key makes it exactly-once
-    claim = os.path.join(ds._staged_dir(), f"{sid}.json.committing")
-    assert os.path.exists(claim)
-    _backdate(claim, _CLAIM_TTL + 1)
+    assert _claim_state(ds._staged_dir(), sid) == "committing"
+    _backdate_claims(ds._staged_dir(), _CLAIM_TTL + 1)
     ds.cleanup_expired()
     h2 = Dataset.open(spark, path).on_branch("fix").commit_staged(sid)
     assert h2.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
@@ -783,9 +825,7 @@ def test_concurrent_fault_storm(spark):
     # recovery: free stale claims, reclaim/commit leftover stages
     ds = Dataset.open(spark, path)
     sdir = ds._staged_dir()
-    for fn in os.listdir(sdir):
-        if fn.endswith(".committing"):
-            _backdate(os.path.join(sdir, fn), _CLAIM_TTL + 1)
+    _backdate_claims(sdir, _CLAIM_TTL + 1)
     ds.cleanup_expired()
     for sid in Dataset.open(spark, path).staged():
         try:
@@ -794,7 +834,8 @@ def test_concurrent_fault_storm(spark):
             continue
     ds = Dataset.open(spark, path)
     assert not any(
-        fn.endswith(".committing") for fn in os.listdir(sdir)
+        _claim_state(sdir, fn[:-5]) == "committing"
+        for fn in os.listdir(sdir) if fn.endswith(".json")
     ), "a stage stayed wedged after recovery"
     _chain_consistent(ds)
     keys = [r.k for r in ds.to_df().filter(F.col("k") >= 10_000).collect()]

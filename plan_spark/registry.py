@@ -58,60 +58,62 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # ---- round 8: new/changed this round ----
-    "sql_tpch_verbatim",  # NEW: reference q1.sql verbatim through Engine.sql
-    "multimodal_features",  # changed: numpy-vectorized BMP kernels (hashes fixed)
-    "multimodal_resize",  # changed: same (vectorized nearest-neighbor grid)
-    "multimodal_frames",  # r3 + kernel file changed
-    "multimodal_audio",  # r3 + multimodal_q.py churn (r7 verdict item 1)
-    "multimodal_dedup",  # r5 but multimodal_q.py edited r7 (verdict head)
-    # ---- round 8: the r1-r3 driver-verification tail (r7 verdict item 1).
-    # With these 50, every registry row's newest driver verification is r4+
-    # after this round: zero pre-r4 debt remains.
-    "fts_bm25",  # r1
-    "dedup_embed",  # r1
-    "dedup_exact",  # r2
-    "fingerprint",  # r2
-    "knn_brute",  # r2
-    "knn_filtered",  # r2
-    "lang_id",  # r2
-    "q1",  # r2 (whole TPC-H set below)
-    "q3",
-    "q4",
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "q10",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
-    "q17",
-    "q18",
-    "q19",
-    "q20",
-    "q21",
-    "q22",
-    "sessionize",  # r2
-    "text_stats",  # r2
-    "time_bucket_agg",  # r2
-    "token_cjk",  # r2
-    "token_count",  # r2
-    "chunk_docs",  # r3
-    "json_props_agg",  # r3
-    "pack_sequences",  # r3
-    "percentile_exact",  # r3
-    "rep_filter",  # r3
-    "tpcds_q36",  # r3
-    "tpcds_q47",  # r3
-    "tpcds_q51",  # r3
-    "tpcds_q59",  # r3
-    "tpcds_q67",  # r3
-    "tpcds_q98",  # r3
-    "vocab_topk",  # r3
+    # ---- round 9: new/changed this round (their prior rows are stale) ----
+    "sql_tpch_verbatim_q21",  # NEW: reference q21.sql verbatim front door
+    "tpcds_q6",    # NEW: correlated category-average threshold
+    "tpcds_q16",   # NEW: EXISTS/NOT EXISTS shipping audit
+    "tpcds_q21",   # NEW: before/after pivot band
+    "tpcds_q33",   # NEW: cross-channel union-agg family
+    "tpcds_q72",   # NEW: inventory chain
+    "tpcds_q95",   # NEW: two-level IN on the same fact
+    "semdedup",    # changed: driver row now ships the resolve_k scale form
+    # ---- round 9: the r4 verification tail (newest green = r4) ----
+    "bpe_pairs",
+    "emb_stats",
+    "funnel",
+    "kmeans_assign",
+    "kmeans_iter2",
+    "rarity_score",
+    "simhash",
+    "tpcds_q90",
+    # ---- round 9: the r5 verification tail ----
+    "dedup_incremental",
+    "dedup_ngram",
+    "knn_batch",
+    "knn_bq",
+    "knn_ivf",
+    "knn_ivf_hnsw",
+    "tpcds_q4",
+    "tpcds_q11",
+    "tpcds_q14",
+    "tpcds_q23",
+    "tpcds_q35",
+    "tpcds_q49",
+    "tpcds_q93",
+    "tpcds_q97",
+    # ---- round 9: oldest 20 of the r6 tail (alphabetical; the other 24
+    # r6 rows rotate in next round — post-r9 no row's newest driver
+    # verification predates r6) ----
+    "corpus_shuffle",
+    "dedup_apply",
+    "dedup_clusters",
+    "dedup_containment",
+    "distinct_kmv",
+    "domain_cap",
+    "dup_passages",
+    "dup_spans",
+    "fts_phrase",
+    "gap_fill",
+    "knn_ivf_pq",
+    "mixture_apply",
+    "mixture_weights",
+    "pipeline_e2e",
+    "pivot_events",
+    "sample_split",
+    "stratified_sample",
+    "stream_curation",
+    "stream_dedup",
+    "stream_enrich",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

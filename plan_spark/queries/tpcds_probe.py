@@ -2999,13 +2999,23 @@ def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     li = table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    # the spec's channels are three different FACT TABLES; on one fact,
+    # per-channel scans would read it three times. Aggregate ONCE by
+    # (brand, channel) — decimal sums are associative, so splitting by
+    # flag then re-summing is exact — and derive each channel CTE from
+    # the persisted brand x flag aggregate (the q14/q49 single-scan
+    # discipline); the union-agg shape downstream is unchanged.
+    base = (
+        li.filter(F.col("l_returnflag").isin("A", "N", "R"))
+        .join(F.broadcast(restricted), li.l_partkey == restricted.p_partkey)
+        .groupBy("p_brand", "l_returnflag")
+        .agg(F.sum(rev_col()).alias("total_dec"))
+        .persist()
+    )
 
     def channel(flag: str) -> DataFrame:
-        return (
-            li.filter(F.col("l_returnflag") == flag)
-            .join(F.broadcast(restricted), li.l_partkey == restricted.p_partkey)
-            .groupBy("p_brand")
-            .agg(F.sum(rev_col()).alias("total_dec"))
+        return base.filter(F.col("l_returnflag") == flag).select(
+            "p_brand", "total_dec"
         )
 
     return (
@@ -3049,6 +3059,8 @@ SELECT p_name, s_name,
          AS no_promo,
        CAST(SUM(CASE WHEN promo_pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS promo,
+       CAST(SUM(CASE WHEN r_ok IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS returned,
        CAST(COUNT(*) AS BIGINT) AS total_cnt
 FROM fact f
 JOIN inv ON inv_partkey = f.l_partkey
@@ -3138,6 +3150,9 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("promo_pk").isNotNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("promo"),
+            F.sum(F.when(F.col("r_ok").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("returned"),
             F.count(F.lit(1)).alias("total_cnt"),
         )
         .orderBy(F.desc("total_cnt"), "p_name", "s_name", "wk")

@@ -3386,3 +3386,144 @@ def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s_name", "p_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 shape: wide multi-measure monthly pivot over a carrier union
+# ---------------------------------------------------------------------------
+
+_MONTHS = [
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+]
+
+_TPCDS_Q66_SQL = f"""
+WITH seg AS (
+  SELECT s_name, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+         {REV_SQL} AS rev,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_linestatus IN ('O', 'F') AND year(l_shipdate) = 1997
+)
+SELECT s_name, yr,
+{", ".join(f'''  CAST(SUM(CASE WHEN mo = {i + 1} THEN rev ELSE 0 END) AS DOUBLE)
+    AS {m}_sales''' for i, m in enumerate(_MONTHS))},
+{", ".join(f'''  CAST(SUM(CASE WHEN mo = {i + 1} THEN qty ELSE 0 END) AS BIGINT)
+    AS {m}_qty''' for i, m in enumerate(_MONTHS))}
+FROM seg
+GROUP BY s_name, yr
+ORDER BY s_name, yr
+LIMIT 100
+"""
+
+
+@register("tpcds_q66", oracle=_TPCDS_Q66_SQL, tags=("tpcds", "pivot"))
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape (cases/tpcds/query/query66.sql — the 24-measure
+    warehouse/month pivot): one pass over the fact produces TWELVE monthly
+    columns x TWO measures per warehouse-year. Re-targeted: warehouse =
+    supplier, measures = revenue and quantity.
+
+    Scale shape: all 24 aggregates are conditional branches of ONE
+    grouped aggregate — one scan, one shuffle of (s_name, yr) group
+    states with 24-wide partials, no per-month scans and no union. The
+    spec's two-carrier inner UNION collapses for the same reason the
+    q33 channels did: identical measures over one fact."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isin("O", "F") & (F.year("l_shipdate") == 1997)
+    )
+    sup = table(spark, sf_dir, "supplier")
+    mo = F.month("l_shipdate")
+    aggs = []
+    for i, m in enumerate(_MONTHS):
+        aggs.append(
+            F.sum(F.when(mo == i + 1, rev_col()).otherwise(F.lit(0)))
+            .cast("double")
+            .alias(f"{m}_sales")
+        )
+    for i, m in enumerate(_MONTHS):
+        aggs.append(
+            F.sum(
+                F.when(mo == i + 1, F.col("l_quantity").cast("bigint")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias(f"{m}_qty")
+        )
+    return (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_name")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name", F.year("l_shipdate").alias("yr"))
+        .agg(*aggs)
+        .orderBy("s_name", "yr")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 shape: literal prefix set INTERSECT aggregate-derived prefix set
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q8_CODES = "('0', '2', '3', '5', '7', '8')"
+
+_TPCDS_Q8_SQL = f"""
+WITH wanted AS (
+  SELECT substring(c_name, -1, 1) AS code FROM customer
+  WHERE substring(c_name, -1, 1) IN {_TPCDS_Q8_CODES}
+  INTERSECT
+  SELECT substring(c_name, -1, 1) AS code FROM customer
+  WHERE c_acctbal > 0 GROUP BY 1 HAVING COUNT(*) >= 5
+)
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS net,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE substring(c_name, -1, 1) IN (SELECT code FROM wanted)
+  AND year(o_orderdate) = 1997
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("tpcds_q8", oracle=_TPCDS_Q8_SQL, tags=("tpcds", "setop-subquery"))
+def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8 shape (cases/tpcds/query/query8.sql — store revenue for
+    zip prefixes that are BOTH in a literal list AND home to >= 10
+    qualifying customers): a literal prefix set INTERSECTed with an
+    aggregate-derived set, driving a semi join on the fact path.
+    Re-targeted: zip prefix = the customer name's trailing digit
+    (the slimmed fixture carries no c_phone), store = customer nation,
+    preferred customers = positive-balance accounts.
+
+    Scale shape: both INTERSECT arms are customer-dimension aggregates
+    (output <= |codes|, broadcast); the fact path is one orders shuffle
+    joined to customer and the prefix semi join — no new shuffle
+    dimension from the subquery machinery."""
+    cust = table(spark, sf_dir, "customer")
+    code = F.substring("c_name", -1, 1)
+    arm1 = cust.filter(
+        code.isin("0", "2", "3", "5", "7", "8")
+    ).select(code.alias("code"))
+    arm2 = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .groupBy(code.alias("code"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("code")
+    )
+    wanted = arm1.intersect(arm2)
+    ords = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    nat = table(spark, sf_dir, "nation")
+    return (
+        ords.join(cust.hint("shuffle_hash"), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(wanted), code == F.col("code"), "left_semi")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("net"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )

@@ -672,3 +672,27 @@ def test_q21_pivot_partial_agg_before_shuffle(spark):
     assert p.count("HashAggregate") >= 2
     below = p.split("Exchange hashpartitioning", 1)[1]
     assert "partial_sum" in below
+
+
+def test_q66_wide_pivot_single_scan_no_union(spark):
+    """tpcds_q66: the 24 monthly measures are conditional branches of ONE
+    grouped aggregate — one fact scan, map-side partials, no per-month
+    scan and no union."""
+    from plan_spark.queries.tpcds_probe import tpcds_q66
+
+    p = _plan(spark, tpcds_q66(spark, BENCH_SF_DIR), mode="simple")
+    assert "Union" not in p
+    assert p.count("HashAggregate") >= 2
+    below = p.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_sum" in below
+
+
+def test_q8_intersect_arms_reduce_before_fact_semi(spark):
+    """tpcds_q8: both INTERSECT arms aggregate the customer dimension
+    down to <= |codes| rows before any fact work; the fact path sees one
+    broadcast semi join on the code — never a nested loop."""
+    from plan_spark.queries.tpcds_probe import tpcds_q8
+
+    p = _plan(spark, tpcds_q8(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("LeftSemi") >= 2  # intersect + the wanted-code semi
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

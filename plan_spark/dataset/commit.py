@@ -138,6 +138,16 @@ class LocalCommitHandler(CommitHandler):
 
     def delete(self, path: str) -> None:
         os.remove(path)
+        # reclaim the update_json flock sibling with the object it guarded
+        # (per-stage payloads would otherwise strand one .lock file each —
+        # unbounded directory growth). Safe despite the persistent-lock
+        # rule: after the object is gone, any update_json racer — whichever
+        # lock inode it lands on — reads None and can only abort; there is
+        # no state left for two writers to lose.
+        try:
+            os.remove(path + ".lock")
+        except OSError:
+            pass
 
 
 class CasCommitHandler(CommitHandler):

@@ -227,10 +227,22 @@ class Dataset:
         self.path = os.path.abspath(path)
         self._manifest: Manifest | None = None
         self._branch: str | None = None  # auto-advanced ref (see branch())
-        # the commit protocol recorded at creation (_commit.json): every
-        # handle — including crash-recovery child processes — must speak
-        # the same one (reference commit.go:11-27 CommitHandler)
-        self._handler: CommitHandler = detect_handler(self.path)
+        self._handler_cache: CommitHandler | None = None
+
+    @property
+    def _handler(self) -> CommitHandler:
+        """The commit protocol recorded at creation (_commit.json): every
+        handle — including crash-recovery child processes — must speak the
+        same one (reference commit.go:11-27 CommitHandler). Detected
+        LAZILY so constructing a Dataset for a metadata probe (e.g. the
+        engine's per-statement version check) costs zero file reads."""
+        if self._handler_cache is None:
+            self._handler_cache = detect_handler(self.path)
+        return self._handler_cache
+
+    @_handler.setter
+    def _handler(self, h: CommitHandler) -> None:
+        self._handler_cache = h
 
     # ------------------------------------------------------------------ io
     @property
@@ -3268,7 +3280,7 @@ class Dataset:
                 self._commit(txn)
             finally:
                 try:
-                    os.remove(claim)
+                    self._handler.delete(claim)
                 except OSError:
                     pass
         else:
@@ -3561,27 +3573,52 @@ class Dataset:
         except _Race:
             return None
 
+    def _stage_landed(self, stage_id: str) -> bool:
+        """Whether this stage's commit LANDED in the version chain:
+        ``__stage__`` watermarks copy forward, so the HEAD manifest carries
+        the key iff some _do_commit_staged succeeded — O(1), no history
+        walk. The guard every reclaim face must consult: a landed stage's
+        files are MANIFEST-REFERENCED; deleting them is committed-data
+        loss (a crash between the manifest write and the claim cleanup
+        leaves exactly this state behind)."""
+        try:
+            head = self._load(self._latest_version())
+        except FileNotFoundError:
+            return False  # no versions at all: nothing can have landed
+        return head.stream_state.get(f"__stage__:{stage_id}", -1) >= 0
+
     def _reclaim_stage(self, stage_id: str, payload: dict) -> list[str]:
         """Remove a stage's payload file plus every staged data file and
         deletion sidecar it references (shared by cleanup_expired and
         delete_staged — the two reclaim faces must stay layout-identical).
-        Returns removed paths."""
+        Returns removed paths.
+
+        A LANDED stage (crash between its manifest write and claim
+        cleanup) is consumed payload-only: its files belong to the version
+        chain now. File removals tolerate a concurrent reclaimer winning
+        individual removes (exists/remove is not atomic; both sweeps are
+        idempotent)."""
         removed: list[str] = []
-        for a in payload.get("added", []):
-            fp = os.path.join(self.path, a["path"])
-            if os.path.exists(fp):
-                os.remove(fp)
-                removed.append(a["path"])
+        if not self._stage_landed(stage_id):
+            for a in payload.get("added", []):
+                fp = os.path.join(self.path, a["path"])
+                try:
+                    os.remove(fp)
+                    removed.append(a["path"])
+                except FileNotFoundError:
+                    continue  # a concurrent reclaimer won this removal
                 # crash window: staged data partially reclaimed, payload
                 # still present — the sweep must be re-runnable and the
                 # stage must refuse to commit, never land partial data
                 fault_point("stage.reclaim_mid")
-        for names in payload.get("new_deletes", {}).values():
-            for rel in names:
-                fp = os.path.join(self.path, rel)
-                if os.path.exists(fp):
-                    os.remove(fp)
-                    removed.append(rel)
+            for names in payload.get("new_deletes", {}).values():
+                for rel in names:
+                    fp = os.path.join(self.path, rel)
+                    try:
+                        os.remove(fp)
+                        removed.append(rel)
+                    except FileNotFoundError:
+                        continue
         try:
             self._handler.delete(self._stage_path(stage_id))
             removed.append(f"_staged/{stage_id}.json")
@@ -3664,7 +3701,16 @@ class Dataset:
         fault_point("stage.claimed")
         try:
             exp = payload.get("expires_at")
-            if exp is not None and time.time() >= exp:
+            if (
+                exp is not None
+                and time.time() >= exp
+                and not self._stage_landed(stage_id)
+            ):
+                # landed stages are exempt from the expiry refusal: a crash
+                # between a successful commit and the claim cleanup must be
+                # consumable via the dedup path below even after the TTL,
+                # or the stage wedges and a later reclaim would delete
+                # manifest-referenced files
                 raise StageExpiredError(
                     f"stage {stage_id} expired at {exp} (ttl elapsed); "
                     f"cleanup_expired() reclaims its files"

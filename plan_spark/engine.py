@@ -1192,10 +1192,15 @@ class Engine:
         tables_changed = False
         for sname, s in self._catalog["schemas"].items():
             for tname, entry in s["tables"].items():
-                ds = Dataset.open(self.spark, entry["root"])
                 key = (sname, tname)
-                if self._registered.get(key) == ds.version:
+                # freshness probe WITHOUT a full open: one listdir instead
+                # of a manifest load + handler detect per table per
+                # statement (the r8 verdict's O(tables) driver-work nit)
+                probe = Dataset(self.spark, entry["root"])
+                v = probe._latest_version()
+                if self._registered.get(key) == v:
                     continue
+                ds = Dataset.open(self.spark, entry["root"], version=v)
                 tables_changed = True
                 df = ds.to_df()
                 st = entry.get("stats")

@@ -3527,3 +3527,117 @@ def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62/q99 shape: shipping-lag bucket histogram
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q62_SQL = """
+SELECT o_orderpriority, year(o_orderdate) AS yr,
+       CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d30,
+       CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d60,
+       CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d90,
+       CAST(SUM(CASE WHEN lag_days > 90 AND lag_days <= 120 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d120,
+       CAST(SUM(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dmore
+FROM (
+  SELECT o_orderpriority, o_orderdate,
+         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) x
+GROUP BY o_orderpriority, yr
+ORDER BY o_orderpriority, yr
+"""
+
+
+@register("tpcds_q62", oracle=_TPCDS_Q62_SQL, tags=("tpcds", "histogram"))
+def tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62/q99 shape (cases/tpcds/query/query62.sql — the
+    shipping-lag bucket histogram): count shipments falling into 30-day
+    lag buckets per group. Re-targeted: lag = order date -> ship date,
+    group = order priority x year.
+
+    Scale shape: the bucket CASEs are branches of one grouped aggregate —
+    a single fact-pair shuffle on the order key, then map-side partials
+    into a priorities x years group space. No per-bucket scans."""
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def bucket(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_orderpriority", F.year("o_orderdate").alias("yr"))
+        .agg(
+            bucket(lag <= 30, "d30"),
+            bucket((lag > 30) & (lag <= 60), "d60"),
+            bucket((lag > 60) & (lag <= 90), "d90"),
+            bucket((lag > 90) & (lag <= 120), "d120"),
+            bucket(lag > 120, "dmore"),
+        )
+        .orderBy("o_orderpriority", "yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 shape: OR of a plain predicate and an uncorrelated IN subquery
+# (the ExistenceJoin plan — neither arm can be filtered into a pure semi)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q45_SQL = f"""
+SELECT n_name, year(o_orderdate) AS yr,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+   OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 47)
+GROUP BY n_name, yr
+ORDER BY n_name, yr
+"""
+
+
+@register("tpcds_q45", oracle=_TPCDS_Q45_SQL, tags=("tpcds", "existence-join"))
+def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape (cases/tpcds/query/query45.sql — ``zip IN (...)
+    OR item IN (subquery)``): an OR that mixes a plain predicate with an
+    uncorrelated IN subquery, so neither arm can become a standalone
+    semi join — Catalyst plans an ExistenceJoin feeding the disjunction.
+    Re-targeted: brand literal list OR membership in the large-size part
+    set.
+
+    Scale shape: the IN set is a part-dimension aggregate (broadcast
+    existence join tagging each row, no fact duplication); the fact path
+    keeps its own key shuffles. Expressed via spark.sql so the OR-IN
+    lands in Catalyst's subquery planner exactly as written."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q45")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q45")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_q45")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nat_q45")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_q45")
+    return spark.sql(
+        """
+        SELECT n_name, year(o_orderdate) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - CAST(l_discount AS DECIMAL(18,2))
+                               AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        FROM li_q45
+        JOIN ord_q45  ON l_orderkey = o_orderkey
+        JOIN cust_q45 ON o_custkey = c_custkey
+        JOIN nat_q45  ON c_nationkey = n_nationkey
+        JOIN part_q45 ON l_partkey = p_partkey
+        WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+           OR l_partkey IN (SELECT p_partkey FROM part_q45 WHERE p_size > 47)
+        GROUP BY n_name, yr
+        ORDER BY n_name, yr
+        """
+    )

@@ -973,3 +973,81 @@ def test_torn_catalog_write_impossible(spark):
             cat = _json.load(fh)
         assert f"t{i}" in cat["schemas"]["main"]["tables"]
     assert not [f for f in os.listdir(d) if ".tmp." in f], "temp residue"
+
+
+def test_landed_stage_never_reclaimed_after_expiry(spark):
+    """The review-caught committed-data-loss window: a stage with a TTL
+    commits, the process dies before the claim cleanup, and the claim goes
+    stale PAST the stage's own expiry. The reclaim faces must consume the
+    payload WITHOUT touching the files (they are manifest-referenced now),
+    and a commit_staged retry must consume via the dedup path instead of
+    refusing with StageExpiredError forever."""
+    path = _scratch("landed_expiry")
+    ds = _mk(spark, path)
+    sid = ds.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=60,
+    )
+    arm_fault("stage.committed_before_unclaim")
+    with pytest.raises(InjectedCrash):
+        ds.commit_staged(sid)
+    ds = Dataset.open(spark, path)
+    assert ds.to_df().filter(F.col("k") >= 10_000).count() == 10, "landed"
+    sdir = ds._staged_dir()
+    # simulate: claim stale AND stage expired (the wedge state)
+    with open(os.path.join(sdir, f"{sid}.json")) as fh:
+        payload = json.load(fh)
+    payload["claim_ts"] = time.time() - _CLAIM_TTL - 1
+    payload["expires_at"] = time.time() - _STAGE_GRACE - 1
+    with open(os.path.join(sdir, f"{sid}.json"), "w") as fh:
+        json.dump(payload, fh)
+    staged_files = [a["path"] for a in payload["added"]]
+    # recovery: cleanup reopens the stale claim...
+    Dataset.open(spark, path).cleanup_expired()
+    # ...and the retry consumes via dedup despite the elapsed TTL
+    ds2 = Dataset.open(spark, path).commit_staged(sid)
+    assert ds2.to_df().filter(F.col("k") >= 10_000).count() == 10, "exactly once"
+    for rel in staged_files:
+        assert os.path.exists(os.path.join(path, rel)), "files survive"
+    _chain_consistent(Dataset.open(spark, path))
+
+
+def test_landed_expired_stage_cleanup_consumes_payload_only(spark):
+    """Same wedge state, recovered through cleanup_expired instead of a
+    retry: the sweep must consume the payload but NEVER delete the
+    manifest-referenced files."""
+    path = _scratch("landed_cleanup")
+    ds = _mk(spark, path)
+    sid = ds.stage_append(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        ttl_seconds=60,
+    )
+    arm_fault("stage.committed_before_unclaim")
+    with pytest.raises(InjectedCrash):
+        ds.commit_staged(sid)
+    ds = Dataset.open(spark, path)
+    sdir = ds._staged_dir()
+    with open(os.path.join(sdir, f"{sid}.json")) as fh:
+        payload = json.load(fh)
+    payload["claim_ts"] = time.time() - _CLAIM_TTL - 1
+    payload["expires_at"] = time.time() - _STAGE_GRACE - 1
+    with open(os.path.join(sdir, f"{sid}.json"), "w") as fh:
+        json.dump(payload, fh)
+    staged_files = [a["path"] for a in payload["added"]]
+    # two sweeps: the first reopens the stale claim, the second reclaims
+    ds.cleanup_expired()
+    removed = Dataset.open(spark, path).cleanup_expired()
+    assert not any(r in staged_files for r in removed), removed
+    assert sid not in Dataset.open(spark, path).staged()
+    for rel in staged_files:
+        assert os.path.exists(os.path.join(path, rel)), (
+            "manifest-referenced files must survive the reclaim"
+        )
+    assert Dataset.open(spark, path).to_df().filter(
+        F.col("k") >= 10_000
+    ).count() == 10
+    _chain_consistent(Dataset.open(spark, path))

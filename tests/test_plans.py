@@ -696,3 +696,27 @@ def test_q8_intersect_arms_reduce_before_fact_semi(spark):
     p = _plan(spark, tpcds_q8(spark, BENCH_SF_DIR), mode="simple")
     assert p.count("LeftSemi") >= 2  # intersect + the wanted-code semi
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q45_or_in_subquery_plans_existence_join(spark):
+    """tpcds_q45: the OR of a plain predicate and an uncorrelated IN
+    subquery cannot become a pure semi join — Catalyst must tag rows via
+    an ExistenceJoin against the broadcast part set, never duplicate the
+    fact or fall back to a nested loop."""
+    from plan_spark.queries.tpcds_probe import tpcds_q45
+
+    p = _plan(spark, tpcds_q45(spark, BENCH_SF_DIR), mode="simple")
+    assert "ExistenceJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q62_lag_histogram_single_pair_shuffle(spark):
+    """tpcds_q62: all five lag buckets are branches of one grouped
+    aggregate over a single fact-pair join — map-side partials, no
+    per-bucket scan."""
+    from plan_spark.queries.tpcds_probe import tpcds_q62
+
+    p = _plan(spark, tpcds_q62(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("HashAggregate") >= 2
+    below = p.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_sum" in below

@@ -92,7 +92,13 @@ def _canon(df: pd.DataFrame) -> list[list]:
     differs between engines, so exact string equality would be wrong."""
     cols = sorted(df.columns, key=lambda c: c.lower())
     rows = [[_cell(v) for v in rec] for rec in df[cols].itertuples(index=False)]
-    return sorted(rows, key=lambda r: [repr(x) for x in r])
+
+    def key(r):
+        # floats sort by a rounded rendering so a cross-engine ulp wobble
+        # (or -0.0 vs 0.0) cannot reorder rows and misalign the compare
+        return [f"{x + 0.0:.9g}" if isinstance(x, float) else repr(x) for x in r]
+
+    return sorted(rows, key=key)
 
 
 def _assert_rows_close(got: list[list], want: list[list], q: int) -> None:

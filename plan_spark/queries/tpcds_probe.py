@@ -3641,3 +3641,126 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, yr
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 shape: excess discount — correlated per-item average threshold on the
+# FACT itself (q6 thresholds a dimension attribute; this one thresholds a
+# fact measure against the same fact's correlated window)
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q92_SQL = """
+WITH win AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2)) AS disc_amt
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-02-01'
+    AND l_shipdate <  DATE '1997-02-01' + INTERVAL 90 DAY
+),
+avg_by_part AS (
+  SELECT l_partkey,
+         CAST(SUM(disc_amt) AS DOUBLE) / COUNT(*) AS avg_disc
+  FROM win GROUP BY l_partkey
+)
+SELECT CAST(SUM(w.disc_amt) AS DOUBLE) AS excess_discount
+FROM win w JOIN avg_by_part a ON w.l_partkey = a.l_partkey
+WHERE CAST(w.disc_amt AS DOUBLE) > 1.3 * a.avg_disc
+"""
+
+
+@register("tpcds_q92", oracle=_TPCDS_Q92_SQL, tags=("tpcds", "correlated-agg"))
+def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q92 shape (cases/tpcds/query/query92.sql — "excess discount
+    amount"): sum the discount amounts that exceed 1.3x the SAME item's
+    average discount over the same window — a correlated aggregate whose
+    subject is the fact measure itself. Re-targeted: discount amount =
+    l_extendedprice * l_discount, 90-day ship window.
+
+    Scale shape: the correlated average decorrelates to a per-part
+    aggregate of the SAME filtered scan, joined back on the part key —
+    both sides share the window filter, the join is key-partitioned, and
+    the final sum is a scalar. Exact decimal sums; only the threshold
+    compare and output run in double (identical expression both sides)."""
+    win = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-02-01"))
+            & (F.col("l_shipdate") < ts("1997-05-02"))
+        )
+        .select(
+            "l_partkey",
+            (dec("l_extendedprice") * dec("l_discount")).alias("disc_amt"),
+        )
+    )
+    avg_by_part = win.groupBy("l_partkey").agg(
+        (F.sum("disc_amt").cast("double") / F.count(F.lit(1))).alias("avg_disc")
+    )
+    return (
+        win.join(avg_by_part.hint("shuffle_hash"), "l_partkey")
+        .filter(F.col("disc_amt").cast("double") > 1.3 * F.col("avg_disc"))
+        .agg(F.sum("disc_amt").cast("double").alias("excess_discount"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37/q82 shape: aggregate-banded item set semi-joined to the sales fact
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q37_SQL = """
+WITH banded AS (
+  SELECT l_partkey
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate <  DATE '1998-01-01'
+  GROUP BY l_partkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) BETWEEN 50 AND 400
+)
+SELECT p_name, p_brand,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM part
+JOIN banded ON p_partkey = l_partkey
+WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)
+        BETWEEN 905.0 AND 999.0
+  AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34', 'Brand#45')
+GROUP BY p_name, p_brand, price
+ORDER BY p_name, p_brand, price
+LIMIT 100
+"""
+
+
+@register("tpcds_q37", oracle=_TPCDS_Q37_SQL, tags=("tpcds", "band-semi"))
+def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37/q82 shape (cases/tpcds/query/query37.sql — items in a
+    price band whose INVENTORY in a date window sits inside a quantity
+    band, listed if they sold at all): an aggregate-banded key set drives
+    a dimension listing. Re-targeted: inventory = shipped quantity per
+    part in the window, manufacturer list = brand list.
+
+    Scale shape: the quantity band is a HAVING on a per-part aggregate
+    (one fact shuffle on its own key, map-side partials); the dimension
+    side filters by band + brand BEFORE the join, and the final GROUP BY
+    dedups the listing without touching the fact again."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01"))
+        & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    banded = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .filter(F.col("q").between(50, 400))
+        .select("l_partkey")
+    )
+    price = dec("p_retailprice").cast("double")
+    pt = table(spark, sf_dir, "part").filter(
+        price.between(905.0, 999.0)
+        & F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34", "Brand#45")
+    )
+    return (
+        pt.join(F.broadcast(banded), pt.p_partkey == banded.l_partkey)
+        .groupBy("p_name", "p_brand", price.alias("price"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+        .orderBy("p_name", "p_brand", "price")
+        .limit(100)
+    )

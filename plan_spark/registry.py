@@ -61,6 +61,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # ---- round 9: new/changed this round (their prior rows are stale) ----
     "sql_tpch_verbatim_q21",  # NEW: reference q21.sql verbatim front door
     "tpcds_q8",    # NEW: prefix-set INTERSECT + count threshold
+    "tpcds_q37",   # NEW: aggregate-banded item semi join
     "tpcds_q45",   # NEW: OR-of-predicate-and-IN (ExistenceJoin)
     "tpcds_q62",   # NEW: shipping-lag bucket histogram
     "tpcds_q66",   # NEW: 24-measure monthly pivot
@@ -80,6 +81,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rarity_score",
     "simhash",
     "tpcds_q90",
+    "tpcds_q92",   # NEW: excess-discount correlated fact threshold
     # ---- round 9: the r5 verification tail ----
     "dedup_incremental",
     "dedup_ngram",
@@ -95,7 +97,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q49",
     "tpcds_q93",
     "tpcds_q97",
-    # ---- round 9: oldest 16 of the r6 tail (alphabetical; the other 28
+    # ---- round 9: oldest 14 of the r6 tail (alphabetical; the other 30
     # r6 rows rotate in next round — post-r9 no row's newest driver
     # verification predates r6) ----
     "corpus_shuffle",
@@ -112,8 +114,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "mixture_apply",
     "mixture_weights",
     "pipeline_e2e",
-    "pivot_events",
-    "sample_split",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

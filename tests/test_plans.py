@@ -720,3 +720,27 @@ def test_q62_lag_histogram_single_pair_shuffle(spark):
     assert p.count("HashAggregate") >= 2
     below = p.split("Exchange hashpartitioning", 1)[1]
     assert "partial_sum" in below
+
+
+def test_q92_correlated_avg_shares_window_scan(spark):
+    """tpcds_q92: the correlated per-item average decorrelates to an
+    aggregate of the SAME window-filtered relation joined back on the
+    part key — key-partitioned join, partial aggregation before the
+    shuffle, no per-row re-scan."""
+    from plan_spark.queries.tpcds_probe import tpcds_q92
+
+    p = _plan(spark, tpcds_q92(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("HashAggregate") >= 2
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q37_band_aggregate_before_dimension_join(spark):
+    """tpcds_q37: the quantity band runs as HAVING on the per-part
+    aggregate (map-side partials), and only band survivors join the
+    pre-filtered dimension — the fact is scanned once."""
+    from plan_spark.queries.tpcds_probe import tpcds_q37
+
+    p = _plan(spark, tpcds_q37(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("HashAggregate") >= 2
+    below = p.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_sum" in below

@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (178 queries,
+    """One entry per implemented operator from SURVEY.md §2 (179 queries,
     ALL with oracles: 20 TPC-H + both verbatim spec texts through the SQL
     front door (q1 aggregation + q21 double-correlated EXISTS/NOT EXISTS),
     49 TPC-DS probes, windows/set-ops/rollups,

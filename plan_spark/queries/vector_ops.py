@@ -468,16 +468,10 @@ ORDER BY da, db
 """
 
 
-@register("dedup_embed", oracle=_DEDUP_EMBED_SQL, tags=("dedup", "vector", "lsh"))
-def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-LSH signature (24 bits from fixed ±1
-    hyperplanes) -> 4-band (6-bit) bucketing -> bucket self-join candidates
-    -> exact cosine rescore, keep pairs >= tau.
-
-    The hyperplane weights are module-level constants identical to the ones
-    baked into the oracle SQL, so both engines generate the same candidate
-    set and the same exact scores (sequential-fold double math, as knn_brute).
-    """
+def _embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(da, db, cos_sim) near-dup pairs at cos >= tau — the sign-LSH
+    candidate pipeline shared by dedup_embed (pair listing) and
+    dedup_embed_clusters (component accounting)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -544,7 +538,99 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, "db")
         .select("da", "db", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEARDUP_TAU)
-        .orderBy("da", "db")
+    )
+
+
+@register("dedup_embed", oracle=_DEDUP_EMBED_SQL, tags=("dedup", "vector", "lsh"))
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH signature (24 bits from fixed ±1
+    hyperplanes) -> 4-band (6-bit) bucketing -> bucket self-join candidates
+    -> exact cosine rescore, keep pairs >= tau.
+
+    The hyperplane weights are module-level constants identical to the ones
+    baked into the oracle SQL, so both engines generate the same candidate
+    set and the same exact scores (sequential-fold double math, as knn_brute).
+    Pair emission is O(true pairs) by definition; at corpus scale the
+    CLUSTER face (dedup_embed_clusters) is the default output — O(N) —
+    with this listing as the drill-down."""
+    return _embed_neardup_pairs(spark, sf_dir).orderBy("da", "db")
+
+
+_DEDUP_EMBED_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id,
+       {{sig}}
+  FROM e),
+bits AS (
+  SELECT vec_id,
+       {{bits}}
+  FROM sig),
+bands AS (
+  {{bands}}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+edges AS (
+  SELECT c.da, c.db
+  FROM cand c JOIN e x ON x.vec_id = c.da JOIN e y ON y.vec_id = c.db
+  WHERE {{dot}}
+           / sqrt({{sqx}} * {{sqy}}) >= {{tau}}),
+sym AS (
+  SELECT da AS a, db AS b FROM edges
+  UNION SELECT db, da FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b),
+labels AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MAX(vec_id) AS max_vec
+FROM labels GROUP BY cluster_id ORDER BY cluster_id
+"""
+_DEDUP_EMBED_CLUSTERS_SQL = _DEDUP_EMBED_CLUSTERS_SQL.format(
+    sig=_SIG_COLS,
+    bits=_BIT_COLS,
+    bands=_BAND_ROWS,
+    dot=_DOT.format(a="x.v", b="y.v"),
+    sqx=_SQ.format(a="x.v"),
+    sqy=_SQ.format(a="y.v"),
+    tau=_NEARDUP_TAU,
+)
+
+
+@register(
+    "dedup_embed_clusters",
+    oracle=_DEDUP_EMBED_CLUSTERS_SQL,
+    tags=("dedup", "vector", "graph"),
+)
+def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components of the sign-LSH
+    cos>=tau pair graph, labels = min vec_id per component. The
+    scale-default output the r8 verdict asked for — O(N) cluster rows
+    instead of O(true pairs) pair rows (dedup_embed stays as the
+    drill-down face); same recipe dedup_clusters already ships for text.
+
+    Scale: the pair graph is LSH-blocked; the propagation loop
+    (operators/components.py) does one edge-list join + groupBy per round
+    (<= diameter rounds, near-clique dup groups converge in 2-3), never
+    touching the corpus. Oracle = WITH RECURSIVE transitive closure over
+    the identical edge derivation."""
+    from plan_spark.operators.components import min_label_components
+
+    pairs = _embed_neardup_pairs(spark, sf_dir).select("da", "db")
+    labels = min_label_components(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max("node").alias("max_vec"),
+        )
+        .orderBy("cluster_id")
     )
 
 

@@ -72,6 +72,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q72",   # NEW: inventory chain
     "tpcds_q95",   # NEW: two-level IN on the same fact
     "semdedup",    # changed: driver row now ships the resolve_k scale form
+    "dedup_embed_clusters",  # NEW: O(N) cluster face of embedding near-dup
     # ---- round 9: the r4 verification tail (newest green = r4) ----
     "bpe_pairs",
     "emb_stats",
@@ -97,7 +98,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpcds_q49",
     "tpcds_q93",
     "tpcds_q97",
-    # ---- round 9: oldest 14 of the r6 tail (alphabetical; the other 30
+    # ---- round 9: oldest 13 of the r6 tail (alphabetical; the other 31
     # r6 rows rotate in next round — post-r9 no row's newest driver
     # verification predates r6) ----
     "corpus_shuffle",
@@ -113,7 +114,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "knn_ivf_pq",
     "mixture_apply",
     "mixture_weights",
-    "pipeline_e2e",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

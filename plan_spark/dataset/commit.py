@@ -39,6 +39,7 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import random
 import threading
 import time
 from collections.abc import Callable
@@ -46,6 +47,109 @@ from collections.abc import Callable
 # sentinel: "object must not exist" for _cas expected / "delete" for new
 ABSENT = object()
 DELETE = object()
+
+
+class Store:
+    """Read-side counterpart of :class:`CommitHandler` — the seam a real
+    object-store deployment swaps (reference StoreFactory + io,
+    pkg/storage2/store_factory.go:42-129, io.go:11, io_ext.go:35-55).
+
+    Covers EXACTLY the control objects the CommitHandler writes: manifests,
+    refs, branch kinds, staged-transaction payloads, refresh claims. The
+    handler owns the writes; the Store owns the reads — pairing them
+    (``CommitHandler.store()``) guarantees one backend serves both halves
+    of the protocol. Everything else — parquet fragments, deletion
+    sidecars, index runs and fences — deliberately does NOT go through the
+    Store: those are immutable uniquely-named blobs read and written
+    through Spark/Arrow's filesystem layer, which is already
+    store-agnostic (an ``s3a://`` warehouse path swaps the backend without
+    touching this code).
+
+    Semantics are plain object-store GET/LIST/HEAD: no locking, no
+    conditions — strong read-after-write consistency is assumed (S3, GCS,
+    ABFS all provide it today)."""
+
+    name = "abstract"
+
+    def get(self, path: str) -> bytes:
+        """Object content; FileNotFoundError when absent."""
+        raise NotImplementedError
+
+    def get_json(self, path: str) -> object:
+        return json.loads(self.get(path))
+
+    def list(self, dir_path: str) -> list[str]:
+        """Names (not paths) directly under ``dir_path``; [] when the
+        prefix is empty or absent (object stores have no empty dirs)."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        """Last-modified epoch seconds (S3 Last-Modified header);
+        FileNotFoundError when absent."""
+        raise NotImplementedError
+
+
+class LocalStore(Store):
+    """POSIX reads — correct for the local handler AND the cas mock (both
+    keep control objects as verbatim files, so GETs are plain reads)."""
+
+    name = "local"
+
+    def get(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def list(self, dir_path: str) -> list[str]:
+        try:
+            return os.listdir(dir_path)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+
+class MemStore(Store):
+    """Reads served from the in-process object dict (see
+    :class:`MemCommitHandler`) — NEVER from POSIX. The storm suite runs
+    the full dataset lifecycle on this backend: any control-plane read
+    that bypassed the Store seam would look for a file that does not
+    exist and fail loudly."""
+
+    name = "mem"
+
+    def get(self, path: str) -> bytes:
+        with _MEM_LOCK:
+            try:
+                return _MEM_OBJECTS[path][0]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def list(self, dir_path: str) -> list[str]:
+        prefix = dir_path.rstrip("/") + "/"
+        with _MEM_LOCK:
+            return [
+                p[len(prefix):]
+                for p in _MEM_OBJECTS
+                if p.startswith(prefix) and "/" not in p[len(prefix):]
+            ]
+
+    def exists(self, path: str) -> bool:
+        with _MEM_LOCK:
+            return path in _MEM_OBJECTS
+
+    def mtime(self, path: str) -> float:
+        with _MEM_LOCK:
+            try:
+                return _MEM_OBJECTS[path][1]
+            except KeyError:
+                raise FileNotFoundError(path) from None
 
 
 class CasConflict(Exception):
@@ -79,7 +183,23 @@ class CommitHandler:
         ``mutate`` receives the decoded object (None if absent) and returns
         the replacement (or raises to abort). Concurrent update_json calls
         on the same path NEVER lose an update: local = flock around the
-        RMW; CAS = ETag retry loop. Returns the value written."""
+        RMW; CAS = ETag retry loop. Returns the value written.
+
+        Contention is BOUNDED on every handler: after ~8 s of losing the
+        race the call raises :class:`CasConflict` (callers surface it as
+        ConflictError) rather than hanging — the two handlers' caller-
+        visible contract is identical.
+
+        API INVARIANT — deletable paths never create-from-absent: a
+        ``mutate`` on a path that :meth:`delete` can reclaim (per-stage
+        claim payloads) MUST abort (raise) when it receives None, never
+        return a fresh object. LocalCommitHandler.delete reclaims the
+        flock sibling with the object, so after a delete two racing
+        update_json calls can hold DIFFERENT lock inodes; that is safe
+        only because both read None and abort — a create-from-absent
+        mutator on a deletable path would silently admit two concurrent
+        writers. (Paths that are never deleted — refs, branch kinds —
+        may create freely; their lock inode is permanent.)"""
         raise NotImplementedError
 
     # ----------------------------------------------------------- markers
@@ -89,6 +209,19 @@ class CommitHandler:
 
     def delete(self, path: str) -> None:
         """Remove an object; FileNotFoundError propagates."""
+        raise NotImplementedError
+
+    def put(self, path: str, text: str) -> None:
+        """UNCONDITIONAL write (plain PUT — last writer wins, readers see
+        old-or-new never torn). For control objects with no contention
+        protocol (the create-time branch-kind seed); contended writes go
+        through commit/update_json/create_exclusive."""
+        raise NotImplementedError
+
+    def store(self) -> Store:
+        """The read-side Store that serves the objects this handler
+        writes — the pairing that keeps one backend behind both halves of
+        the protocol."""
         raise NotImplementedError
 
 
@@ -110,14 +243,21 @@ class LocalCommitHandler(CommitHandler):
         lock = path + ".lock"
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            for _ in range(800):
+            # ~8 s budget with full-jitter backoff (AWS architecture-blog
+            # recipe): fixed 10 ms polling synchronizes hundreds of waiters
+            # into lockstep retry herds on one hot refs file; jitter spreads
+            # them. Cap per-sleep at 50 ms so the budget stays ~uniform.
+            deadline = time.monotonic() + 8.0
+            while True:
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
                 except OSError:
-                    time.sleep(0.01)
-            else:
-                raise CasConflict(f"{os.path.basename(path)} is locked; retry")
+                    if time.monotonic() >= deadline:
+                        raise CasConflict(
+                            f"{os.path.basename(path)} is locked; retry"
+                        ) from None
+                    time.sleep(random.uniform(0.001, 0.05))
             cur = None
             if os.path.exists(path):
                 with open(path) as fh:
@@ -142,12 +282,22 @@ class LocalCommitHandler(CommitHandler):
         # (per-stage payloads would otherwise strand one .lock file each —
         # unbounded directory growth). Safe despite the persistent-lock
         # rule: after the object is gone, any update_json racer — whichever
-        # lock inode it lands on — reads None and can only abort; there is
-        # no state left for two writers to lose.
+        # lock inode it lands on — reads None and can only abort (the
+        # no-create-from-absent invariant in the base-class contract);
+        # there is no state left for two writers to lose.
         try:
             os.remove(path + ".lock")
         except OSError:
             pass
+
+    def put(self, path: str, text: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+
+    def store(self) -> Store:
+        return LocalStore()
 
 
 class CasCommitHandler(CommitHandler):
@@ -168,14 +318,19 @@ class CasCommitHandler(CommitHandler):
         os.makedirs(d, exist_ok=True)
         return _FlockGuard(os.path.join(d, ".cas_store.lock"))
 
+    def _read(self, path: str) -> bytes:
+        """Plain unconditional GET of an object (objects are verbatim
+        files in this mock); FileNotFoundError when absent."""
+        with open(path, "rb") as fh:
+            return fh.read()
+
     def _cas(self, path: str, expected, new) -> None:
         """Compare-and-set: succeed iff current content == ``expected``
         (ABSENT = must not exist), then atomically install ``new``
         (DELETE = remove). Raises CasConflict on precondition failure."""
         with self._store_lock(path):
             try:
-                with open(path, "rb") as fh:
-                    cur = fh.read()
+                cur = self._read(path)
             except FileNotFoundError:
                 cur = ABSENT
             if expected is ABSENT:
@@ -200,10 +355,13 @@ class CasCommitHandler(CommitHandler):
             raise FileExistsError(path) from None
 
     def update_json(self, path: str, mutate: Callable[[object], object]) -> object:
+        # same ~8 s contention budget as the local handler (the base-class
+        # contract): an unbounded ETag retry loop on a pathologically hot
+        # control object would hang the caller where local raises.
+        deadline = time.monotonic() + 8.0
         while True:
             try:
-                with open(path, "rb") as fh:
-                    raw = fh.read()
+                raw = self._read(path)
                 cur, expected = json.loads(raw), raw
             except FileNotFoundError:
                 cur, expected = None, ABSENT
@@ -213,7 +371,13 @@ class CasCommitHandler(CommitHandler):
                 self._cas(path, expected, enc)
                 return new
             except CasConflict:
-                time.sleep(0.002)  # another writer won the ETag race; retry
+                if time.monotonic() >= deadline:
+                    raise CasConflict(
+                        f"{os.path.basename(path)}: lost the ETag race for 8s; retry"
+                    ) from None
+                # full-jitter backoff; ETag races resolve faster than flock
+                # waits, so the cap is smaller
+                time.sleep(random.uniform(0.0005, 0.01))
 
     def create_exclusive(self, path: str, text: str = "") -> None:
         try:
@@ -224,8 +388,7 @@ class CasCommitHandler(CommitHandler):
     def delete(self, path: str) -> None:
         while True:
             try:
-                with open(path, "rb") as fh:
-                    raw = fh.read()
+                raw = self._read(path)
             except FileNotFoundError:
                 raise FileNotFoundError(path) from None
             try:
@@ -233,6 +396,72 @@ class CasCommitHandler(CommitHandler):
                 return
             except CasConflict:
                 continue  # content moved under the conditional delete
+
+    def put(self, path: str, text: str) -> None:
+        # plain unconditional PUT: install without precondition. The mock
+        # reuses the temp+replace tail of _cas without the condition.
+        tmp = f"{path}.cas.{os.getpid()}.{threading.get_ident()}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "wb") as fh:
+            fh.write(text.encode())
+        os.replace(tmp, path)
+
+    def store(self) -> Store:
+        # objects are verbatim files in this mock, so GETs are plain
+        # POSIX reads — matching S3, where only conditional PUT is special
+        return LocalStore()
+
+
+# the in-process object store: {absolute path: (content, last_modified)}.
+# One flat namespace keyed by full path — exactly an object store's key
+# space; "directories" exist only as key prefixes (MemStore.list).
+_MEM_OBJECTS: dict[str, tuple[bytes, float]] = {}
+_MEM_LOCK = threading.RLock()
+
+
+class MemCommitHandler(CasCommitHandler):
+    """CAS against an in-process object DICT instead of files — the seam
+    verification backend. Running the full dataset lifecycle on this
+    handler proves no control-plane read or write escapes the
+    CommitHandler/Store seam to POSIX: a bypassing site would look for a
+    file that was never written and fail loudly (the storm suite does
+    exactly this).
+
+    Single-process by construction (the dict dies with the interpreter),
+    so the subprocess crash-image fault tests keep local/cas; everything
+    in-process — commits, refs RMW, stage claims, vacuum, time travel —
+    runs here unchanged, because the protocol above the seam is
+    backend-blind. That is the point of the seam."""
+
+    name = "mem"
+
+    def _read(self, path: str) -> bytes:
+        with _MEM_LOCK:
+            try:
+                return _MEM_OBJECTS[path][0]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def _cas(self, path: str, expected, new) -> None:
+        with _MEM_LOCK:  # the store's internally-atomic conditional put
+            cur = _MEM_OBJECTS.get(path)
+            cur = cur[0] if cur is not None else ABSENT
+            if expected is ABSENT:
+                if cur is not ABSENT:
+                    raise CasConflict(f"{path} exists")
+            elif cur is ABSENT or cur != expected:
+                raise CasConflict(f"{path} changed under CAS")
+            if new is DELETE:
+                _MEM_OBJECTS.pop(path, None)
+                return
+            _MEM_OBJECTS[path] = (new, time.time())
+
+    def put(self, path: str, text: str) -> None:
+        with _MEM_LOCK:
+            _MEM_OBJECTS[path] = (text.encode(), time.time())
+
+    def store(self) -> Store:
+        return MemStore()
 
 
 class _FlockGuard:
@@ -251,7 +480,11 @@ class _FlockGuard:
         self._fd = None
 
 
-_HANDLERS = {"local": LocalCommitHandler, "cas": CasCommitHandler}
+_HANDLERS = {
+    "local": LocalCommitHandler,
+    "cas": CasCommitHandler,
+    "mem": MemCommitHandler,
+}
 
 
 def handler_named(name: str) -> CommitHandler:
@@ -271,8 +504,22 @@ def write_handler_marker(dataset_path: str, name: str) -> None:
 
 
 def detect_handler(dataset_path: str) -> CommitHandler:
+    """ABSENT marker = pre-seam dataset, local by definition. A PRESENT
+    but unreadable/unknown marker must raise: silently defaulting to local
+    would let one handle of a cas-created dataset drive O_EXCL/flock
+    primitives while others use CAS — the mixed-protocol split-brain the
+    marker exists to prevent."""
+    marker = os.path.join(dataset_path, "_commit.json")
     try:
-        with open(os.path.join(dataset_path, "_commit.json")) as fh:
-            return handler_named(json.load(fh)["handler"])
-    except (FileNotFoundError, ValueError, KeyError):
-        return LocalCommitHandler()  # pre-seam datasets are local by def'n
+        with open(marker) as fh:
+            raw = fh.read()
+    except FileNotFoundError:
+        return LocalCommitHandler()
+    try:
+        return handler_named(json.loads(raw)["handler"])
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"corrupt or unknown commit-handler marker {marker!r}: {e}; "
+            "refusing to guess — a wrong protocol choice breaks commit "
+            "atomicity for every other handle of this dataset"
+        ) from None

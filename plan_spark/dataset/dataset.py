@@ -41,6 +41,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from plan_spark.dataset.commit import (
     CasConflict,
     CommitHandler,
+    Store,
     detect_handler,
     handler_named,
     write_handler_marker,
@@ -244,6 +245,16 @@ class Dataset:
     def _handler(self, h: CommitHandler) -> None:
         self._handler_cache = h
 
+    @property
+    def _store(self) -> Store:
+        """Read-side of the control plane (reference StoreFactory + io,
+        store_factory.go:42-129): every manifest load, version/stage
+        listing, refs/branches read, and claim read goes through this —
+        never raw POSIX — so swapping the commit backend swaps the reads
+        with it. Parquet artifacts stay on Spark/Arrow's own (already
+        store-agnostic) filesystem layer."""
+        return self._handler.store()
+
     # ------------------------------------------------------------------ io
     @property
     def _versions_dir(self) -> str:
@@ -253,18 +264,15 @@ class Dataset:
         return os.path.join(self._versions_dir, f"{version:08d}.manifest.json")
 
     def _latest_version(self) -> int:
-        if not os.path.isdir(self._versions_dir):
-            return 0
         vs = [
             int(f.split(".")[0])
-            for f in os.listdir(self._versions_dir)
+            for f in self._store.list(self._versions_dir)
             if f.endswith(".manifest.json")
         ]
         return max(vs, default=0)
 
     def _load(self, version: int) -> Manifest:
-        with open(self._manifest_path(version)) as fh:
-            return Manifest.from_json(fh.read())
+        return Manifest.from_json(self._store.get(self._manifest_path(version)).decode())
 
     # --------------------------------------------------------- construction
     @classmethod
@@ -307,9 +315,10 @@ class Dataset:
         ds._handler = handler_named(commit_handler)
         write_handler_marker(ds.path, ds._handler.name)
         # seed the ref-kind marker: its ABSENCE is reserved for datasets
-        # written before kinds existed (legacy-permissive in on_branch)
-        with open(ds._branches_path, "w") as fh:
-            json.dump([], fh)
+        # written before kinds existed (legacy-permissive in on_branch).
+        # Through the handler (plain PUT) so the marker lands on the same
+        # backend its readers consult.
+        ds._handler.put(ds._branches_path, "[]")
         schema = df.schema if df is not None else StructType([])
         frags: list[Fragment] = []
         maxid = 0
@@ -369,7 +378,7 @@ class Dataset:
     def versions(self) -> list[int]:
         return sorted(
             int(f.split(".")[0])
-            for f in os.listdir(self._versions_dir)
+            for f in self._store.list(self._versions_dir)
             if f.endswith(".manifest.json")
         )
 
@@ -395,10 +404,10 @@ class Dataset:
         return os.path.join(self.path, "_refs.json")
 
     def _refs(self) -> dict[str, int]:
-        if os.path.exists(self._refs_path):
-            with open(self._refs_path) as fh:
-                return json.load(fh)
-        return {}
+        try:
+            return self._store.get_json(self._refs_path)
+        except FileNotFoundError:
+            return {}
 
     def _update_control(self, path: str, mutate) -> object:
         """Serialized read-modify-write of a control object through the
@@ -473,10 +482,10 @@ class Dataset:
         existed (Dataset.create seeds an empty one now): every ref there
         is treated as a branch for WRITE-permission purposes (legacy
         behavior preserved — see on_branch) but as a tag for re-tagging."""
-        if os.path.exists(self._branches_path):
-            with open(self._branches_path) as fh:
-                return set(json.load(fh))
-        return set()
+        try:
+            return set(self._store.get_json(self._branches_path))
+        except FileNotFoundError:
+            return set()
 
     def _mark_branch(self, name: str, add: bool = True) -> None:
         """Kind-mark update: serialized by the commit handler (two
@@ -2562,13 +2571,10 @@ class Dataset:
         here could unpin files a concurrent commit is about to reference)."""
         refs: set[str] = set()
         staged_dir = os.path.join(self.path, "_staged")
-        if not os.path.isdir(staged_dir):
-            return refs
-        for fn in os.listdir(staged_dir):
+        for fn in self._store.list(staged_dir):
             if not fn.endswith(".json"):
                 continue
-            with open(os.path.join(staged_dir, fn)) as fh:
-                payload = json.load(fh)
+            payload = self._store.get_json(os.path.join(staged_dir, fn))
             state = payload.get("state", "open")
             if state == "reclaiming":
                 continue
@@ -2642,10 +2648,18 @@ class Dataset:
             )
 
         def _young(full: str) -> bool:
+            # data files: POSIX/Hadoop filesystem mtime
             try:
                 return now - os.path.getmtime(full) < grace_seconds
             except OSError:
                 return True  # vanished/unstattable: leave it alone
+
+        def _young_obj(full: str) -> bool:
+            # control objects (manifests): the store's Last-Modified
+            try:
+                return now - self._store.mtime(full) < grace_seconds
+            except OSError:
+                return True
 
         # LATE-PIN fold-in, immediately before any removal: a tag/branch
         # created on an unkept version after the consistency loop must pin
@@ -2679,7 +2693,7 @@ class Dataset:
         for v in all_vs:
             if v not in keep:
                 mp = self._manifest_path(v)
-                if _young(mp):
+                if _young_obj(mp):
                     continue  # freshly written manifest: never reclaimed
                 try:
                     self._handler.delete(mp)
@@ -2737,7 +2751,22 @@ class Dataset:
                     continue  # just built: its create_index commit may be landing
                 shutil.rmtree(os.path.join(idx_root, fn), ignore_errors=True)
                 removed.append(f"_indexes/{fn}")
+        self._sweep_control_tmps()
         return removed
+
+    def _sweep_control_tmps(self) -> None:
+        """Reclaim commit-handler temp residue from CRASHED writers: a
+        writer dying between the temp write and os.replace strands a
+        full-size ``*.tmp.<pid>.<tid>`` (LocalCommitHandler) or
+        ``*.cas.<pid>.<tid>`` (CasCommitHandler) file in whichever control
+        dir held the object — dataset root (_refs.json, _branches.json),
+        _versions, _staged. Same dead-pid-gated sweep the index dirs use
+        (indexes/btree.py sweep_dead_tmps); run from vacuum and
+        cleanup_expired so residue never outlives one maintenance pass."""
+        from plan_spark.indexes.btree import sweep_dead_tmps
+
+        for d in (self.path, self._versions_dir, os.path.join(self.path, "_staged")):
+            sweep_dead_tmps(d)
 
     # ------------------------------------------- restore / clone / branches
     def restore(self, version: int) -> "Dataset":
@@ -2777,8 +2806,7 @@ class Dataset:
         write_handler_marker(ds.path, ds._handler.name)
         # seed the ref-kind marker: its ABSENCE is reserved for datasets
         # written before kinds existed (legacy-permissive in on_branch)
-        with open(ds._branches_path, "w") as fh:
-            json.dump([], fh)
+        ds._handler.put(ds._branches_path, "[]")
         frags = [
             Fragment(
                 id=f.id,
@@ -2816,7 +2844,7 @@ class Dataset:
         branch is a moving pointer into it."""
         existing = self._refs()
         if (
-            os.path.exists(self._branches_path)  # legacy dataset: no kinds
+            self._store.exists(self._branches_path)  # legacy dataset: no kinds
             and name in existing
             and name not in self._branch_names()
         ):
@@ -2846,7 +2874,7 @@ class Dataset:
         it protected from vacuum)."""
         b = self.checkout(name)  # ValueError on unknown ref
         if (
-            os.path.exists(self._branches_path)  # legacy dataset: no kinds
+            self._store.exists(self._branches_path)  # legacy dataset: no kinds
             and name not in self._branch_names()
         ):
             raise ValueError(
@@ -3231,13 +3259,12 @@ class Dataset:
             except FileExistsError:
                 try:
                     try:
-                        with open(claim) as fh:
-                            ts = json.load(fh).get("ts", 0.0)
+                        ts = json.loads(self._store.get(claim)).get("ts", 0.0)
                     except ValueError:
                         # torn/empty claim (a claimant died inside its own
-                        # create): fall back to the file clock so it ages
+                        # create): fall back to the store clock so it ages
                         # out instead of blocking refresh forever
-                        ts = os.path.getmtime(claim)
+                        ts = self._store.mtime(claim)
                     stale = time.time() - ts > _INFLIGHT_TTL
                 except OSError:
                     stale = False  # claim just released; caller retries
@@ -3469,12 +3496,11 @@ class Dataset:
         skipped (their work is done)."""
         d = self._staged_dir()
         out = []
-        for fn in sorted(os.listdir(d)):
+        for fn in sorted(self._store.list(d)):
             if not fn.endswith(".json"):
                 continue
             try:
-                with open(os.path.join(d, fn)) as fh:
-                    out.append((fn[:-5], json.load(fh)))
+                out.append((fn[:-5], self._store.get_json(os.path.join(d, fn))))
             except FileNotFoundError:
                 continue
         return out
@@ -3548,6 +3574,7 @@ class Dataset:
             if claimed is None:
                 continue  # a committer/reclaimer won the claim race
             removed.extend(self._reclaim_stage(sid, claimed))
+        self._sweep_control_tmps()
         return removed
 
     def _transition_stage(

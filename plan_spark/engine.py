@@ -869,7 +869,7 @@ class Engine:
         # definition (standard engines reject self-referencing views)
         self._drop_view_temps(name, schema)
         try:
-            self.spark.sql(self._rewrite_time_travel(query))
+            self.spark.sql(self._prep_query(query))
         except Exception:
             # restore the previous definition's registration. The catalog is
             # unchanged, so the fixpoint's skip-when-unchanged check would
@@ -1080,6 +1080,33 @@ class Engine:
         return stats
 
     # --------------------------------------------------------------- query
+    def _prep_query(self, s: str) -> str:
+        """Query-text preparation shared by every path that hands a query
+        to Catalyst: time-travel clause rewrite + the reference dialect's
+        double-quoted identifiers."""
+        return self._rewrite_quoted_idents(self._rewrite_time_travel(s))
+
+    @staticmethod
+    def _rewrite_quoted_idents(s: str) -> str:
+        """``"quoted identifier"`` → backticks. The reference's SQL dialect
+        is postgres-flavored (pg parser via pg_query_go, pkg/plan/parser):
+        double quotes ALWAYS delimit identifiers, never string literals —
+        e.g. the TPC-DS spec texts' ``count(...) as "order count"``. Spark
+        reserves double quotes for strings (unless global ANSI mode flips
+        semantics for every query), so the front door rewrites them to
+        Spark's backtick form. Runs only OUTSIDE single-quoted literals;
+        ``""`` inside a quoted identifier is the escaped-quote form."""
+        parts = re.split(r"('(?:[^']|'')*')", s)
+        for i in range(0, len(parts), 2):
+            parts[i] = re.sub(
+                r'"((?:[^"]|"")*)"',
+                lambda m: "`"
+                + m.group(1).replace('""', '"').replace("`", "``")
+                + "`",
+                parts[i],
+            )
+        return "".join(parts)
+
     def _rewrite_time_travel(self, s: str) -> str:
         """``FROM t VERSION AS OF n`` (and ``VERSION AS OF 'ref'`` /
         ``TIMESTAMP AS OF 'iso-utc'``) → a registered snapshot view.
@@ -1245,7 +1272,7 @@ class Engine:
             still = []
             for sname, vname, text in pending:
                 try:
-                    df = self.spark.sql(self._rewrite_time_travel(text))
+                    df = self.spark.sql(self._prep_query(text))
                 except Exception:
                     still.append((sname, vname, text))
                     continue
@@ -1351,7 +1378,7 @@ class Engine:
                 return self._explain_scan(tbl, pred or None)
         if first in self._QUERY_TOKENS:
             self._register_views()
-            s = self._rewrite_time_travel(s)
+            s = self._prep_query(s)
             return self.spark.sql(s)
         if first in self._META_TOKENS:
             return self._stmt_meta(s)
@@ -1447,7 +1474,7 @@ class Engine:
                 self._register_views()
                 # statement-embedded queries take the same time-travel
                 # rewrite as top-level ones (VERSION AS OF inside a CTAS)
-                df = self.spark.sql(self._rewrite_time_travel(p.rest()))
+                df = self.spark.sql(self._prep_query(p.rest()))
                 ddl = ", ".join(
                     f"{f.name} {f.dataType.simpleString()}"
                     for f in df.schema.fields
@@ -1670,7 +1697,7 @@ class Engine:
         if p.peek_word() in ("SELECT", "WITH", "TABLE"):
             self._register_views()
             # INSERT INTO ... SELECT takes the time-travel rewrite too
-            src = self.spark.sql(self._rewrite_time_travel(p.rest()))
+            src = self.spark.sql(self._prep_query(p.rest()))
             self.insert_df(name, self._reorder_for_insert(name, src, cols))
             return
         raise p.error("expected VALUES or a query")
@@ -1784,7 +1811,7 @@ class Engine:
         self._register_views()
         # MERGE USING (subquery) takes the time-travel rewrite as well
         source = (
-            self.spark.sql(self._rewrite_time_travel(src_q))
+            self.spark.sql(self._prep_query(src_q))
             if src_q
             else self.spark.table(src_table)
         )

@@ -84,19 +84,23 @@ _TMP_RX = None  # compiled lazily; recover paths must stay import-light
 
 
 def sweep_dead_tmps(dir_path: str) -> None:
-    """Reclaim ``*.tmp.<pid>.<tid>`` residue from CRASHED publishers: a
-    process dying between pq.write_table and os.replace strands a
-    full-size fence temp that nothing else removes (the engine sweeps the
-    analogous catalog temps; index dirs had no sweep). Only temps whose
-    embedded pid is dead are removed — a LIVE publisher's in-flight temp
-    (fence self-heal runs on the read path, so concurrent publishers are
-    legal) is never yanked out from under its os.replace. Pid reuse can
-    delay one sweep until the recycled pid exits; residue stays bounded."""
+    """Reclaim ``*.tmp.<pid>.<tid>`` / ``*.cas.<pid>.<tid>`` residue from
+    CRASHED publishers: a process dying between the temp write and
+    os.replace strands a full-size temp that nothing else removes (the
+    engine sweeps the analogous catalog temps; index dirs had no sweep,
+    and the commit handlers' control-object temps — LocalCommitHandler
+    ``.tmp.`` / CasCommitHandler ``.cas.`` — strand identically in the
+    dataset control dirs, so vacuum/cleanup_expired sweep those too).
+    Only temps whose embedded pid is dead are removed — a LIVE
+    publisher's in-flight temp (fence self-heal runs on the read path, so
+    concurrent publishers are legal) is never yanked out from under its
+    os.replace. Pid reuse can delay one sweep until the recycled pid
+    exits; residue stays bounded."""
     global _TMP_RX
     if _TMP_RX is None:
         import re
 
-        _TMP_RX = re.compile(r"\.tmp\.(\d+)\.\d+$")
+        _TMP_RX = re.compile(r"\.(?:tmp|cas)\.(\d+)\.\d+$")
     try:
         names = os.listdir(dir_path)
     except OSError:

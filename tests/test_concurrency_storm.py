@@ -65,11 +65,15 @@ def _mk(spark, path, commit_handler="local"):
     return ds
 
 
-@pytest.mark.parametrize("commit_handler", ["local", "cas"])
+@pytest.mark.parametrize("commit_handler", ["local", "cas", "mem"])
 def test_concurrent_interleaving_storm(spark, commit_handler):
-    """Runs once per commit protocol: "local" (O_EXCL/flock/rename) and
-    "cas" (compare-and-set only — the object-store protocol, reference
-    s3_commit.go). Identical invariants must hold under both."""
+    """Runs once per commit protocol: "local" (O_EXCL/flock/rename), "cas"
+    (compare-and-set only — the object-store protocol, reference
+    s3_commit.go), and "mem" (CAS against an in-process object DICT — the
+    seam-verification backend: every control-plane read AND write must go
+    through the CommitHandler/Store seam, because with mem there are no
+    control files on disk for a bypassing POSIX site to find). Identical
+    invariants must hold under all three."""
     path = os.path.join(
         tempfile.gettempdir(), f"plan_spark_storm_{commit_handler}", "ds"
     )

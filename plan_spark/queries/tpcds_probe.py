@@ -3764,3 +3764,210 @@ def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_name", "p_brand", "price")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_tpcds_verbatim_q51: the reference's OWN query51.sql text through the
+# SQL front door (the r9 sql_tpch_verbatim_q21 recipe applied to the TPC-DS
+# corpus the reference ships but cannot run — no window operator,
+# expr_properties.go:273). q51 is the hardest window text: two per-channel
+# running sums over grouped aggregates, full-outer-joined, then running
+# MAXes compared for the crossover. The TEXT runs unmodified; the driver
+# fixture is mapped into the spec star schema deterministically and
+# identically on both engines:
+#   web_sales   = even-linenumber lineitem slice (item=partkey, date=ship)
+#   store_sales = odd-linenumber slice
+#   date_dim    = distinct ship dates; d_date_sk = days-since-epoch;
+#                 d_month_seq = (year-1895)*12 + month-1, which places
+#                 1996 (mid-span of the fixture's 1995-2001 ship dates)
+#                 exactly in the text's [1212, 1223] window.
+# Money is cast to DECIMAL(18,2) at derivation, so every sum in the text
+# is exact and shuffle-order-proof (queries/common.py discipline); the
+# final ORDER BY item_sk, d_date is a total order (group keys), so LIMIT
+# 100 is deterministic.
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q51_VERBATIM = """
+WITH web_v1 as (
+select
+  ws_item_sk item_sk, d_date,
+  sum(sum(ws_sales_price))
+      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from web_sales
+    ,date_dim
+where ws_sold_date_sk=d_date_sk
+  and d_month_seq between 1212 and 1212+11
+  and ws_item_sk is not NULL
+group by ws_item_sk, d_date),
+store_v1 as (
+select
+  ss_item_sk item_sk, d_date,
+  sum(sum(ss_sales_price))
+      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from store_sales
+    ,date_dim
+where ss_sold_date_sk=d_date_sk
+  and d_month_seq between 1212 and 1212+11
+  and ss_item_sk is not NULL
+group by ss_item_sk, d_date)
+ select  *
+from (select item_sk
+     ,d_date
+     ,web_sales
+     ,store_sales
+     ,max(web_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+     ,max(store_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+                 ,web.cume_sales web_sales
+                 ,store.cume_sales store_sales
+           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+                                                          and web.d_date = store.d_date)
+          )x )y
+where web_cumulative > store_cumulative
+order by item_sk
+        ,d_date
+limit 100;
+"""
+
+_TPCDS_Q51_SQL = """
+WITH web_sales AS (
+  SELECT CAST(l_partkey AS INTEGER) AS ws_item_sk,
+         DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS ws_sold_date_sk,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS ws_sales_price
+  FROM main.lineitem WHERE l_linenumber % 2 = 0
+),
+store_sales AS (
+  SELECT CAST(l_partkey AS INTEGER) AS ss_item_sk,
+         DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS ss_sold_date_sk,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS ss_sales_price
+  FROM main.lineitem WHERE l_linenumber % 2 = 1
+),
+date_dim AS (
+  SELECT DISTINCT
+         DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS d_date_sk,
+         CAST(l_shipdate AS DATE) AS d_date,
+         (year(l_shipdate) - 1895) * 12 + month(l_shipdate) - 1 AS d_month_seq
+  FROM main.lineitem
+),
+web_v1 as (
+select
+  ws_item_sk item_sk, d_date,
+  sum(sum(ws_sales_price))
+      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from web_sales
+    ,date_dim
+where ws_sold_date_sk=d_date_sk
+  and d_month_seq between 1212 and 1212+11
+  and ws_item_sk is not NULL
+group by ws_item_sk, d_date),
+store_v1 as (
+select
+  ss_item_sk item_sk, d_date,
+  sum(sum(ss_sales_price))
+      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from store_sales
+    ,date_dim
+where ss_sold_date_sk=d_date_sk
+  and d_month_seq between 1212 and 1212+11
+  and ss_item_sk is not NULL
+group by ss_item_sk, d_date)
+ select  *
+from (select item_sk
+     ,d_date
+     ,web_sales
+     ,store_sales
+     ,max(web_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+     ,max(store_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+                 ,web.cume_sales web_sales
+                 ,store.cume_sales store_sales
+           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+                                                          and web.d_date = store.d_date)
+          )x )y
+where web_cumulative > store_cumulative
+order by item_sk
+        ,d_date
+limit 100
+"""
+
+
+@register(
+    "sql_tpcds_verbatim_q51",
+    oracle=_TPCDS_Q51_SQL,
+    tags=("engine", "sql", "tpcds", "window"),
+)
+def sql_tpcds_verbatim_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN query51.sql text through the SQL front door
+    (cases/tpcds/query/query51.sql — unrunnable by the reference: no
+    window operator, expr_properties.go:273). The text runs UNMODIFIED on
+    spec-schema tables derived deterministically from the driver fixture;
+    the oracle derives the SAME tables in its CTE prologue (see the
+    module-level mapping comment). tests/test_tpcds_verbatim.py runs ALL
+    99 spec texts on a full-schema micro-fixture; this row keeps the
+    corpus' hardest window text on the driver's hash-checked path."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from plan_spark.engine import Engine
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _os.path.join(
+        _tempfile.gettempdir(), "plan_spark_q", f"sql_tpcds_verbatim_q51_{tag}"
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        F.col("l_partkey").cast("int").alias("item_sk"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("date_sk"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.col("l_linenumber") % 2).alias("par"),
+    )
+    web = base.filter("par = 0").select(
+        F.col("item_sk").alias("ws_item_sk"),
+        F.col("date_sk").alias("ws_sold_date_sk"),
+        F.col("price").alias("ws_sales_price"),
+    )
+    store = base.filter("par = 1").select(
+        F.col("item_sk").alias("ss_item_sk"),
+        F.col("date_sk").alias("ss_sold_date_sk"),
+        F.col("price").alias("ss_sales_price"),
+    )
+    date_dim = (
+        li.select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d_date_sk"),
+            F.col("l_shipdate").cast("date").alias("d_date"),
+            (
+                (F.year("l_shipdate") - F.lit(1895)) * 12 + F.month("l_shipdate") - 1
+            ).cast("int").alias("d_month_seq"),
+        )
+        .distinct()
+    )
+    eng = Engine(spark, path)
+    for name, df in (
+        ("web_sales", web),
+        ("store_sales", store),
+        ("date_dim", date_dim),
+    ):
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        eng.create_table(name, ddl)
+        eng.insert_df(name, df)
+    qfile = "/root/reference/cases/tpcds/query/query51.sql"
+    text = (
+        open(qfile).read() if _os.path.exists(qfile) else _TPCDS_Q51_VERBATIM
+    )
+    return eng.sql(text)

@@ -744,3 +744,18 @@ def test_q37_band_aggregate_before_dimension_join(spark):
     assert p.count("HashAggregate") >= 2
     below = p.split("Exchange hashpartitioning", 1)[1]
     assert "partial_sum" in below
+
+
+def test_sql_tpcds_verbatim_q51_windows_over_grouped_series(spark):
+    """sql_tpcds_verbatim_q51: the spec text's running sums evaluate as
+    WindowExec OVER the per-(item, date) grouped aggregates — each window
+    reuses its channel aggregate's (item) partitioning; the full-outer
+    crossover join is a key join (never a nested loop), and nothing in the
+    plan falls back to Python row evaluation."""
+    from plan_spark.queries.tpcds_probe import sql_tpcds_verbatim_q51
+
+    p = _plan(spark, sql_tpcds_verbatim_q51(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("Window") >= 2  # per-channel cume + the final max pair
+    assert "FullOuter" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

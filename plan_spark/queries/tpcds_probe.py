@@ -3971,3 +3971,331 @@ def sql_tpcds_verbatim_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(qfile).read() if _os.path.exists(qfile) else _TPCDS_Q51_VERBATIM
     )
     return eng.sql(text)
+
+
+# ---------------------------------------------------------------------------
+# The last four genuinely-new TPC-DS shapes outside the probe map (r9
+# verdict #3): q24 (returns-chain + %-of-corpus-average threshold), q76
+# (null-channel union accounting), q83 (three-set date-recursion
+# intersect), q18 (rollup over decimal averages). Re-targeted at the
+# driver fixture star schema like every probe in this module; the REAL
+# texts additionally run verbatim in tests/test_tpcds_verbatim.py.
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q24_SQL = """
+WITH ssales AS (
+  SELECT c_name, s_name, p_brand,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS netpaid
+  FROM lineitem, orders, customer, part, supplier
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+    AND l_returnflag = 'R'
+  GROUP BY c_name, s_name, p_brand
+),
+brandpaid AS (
+  SELECT c_name, s_name, SUM(netpaid) AS paid_dec
+  FROM ssales WHERE p_brand = 'Brand#23'
+  GROUP BY c_name, s_name
+),
+thr AS (
+  SELECT CAST(SUM(netpaid) AS DOUBLE) / COUNT(*) AS avg_paid FROM ssales
+)
+SELECT c_name, s_name, CAST(paid_dec AS DOUBLE) AS paid
+FROM brandpaid, thr
+WHERE CAST(paid_dec AS DOUBLE) > 0.05 * avg_paid
+ORDER BY c_name, s_name
+"""
+
+
+@register("tpcds_q24", oracle=_TPCDS_Q24_SQL, tags=("tpcds",))
+def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 shape (cases/tpcds/query/query24.sql — the returns-chain
+    CTE reused by an aggregate face AND a corpus-wide scalar threshold):
+    returned sales netpaid per (customer, supplier, brand); buyers of one
+    brand whose spend beats 5% of the CTE-wide average.
+
+    Scale shape: the CTE materializes ONCE (persist) and feeds both faces;
+    the threshold is a single aggregate row attached by broadcast cross
+    join — the spec's correlated scalar subquery with no per-row rescan.
+    The verbatim text (incl. the 5%-of-avg HAVING) runs in
+    tests/test_tpcds_verbatim.py on the full star schema."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    ssales = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("c_name", "s_name", "p_brand")
+        .agg(F.sum(dec("l_extendedprice")).alias("netpaid"))
+        .persist()
+    )
+    thr = ssales.agg(
+        (F.sum("netpaid").cast("double") / F.count(F.lit(1))).alias("avg_paid")
+    )
+    out = (
+        ssales.filter(F.col("p_brand") == "Brand#23")
+        .groupBy("c_name", "s_name")
+        .agg(F.sum("netpaid").alias("paid_dec"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("paid_dec").cast("double") > 0.05 * F.col("avg_paid"))
+        .select("c_name", "s_name", F.col("paid_dec").cast("double").alias("paid"))
+        .orderBy("c_name", "s_name")
+    )
+    return out
+
+
+_TPCDS_Q76_SQL = """
+SELECT channel, col_name, yr, qtr, l_returnflag,
+       COUNT(*) AS sales_cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_amt
+FROM (
+  SELECT 'store' AS channel, 's_suppkey' AS col_name,
+         year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
+         l_returnflag, l_extendedprice
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM supplier
+                    WHERE s_suppkey = l.l_suppkey AND s_acctbal >= 9000)
+  UNION ALL
+  SELECT 'web' AS channel, 'p_partkey' AS col_name,
+         year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
+         l_returnflag, l_extendedprice
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part
+                    WHERE p_partkey = l.l_partkey AND p_size <= 5)
+  UNION ALL
+  SELECT 'catalog' AS channel, 'c_custkey' AS col_name,
+         year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
+         l_returnflag, l_extendedprice
+  FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+  WHERE NOT EXISTS (SELECT 1 FROM customer
+                    WHERE c_custkey = o_custkey AND c_acctbal >= 0)
+) foo
+GROUP BY channel, col_name, yr, qtr, l_returnflag
+ORDER BY channel, col_name, yr, qtr, l_returnflag
+"""
+
+
+@register("tpcds_q76", oracle=_TPCDS_Q76_SQL, tags=("tpcds",))
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape (cases/tpcds/query/query76.sql — null-channel
+    accounting: per channel, the sales UNATTRIBUTABLE to a different
+    dimension, union-all'd and aggregated). The fixture has no NULL fks,
+    so each arm's IS NULL becomes its join-semantic equal: a LEFT ANTI
+    against the qualifying dimension subset.
+
+    Scale shape: three anti joins (broadcast — the dimension subsets are
+    small), one union, one aggregate; the fact never self-joins and the
+    anti dimensions never shuffle the fact. Verbatim q76 (real NULL fks)
+    runs in tests/test_tpcds_verbatim.py."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    sup = table(spark, sf_dir, "supplier").filter("s_acctbal >= 9000")
+    prt = table(spark, sf_dir, "part").filter("p_size <= 5")
+    cst = table(spark, sf_dir, "customer").filter("c_acctbal >= 0")
+
+    def arm(df, channel, col_name):
+        return df.select(
+            F.lit(channel).alias("channel"),
+            F.lit(col_name).alias("col_name"),
+            F.year("l_shipdate").alias("yr"),
+            F.quarter("l_shipdate").alias("qtr"),
+            "l_returnflag",
+            "l_extendedprice",
+        )
+
+    store = arm(
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"),
+        "store", "s_suppkey",
+    )
+    web = arm(
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"), "left_anti"),
+        "web", "p_partkey",
+    )
+    catalog = arm(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cst), F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
+        "catalog", "c_custkey",
+    )
+    return (
+        store.unionAll(web).unionAll(catalog)
+        .groupBy("channel", "col_name", "yr", "qtr", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sales_amt"),
+        )
+        .orderBy("channel", "col_name", "yr", "qtr", "l_returnflag")
+    )
+
+
+_TPCDS_Q83_DATES = (
+    "1996-03-14", "1996-09-03", "1997-07-02",
+    "1997-11-20", "1998-10-20", "1999-05-11",
+)
+
+_TPCDS_Q83_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT date_trunc('week', CAST(d AS DATE)) AS wk
+  FROM (VALUES {dates}) AS t(d)
+),
+dates AS (
+  SELECT DISTINCT CAST(l_shipdate AS DATE) AS d_date
+  FROM lineitem
+  WHERE date_trunc('week', CAST(l_shipdate AS DATE))
+        IN (SELECT wk FROM weeks)
+),
+r_items AS (
+  SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS r_qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+    AND CAST(l_shipdate AS DATE) IN (SELECT d_date FROM dates)
+  GROUP BY p_brand
+),
+a_items AS (
+  SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS a_qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+    AND CAST(l_shipdate AS DATE) IN (SELECT d_date FROM dates)
+  GROUP BY p_brand
+),
+n_items AS (
+  SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS n_qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+    AND CAST(l_shipdate AS DATE) IN (SELECT d_date FROM dates)
+  GROUP BY p_brand
+)
+SELECT r_items.p_brand AS p_brand, r_qty, a_qty, n_qty,
+       CAST(r_qty AS DOUBLE) / (r_qty + a_qty + n_qty) / 3.0 * 100 AS r_dev,
+       CAST(a_qty AS DOUBLE) / (r_qty + a_qty + n_qty) / 3.0 * 100 AS a_dev,
+       CAST(n_qty AS DOUBLE) / (r_qty + a_qty + n_qty) / 3.0 * 100 AS n_dev,
+       (r_qty + a_qty + n_qty) / 3.0 AS average
+FROM r_items, a_items, n_items
+WHERE r_items.p_brand = a_items.p_brand
+  AND r_items.p_brand = n_items.p_brand
+ORDER BY p_brand
+""".format(dates=", ".join(f"('{d}')" for d in _TPCDS_Q83_DATES))
+
+
+@register("tpcds_q83", oracle=_TPCDS_Q83_SQL, tags=("tpcds",))
+def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q83 shape (cases/tpcds/query/query83.sql — the three-set
+    date-recursion intersect): per-brand quantities in three channel
+    slices restricted to the dates of the WEEKS containing six probe
+    dates (the spec's date IN (weeks of (dates)) two-level nesting),
+    3-way equijoined with cross-channel deviation percentages.
+
+    Scale shape: the date recursion reduces to a tiny broadcast semi join
+    (distinct dates of six weeks); each channel aggregates to brand rows
+    before the 3-way join — no channel ever joins raw-to-raw. The
+    verbatim text runs in tests/test_tpcds_verbatim.py."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    wk_lits = [F.date_trunc("week", F.lit(d).cast("date")) for d in _TPCDS_Q83_DATES]
+    # week membership as an OR chain of column literals (isin takes plain
+    # values, not Columns) — six terms, constant-folded by Catalyst
+    cond = None
+    for w in wk_lits:
+        c = F.date_trunc("week", F.col("d_date")) == w
+        cond = c if cond is None else (cond | c)
+    dates = (
+        li.select(F.col("l_shipdate").cast("date").alias("d_date"))
+        .distinct()
+        .filter(cond)
+    )
+
+    def channel(flag, alias):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(
+                F.broadcast(dates),
+                F.col("l_shipdate").cast("date") == F.col("d_date"),
+                "left_semi",
+            )
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias(alias))
+        )
+
+    r = channel("R", "r_qty")
+    a = channel("A", "a_qty").withColumnRenamed("p_brand", "a_brand")
+    n = channel("N", "n_qty").withColumnRenamed("p_brand", "n_brand")
+    tot = F.col("r_qty") + F.col("a_qty") + F.col("n_qty")
+    return (
+        r.join(a, F.col("p_brand") == F.col("a_brand"))
+        .join(n, F.col("p_brand") == F.col("n_brand"))
+        .select(
+            "p_brand", "r_qty", "a_qty", "n_qty",
+            (F.col("r_qty").cast("double") / tot / 3.0 * 100).alias("r_dev"),
+            (F.col("a_qty").cast("double") / tot / 3.0 * 100).alias("a_dev"),
+            (F.col("n_qty").cast("double") / tot / 3.0 * 100).alias("n_dev"),
+            (tot / F.lit(3.0)).alias("average"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_TPCDS_Q18_SQL = """
+SELECT p_brand, r_name, n_name,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg1,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg2,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg3,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg4
+FROM lineitem, orders, customer, nation, region, part
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND l_partkey = p_partkey
+  AND c_mktsegment = 'BUILDING'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY ROLLUP (p_brand, r_name, n_name)
+ORDER BY p_brand, r_name, n_name
+"""
+
+
+@register("tpcds_q18", oracle=_TPCDS_Q18_SQL, tags=("tpcds", "rollup"))
+def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q18 shape (cases/tpcds/query/query18.sql — ROLLUP over
+    DECIMAL-cast averages with demographic dims): per-(brand, region,
+    nation) averages of four decimal-cast measures for a demographic
+    slice, subtotaled at every rollup level.
+
+    Averages follow the module's determinism discipline: exact
+    DECIMAL(12,2) sums, one DOUBLE division per group, identical
+    expression shape in the oracle (a native decimal AVG would carry
+    engine-specific intermediate scale). Scale shape: one fact
+    aggregation pre-rollup; Expand sees grouped partials, not raw rows
+    (the q36/q67/q80 rollup discipline). Verbatim q18 runs in
+    tests/test_tpcds_verbatim.py."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    nt = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part")
+    d12 = lambda col: F.col(col).cast("decimal(12,2)")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nt), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        joined.rollup("p_brand", "r_name", "n_name")
+        .agg(
+            cnt.alias("cnt"),
+            (F.sum(d12("l_quantity")).cast("double") / cnt).alias("agg1"),
+            (F.sum(d12("l_extendedprice")).cast("double") / cnt).alias("agg2"),
+            (F.sum(d12("l_discount")).cast("double") / cnt).alias("agg3"),
+            (F.sum(d12("o_totalprice")).cast("double") / cnt).alias("agg4"),
+        )
+        .orderBy("p_brand", "r_name", "n_name")
+    )

@@ -58,62 +58,61 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # ---- round 9: new/changed this round (their prior rows are stale) ----
-    "sql_tpch_verbatim_q21",  # NEW: reference q21.sql verbatim front door
-    "tpcds_q8",    # NEW: prefix-set INTERSECT + count threshold
-    "tpcds_q37",   # NEW: aggregate-banded item semi join
-    "tpcds_q45",   # NEW: OR-of-predicate-and-IN (ExistenceJoin)
-    "tpcds_q62",   # NEW: shipping-lag bucket histogram
-    "tpcds_q66",   # NEW: 24-measure monthly pivot
-    "tpcds_q6",    # NEW: correlated category-average threshold
-    "tpcds_q16",   # NEW: EXISTS/NOT EXISTS shipping audit
-    "tpcds_q21",   # NEW: before/after pivot band
-    "tpcds_q33",   # NEW: cross-channel union-agg family
-    "tpcds_q72",   # NEW: inventory chain
-    "tpcds_q95",   # NEW: two-level IN on the same fact
-    "semdedup",    # changed: driver row now ships the resolve_k scale form
-    "dedup_embed_clusters",  # NEW: O(N) cluster face of embedding near-dup
-    # ---- round 9: the r4 verification tail (newest green = r4) ----
-    "bpe_pairs",
-    "emb_stats",
-    "funnel",
-    "kmeans_assign",
-    "kmeans_iter2",
-    "rarity_score",
-    "simhash",
-    "tpcds_q90",
-    "tpcds_q92",   # NEW: excess-discount correlated fact threshold
-    # ---- round 9: the r5 verification tail ----
-    "dedup_incremental",
-    "dedup_ngram",
-    "knn_batch",
-    "knn_bq",
-    "knn_ivf",
-    "knn_ivf_hnsw",
-    "tpcds_q4",
-    "tpcds_q11",
-    "tpcds_q14",
-    "tpcds_q23",
-    "tpcds_q35",
-    "tpcds_q49",
-    "tpcds_q93",
-    "tpcds_q97",
-    # ---- round 9: oldest 13 of the r6 tail (alphabetical; the other 31
-    # r6 rows rotate in next round — post-r9 no row's newest driver
-    # verification predates r6) ----
-    "corpus_shuffle",
-    "dedup_apply",
-    "dedup_clusters",
-    "dedup_containment",
-    "distinct_kmv",
-    "domain_cap",
-    "dup_passages",
-    "dup_spans",
-    "fts_phrase",
-    "gap_fill",
-    "knn_ivf_pq",
-    "mixture_apply",
-    "mixture_weights",
+    # ---- round 10: new this round (never driver-checked) ----
+    "sql_tpcds_verbatim_q51",  # NEW: reference query51.sql verbatim (windows)
+    "tpcds_q24",   # NEW: returns-chain + %-of-corpus-average threshold
+    "tpcds_q76",   # NEW: null-channel union accounting
+    "tpcds_q83",   # NEW: three-set date-recursion intersect
+    "tpcds_q18",   # NEW: rollup over decimal averages
+    # ---- round 10: the full remaining r6 tail (newest green = r6) —
+    # post-r10 no row's newest driver verification predates r7 ----
+    "pipeline_e2e",
+    "pivot_events",
+    "sample_split",
+    "stratified_sample",
+    "stream_curation",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_full_outer_join",
+    "stream_join",
+    "stream_outer_join",
+    "stream_sessionize",
+    "stream_tumbling_agg",
+    "tfidf_topk",
+    "tpcds_q1",
+    "tpcds_q13",
+    "tpcds_q17",
+    "tpcds_q2",
+    "tpcds_q25",
+    "tpcds_q31",
+    "tpcds_q38",
+    "tpcds_q39",
+    "tpcds_q44",
+    "tpcds_q46",
+    "tpcds_q50",
+    "tpcds_q54",
+    "tpcds_q58",
+    "tpcds_q64",
+    "tpcds_q65",
+    "tpcds_q75",
+    "tpcds_q78",
+    "tpcds_q80",
+    # ---- round 10: oldest 14 of the r7 tail (alphabetical), filling the
+    # window to exactly 50 ----
+    "asof_join_q",
+    "cube_agg",
+    "decontam",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ds_auto_index_scan",
+    "ds_bitmap_scan",
+    "ds_btree_scan",
+    "ds_clone_restore",
+    "ds_delete_scan",
+    "ds_detached_scan",
+    "ds_evolve_scan",
+    "ds_index_knn",
+    "ds_merge_scan",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -759,3 +759,54 @@ def test_sql_tpcds_verbatim_q51_windows_over_grouped_series(spark):
     assert "FullOuter" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_q24_cte_reused_threshold_broadcast(spark):
+    """tpcds_q24: the returns-chain CTE materializes ONCE (persist) and
+    feeds both the brand face and the corpus-average threshold; the
+    threshold attaches as a broadcast single-row join — the only
+    nested-loop in the plan is that 1-row attach, never a data-sized
+    cartesian."""
+    from plan_spark.queries.tpcds_probe import tpcds_q24
+
+    p = _plan(spark, tpcds_q24(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("InMemoryTableScan") >= 2  # both faces read the cache
+    assert "CartesianProduct" not in p
+    # the 1-row threshold cross join is broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q76_anti_channels_broadcast_single_union_agg(spark):
+    """tpcds_q76: the three null-channel arms are broadcast ANTI joins
+    against small dimension subsets (the fact never shuffles for them);
+    one Union feeds one aggregate."""
+    from plan_spark.queries.tpcds_probe import tpcds_q76
+
+    p = _plan(spark, tpcds_q76(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("LeftAnti") >= 3
+    assert "Union" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_q83_date_recursion_semi_channels_aggregate_before_join(spark):
+    """tpcds_q83: the week->date recursion is a broadcast SEMI join on a
+    distinct-dates set; each channel aggregates to brand rows BEFORE the
+    3-way equijoin (aggregates ≥ 4: three channels + distinct dates)."""
+    from plan_spark.queries.tpcds_probe import tpcds_q83
+
+    p = _plan(spark, tpcds_q83(spark, BENCH_SF_DIR), mode="simple")
+    assert p.count("LeftSemi") >= 3
+    assert p.count("HashAggregate") >= 6  # partial+final per channel
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_q18_rollup_expand_over_grouped_partials(spark):
+    """tpcds_q18: ROLLUP plans as Expand over the aggregate, with partial
+    aggregation before the shuffle and every dimension broadcast — the
+    fact shuffles only on its own join keys."""
+    from plan_spark.queries.tpcds_probe import tpcds_q18
+
+    p = _plan(spark, tpcds_q18(spark, BENCH_SF_DIR), mode="simple")
+    assert "Expand" in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p

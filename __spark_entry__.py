@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (179 queries,
-    ALL with oracles: 20 TPC-H + both verbatim spec texts through the SQL
-    front door (q1 aggregation + q21 double-correlated EXISTS/NOT EXISTS),
-    49 TPC-DS probes, windows/set-ops/rollups,
+    """One entry per implemented operator from SURVEY.md §2 (184 queries,
+    ALL with oracles: 20 TPC-H + three verbatim spec texts through the SQL
+    front door (TPC-H q1 aggregation, q21 double-correlated EXISTS/NOT
+    EXISTS, TPC-DS q51 full-outer running sums), 53 TPC-DS probes, windows/set-ops/rollups,
     as-of/range joins, sessionization/retention, text analysis + TF-IDF
     keywords + 10 dedup families (incl. directional containment and
     cluster-canonical removal applied back to the corpus) + curation

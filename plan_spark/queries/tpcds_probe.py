@@ -3775,7 +3775,8 @@ def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MAXes compared for the crossover. The TEXT runs unmodified; the driver
 # fixture is mapped into the spec star schema deterministically and
 # identically on both engines:
-#   web_sales   = even-linenumber lineitem slice (item=partkey, date=ship)
+#   web_sales   = even-linenumber lineitem slice (item=partkey as
+#                 BIGINT — scaled fixtures offset keys past int32, date=ship)
 #   store_sales = odd-linenumber slice
 #   date_dim    = distinct ship dates; d_date_sk = days-since-epoch;
 #                 d_month_seq = (year-1895)*12 + month-1, which places
@@ -3834,14 +3835,14 @@ limit 100;
 
 _TPCDS_Q51_SQL = """
 WITH web_sales AS (
-  SELECT CAST(l_partkey AS INTEGER) AS ws_item_sk,
+  SELECT CAST(l_partkey AS BIGINT) AS ws_item_sk,
          DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
            AS ws_sold_date_sk,
          CAST(l_extendedprice AS DECIMAL(18,2)) AS ws_sales_price
   FROM main.lineitem WHERE l_linenumber % 2 = 0
 ),
 store_sales AS (
-  SELECT CAST(l_partkey AS INTEGER) AS ss_item_sk,
+  SELECT CAST(l_partkey AS BIGINT) AS ss_item_sk,
          DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
            AS ss_sold_date_sk,
          CAST(l_extendedprice AS DECIMAL(18,2)) AS ss_sales_price
@@ -3899,6 +3900,20 @@ order by item_sk
 limit 100
 """
 
+# driver-hash discipline (queries/common.py): outputs are DOUBLE, never
+# DECIMAL — DuckDB's .df() floats wide decimals while Spark returns
+# Decimal objects. The verbatim text's decimal money stays EXACT through
+# every sum/max; only the returned columns are cast.
+_TPCDS_Q51_SQL = f"""
+SELECT item_sk, d_date,
+       CAST(web_sales AS DOUBLE) AS web_sales,
+       CAST(store_sales AS DOUBLE) AS store_sales,
+       CAST(web_cumulative AS DOUBLE) AS web_cumulative,
+       CAST(store_cumulative AS DOUBLE) AS store_cumulative
+FROM ({_TPCDS_Q51_SQL.rstrip()}) verbatim_out
+ORDER BY item_sk, d_date
+"""
+
 
 @register(
     "sql_tpcds_verbatim_q51",
@@ -3927,7 +3942,7 @@ def sql_tpcds_verbatim_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(path, ignore_errors=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     base = li.select(
-        F.col("l_partkey").cast("int").alias("item_sk"),
+        F.col("l_partkey").cast("bigint").alias("item_sk"),
         F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .alias("date_sk"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
@@ -3970,7 +3985,16 @@ def sql_tpcds_verbatim_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = (
         open(qfile).read() if _os.path.exists(qfile) else _TPCDS_Q51_VERBATIM
     )
-    return eng.sql(text)
+    res = eng.sql(text)
+    # driver-hash discipline: DOUBLE outputs (decimal math stayed exact
+    # inside the verbatim plan; see _TPCDS_Q51_SQL's identical outer cast)
+    return res.select(
+        "item_sk", "d_date",
+        F.col("web_sales").cast("double").alias("web_sales"),
+        F.col("store_sales").cast("double").alias("store_sales"),
+        F.col("web_cumulative").cast("double").alias("web_cumulative"),
+        F.col("store_cumulative").cast("double").alias("store_cumulative"),
+    )
 
 
 # ---------------------------------------------------------------------------

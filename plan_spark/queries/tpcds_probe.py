@@ -4172,22 +4172,24 @@ dates AS (
   WHERE date_trunc('week', CAST(l_shipdate AS DATE))
         IN (SELECT wk FROM weeks)
 ),
+-- sums cast back to BIGINT: DuckDB's SUM(BIGINT) is HUGEINT, which
+-- pandas floats ('388.0' vs Spark's '388' under the driver's string hash)
 r_items AS (
-  SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS r_qty
+  SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r_qty
   FROM lineitem, part
   WHERE l_partkey = p_partkey AND l_returnflag = 'R'
     AND CAST(l_shipdate AS DATE) IN (SELECT d_date FROM dates)
   GROUP BY p_brand
 ),
 a_items AS (
-  SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS a_qty
+  SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS a_qty
   FROM lineitem, part
   WHERE l_partkey = p_partkey AND l_returnflag = 'A'
     AND CAST(l_shipdate AS DATE) IN (SELECT d_date FROM dates)
   GROUP BY p_brand
 ),
 n_items AS (
-  SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS n_qty
+  SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n_qty
   FROM lineitem, part
   WHERE l_partkey = p_partkey AND l_returnflag = 'N'
     AND CAST(l_shipdate AS DATE) IN (SELECT d_date FROM dates)

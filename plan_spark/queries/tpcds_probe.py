@@ -4049,8 +4049,11 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     s = table(spark, sf_dir, "supplier")
     ssales = (
+        # the fact-fact join is PINNED to shuffle: at bench SF the 2-column
+        # orders scan compresses under AQE's dynamic-broadcast threshold,
+        # and a broadcast fact is exactly the plan the 100 TB gate forbids
         li.filter(F.col("l_returnflag") == "R")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -4141,7 +4144,9 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         "web", "p_partkey",
     )
     catalog = arm(
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # fact-fact join pinned to shuffle (same 100 TB discipline as q24:
+        # the 2-column orders scan would dynamic-broadcast at bench SF)
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cst), F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
         "catalog", "c_custkey",
     )

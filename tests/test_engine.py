@@ -382,10 +382,16 @@ def test_time_travel_alias_and_quoted_identifiers(engine):
         f"SELECT x.a FROM ta x VERSION AS OF {v1} ORDER BY x.a"
     ).collect()
     assert [r.a for r in got] == [1, 2]
-    # double-quoted segments are protected from the rewrite (Spark reads
-    # "..." as a string literal; other dialects as an identifier — either
-    # way the rewriter must not touch the inside)
-    lit = eng.sql('SELECT "ta VERSION AS OF 1" AS s').first()
+    # double-quoted segments are protected from the rewrite AND read as
+    # IDENTIFIERS (the front door's pg dialect, r10: _rewrite_quoted_idents
+    # turns them into backticks — the TPC-DS spec texts' `as "order count"`
+    # form). The magic words inside must neither trigger time travel nor
+    # be parsed as SQL:
+    df = eng.sql('SELECT 1 AS "ta VERSION AS OF 1"')
+    assert df.columns == ["ta VERSION AS OF 1"]
+    assert df.first()[0] == 1
+    # single-quoted STRING literals keep their content verbatim
+    lit = eng.sql("SELECT 'ta VERSION AS OF 1' AS s").first()
     assert lit["s"] == "ta VERSION AS OF 1"
 
 

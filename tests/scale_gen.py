@@ -84,13 +84,16 @@ def scale(spark, src: str, dst: str, factor: int = 10) -> None:
             if t == "embeddings" and i > 0:
                 # deterministic per-copy perturbation: elementwise, seeded
                 # by (copy, position) — keeps vectors near the originals
-                # without being equal
+                # without being equal. Cast back to the SOURCE element type
+                # (sin() is double; the fixture stores array<float> and a
+                # silent widening would drift every downstream schema).
+                emb_type = df.schema["embedding"].dataType.simpleString()
                 c = c.withColumn(
                     "embedding",
                     F.expr(
                         f"transform(embedding, (x, j) -> x + 0.01 * "
                         f"sin(cast({i} * 131 + j AS DOUBLE)))"
-                    ),
+                    ).cast(emb_type),
                 )
             copies.append(c)
         out = copies[0]

@@ -193,3 +193,39 @@ def test_verbatim_matches_duckdb(tpcds_engine, q, part):
     if (q, part) not in MAY_BE_EMPTY:
         assert want, f"q{q} part {part} vacuous on the fixture"
     _assert_rows_close(got, want, f"q{q}p{part}")
+
+
+class TestVerbatimPlans:
+    """The front door must not cost Catalyst its optimizations: even for
+    UNMODIFIED spec texts, filters reach the parquet scans, projections
+    prune columns, and nothing falls back to Python row evaluation."""
+
+    def _plan(self, eng, q: int, part: int = 0) -> str:
+        text = _split(open(f"{QUERY_DIR}/query{q}.sql").read())[part]
+        df = eng.sql(text)
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+
+    def test_q3_pushdown_and_pruning(self, tpcds_engine):
+        eng, _ = tpcds_engine
+        p = self._plan(eng, 3)
+        # the dimension literals land in the scans, not in post-filters
+        assert "PushedFilters" in p and "816" in p
+        # column pruning: the 23-column fact scan reads only its join/
+        # measure columns
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert any(len(s.split(",")) <= 6 for s in scans), scans
+        assert "BatchEvalPython" not in p
+
+    def test_q7_no_python_no_cartesian(self, tpcds_engine):
+        eng, _ = tpcds_engine
+        p = self._plan(eng, 7)
+        assert "BatchEvalPython" not in p
+        assert "CartesianProduct" not in p
+
+    def test_q51_windows_survive_front_door(self, tpcds_engine):
+        eng, _ = tpcds_engine
+        p = self._plan(eng, 51)
+        assert p.count("Window") >= 2
+        assert "BatchEvalPython" not in p

@@ -209,3 +209,62 @@ def test_split_statements_comment_and_semicolon_edges():
     ) == ["SELECT 1"]
     assert f("SELECT ';--' AS s") == ["SELECT ';--' AS s"]
     assert len(f("SELECT 1; SELECT 2")) == 2
+
+
+class TestQuotedIdentRewrite:
+    """Engine._rewrite_quoted_idents (r10): the pg-dialect rule — double
+    quotes ALWAYS delimit identifiers — rewritten to Spark backticks,
+    never inside single-quoted string literals."""
+
+    def test_basic_alias(self):
+        from plan_spark.engine import Engine
+
+        assert (
+            Engine._rewrite_quoted_idents('count(*) as "order count"')
+            == "count(*) as `order count`"
+        )
+
+    def test_inside_string_literal_untouched(self):
+        from plan_spark.engine import Engine
+
+        s = "select 'he said \"hi\"' as s"
+        assert Engine._rewrite_quoted_idents(s) == s
+
+    def test_escaped_double_quote_in_identifier(self):
+        from plan_spark.engine import Engine
+
+        # "" inside a quoted identifier is the escaped-quote form
+        assert (
+            Engine._rewrite_quoted_idents('select 1 as "a""b"')
+            == 'select 1 as `a"b`'
+        )
+
+    def test_backtick_in_identifier_escaped(self):
+        from plan_spark.engine import Engine
+
+        assert (
+            Engine._rewrite_quoted_idents('select 1 as "a`b"')
+            == "select 1 as `a``b`"
+        )
+
+    def test_literal_then_identifier(self):
+        from plan_spark.engine import Engine
+
+        s = "select 'x\"y' as a, \"col name\" from t"
+        assert (
+            Engine._rewrite_quoted_idents(s)
+            == "select 'x\"y' as a, `col name` from t"
+        )
+
+    def test_doubled_single_quote_literal_boundary(self):
+        from plan_spark.engine import Engine
+
+        # '' inside a literal must not end it and expose the " to rewrite
+        s = "select 'it''s \"quoted\"' as s"
+        assert Engine._rewrite_quoted_idents(s) == s
+
+    def test_no_quotes_no_change(self):
+        from plan_spark.engine import Engine
+
+        s = "select a, b from t where c = 1"
+        assert Engine._rewrite_quoted_idents(s) == s

@@ -498,9 +498,34 @@ def handler_named(name: str) -> CommitHandler:
 
 def write_handler_marker(dataset_path: str, name: str) -> None:
     """Record the handler at creation so every later open — including
-    crash-recovery child processes — speaks the same protocol."""
-    with open(os.path.join(dataset_path, "_commit.json"), "w") as fh:
+    crash-recovery child processes — speaks the same protocol.
+
+    Always a POSIX file (even for mem datasets): the marker is the
+    BOOTSTRAP that tells detect_handler which backend to construct, so it
+    must be readable before any backend exists. Written temp+replace so a
+    reader racing dataset creation only ever observes absent-or-complete —
+    detect_handler hard-raises on a torn marker by design, and a plain
+    open('w') could expose exactly that torn state."""
+    marker = os.path.join(dataset_path, "_commit.json")
+    tmp = f"{marker}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as fh:
         json.dump({"handler": name}, fh)
+    os.replace(tmp, marker)
+
+
+def mem_reset(prefix: str) -> None:
+    """Drop every in-process mem object under ``prefix``.
+
+    Dataset.create calls this when creating a mem dataset so a fresh
+    dataset at a previously-used path never observes the prior
+    incarnation's refs/branch-kinds/claims (manifest collisions fail
+    loudly via create_exclusive, but plain Store reads like _refs() would
+    be silently stale), and a long test session does not grow the global
+    dict unboundedly."""
+    p = prefix.rstrip("/") + "/"
+    with _MEM_LOCK:
+        for k in [k for k in _MEM_OBJECTS if k.startswith(p)]:
+            del _MEM_OBJECTS[k]
 
 
 def detect_handler(dataset_path: str) -> CommitHandler:

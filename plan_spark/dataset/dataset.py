@@ -44,6 +44,7 @@ from plan_spark.dataset.commit import (
     Store,
     detect_handler,
     handler_named,
+    mem_reset,
     write_handler_marker,
 )
 from plan_spark.dataset.manifest import Fragment, Manifest
@@ -313,6 +314,13 @@ class Dataset:
         os.makedirs(os.path.join(ds.path, "data"), exist_ok=True)
         os.makedirs(os.path.join(ds.path, "deletes"), exist_ok=True)
         ds._handler = handler_named(commit_handler)
+        if ds._handler.name == "mem":
+            # a fresh mem dataset must start from an empty key space: the
+            # object dict is process-global, and a previously-used path
+            # would otherwise leak the prior incarnation's refs/claims
+            # into plain Store reads (create only reaches here when the
+            # stale-marker existence check above did NOT see manifests)
+            mem_reset(ds.path)
         write_handler_marker(ds.path, ds._handler.name)
         # seed the ref-kind marker: its ABSENCE is reserved for datasets
         # written before kinds existed (legacy-permissive in on_branch).

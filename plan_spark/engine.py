@@ -1095,8 +1095,12 @@ class Engine:
         reserves double quotes for strings (unless global ANSI mode flips
         semantics for every query), so the front door rewrites them to
         Spark's backtick form. Runs only OUTSIDE single-quoted literals;
-        ``""`` inside a quoted identifier is the escaped-quote form."""
-        parts = re.split(r"('(?:[^']|'')*')", s)
+        ``""`` inside a quoted identifier is the escaped-quote form. The
+        literal scan consumes backslash escapes exactly like
+        _split_statements, so a ``'don\\'t'`` literal cannot desynchronize
+        the boundary and let a double quote INSIDE a later string literal
+        be rewritten to backticks."""
+        parts = re.split(r"('(?:[^'\\]|\\.|'')*')", s)
         for i in range(0, len(parts), 2):
             parts[i] = re.sub(
                 r'"((?:[^"]|"")*)"',
@@ -1150,9 +1154,10 @@ class Engine:
             alias = (m.group(3) or "") + (m.group(5) or "")
             return materialize(m.group(1), m.group(2), alias, int(m.group(4)))
 
-        # split on single-quoted literals ('' escapes included) AND
-        # double-quoted identifiers, rewriting only the code between them
-        parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", s)
+        # split on single-quoted literals ('' AND backslash escapes, same
+        # scan as _split_statements) plus double-quoted identifiers,
+        # rewriting only the code between them
+        parts = re.split(r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"]|\"\")*\")", s)
         for i in range(0, len(parts), 2):
             parts[i] = re.sub(
                 _TT_RELATION

@@ -42,6 +42,31 @@ def ts(s: str) -> Column:
     return F.lit(s).cast("timestamp")
 
 
+def verbatim_text(qfile: str, embedded: str) -> str:
+    """Pin a verbatim spec text to its EMBEDDED copy.
+
+    The DuckDB oracle of every verbatim driver row is written against the
+    embedded text, so the embedded text is ALWAYS what runs. The
+    reference's own ``.sql`` file, when present, is only a cross-check:
+    a whitespace-normalized mismatch raises loudly instead of silently
+    feeding unpinned external SQL through the front door while the oracle
+    answers a different query (r10 advice)."""
+    import os as _o
+    import re as _re
+
+    if _o.path.exists(qfile):
+        ref = open(qfile).read()
+        if _re.sub(r"\s+", " ", ref).strip() != _re.sub(
+            r"\s+", " ", embedded
+        ).strip():
+            raise ValueError(
+                f"reference spec file {qfile} diverged from the embedded "
+                "verbatim copy this row's oracle is pinned to — refusing "
+                "to run unpinned external SQL"
+            )
+    return embedded
+
+
 def one_minus_disc() -> Column:
     """(1 - l_discount) as DECIMAL(8,2) — exact, no rounding."""
     return (F.lit(1) - dec("l_discount")).cast("decimal(8,2)")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
 from plan_spark.dataset import Dataset
-from plan_spark.queries.common import dec
+from plan_spark.queries.common import dec, verbatim_text
 from plan_spark.registry import register
 
 
@@ -1014,8 +1014,9 @@ def sql_tpch_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount DECIMAL(6,4), l_tax DECIMAL(6,4), l_shipdate TIMESTAMP)"
     )
     eng.sql(f"COPY lineitem FROM '{sf_dir}/lineitem.parquet'")
-    qfile = "/root/reference/cases/tpch/query/q1.sql"
-    text = open(qfile).read() if os.path.exists(qfile) else _TPCH_Q1_VERBATIM
+    text = verbatim_text(
+        "/root/reference/cases/tpch/query/q1.sql", _TPCH_Q1_VERBATIM
+    )
     res = eng.sql(text)
     return res.select(
         "l_returnflag",
@@ -1192,7 +1193,8 @@ def sql_tpch_verbatim_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         eng.create_table(name, ddl)
         eng.insert_df(name, df)
-    qfile = "/root/reference/cases/tpch/query/q21.sql"
-    text = open(qfile).read() if os.path.exists(qfile) else _TPCH_Q21_VERBATIM
+    text = verbatim_text(
+        "/root/reference/cases/tpch/query/q21.sql", _TPCH_Q21_VERBATIM
+    )
     res = eng.sql(text)
     return res.select("s_name", F.col("numwait").cast("bigint").alias("numwait"))

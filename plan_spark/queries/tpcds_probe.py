@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plan_spark.catalog import table
-from plan_spark.queries.common import REV_SQL, dec, rev_col, rev_tenthc, ts
+from plan_spark.queries.common import (
+    REV_SQL,
+    dec,
+    rev_col,
+    rev_tenthc,
+    ts,
+    verbatim_text,
+)
 from plan_spark.queries.common import cents as cents_col
 from plan_spark.registry import register
 
@@ -3981,9 +3988,8 @@ def sql_tpcds_verbatim_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         eng.create_table(name, ddl)
         eng.insert_df(name, df)
-    qfile = "/root/reference/cases/tpcds/query/query51.sql"
-    text = (
-        open(qfile).read() if _os.path.exists(qfile) else _TPCDS_Q51_VERBATIM
+    text = verbatim_text(
+        "/root/reference/cases/tpcds/query/query51.sql", _TPCDS_Q51_VERBATIM
     )
     res = eng.sql(text)
     # driver-hash discipline: DOUBLE outputs (decimal math stayed exact

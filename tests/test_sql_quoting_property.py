@@ -268,3 +268,37 @@ class TestQuotedIdentRewrite:
 
         s = "select a, b from t where c = 1"
         assert Engine._rewrite_quoted_idents(s) == s
+
+    def test_backslash_escaped_quote_keeps_literal_boundary(self):
+        """The r10 advice bug: a Spark-default backslash-escaped quote
+        ('don\\'t') must not desynchronize the literal scan — a double
+        quote INSIDE a later string literal stays a string character,
+        and a real quoted identifier after such a literal is still
+        rewritten."""
+        from plan_spark.engine import Engine
+
+        s = "SELECT 'don\\'t' AS a, c FROM t WHERE c = 'say \"hi\" now'"
+        assert Engine._rewrite_quoted_idents(s) == s
+        s2 = "SELECT 'don\\'t' AS a, \"col name\" FROM t"
+        assert (
+            Engine._rewrite_quoted_idents(s2)
+            == "SELECT 'don\\'t' AS a, `col name` FROM t"
+        )
+        # backslash-backslash then a REAL closing quote: literal ends,
+        # the following quoted identifier is code and must rewrite
+        s3 = "SELECT 'p\\\\' AS a, \"b c\" FROM t"
+        assert (
+            Engine._rewrite_quoted_idents(s3)
+            == "SELECT 'p\\\\' AS a, `b c` FROM t"
+        )
+
+    def test_time_travel_scan_agrees_on_escapes(self):
+        """_rewrite_time_travel's literal split uses the same escape-aware
+        scan: a VERSION AS OF phrase INSIDE a backslash-escaped literal is
+        never mistaken for a time-travel clause (no dataset open attempt,
+        text unchanged)."""
+        from plan_spark.engine import Engine
+
+        eng = Engine.__new__(Engine)  # no spark needed: no real clause
+        s = "SELECT 'don\\'t FROM t VERSION AS OF 3' AS a FROM u"
+        assert eng._rewrite_time_travel(s) == s

@@ -4226,10 +4226,17 @@ def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates (the spec's date IN (weeks of (dates)) two-level nesting),
     3-way equijoined with cross-channel deviation percentages.
 
-    Scale shape: the date recursion reduces to a tiny broadcast semi join
-    (distinct dates of six weeks); each channel aggregates to brand rows
-    before the 3-way join — no channel ever joins raw-to-raw. The
-    verbatim text runs in tests/test_tpcds_verbatim.py."""
+    Scale shape (r10 verdict #8): the spec's three channel CTEs inner-
+    joined on brand are equivalently ONE grouped conditional aggregate —
+    three flag-guarded sums + a non-null HAVING (a brand survives the
+    3-way inner join iff every channel produced a group) — so the fact
+    table is scanned once for the channels instead of three times
+    (l_returnflag ∈ {R,A,N} covers every row, so the fused scan needs no
+    flag filter at all). The date recursion stays the spec's shape: a
+    tiny broadcast semi join against the distinct dates of six weeks,
+    derived from a single-column (l_shipdate-only, column-pruned)
+    pass — the q31/q38 precedent. The verbatim text runs in
+    tests/test_tpcds_verbatim.py."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     wk_lits = [F.date_trunc("week", F.lit(d).cast("date")) for d in _TPCDS_Q83_DATES]
@@ -4245,35 +4252,37 @@ def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
     )
 
-    def channel(flag, alias):
-        return (
-            li.filter(F.col("l_returnflag") == flag)
-            .join(
-                F.broadcast(dates),
-                F.col("l_shipdate").cast("date") == F.col("d_date"),
-                "left_semi",
+    def guarded(flag, alias):
+        return F.sum(
+            F.when(
+                F.col("l_returnflag") == flag,
+                F.col("l_quantity").cast("bigint"),
             )
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .groupBy("p_brand")
-            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias(alias))
-        )
+        ).alias(alias)
 
-    r = channel("R", "r_qty")
-    a = channel("A", "a_qty").withColumnRenamed("p_brand", "a_brand")
-    n = channel("N", "n_qty").withColumnRenamed("p_brand", "n_brand")
-    tot = F.col("r_qty") + F.col("a_qty") + F.col("n_qty")
-    return (
-        r.join(a, F.col("p_brand") == F.col("a_brand"))
-        .join(n, F.col("p_brand") == F.col("n_brand"))
-        .select(
-            "p_brand", "r_qty", "a_qty", "n_qty",
-            (F.col("r_qty").cast("double") / tot / 3.0 * 100).alias("r_dev"),
-            (F.col("a_qty").cast("double") / tot / 3.0 * 100).alias("a_dev"),
-            (F.col("n_qty").cast("double") / tot / 3.0 * 100).alias("n_dev"),
-            (tot / F.lit(3.0)).alias("average"),
+    fused = (
+        li.join(
+            F.broadcast(dates),
+            F.col("l_shipdate").cast("date") == F.col("d_date"),
+            "left_semi",
         )
-        .orderBy("p_brand")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(guarded("R", "r_qty"), guarded("A", "a_qty"), guarded("N", "n_qty"))
+        .filter(
+            F.col("r_qty").isNotNull()
+            & F.col("a_qty").isNotNull()
+            & F.col("n_qty").isNotNull()
+        )
     )
+    tot = F.col("r_qty") + F.col("a_qty") + F.col("n_qty")
+    return fused.select(
+        "p_brand", "r_qty", "a_qty", "n_qty",
+        (F.col("r_qty").cast("double") / tot / 3.0 * 100).alias("r_dev"),
+        (F.col("a_qty").cast("double") / tot / 3.0 * 100).alias("a_dev"),
+        (F.col("n_qty").cast("double") / tot / 3.0 * 100).alias("n_dev"),
+        (tot / F.lit(3.0)).alias("average"),
+    ).orderBy("p_brand")
 
 
 _TPCDS_Q18_SQL = """

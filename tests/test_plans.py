@@ -788,16 +788,32 @@ def test_q76_anti_channels_broadcast_single_union_agg(spark):
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
 
 
-def test_q83_date_recursion_semi_channels_aggregate_before_join(spark):
-    """tpcds_q83: the week->date recursion is a broadcast SEMI join on a
-    distinct-dates set; each channel aggregates to brand rows BEFORE the
-    3-way equijoin (aggregates ≥ 4: three channels + distinct dates)."""
+def test_q83_single_fused_channel_scan(spark):
+    """tpcds_q83 (r10 verdict #8): the three channel slices are ONE
+    conditional aggregate over ONE fact scan — exactly two lineitem scans
+    total (the single-column distinct-dates pass + the fused channel
+    scan), down from four; one semi join; no brand-equijoin of channel
+    aggregates remains."""
     from plan_spark.queries.tpcds_probe import tpcds_q83
 
     p = _plan(spark, tpcds_q83(spark, BENCH_SF_DIR), mode="simple")
-    assert p.count("LeftSemi") >= 3
-    assert p.count("HashAggregate") >= 6  # partial+final per channel
+    assert p.count("lineitem") == 2, p.count("lineitem")
+    assert p.count("LeftSemi") == 1
+    # one partial+final aggregate pair for the fused channels plus the
+    # distinct-dates pair — NOT three channel pairs
+    assert p.count("HashAggregate") == 4, p.count("HashAggregate")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # the dates pass is column-pruned to l_shipdate alone
+    fmt = _plan(spark, tpcds_q83(spark, BENCH_SF_DIR), mode="formatted")
+    import re
+
+    date_scans = [
+        s for s in re.findall(r"ReadSchema: struct<[^>]*>", fmt)
+        if "l_shipdate" in s and "l_quantity" not in s
+    ]
+    assert date_scans and all(
+        s.count(",") == 0 for s in date_scans
+    ), date_scans
 
 
 def test_q18_rollup_expand_over_grouped_partials(spark):

@@ -1,0 +1,285 @@
+"""S3 object-store backend: a concrete Store + CommitHandler behind the
+seam (r10 verdict "What's missing #1").
+
+Mirrors the reference's S3 storage + commit pair
+(/root/reference/pkg/storage2/s3_store.go — client-backed GET/PUT/LIST/
+HEAD/DELETE/COPY; s3_commit.go:11 — optimistic commit via ETag
+conditional put). Every conditional write maps onto exactly the two S3
+preconditions the protocol needs:
+
+- create-if-absent  -> ``PUT`` with ``If-None-Match: *``
+- replace/delete-if-unchanged -> ``PUT``/``DELETE`` with ``If-Match: <etag>``
+
+both of which S3 answers with ``412 PreconditionFailed`` on a lost race —
+the store's own consensus, no locks anywhere (the CasCommitHandler
+contract: :class:`~plan_spark.dataset.commit.CasCommitHandler` built its
+whole protocol on that one primitive; this class only supplies it).
+
+Client injection: this container has no network, so the module never
+requires boto3 at import time. ``set_s3_client_factory`` installs any
+object exposing the (small) subset of the boto3 S3 client surface used
+here — the unit/storm suites install an in-process fake with real
+conditional-put semantics; a deployment leaves the default factory,
+which imports boto3 lazily. Errors are matched structurally on
+``e.response["Error"]["Code"]`` (the botocore ClientError shape) so the
+fake needs no botocore dependency.
+
+Path mapping: ``s3://bucket/key`` paths address the bucket directly;
+scheme-less paths (a locally-rooted dataset whose CONTROL plane is S3 —
+the storm configuration) map to keys under ``PLAN_SPARK_S3_BUCKET``
+(default ``plan-spark``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from plan_spark.dataset.commit import (
+    ABSENT,
+    DELETE,
+    CasCommitHandler,
+    CasConflict,
+    Store,
+)
+
+_CLIENT_FACTORY: Callable[[], object] | None = None
+
+
+def set_s3_client_factory(factory: Callable[[], object] | None) -> None:
+    """Install (or clear) the S3 client factory. Tests inject an
+    in-process fake; deployments may inject a configured boto3 client
+    (custom endpoint, credentials, retries) or leave the default."""
+    global _CLIENT_FACTORY
+    _CLIENT_FACTORY = factory
+
+
+def _default_client():
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError:
+        raise RuntimeError(
+            "s3 backend needs a client: install boto3 or inject one via "
+            "plan_spark.dataset.s3.set_s3_client_factory"
+        ) from None
+    return boto3.client("s3")
+
+
+def _get_client():
+    return (_CLIENT_FACTORY or _default_client)()
+
+
+def _err_code(e: Exception) -> str:
+    """The botocore ClientError shape, matched structurally (no botocore
+    import): e.response['Error']['Code'], '' when absent."""
+    resp = getattr(e, "response", None)
+    if isinstance(resp, dict):
+        return str(resp.get("Error", {}).get("Code", ""))
+    return ""
+
+
+_MISSING = {"404", "NoSuchKey", "NotFound"}
+_PRECOND = {"412", "PreconditionFailed", "ConditionalRequestConflict"}
+
+
+def _split(path: str) -> tuple[str, str]:
+    if path.startswith("s3://"):
+        rest = path[len("s3://"):]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+    return os.environ.get("PLAN_SPARK_S3_BUCKET", "plan-spark"), path.lstrip("/")
+
+
+class S3Store(Store):
+    """Reads + data-plane choreography over the S3 client (reference
+    s3_store.go). Objects are flat keys; 'directories' are key prefixes
+    (list uses Delimiter so both objects AND sub-prefixes come back as
+    entries, mirroring os.listdir)."""
+
+    name = "s3"
+
+    def __init__(self, client=None):
+        self._client = client
+
+    @property
+    def client(self):
+        if self._client is None:
+            self._client = _get_client()
+        return self._client
+
+    def get(self, path: str) -> bytes:
+        b, k = _split(path)
+        try:
+            return self.client.get_object(Bucket=b, Key=k)["Body"].read()
+        except Exception as e:
+            if _err_code(e) in _MISSING:
+                raise FileNotFoundError(path) from None
+            raise
+
+    def list(self, dir_path: str) -> list[str]:
+        b, prefix = _split(dir_path)
+        prefix = prefix.rstrip("/") + "/"
+        names: list[str] = []
+        token = None
+        while True:
+            kw = dict(Bucket=b, Prefix=prefix, Delimiter="/")
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            names += [
+                o["Key"][len(prefix):]
+                for o in resp.get("Contents", [])
+                if o["Key"] != prefix
+            ]
+            names += [
+                p["Prefix"][len(prefix):].rstrip("/")
+                for p in resp.get("CommonPrefixes", [])
+            ]
+            if not resp.get("IsTruncated"):
+                return names
+            token = resp.get("NextContinuationToken")
+
+    def exists(self, path: str) -> bool:
+        b, k = _split(path)
+        try:
+            self.client.head_object(Bucket=b, Key=k)
+            return True
+        except Exception as e:
+            if _err_code(e) in _MISSING:
+                return False
+            raise
+
+    def mtime(self, path: str) -> float:
+        b, k = _split(path)
+        try:
+            return self.client.head_object(Bucket=b, Key=k)[
+                "LastModified"
+            ].timestamp()
+        except Exception as e:
+            if _err_code(e) not in _MISSING:
+                raise
+        # a 'directory' has no object: its age is the newest object under
+        # the prefix (vacuum's staging-dir staleness check needs this)
+        b, prefix = _split(path.rstrip("/") + "/")
+        resp = self.client.list_objects_v2(Bucket=b, Prefix=prefix, MaxKeys=1000)
+        stamps = [o["LastModified"].timestamp() for o in resp.get("Contents", [])]
+        if not stamps:
+            raise FileNotFoundError(path) from None
+        return max(stamps)
+
+    # ------------------------------------------------- data-plane file ops
+    def put_bytes(self, path: str, data: bytes) -> None:
+        b, k = _split(path)
+        self.client.put_object(Bucket=b, Key=k, Body=data)
+
+    def delete(self, path: str) -> None:
+        b, k = _split(path)
+        # the Store.delete contract raises on absent (sweep accounting);
+        # S3 DELETE of a missing key succeeds silently, so probe first —
+        # the head/delete race only ever double-counts an idempotent sweep
+        if not self.exists(path):
+            raise FileNotFoundError(path)
+        self.client.delete_object(Bucket=b, Key=k)
+
+    def move(self, src: str, dst: str) -> None:
+        sb, sk = _split(src)
+        db, dk = _split(dst)
+        try:
+            self.client.copy_object(
+                Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk}
+            )
+        except Exception as e:
+            if _err_code(e) in _MISSING:
+                raise FileNotFoundError(src) from None
+            raise
+        self.client.delete_object(Bucket=sb, Key=sk)
+
+    def delete_prefix(self, dir_path: str) -> None:
+        b, prefix = _split(dir_path)
+        prefix = prefix.rstrip("/") + "/"
+        token = None
+        while True:
+            kw = dict(Bucket=b, Prefix=prefix)
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            keys = [{"Key": o["Key"]} for o in resp.get("Contents", [])]
+            if keys:
+                self.client.delete_objects(Bucket=b, Delete={"Objects": keys})
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def makedirs(self, dir_path: str) -> None:
+        pass  # object stores have no directories
+
+
+class S3CasCommitHandler(CasCommitHandler):
+    """The object-store commit protocol on REAL conditional requests
+    (reference s3_commit.go:11): _cas maps create-if-absent onto
+    ``If-None-Match: *`` and replace/delete onto ``If-Match: <etag>``;
+    S3's 412 on a lost race IS the CasConflict. No locks, no temp files —
+    the store's internal consensus serializes racers, exactly the
+    property the CasCommitHandler mock's per-directory flock stood in
+    for."""
+
+    name = "s3"
+
+    def __init__(self, client=None):
+        self._s3 = S3Store(client)
+
+    def _read(self, path: str) -> bytes:
+        return self._s3.get(path)
+
+    def _cas(self, path: str, expected, new) -> None:
+        b, k = _split(path)
+        c = self._s3.client
+        if expected is ABSENT:
+            if new is DELETE:
+                return  # delete-if-absent: nothing to do
+            try:
+                c.put_object(Bucket=b, Key=k, Body=new, IfNoneMatch="*")
+                return
+            except Exception as e:
+                if _err_code(e) in _PRECOND:
+                    raise CasConflict(f"{path} exists") from None
+                raise
+        # expected = full current content: fetch body + etag, verify, then
+        # condition the write on the etag so a racer's replacement between
+        # the read and the write 412s (the optimistic-lock read-check-write)
+        try:
+            resp = c.get_object(Bucket=b, Key=k)
+        except Exception as e:
+            if _err_code(e) in _MISSING:
+                raise CasConflict(f"{path} changed under CAS (gone)") from None
+            raise
+        if resp["Body"].read() != expected:
+            raise CasConflict(f"{path} changed under CAS")
+        etag = resp["ETag"]
+        try:
+            if new is DELETE:
+                c.delete_object(Bucket=b, Key=k, IfMatch=etag)
+            else:
+                c.put_object(Bucket=b, Key=k, Body=new, IfMatch=etag)
+        except Exception as e:
+            if _err_code(e) in _PRECOND or _err_code(e) in _MISSING:
+                raise CasConflict(f"{path} changed under CAS") from None
+            raise
+
+    def put(self, path: str, text: str) -> None:
+        self._s3.put_bytes(path, text.encode())
+
+    def store(self) -> Store:
+        return self._s3
+
+
+def marker_roundtrip(dataset_path: str) -> str:
+    """Debug helper: the handler name recorded in ``_commit.json`` as the
+    store under ``dataset_path`` sees it (the storm's round-trip check)."""
+    from plan_spark.dataset.commit import store_for_path
+
+    raw = store_for_path(dataset_path).get(
+        os.path.join(dataset_path, "_commit.json")
+    )
+    return json.loads(raw)["handler"]

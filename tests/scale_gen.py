@@ -105,16 +105,106 @@ def scale(spark, src: str, dst: str, factor: int = 10) -> None:
         )
 
 
+def scale_realistic(
+    spark, src: str, dst: str, factor: int = 100
+) -> None:
+    """Duplication-PROFILED scale-up of the dedup-family tables (r10
+    verdict #2): the plain ``scale`` gives EVERY doc/vector factor-1
+    near-twins — an adversarial regime that makes the dedup families'
+    measured ratios fixture artifacts. This generator applies a
+    realistic crawl-corpus profile instead, deciding per ORIGINAL row by
+    a deterministic class (id % 100):
+
+    - class < 5  (5%):  heavy-tail boilerplate — near-dup in EVERY copy
+      (group size = factor, the license-header/nav-chrome regime);
+    - class < 30 (25%): light duplication — near-dup in 1..4 extra
+      copies (group sizes 2-5), unique elsewhere;
+    - else       (70%): unique — every copy gets fresh content.
+
+    Only documents + embeddings are profiled (the dedup family's
+    inputs); run the other tables through ``scale`` or reuse an existing
+    decade fixture for them. "Unique" documents are rebuilt from
+    per-(row, copy) md5 tokens (no shared shingles); "unique" embeddings
+    get a fresh pseudo-random direction (cosine ~0 to everything);
+    near-dups keep the small perturbation ``scale`` uses."""
+    os.makedirs(dst, exist_ok=True)
+    for t, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        df = _read(spark, src, t)
+        mx = df.agg(F.max(key)).collect()[0][0] or 0
+        base = 10 ** math.ceil(math.log10(int(mx) + 2))
+        d = (
+            df.withColumn("_orig", F.col(key))
+            .withColumn(
+                "copy", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .withColumn(key, F.col(key) + F.col("copy") * F.lit(base))
+        )
+        cls = F.pmod(F.col("_orig"), F.lit(100))
+        n_extra = F.pmod(F.col("_orig"), F.lit(4)) + 1  # 1..4 extra copies
+        near = (
+            (F.col("copy") == 0)
+            | (cls < 5)
+            | ((cls < 30) & (F.col("copy") <= n_extra))
+        )
+        if t == "documents":
+            uniq_text = F.expr(
+                "concat_ws(' ', transform(sequence(1, greatest("
+                "cast(n_chars / 8 as int), 8)), "
+                "j -> substring(md5(concat(_orig, '_', copy, '_', j)), 1, 7)))"
+            )
+            near_text = F.when(
+                F.col("copy") == 0, F.col("text")
+            ).otherwise(F.concat(F.col("text"), F.lit(" variant"), F.col("copy")))
+            d = d.withColumn(
+                "text", F.when(near, near_text).otherwise(uniq_text)
+            ).withColumn("n_chars", F.length("text"))
+        else:
+            emb_type = df.schema["embedding"].dataType.simpleString()
+            near_emb = F.when(F.col("copy") == 0, F.col("embedding")).otherwise(
+                F.expr(
+                    "transform(embedding, (x, j) -> x + 0.01 * "
+                    "sin(cast(copy * 131 + j AS DOUBLE)))"
+                ).cast(emb_type)
+            )
+            # fract(sin(seed)·43758.5453) per element — the classic shader
+            # hash. A LINEAR phase (sin(seed + c·j)) would make two copies'
+            # vectors cosine ≈ cos(Δseed) — occasionally ±1; the fract
+            # decorrelates every (seed, j) pair.
+            h = (
+                "sin(cast(_orig * 7919 + copy * 104729 AS DOUBLE)"
+                " + (j + 1) * 12.9898) * 43758.5453"
+            )
+            uniq_emb = F.expr(
+                f"transform(embedding, (x, j) -> "
+                f"2 * (({h}) - floor({h})) - 1)"
+            ).cast(emb_type)
+            d = d.withColumn(
+                "embedding", F.when(near, near_emb).otherwise(uniq_emb)
+            )
+        out = d.drop("_orig", "copy")
+        parts = max(16, df.rdd.getNumPartitions() * max(1, factor // 10))
+        out.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from plan_spark.session import get_spark
 
-    src = sys.argv[1]
-    dst = sys.argv[2]
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    profile = "realistic" if "--profile=realistic" in sys.argv else "adversarial"
+    src = args[0]
+    dst = args[1]
+    factor = int(args[2]) if len(args) > 2 else 10
     s = get_spark("scale-gen")
     s.sparkContext.setLogLevel("ERROR")
-    scale(s, src, dst, factor)
-    for t in COPIED_ASIS + SCALED:
+    if profile == "realistic":
+        scale_realistic(s, src, dst, factor)
+        tables = ("documents", "embeddings")
+    else:
+        scale(s, src, dst, factor)
+        tables = COPIED_ASIS + SCALED
+    for t in tables:
         n = s.read.parquet(os.path.join(dst, f"{t}.parquet")).count()
         print(f"{t}: {n}")

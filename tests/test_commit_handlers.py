@@ -126,8 +126,10 @@ class TestDetection:
         assert detect_handler(str(tmp_path)).name == "local"
 
     def test_unknown_name_rejected(self):
+        # "s3" graduated to a real handler in r11 — probe a name that
+        # stays unknown
         with pytest.raises(ValueError, match="unknown commit handler"):
-            handler_named("s3")
+            handler_named("gopher")
 
 
 class TestCasOnly:

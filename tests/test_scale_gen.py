@@ -71,3 +71,92 @@ def test_varied_content_not_degenerate(spark, scaled_dir):
     assert emb.select(F.col("embedding")[0].alias("x")).distinct().count() > (
         emb.count() * 0.9
     )
+
+
+class TestRealisticProfile:
+    """scale_realistic (r11): the duplication-profile knob — 5% heavy-tail
+    boilerplate (near-dup in every copy), 25% light dup (2-5 copies),
+    70% unique — so sf10 dedup numbers measure a crawl-corpus regime,
+    not the adversarial everyone-has-99-twins artifact."""
+
+    @pytest.fixture(scope="class")
+    def real_dir(self, spark, tmp_path_factory):
+        from tests.scale_gen import scale_realistic
+
+        dst = str(tmp_path_factory.mktemp("realdup") / "sf10x")
+        scale_realistic(spark, SRC, dst, factor=10)
+        return dst
+
+    def test_counts_and_keys(self, spark, real_dir):
+        for t, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+            src_n = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+            df = spark.read.parquet(f"{real_dir}/{t}.parquet")
+            assert df.count() == 10 * src_n
+            assert df.select(key).distinct().count() == 10 * src_n
+
+    def test_unique_class_shares_no_text(self, spark, real_dir):
+        """A class>=30 original's 10 copies are pairwise-different texts
+        with (near-)disjoint token sets."""
+        df = spark.read.parquet(f"{real_dir}/documents.parquet")
+        src_n = spark.read.parquet(f"{SRC}/documents.parquet").count()
+        import math
+
+        base = 10 ** math.ceil(math.log10(src_n + 2))
+        fam = df.filter(F.pmod(F.col("doc_id"), F.lit(base)) == 31).select(
+            "doc_id", "text"
+        )
+        rows = fam.collect()
+        assert len(rows) == 10
+        texts = [r.text for r in rows]
+        assert len(set(texts)) == 10
+        toksets = [set(t.split()) for t in texts]
+        # copy 0 keeps the original text; copies 1..9 are md5-token builds
+        for i in range(1, 10):
+            for j in range(i + 1, 10):
+                inter = toksets[i] & toksets[j]
+                assert len(inter) <= 1, (i, j, inter)
+
+    def test_heavy_class_is_near_dup_family(self, spark, real_dir):
+        df = spark.read.parquet(f"{real_dir}/documents.parquet")
+        src_n = spark.read.parquet(f"{SRC}/documents.parquet").count()
+        import math
+
+        base = 10 ** math.ceil(math.log10(src_n + 2))
+        fam = [
+            r.text
+            for r in df.filter(
+                F.pmod(F.col("doc_id"), F.lit(base)) == 3
+            ).collect()
+        ]
+        assert len(fam) == 10
+        stems = {t.split(" variant")[0] for t in fam}
+        assert len(stems) == 1  # all ten share the original stem
+
+    def test_unique_embeddings_are_uncorrelated(self, spark, real_dir):
+        """cosine(copy_i, copy_j) for a unique-class vector's copies stays
+        far from 1 (fresh directions), while a heavy-class vector's
+        copies stay near 1 (small perturbation)."""
+        import math
+
+        import numpy as np
+
+        src_n = spark.read.parquet(f"{SRC}/embeddings.parquet").count()
+        base = 10 ** math.ceil(math.log10(src_n + 2))
+        df = spark.read.parquet(f"{real_dir}/embeddings.parquet")
+
+        def fam(orig):
+            rows = df.filter(
+                F.pmod(F.col("vec_id"), F.lit(base)) == orig
+            ).collect()
+            return [np.array(r.embedding, dtype=float) for r in rows]
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        uniq = fam(31)
+        assert len(uniq) == 10
+        sims = [cos(uniq[i], uniq[j]) for i in range(1, 9) for j in range(i + 1, 10)]
+        assert max(sims) < 0.8, max(sims)
+        heavy = fam(3)
+        sims_h = [cos(heavy[0], heavy[j]) for j in range(1, 10)]
+        assert min(sims_h) > 0.95, min(sims_h)

@@ -58,52 +58,16 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # ---- round 10: new this round (never driver-checked) ----
-    "sql_tpcds_verbatim_q51",  # NEW: reference query51.sql verbatim (windows)
-    "tpcds_q24",   # NEW: returns-chain + %-of-corpus-average threshold
-    "tpcds_q76",   # NEW: null-channel union accounting
-    "tpcds_q83",   # NEW: three-set date-recursion intersect
-    "tpcds_q18",   # NEW: rollup over decimal averages
-    # ---- round 10: the full remaining r6 tail (newest green = r6) —
-    # post-r10 no row's newest driver verification predates r7 ----
-    "pipeline_e2e",
-    "pivot_events",
-    "sample_split",
-    "stratified_sample",
-    "stream_curation",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_full_outer_join",
-    "stream_join",
-    "stream_outer_join",
-    "stream_sessionize",
-    "stream_tumbling_agg",
-    "tfidf_topk",
-    "tpcds_q1",
-    "tpcds_q13",
-    "tpcds_q17",
-    "tpcds_q2",
-    "tpcds_q25",
-    "tpcds_q31",
-    "tpcds_q38",
-    "tpcds_q39",
-    "tpcds_q44",
-    "tpcds_q46",
-    "tpcds_q50",
-    "tpcds_q54",
-    "tpcds_q58",
-    "tpcds_q64",
-    "tpcds_q65",
-    "tpcds_q75",
-    "tpcds_q78",
-    "tpcds_q80",
-    # ---- round 10: oldest 14 of the r7 tail (alphabetical), filling the
-    # window to exactly 50 ----
-    "asof_join_q",
-    "cube_agg",
-    "decontam",
-    "dedup_minhash",
-    "dedup_simhash",
+    # ---- round 11: CHANGED this round (hot-bucket blocking in the
+    # cluster faces; tpcds_q83 single-scan fuse; verbatim-text pinning;
+    # data-plane Store seam through every ds_* lifecycle row) ----
+    "dedup_clusters",
+    "dedup_apply",
+    "dedup_embed_clusters",
+    "tpcds_q83",
+    "sql_tpch_verbatim",
+    "sql_tpch_verbatim_q21",
+    "sql_tpcds_verbatim_q51",
     "ds_auto_index_scan",
     "ds_bitmap_scan",
     "ds_btree_scan",
@@ -113,6 +77,43 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ds_evolve_scan",
     "ds_index_knn",
     "ds_merge_scan",
+    # ---- round 11: the full remaining r7 tail (newest green = r7) —
+    # post-r11 no row's newest driver verification predates r8. The
+    # seven ds_* rows in this tail are ALSO changed (data-plane seam). ----
+    "ds_nested_scan",
+    "ds_pruned_scan",
+    "ds_refresh_scan",
+    "ds_rowid_take",
+    "ds_rtree_scan",
+    "ds_timetravel",
+    "ds_zorder_scan",
+    "emb_gram",
+    "fts_bool",
+    "gsets_agg",
+    "knn_dot",
+    "knn_l2",
+    "paginate",
+    "pii_redact",
+    "quality_filter",
+    "range_join_q",
+    "retention_cohorts",
+    "rollup_agg",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "sql_lifecycle",
+    "stream_semi_join",
+    "stream_stateful",
+    "tpcds_q34",
+    "tpcds_q74",
+    "tpcds_q88",
+    "tpcds_q89",
+    "w_dist",
+    "w_lag",
+    "w_movavg",
+    "w_rank",
+    "w_running",
+    "w_topn",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

@@ -1317,8 +1317,27 @@ def _to_table(rows: dict, schema_cols: list[tuple[str, str]]) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
-def generate(outdir: str) -> None:
+def generate(outdir: str, fact_scale: int = 1) -> None:
+    """``fact_scale`` multiplies the FACT table sizes (tickets/orders —
+    store_sales rows ~= 28k x scale) while dimensions stay micro, so the
+    per-query non-vacuity plants and the spec predicates' selectivity are
+    untouched. scale=1 is the correctness fixture
+    (tests/test_tpcds_verbatim.py); scale~20 is the sf0.1-equivalent
+    star schema the bench-scale sweep times (r10 verdict #5:
+    store_sales ~600k)."""
+    global N_SS_TICKETS, N_CS_ORDERS, N_WS_ORDERS
     os.makedirs(outdir, exist_ok=True)
+    saved = (N_SS_TICKETS, N_CS_ORDERS, N_WS_ORDERS)
+    N_SS_TICKETS *= fact_scale
+    N_CS_ORDERS *= fact_scale
+    N_WS_ORDERS *= fact_scale
+    try:
+        _generate(outdir)
+    finally:
+        N_SS_TICKETS, N_CS_ORDERS, N_WS_ORDERS = saved
+
+
+def _generate(outdir: str) -> None:
     g = _Gen()
     ss = g.store_sales()
     cs = g.catalog_sales()

@@ -411,6 +411,33 @@ _NEARDUP_TAU = 0.4
 # self-join was O(N²/64) (r10 verdict #1, the round's one measured scale
 # failure)
 _EMBED_CLUSTER_CAP = 96
+# The 6-bit band key space (64 buckets/band) SATURATES once the corpus
+# outgrows it: buckets hold ~n/64 rows whatever the duplication profile,
+# so the candidate self-join is O(n²/64) — at 200k vectors (sf10) that is
+# ~1.2B candidate pairs and a measured disk-exhaustion failure on BOTH
+# duplication profiles (r11 sweeps). Past this corpus size the SAME 24
+# signature bits regroup into 2 bands x 12 bits (4096 buckets/band,
+# fan-in ~n/4096): the standard LSH rows-per-band tradeoff — fewer, wider
+# bands trade a little recall for quadratically fewer collisions. Every
+# driver-oracle scale (<= 2000 vectors) stays on 4x6, bit-identical to
+# the DuckDB oracle; at 100 TB you additionally raise _LSH_BITS itself
+# (more hyperplanes), which this fixed-signature fixture cannot express.
+_LSH_SMALL_N = 50_000
+
+
+def _band_keys(width: int) -> list:
+    """One integer key column per band: the 24 signature bits b0..b23
+    regrouped into bands of ``width`` bits (big-endian within the band).
+    width=6 is the oracle's 4-band grouping; width=12 is the saturated-
+    key-space regrouping (see _LSH_SMALL_N)."""
+    assert _LSH_BITS % width == 0
+    return [
+        sum(
+            F.col(f"b{width * b + t}") * F.lit(1 << (width - 1 - t))
+            for t in range(width)
+        )
+        for b in range(_LSH_BITS // width)
+    ]
 
 
 def _lsh_weights() -> list[list[float]]:
@@ -524,16 +551,15 @@ def _embed_neardup_pairs(
             for i in range(_LSH_BITS)
         ],
     )
-    # all 4 band keys in one pass (posexplode), no 4-way union recompute
-    keys = [
-        sum(
-            F.col(f"b{_BAND_BITS*b+t}") * F.lit(1 << (_BAND_BITS - 1 - t))
-            for t in range(_BAND_BITS)
-        )
-        for b in range(_LSH_BANDS)
-    ]
+    # band width by corpus size: 4x6 while the 6-bit key space holds
+    # (every driver-oracle scale — bit-identical to the oracle), 2x12
+    # once it saturates (see _LSH_SMALL_N). The count is a metadata-cheap
+    # parquet row-count job.
+    width = _BAND_BITS if e.count() <= _LSH_SMALL_N else _LSH_BITS // 2
+    # all band keys in one pass (posexplode), no per-band union recompute
     bands = bits.select(
-        "vec_id", F.posexplode(F.array(*keys)).alias("band", "bkey")
+        "vec_id",
+        F.posexplode(F.array(*_band_keys(width))).alias("band", "bkey"),
     )
     from plan_spark.operators.blocking import bounded_band_pairs
 

@@ -160,3 +160,55 @@ class TestLiveFacesStillOracleExact:
         assert sorted(map(tuple, sp.values.tolist())) == sorted(
             map(tuple, ora.values.tolist())
         )
+
+
+class TestAdaptiveBandWidth:
+    """r11: the 6-bit band key space (64 buckets/band) saturates at large
+    N — candidates are O(N²/64) on ANY duplication profile (both sf10
+    sweeps measured disk exhaustion on the listing face). Past
+    _LSH_SMALL_N the same 24 signature bits regroup into 2x12-bit bands;
+    below it (every driver-oracle scale) the grouping — and the output —
+    is bit-identical to the DuckDB oracle's 4x6."""
+
+    def test_band_keys_grouping(self, spark):
+        from plan_spark.queries.vector_ops import _band_keys
+
+        bits = {f"b{i}": (i % 2) for i in range(24)}  # 0101... pattern
+        df = spark.createDataFrame(
+            [tuple(bits.values())], ", ".join(f"b{i} int" for i in range(24))
+        )
+        k6 = df.select(*[c.alias(f"k{i}") for i, c in enumerate(_band_keys(6))])
+        r = k6.collect()[0]
+        assert [r.k0, r.k1, r.k2, r.k3] == [0b010101] * 4
+        k12 = df.select(*[c.alias(f"k{i}") for i, c in enumerate(_band_keys(12))])
+        r = k12.collect()[0]
+        assert [r.k0, r.k1] == [0b010101010101] * 2
+
+    def test_wide_bands_emit_subset_of_exact_pairs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Force the saturated path on a twin-planted fixture (scale()'s
+        1%-perturbation copies — near-identical signatures): the 2x12
+        candidate set rescored is a non-empty SUBSET of the 4x6 exact
+        pair set (a 12-bit agreement implies both 6-bit halves agree, so
+        wider bands only ever drop candidates), and the planted twin
+        pairs survive the widening."""
+        import plan_spark.queries.vector_ops as vo
+        from tests.scale_gen import scale
+
+        sf = str(tmp_path / "x2")
+        scale(spark, "/root/testdata/sf0.001", sf, factor=2)
+        exact = {
+            (r.da, r.db)
+            for r in vo._embed_neardup_pairs(spark, sf).collect()
+        }
+        monkeypatch.setattr(vo, "_LSH_SMALL_N", 10)
+        wide = {
+            (r.da, r.db)
+            for r in vo._embed_neardup_pairs(spark, sf).collect()
+        }
+        assert wide, "saturated path must stay non-vacuous"
+        assert wide <= exact
+        # the planted twins (orig, orig + offset) are in the wide set
+        twins = {(a, b) for a, b in wide if b - a >= 1000}
+        assert len(twins) >= 400, len(twins)  # ~500 planted twin pairs

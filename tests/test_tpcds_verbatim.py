@@ -229,3 +229,55 @@ class TestVerbatimPlans:
         p = self._plan(eng, 51)
         assert p.count("Window") >= 2
         assert "BatchEvalPython" not in p
+
+    # ---- r11: gates on the bench-scale sweep's slowest texts (r10
+    # verdict #5 — tests/tpcds_bench.py at fact_scale=20, store_sales
+    # ~560k: q14/q14_p1/q23/q23_p1/q72 head the table). Plan SHAPE is
+    # scale-independent up to AQE's broadcast promotions, so the micro
+    # fixture's plans pin the structure the bench scale runs. ----
+
+    def test_q14_cross_channel_intersection_no_cartesian(self, tpcds_engine):
+        """q14 (both parts): the iceberg cross-channel CTE stack — the
+        bench sweep's slowest text. The intersect-of-channels and the
+        avg-threshold scalar subquery must stay hash joins/aggregates:
+        no cartesian product, no Python, and the rollup still Expands
+        over grouped partials."""
+        eng, _ = tpcds_engine
+        for part in (0, 1):
+            p = self._plan(eng, 14, part)
+            assert "CartesianProduct" not in p, f"part {part}"
+            assert "BatchEvalPython" not in p
+            assert p.count("HashAggregate") >= 6
+
+    def test_q23_max_channel_union_shapes(self, tpcds_engine):
+        """q23 (both parts): frequent-item + best-customer CTEs feeding a
+        channel union — semi-join/aggregate stack, no cartesian, no
+        Python fallback."""
+        eng, _ = tpcds_engine
+        for part in (0, 1):
+            p = self._plan(eng, 23, part)
+            assert "CartesianProduct" not in p, f"part {part}"
+            assert "BatchEvalPython" not in p
+            assert "Union" in p or p.count("HashAggregate") >= 4
+
+    def test_q72_inventory_week_join_no_blowup(self, tpcds_engine):
+        """q72: the catalog_sales x inventory (part, week) join — the
+        classic TPC-DS blowup query. The join must stay a hash equijoin
+        (never nested-loop over the fact pair) with every demographic
+        dim broadcast."""
+        eng, _ = tpcds_engine
+        p = self._plan(eng, 72)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "BatchEvalPython" not in p
+
+    def test_q64_sale_return_chain_hash_joins_only(self, tpcds_engine):
+        """q64: the deepest join chain in the corpus (cross_sales built
+        from ~12 relations, self-joined across years) — every join a
+        hash join, no Python."""
+        eng, _ = tpcds_engine
+        p = self._plan(eng, 64)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+        assert p.count("HashJoin") >= 10

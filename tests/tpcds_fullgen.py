@@ -520,6 +520,12 @@ class _Gen:
 
     def web_page(self):
         n = N_WEB_PAGE
+        # q90's wp_char_count BETWEEN 5000 AND 5200 covers ~18% of the
+        # 4500-5600 pool: with only 20 pages, an unlucky rng stream (the
+        # stream SHIFTS with fact_scale) leaves the window empty and q90
+        # divides by zero — pin the first pages into the window
+        char_count = self.rng.integers(4500, 5600, n)
+        char_count[:2] = (5100, 5150)
         return {
             "wp_web_page_sk": np.arange(1, n + 1),
             "wp_web_page_id": [f"WP{i:014d}" for i in range(n)],
@@ -531,7 +537,7 @@ class _Gen:
             "wp_customer_sk": [None] * n,
             "wp_url": ["http://www.foo.com"] * n,
             "wp_type": self._pick(["order", "general", "welcome", "ad", "feedback"], n),
-            "wp_char_count": self.rng.integers(4500, 5600, n),
+            "wp_char_count": char_count,
             "wp_link_count": self.rng.integers(2, 25, n),
             "wp_image_count": self.rng.integers(1, 7, n),
             "wp_max_ad_count": self.rng.integers(0, 4, n),

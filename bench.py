@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Protocol (BASELINE.md): per-query wall time, median of 3 warm runs after one
 untimed warmup, single Spark session. The headline value is the sum of
 per-query medians over the whole declared set.
+
+Harness discontinuity (r11): plans execute through the noop sink instead
+of driver-side collect() (see _run), so row-preserving rows' recorded
+times dropped vs r1-r10 details — the operator is what's measured now,
+not driver materialization. Small-output rows (the canary q5 included)
+are unaffected within noise.
 """
 
 from __future__ import annotations

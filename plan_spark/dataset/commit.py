@@ -591,7 +591,10 @@ def store_for_path(path: str) -> Store:
     a mem- or s3-handled dataset rooted at a local path still lands its
     Spark-written fragments with POSIX renames, while an ``s3://`` root
     routes the same choreography through the S3 client."""
-    if path.startswith("s3://"):
+    if path.startswith(("s3://", "s3a://")):
+        # s3a:// is the same bucket through Hadoop's connector name — a
+        # deployment roots the dataset at s3a:// so SPARK's parquet IO
+        # rides hadoop-aws while this seam talks to the same keys
         from plan_spark.dataset.s3 import S3Store
 
         return S3Store()
@@ -626,10 +629,7 @@ def mem_reset(prefix: str) -> None:
     loudly via create_exclusive, but plain Store reads like _refs() would
     be silently stale), and a long test session does not grow the global
     dict unboundedly."""
-    p = prefix.rstrip("/") + "/"
-    with _MEM_LOCK:
-        for k in [k for k in _MEM_OBJECTS if k.startswith(p)]:
-            del _MEM_OBJECTS[k]
+    MemStore().delete_prefix(prefix)
 
 
 def detect_handler(dataset_path: str) -> CommitHandler:
@@ -642,6 +642,13 @@ def detect_handler(dataset_path: str) -> CommitHandler:
     try:
         raw = store_for_path(dataset_path).get(marker).decode()
     except FileNotFoundError:
+        if dataset_path.startswith(("s3://", "s3a://")):
+            # "pre-seam dataset, local by definition" holds only for
+            # local roots: an object-store root with no marker is either
+            # a not-yet-created dataset or a lost marker — driving POSIX
+            # primitives at it would be the split-brain the marker
+            # prevents, so existence probes get the scheme's handler
+            return handler_named("s3")
         return LocalCommitHandler()
     try:
         return handler_named(json.loads(raw)["handler"])

@@ -110,7 +110,21 @@ def _collect_stats(
     if NDV exceeds a bound — a wide set would neither compress nor prune."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(local_path)
+    if "://" in local_path:
+        # URI-rooted datasets (s3://, s3a://): resolve through pyarrow's
+        # own filesystem layer — ParquetFile alone treats a URI as a
+        # local path. s3a:// is Hadoop's connector name for the same
+        # bucket; pyarrow knows it as s3://
+        from pyarrow import fs as pafs
+
+        filesystem, inner = pafs.FileSystem.from_uri(
+            local_path.replace("s3a://", "s3://", 1)
+        )
+        pf = pq.ParquetFile(filesystem.open_input_file(inner))
+        nbytes = filesystem.get_file_info(inner).size
+    else:
+        pf = pq.ParquetFile(local_path)
+        nbytes = os.path.getsize(local_path)
     md = pf.metadata
     stats: dict[str, dict[str, Any]] = {}
     for ci in range(md.num_columns):
@@ -157,7 +171,7 @@ def _collect_stats(
             continue  # only JSON-encodable scalar sets
         entry = stats.setdefault(c, {"min": None, "max": None, "nulls": 0})
         entry["distinct"] = sorted(vals, key=_stat_key)
-    return md.num_rows, os.path.getsize(local_path), stats
+    return md.num_rows, nbytes, stats
 
 
 _NO_BOUNDS = object()
@@ -233,6 +247,7 @@ class Dataset:
         self._manifest: Manifest | None = None
         self._branch: str | None = None  # auto-advanced ref (see branch())
         self._handler_cache: CommitHandler | None = None
+        self._data_store_cache: Store | None = None
 
     @property
     def _handler(self) -> CommitHandler:
@@ -269,8 +284,12 @@ class Dataset:
         still renames its Spark-written files with POSIX, while an
         ``s3://`` root routes the same choreography through the S3
         client. The parquet BYTES themselves always ride Spark/Arrow's
-        own store-agnostic filesystem layer."""
-        return store_for_path(self.path)
+        own store-agnostic filesystem layer. Cached per handle: vacuum
+        stats every candidate file through this, and a fresh S3 client
+        per stat would dominate the sweep."""
+        if self._data_store_cache is None:
+            self._data_store_cache = store_for_path(self.path)
+        return self._data_store_cache
 
     # ------------------------------------------------------------------ io
     @property
@@ -330,10 +349,19 @@ class Dataset:
         dst.makedirs(ds._versions_dir)
         dst.makedirs(os.path.join(ds.path, "data"))
         dst.makedirs(os.path.join(ds.path, "deletes"))
-        if commit_handler == "local" and ds.path.startswith("s3://"):
+        if ds.path.startswith(("s3://", "s3a://")):
             # an object-store root cannot run the POSIX protocol (no
-            # O_EXCL, no flock, no rename): scheme selects the handler
-            commit_handler = "s3"
+            # O_EXCL, no flock, no rename): scheme selects the handler —
+            # and the cas mock / mem dict would silently land control
+            # objects in a literal local 's3:' directory, so anything
+            # but the scheme's own handler is refused loudly
+            if commit_handler == "local":
+                commit_handler = "s3"
+            elif commit_handler != "s3":
+                raise ValueError(
+                    f"commit handler {commit_handler!r} cannot serve an "
+                    "object-store root; use 's3' (or omit it)"
+                )
         ds._handler = handler_named(commit_handler)
         if ds._handler.name == "mem":
             # a fresh mem dataset must start from an empty key space: the

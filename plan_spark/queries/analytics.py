@@ -40,14 +40,34 @@ ORDER BY o_orderpriority, rn
 
 @register("w_topn", oracle=_W_TOPN_SQL, tags=("window", "topk"))
 def w_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N per group via ROW_NUMBER — the distributed replacement for the
-    reference's (absent) per-group top-k; one shuffle on the partition key."""
+    """Top-N per group via ROW_NUMBER, with a per-input-partition
+    PRE-PRUNE (r11): o_orderpriority has 5 distinct values, so the naive
+    window sorts each group's entire row set in one task at scale. The
+    global top-3 of a group is a subset of the union of every input
+    partition's local top-3, so a first window over (priority,
+    spark_partition_id) — parallel by construction — prunes the input to
+    ≤ 3·partitions rows before the tiny global window. EXACT at every
+    scale (no gate needed): the deterministic (price desc, orderkey)
+    tiebreak makes local and global top-3 agree on ties."""
     ords = table(spark, sf_dir, "orders")
+    w_local = Window.partitionBy(
+        "o_orderpriority", "_pid"
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    pruned = (
+        ords.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.spark_partition_id().alias("_pid"),
+        )
+        .withColumn("_rn_local", F.row_number().over(w_local))
+        .filter(F.col("_rn_local") <= 3)
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        ords.select(
+        pruned.select(
             "o_orderpriority",
             "o_orderkey",
             "o_totalprice",

@@ -299,8 +299,21 @@ def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # per-input-partition pre-prune (r11, same shape as w_topn): the
+    # global k smallest hashes of a group are a subset of the union of
+    # each partition's local k smallest, so the few-valued event_type
+    # window never sorts a whole group in one task — exact at every
+    # scale, and exactly the "per-group top-k survives the shuffle"
+    # recipe the docstring promises
+    w_local = Window.partitionBy("event_type", "_pid").orderBy("hv")
+    pruned = (
+        h.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rk_local", F.row_number().over(w_local))
+        .filter(F.col("_rk_local") <= _KMV_K)
+        .select("event_type", "hv")
+    )
     w = Window.partitionBy("event_type").orderBy("hv")
-    r = h.withColumn("rk", F.row_number().over(w))
+    r = pruned.withColumn("rk", F.row_number().over(w))
     k = (
         r.filter(F.col("rk") <= _KMV_K)
         .groupBy("event_type")

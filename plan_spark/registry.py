@@ -65,7 +65,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_apply",
     "dedup_embed_clusters",
     "tpcds_q83",
-    "sql_tpch_verbatim",
+    "distinct_kmv",  # r11 top-k pre-prune (exact; oracle unchanged)
     "sql_tpch_verbatim_q21",
     "sql_tpcds_verbatim_q51",
     "ds_auto_index_scan",

@@ -80,3 +80,73 @@ class TestDistWindowsScalable:
         forced = _rows(po.w_dist(spark, sf))
         po._N_EVENTS_CACHE.pop(sf, None)
         assert forced == baseline
+
+
+class TestTopKPrePrune:
+    """w_topn / distinct_kmv (r11): the per-input-partition local top-k
+    prune before the few-valued global window — exact on adversarial tie
+    layouts (the global answer is a subset of the union of local
+    answers, with the deterministic tiebreak aligning tie order)."""
+
+    def test_topn_exact_under_ties(self, spark):
+        from pyspark.sql import Window
+
+        rows = [(i, "P%d" % (i % 3), float((i * 7) % 5)) for i in range(400)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+        ).repartition(8)
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        plain = (
+            df.select(
+                "o_orderpriority", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).alias("rn"),
+            ).filter(F.col("rn") <= 3)
+        )
+        w_local = Window.partitionBy("o_orderpriority", "_pid").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        pruned = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_rl", F.row_number().over(w_local))
+            .filter(F.col("_rl") <= 3)
+            .select(
+                "o_orderpriority", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") <= 3)
+        )
+        key = lambda r: (r.o_orderpriority, r.rn, r.o_orderkey)
+        assert sorted(map(key, plain.collect())) == sorted(
+            map(key, pruned.collect())
+        )
+
+    def test_live_rows_match_plain_formulations(self, spark):
+        """The registered rows vs their pre-prune-free formulations on
+        the fixture (belt and braces on top of the DuckDB oracle)."""
+        from pyspark.sql import Window
+
+        from plan_spark.catalog import table
+        from plan_spark.queries.analytics import w_topn
+
+        sf = "/root/testdata/sf0.001"
+        got = [
+            (r.o_orderpriority, r.rn, r.o_orderkey)
+            for r in w_topn(spark, sf).collect()
+        ]
+        ords = table(spark, sf, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        want = [
+            (r.o_orderpriority, r.rn, r.o_orderkey)
+            for r in ords.select(
+                "o_orderpriority", "o_orderkey",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") <= 3)
+            .orderBy("o_orderpriority", "rn")
+            .collect()
+        ]
+        assert got == want

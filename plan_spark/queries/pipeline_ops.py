@@ -414,21 +414,35 @@ FROM r GROUP BY event_type ORDER BY event_type
 
 @register("percentile_exact", oracle=_PCT_SQL, tags=("agg", "analytics"))
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact discrete p50/p90/p99 of value per event type via window ranks
+    """Exact discrete p50/p90/p99 of value per event type via ranks
     (nearest-rank definition). Rank-based selection avoids cross-engine FP
-    interpolation differences. At 100 TB swap the full window sort for the
-    KMV-style per-group top-k or a t-digest; the declared plan is the exact
-    baseline."""
+    interpolation differences. Past _DIST_SMALL_N rows the ranks come
+    from the bucketed exact-rank core (_bucketed_rank — parallel
+    per-group sorts) instead of the few-valued window, same r11
+    discipline as w_dist; ranks are identical, so the pick() selection
+    is unchanged. Oracle scales stay on the plain window."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    n_rows = _N_EVENTS_CACHE.get(sf_dir)
+    if n_rows is None:
+        n_rows = _N_EVENTS_CACHE[sf_dir] = ev.count()
+    if n_rows > _DIST_SMALL_N:
+        r = _bucketed_rank(ev.select("event_type", "value", "event_id")).select(
+            "event_type",
+            "value",
+            "event_id",
+            F.col("rank").alias("rk"),
+            F.col("n_g").alias("n"),
+        )
+    else:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wn = Window.partitionBy("event_type")
+        r = ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
 
     def pick(p: float, name: str):
         return F.max(
@@ -500,16 +514,17 @@ _DIST_SMALL_N = 1_000_000
 _N_EVENTS_CACHE: dict[str, int] = {}  # sf_dir -> events row count
 
 
-def _dist_windows_scalable(ev: DataFrame, n_buckets: int = 32) -> DataFrame:
-    """ntile(4)/percent_rank/cume_dist per event_type WITHOUT a
-    single-task per-group sort: split each group by ~equi-depth value
-    boundaries (percentile_approx — placement is load balance only),
-    row_number within (group, bucket), then global rank = cumulative
-    earlier-bucket count + within-bucket row_number. With a UNIQUE order
-    key, percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and ntile's
-    uneven-bucket rule (first n%k tiles get one extra row) is closed-form
-    in rank — all three bit-identical to the window functions, computed
-    with the same IEEE divisions."""
+def _bucketed_rank(ev: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """The scalable exact-rank core: every row of ``ev`` (event_type,
+    event_id, value, ...) plus ``rank`` (1-based position under
+    ORDER BY value, event_id within its event_type) and ``n_g`` (group
+    size) — WITHOUT a single-task per-group sort. Each group is split by
+    ~equi-depth value boundaries (percentile_approx — placement is load
+    balance only), row_number runs within (group, bucket), and the
+    global rank is the cumulative earlier-bucket count plus the
+    within-bucket row_number: exact for the unique (value, event_id)
+    order key at any split placement. Shared by _dist_windows_scalable
+    and percentile_exact's at-scale path."""
     totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = ev.groupBy("event_type").agg(
@@ -535,11 +550,22 @@ def _dist_windows_scalable(ev: DataFrame, n_buckets: int = 32) -> DataFrame:
         "bucket",
         F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
     )
-    out = (
+    return (
         ranked.join(F.broadcast(offs), ["event_type", "bucket"])
         .join(F.broadcast(totals), "event_type")
         .withColumn("rank", F.col("off") + F.col("r_in"))
+        .drop("bs", "bucket", "r_in", "off")
     )
+
+
+def _dist_windows_scalable(ev: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """ntile(4)/percent_rank/cume_dist per event_type from the bucketed
+    exact rank (_bucketed_rank). With a UNIQUE order key, percent_rank =
+    (rank-1)/(n-1), cume_dist = rank/n, and ntile's uneven-bucket rule
+    (first n%k tiles get one extra row) is closed-form in rank — all
+    three bit-identical to the window functions, computed with the same
+    IEEE divisions."""
+    out = _bucketed_rank(ev, n_buckets)
     k = 4
     q = F.floor(F.col("n_g") / k)
     r = F.col("n_g") % k

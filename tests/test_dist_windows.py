@@ -150,3 +150,17 @@ class TestTopKPrePrune:
             .collect()
         ]
         assert got == want
+
+
+class TestPercentileBucketedRank:
+    def test_gate_routes_and_matches(self, spark, monkeypatch):
+        import plan_spark.queries.pipeline_ops as po
+
+        sf = "/root/testdata/sf0.001"
+        po._N_EVENTS_CACHE.pop(sf, None)
+        base = [tuple(r) for r in po.percentile_exact(spark, sf).collect()]
+        monkeypatch.setattr(po, "_DIST_SMALL_N", 10)
+        po._N_EVENTS_CACHE.pop(sf, None)
+        forced = [tuple(r) for r in po.percentile_exact(spark, sf).collect()]
+        po._N_EVENTS_CACHE.pop(sf, None)
+        assert forced == base and len(base) > 0

@@ -322,6 +322,7 @@ class Dataset:
         row_ids: bool = False,
         column_defaults: dict[str, str] | None = None,
         commit_handler: str = "local",
+        schema: StructType | None = None,
     ) -> "Dataset":
         """``commit_handler`` selects the atomic commit protocol: "local"
         (O_EXCL/flock/rename — single-host warehouses) or "cas"
@@ -341,8 +342,17 @@ class Dataset:
         ``row_ids=True`` turns on stable row ids (reference rowids.go):
         every row gets a permanent id at ingest, stable across delete /
         update / compaction; read them back with ``to_df(with_row_id=True)``
-        and address rows directly with ``take_rows``."""
+        and address rows directly with ``take_rows``.
+
+        ``schema`` creates an EMPTY dataset with that schema and ZERO Spark
+        jobs (``df=None`` alone commits an empty untyped manifest): a bare
+        CREATE TABLE is a metadata commit, so routing it through a
+        zero-row distributed write was pure job overhead (r11 measured
+        ~0.4 s/table at sf0.1 — one cluster round-trip per DDL statement
+        at scale). Mutually exclusive with ``df``."""
         ds = cls(spark, path)
+        if df is not None and schema is not None:
+            raise ValueError("Dataset.create takes df or schema, not both")
         if ds._latest_version() > 0:
             raise ValueError(f"dataset already exists at {path}")
         dst = store_for_path(ds.path)
@@ -376,7 +386,7 @@ class Dataset:
         # Through the handler (plain PUT) so the marker lands on the same
         # backend its readers consult.
         ds._handler.put(ds._branches_path, "[]")
-        schema = df.schema if df is not None else StructType([])
+        schema = df.schema if df is not None else (schema or StructType([]))
         frags: list[Fragment] = []
         maxid = 0
         next_rid = 0

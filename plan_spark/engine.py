@@ -487,14 +487,14 @@ class Engine:
             fks.append(
                 {"columns": cols, "ref_table": ref_table, "ref_columns": ref_cols}
             )
-        empty = self.spark.createDataFrame([], struct)
         # stable row ids on every SQL table (reference rowids.go — core
         # storage2, not an option there): Range segments cost zero storage
         # and they are what make SQL-created scalar indexes auto-routable
         # (id_col = _rowid), take_rows addressable, and the bitmap index
-        # row-granular
+        # row-granular. schema= (not an empty DataFrame) so CREATE TABLE
+        # is a pure metadata commit — zero Spark jobs.
         ds = Dataset.create(
-            self.spark, root, empty,
+            self.spark, root, schema=struct,
             column_defaults=column_defaults, row_ids=True,
         )
         self._catalog["schemas"][schema]["tables"][name] = {
@@ -626,17 +626,76 @@ class Engine:
         entry = self._entry(name.partition("@")[0], schema)
         if not entry.get("enforce_pk"):
             return
-        self._check_row_constraints(name, entry, batch)
-        self._check_foreign_keys(name.partition("@")[0], entry, batch)
+        not_null = entry.get("not_null") or []
+        checks = entry.get("checks") or []
         pk = entry.get("primary_key") or []
         uniques = entry.get("unique") or []
-        if not pk and not uniques:
+        for c in not_null:
+            if c not in batch.columns:
+                # never skip silently: an absent constrained column means
+                # the metadata and the live schema have diverged (or a
+                # caller built a partial frame) — both are bugs to surface,
+                # not enforcement to disable
+                raise IntegrityError(
+                    f"NOT NULL column {c!r} of {name} is absent from the "
+                    "write batch (constraint metadata out of sync?)"
+                )
+        # ONE aggregate job answers EVERY batch-local question (each NOT
+        # NULL column, each CHECK, and each key's null/duplicate stats) —
+        # the r11 job-count finding: the sequential per-constraint probes
+        # cost a Spark job apiece, so a 2-row INSERT on an enforced table
+        # paid 6+ scheduler round-trips before its write. Witness probes
+        # (which exist only to put the offending row in the error message)
+        # run on the rare failure path. Violation precedence is identical
+        # to the old sequential path: NOT NULL, CHECK, FK, PK, UNIQUE.
+        keyset = ([("PRIMARY KEY", list(pk))] if pk else []) + [
+            ("UNIQUE", list(u)) for u in uniques
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(not_null):
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}"))
+        for i, chk in enumerate(checks):
+            aggs.append(
+                F.sum(
+                    (~F.coalesce(F.expr(chk), F.lit(True))).cast("long")
+                ).alias(f"__ck{i}")
+            )
+        for i, (_, cols) in enumerate(keyset):
+            np_ = self._any_null_pred(cols)
+            aggs.append(F.sum(np_.cast("long")).alias(f"__kn{i}"))
+            # count_distinct skips NULL inputs, and the when() maps every
+            # any-NULL-component row to NULL — so this is the distinct
+            # count over exactly the NULL-free rows (SQL UNIQUE's domain)
+            aggs.append(
+                F.count_distinct(F.when(~np_, F.struct(*cols))).alias(f"__kd{i}")
+            )
+        stats = batch.agg(*aggs).collect()[0]
+        n_rows = stats["__n"]
+        for i, c in enumerate(not_null):
+            if stats[f"__nn{i}"] or 0:
+                raise IntegrityError(f"NULL in NOT NULL column {c!r} of {name}")
+        for i, chk in enumerate(checks):
+            if stats[f"__ck{i}"] or 0:
+                bad = (
+                    batch.filter(~F.coalesce(F.expr(chk), F.lit(True)))
+                    .limit(1)
+                    .collect()
+                )
+                raise IntegrityError(
+                    f"CHECK ({chk}) violated on {name}: {tuple(bad[0])}"
+                )
+        if not n_rows:
+            return  # an empty batch can violate no FK or key constraint
+        self._check_foreign_keys(name.partition("@")[0], entry, batch)
+        if not keyset:
             return
-        existing = ds.to_df()
-        if pk:
-            self._check_key_frames(name, pk, existing, batch, kind="PRIMARY KEY")
-        for u in uniques:
-            self._check_key_frames(name, u, existing, batch, kind="UNIQUE")
+        # an empty table holds no key to collide with: skip the probe job
+        existing = ds.to_df() if ds.manifest.fragments else None
+        for i, (kind, cols) in enumerate(keyset):
+            self._check_key_stats(
+                name, cols, kind, batch,
+                n_rows, stats[f"__kn{i}"] or 0, stats[f"__kd{i}"], existing,
+            )
 
     def _check_foreign_keys(self, base: str, entry: dict, batch: DataFrame) -> None:
         """Child-side FK validation (MATCH SIMPLE: rows with any NULL FK
@@ -783,14 +842,13 @@ class Engine:
         batch: DataFrame,
         kind: str = "PRIMARY KEY",
     ) -> None:
-        keys = batch.select(*cols)
         null_pred = self._any_null_pred(cols)
         # fast path: ONE aggregate job answers both batch-local questions
-        # (any NULL component? any intra-batch duplicate?); the per-value
-        # witness probes below run only on the rare failure path, so the
-        # common accepted INSERT costs two jobs total (this + the existing
-        # probe), not four
-        stats = keys.agg(
+        # (any NULL component? any intra-batch duplicate?); witness probes
+        # run only on the rare failure path (_check_key_stats). The
+        # enforced-INSERT front door (_check_constraints) fuses these
+        # stats for EVERY constraint into one shared aggregate instead.
+        stats = batch.select(*cols).agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(null_pred.cast("long")).alias("__n_null"),
             # count_distinct skips NULL inputs, and the when() maps every
@@ -801,7 +859,26 @@ class Engine:
             ).alias("__n_dist"),
         ).collect()[0]
         # empty batch (INSERT ... SELECT with 0 rows): SUM aggregates to NULL
-        n_rows, n_null, n_dist = stats[0], stats[1] or 0, stats[2]
+        self._check_key_stats(
+            name, cols, kind, batch, stats[0], stats[1] or 0, stats[2], existing
+        )
+
+    def _check_key_stats(
+        self,
+        name: str,
+        cols: list[str],
+        kind: str,
+        batch: DataFrame,
+        n_rows: int,
+        n_null: int,
+        n_dist: int,
+        existing: DataFrame | None,
+    ) -> None:
+        """Key-constraint verdicts from precomputed batch stats: raise the
+        witness-carrying IntegrityError on a violation, probe ``existing``
+        (None = known-empty table, probe skipped) for cross-batch dups."""
+        keys = batch.select(*cols)
+        null_pred = self._any_null_pred(cols)
         n_nonnull = n_rows - n_null
         if kind == "PRIMARY KEY" and n_null:
             bad = keys.filter(null_pred).limit(1).collect()
@@ -825,6 +902,8 @@ class Engine:
                 f"duplicate key in INSERT batch for {name} "
                 f"{kind} {tuple(cols)}: {tuple(dup[0])[:-1]}"
             )
+        if existing is None:
+            return
         hit = (
             existing
             .select(*cols)

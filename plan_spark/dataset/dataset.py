@@ -68,6 +68,15 @@ class StageExpiredError(Exception):
 
 _FILE_COL = "__ds_file"
 _POS_COL = "__ds_pos"
+# deletion sidecars are written by _plan_delete with exactly this shape;
+# declaring it on every read skips parquet schema inference (one footer-
+# listing Spark job per scan construction when deletion files exist)
+_DELETES_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), True),
+        StructField("pos", LongType(), True),
+    ]
+)
 _ROWID_STORED = "__rowid"  # physical column written by rewrites (Array segment)
 _ROWID = "_rowid"  # the exposed stable-row-id column name
 
@@ -1690,7 +1699,7 @@ class Dataset:
                     _FILE_COL,
                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
                 ).withColumn(_POS_COL, F.col("_metadata.row_index"))
-                dels = self.spark.read.parquet(
+                dels = self.spark.read.schema(_DELETES_SCHEMA).parquet(
                     *[os.path.join(self.path, d) for d in del_files]
                 )
                 df = df.join(
@@ -1875,7 +1884,7 @@ class Dataset:
         df = self._to_logical(df)
         del_files = sorted({d for f in frags for d in f.deletion_files})
         if del_files:
-            dels = self.spark.read.parquet(
+            dels = self.spark.read.schema(_DELETES_SCHEMA).parquet(
                 *[os.path.join(self.path, d) for d in del_files]
             )
             df = df.join(
@@ -2010,7 +2019,7 @@ class Dataset:
         live = {os.path.basename(f.path): f.rows for f in m.fragments}
         all_dels = sorted({d for f in m.fragments for d in f.deletion_files})
         if all_dels:
-            dels = self.spark.read.parquet(
+            dels = self.spark.read.schema(_DELETES_SCHEMA).parquet(
                 *[os.path.join(self.path, d) for d in all_dels]
             )
             for r in dels.groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect():
@@ -3925,7 +3934,7 @@ class Dataset:
         if all_dels:
             live = [os.path.basename(f.path) for f in m.fragments]
             total -= (
-                self.spark.read.parquet(
+                self.spark.read.schema(_DELETES_SCHEMA).parquet(
                     *[os.path.join(self.path, d) for d in all_dels]
                 )
                 # a shared sidecar may carry rows of fragments that later

@@ -50,7 +50,15 @@ def band_star_edges(bands: DataFrame, id_col: str) -> DataFrame:
     identical to the full self-join's at O(n) edges per bucket instead
     of O(n²). The node set is also identical: every member of a size>=2
     bucket appears (as hub or leaf); singleton buckets contribute no
-    nodes in either formulation."""
+    nodes in either formulation.
+
+    ``bands`` is checkpointed first: it feeds both the hub aggregate and
+    the join side, and its lineage is the caller's full LSH signature
+    pipeline — without the checkpoint that pipeline executes twice (the
+    two consumers' subtrees differ, so ReuseExchange cannot merge
+    them). The materialized frame is (band, bkey, id) — tiny next to
+    recomputing shingles/minhashes at any scale."""
+    bands = bands.localCheckpoint(eager=True)
     hubs = bands.groupBy("band", "bkey").agg(
         F.min(id_col).alias("_hub"), F.count(F.lit(1)).alias("_n")
     )

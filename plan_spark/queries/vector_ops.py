@@ -561,11 +561,17 @@ def _embed_neardup_pairs(
     if n_vecs is None:
         n_vecs = _N_VECS_CACHE[sf_dir] = e.count()
     width = _BAND_BITS if n_vecs <= _LSH_SMALL_N else _LSH_BITS // 2
-    # all band keys in one pass (posexplode), no per-band union recompute
+    # all band keys in one pass (posexplode), no per-band union recompute.
+    # Checkpointed: the blocking step consumes this frame 2-4x (sizes
+    # aggregate, self-join sides, hub star), and its lineage — the
+    # 64-way posexplode + 24-sum signature aggregate over the corpus —
+    # is the pipeline's most expensive stage. The materialized frame is
+    # (vec_id, band, bkey): ~20 bytes/row x bands-per-vector, far
+    # cheaper to store than to recompute at any scale.
     bands = bits.select(
         "vec_id",
         F.posexplode(F.array(*_band_keys(width))).alias("band", "bkey"),
-    )
+    ).localCheckpoint(eager=True)
     from plan_spark.operators.blocking import bounded_band_pairs
 
     cand = bounded_band_pairs(bands, "vec_id", cap)

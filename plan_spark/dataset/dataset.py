@@ -50,6 +50,7 @@ from plan_spark.dataset.commit import (
 )
 from plan_spark.dataset.manifest import Fragment, Manifest
 from plan_spark.faults import fault_point
+from plan_spark.session import driver_sized
 
 
 class ConflictError(Exception):
@@ -1495,16 +1496,17 @@ class Dataset:
                     _SF("fhi", _L(), False),
                 ]),
             )
-            rows = (
-                runs_df.select("lo", "hi")
-                .join(
-                    F.broadcast(itab),
-                    (F.col("lo") <= F.col("fhi")) & (F.col("hi") >= F.col("flo")),
+            with driver_sized(self.spark):
+                rows = (
+                    runs_df.select("lo", "hi")
+                    .join(
+                        F.broadcast(itab),
+                        (F.col("lo") <= F.col("fhi")) & (F.col("hi") >= F.col("flo")),
+                    )
+                    .select("fid")
+                    .distinct()
+                    .collect()
                 )
-                .select("fid")
-                .distinct()
-                .collect()
-            )
             hits.update(r.fid for r in rows)
         return hits
 
@@ -2010,7 +2012,17 @@ class Dataset:
         diff (fully-dead fragment ids, fragment -> deletion files) WITHOUT
         committing — shared by the immediate delete() and the detached
         stage_delete()."""
-        per_file = {r["file"]: r["cnt"] for r in hits.groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        # driver_sized (here and on the sibling metadata collects below):
+        # the answer is a per-file count map bounded by fragment count, so
+        # AQE's per-stage jobs are pure scheduler latency — one multi-stage
+        # job instead of 2-3 sequential ones per collect
+        with driver_sized(self.spark):
+            per_file = {
+                r["file"]: r["cnt"]
+                for r in hits.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
         if not per_file:
             return None
         by_name = self._frag_by_basename()
@@ -2022,7 +2034,11 @@ class Dataset:
             dels = self.spark.read.schema(_DELETES_SCHEMA).parquet(
                 *[os.path.join(self.path, d) for d in all_dels]
             )
-            for r in dels.groupBy("file").agg(F.count(F.lit(1)).alias("cnt")).collect():
+            with driver_sized(self.spark):
+                del_counts = dels.groupBy("file").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                ).collect()
+            for r in del_counts:
                 if r["file"] in live:
                     live[r["file"]] -= r["cnt"]
         dead_ids = {
@@ -2056,10 +2072,14 @@ class Dataset:
         containing matches are rewritten; the rest are untouched metadata."""
         m = self.manifest
         scan = self._scan_with_lineage(m.fragments)
-        affected = {
-            r[_FILE_COL]
-            for r in scan.filter(F.expr(predicate)).select(_FILE_COL).distinct().collect()
-        }
+        with driver_sized(self.spark):
+            affected = {
+                r[_FILE_COL]
+                for r in scan.filter(F.expr(predicate))
+                .select(_FILE_COL)
+                .distinct()
+                .collect()
+            }
         if not affected:
             return self
         by_name = self._frag_by_basename()
@@ -2146,17 +2166,17 @@ class Dataset:
         # the matched-files probe is a full-fact semi join — only pay it
         # when a matched clause will actually consume it (an insert-only
         # MERGE at 100 TB must not scan the fact twice)
-        matched_files = (
-            {
-                r[_FILE_COL]
-                for r in scan.join(src, keys, "left_semi")
-                .select(_FILE_COL)
-                .distinct()
-                .collect()
-            }
-            if when_matched
-            else set()
-        )
+        if when_matched:
+            with driver_sized(self.spark):
+                matched_files = {
+                    r[_FILE_COL]
+                    for r in scan.join(src, keys, "left_semi")
+                    .select(_FILE_COL)
+                    .distinct()
+                    .collect()
+                }
+        else:
+            matched_files = set()
         if matched_files and when_matched:
             by_name = self._frag_by_basename()
             aff = [by_name[fn] for fn in sorted(matched_files)]
@@ -2486,10 +2506,11 @@ class Dataset:
                 return F.col(c).cast("timestamp").cast("long").cast("double")
             raise ValueError(f"zorder_by column {c!r} has unsupported type {t}")
 
-        bounds = df.agg(
-            *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(columns)],
-            *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(columns)],
-        ).collect()[0]
+        with driver_sized(self.spark):
+            bounds = df.agg(
+                *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(columns)],
+                *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(columns)],
+            ).collect()[0]
         k = len(columns)
         z = F.lit(0).cast("bigint")
         for i, c in enumerate(columns):
@@ -3214,8 +3235,9 @@ class Dataset:
                     F.collect_set(phys), 1, _BITMAP_MAX_NDV + 1
                 ).alias("vals")
             )
-            .collect()
         )
+        with driver_sized(self.spark):
+            rows = rows.collect()
         patch: dict[int, dict[str, list]] = {}
         for r in rows:
             frag = by_base.get(r["__f"])

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from plan_spark.dataset import Dataset
+from plan_spark.session import driver_sized
 
 
 class IntegrityError(RuntimeError):
@@ -669,7 +670,10 @@ class Engine:
             aggs.append(
                 F.count_distinct(F.when(~np_, F.struct(*cols))).alias(f"__kd{i}")
             )
-        stats = batch.agg(*aggs).collect()[0]
+        # driver_sized: the count_distinct Expand costs 2 exchanges, which
+        # AQE would run as 3 sequential jobs for a 1-row stats answer
+        with driver_sized(self.spark):
+            stats = batch.agg(*aggs).collect()[0]
         n_rows = stats["__n"]
         for i, c in enumerate(not_null):
             if stats[f"__nn{i}"] or 0:
@@ -719,7 +723,15 @@ class Engine:
                 # union them so a manager and their report can arrive in
                 # one INSERT (the batch's key side, NOT its FK side)
                 parent_df = parent_df.unionByName(batch.select(*ref_cols))
-            orphan = tuples.join(parent_df, on=ref_cols, how="left_anti").limit(1).collect()
+            # one parallel existence job on the success path (see
+            # _check_key_stats: limit(1) escalates when there is no hit)
+            orphans = tuples.join(parent_df, on=ref_cols, how="left_anti")
+            with driver_sized(self.spark):
+                n_orphan = orphans.agg(F.count(F.lit(1))).collect()[0][0]
+            orphan = None
+            if n_orphan:
+                with driver_sized(self.spark):
+                    orphan = orphans.limit(1).collect()
             if orphan:
                 raise IntegrityError(
                     f"FOREIGN KEY violation on {base}: {tuple(cols)} = "
@@ -798,7 +810,13 @@ class Engine:
             refs = child_src.select(
                 *[F.col(c).alias(r) for c, r in zip(fk["columns"], ref_cols)]
             ).filter(~pred)
-            hit = refs.join(vanished, on=ref_cols, how="left_semi").limit(1).collect()
+            hits_df = refs.join(vanished, on=ref_cols, how="left_semi")
+            with driver_sized(self.spark):
+                n_hit = hits_df.agg(F.count(F.lit(1))).collect()[0][0]
+            hit = None
+            if n_hit:
+                with driver_sized(self.spark):
+                    hit = hits_df.limit(1).collect()
             if hit:
                 raise IntegrityError(
                     f"FOREIGN KEY RESTRICT: {cname}{tuple(fk['columns'])} "
@@ -848,16 +866,17 @@ class Engine:
         # run only on the rare failure path (_check_key_stats). The
         # enforced-INSERT front door (_check_constraints) fuses these
         # stats for EVERY constraint into one shared aggregate instead.
-        stats = batch.select(*cols).agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(null_pred.cast("long")).alias("__n_null"),
-            # count_distinct skips NULL inputs, and the when() maps every
-            # any-NULL-component row to NULL — so this is the distinct
-            # count over exactly the NULL-free rows (SQL UNIQUE's domain)
-            F.count_distinct(
-                F.when(~null_pred, F.struct(*cols))
-            ).alias("__n_dist"),
-        ).collect()[0]
+        with driver_sized(self.spark):
+            stats = batch.select(*cols).agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(null_pred.cast("long")).alias("__n_null"),
+                # count_distinct skips NULL inputs, and the when() maps every
+                # any-NULL-component row to NULL — so this is the distinct
+                # count over exactly the NULL-free rows (SQL UNIQUE's domain)
+                F.count_distinct(
+                    F.when(~null_pred, F.struct(*cols))
+                ).alias("__n_dist"),
+            ).collect()[0]
         # empty batch (INSERT ... SELECT with 0 rows): SUM aggregates to NULL
         self._check_key_stats(
             name, cols, kind, batch, stats[0], stats[1] or 0, stats[2], existing
@@ -891,27 +910,31 @@ class Engine:
         if kind != "PRIMARY KEY":
             keys = keys.filter(~null_pred)
         if n_dist < n_nonnull:
-            dup = (
-                keys.groupBy(*cols)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .limit(1)
-                .collect()
-            )
+            with driver_sized(self.spark):
+                dup = (
+                    keys.groupBy(*cols)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                    .collect()
+                )
             raise IntegrityError(
                 f"duplicate key in INSERT batch for {name} "
                 f"{kind} {tuple(cols)}: {tuple(dup[0])[:-1]}"
             )
         if existing is None:
             return
-        hit = (
-            existing
-            .select(*cols)
-            .join(keys.distinct(), on=cols, how="inner")
-            .limit(1)
-            .collect()
-        )
-        if hit:
+        # success path is ONE parallel job: limit(1) under CollectLimit
+        # escalates through partition batches SEQUENTIALLY (1, then 4x
+        # more, ...) precisely when there is no hit — the legal-INSERT
+        # case — so an existence count is strictly better there; the
+        # witness row is fetched only on the rare failure path
+        collided = existing.select(*cols).join(keys.distinct(), on=cols, how="inner")
+        with driver_sized(self.spark):
+            n_hit = collided.agg(F.count(F.lit(1))).collect()[0][0]
+        if n_hit:
+            with driver_sized(self.spark):
+                hit = collided.limit(1).collect()
             raise IntegrityError(
                 f"duplicate key: {name} already contains "
                 f"{kind} {tuple(cols)} = {tuple(hit[0])}"
@@ -1134,7 +1157,8 @@ class Engine:
         for c in atomic:
             aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
             aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"__nulls__{c}"))
-        row = df.agg(*aggs).collect()[0]
+        with driver_sized(self.spark):
+            row = df.agg(*aggs).collect()[0]
         stats = {
             "analyzed_version": ds.version,
             "row_count": row["__rows"],
@@ -1986,13 +2010,23 @@ class Engine:
                 # source keys FAN OUT the matched target row (dataset.py
                 # merge_insert), minting duplicate PK rows — refuse before
                 # the write, same duplicate-key stance as INSERT
-                dup = (
-                    source.groupBy(*keys)
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") > 1)
-                    .limit(1)
-                    .collect()
-                )
+                # existence first (one parallel job): total vs distinct key
+                # count; the witness groupBy runs on the failure path only
+                with driver_sized(self.spark):
+                    tot, dist = source.agg(
+                        F.count(F.lit(1)),
+                        F.count_distinct(F.struct(*keys)),
+                    ).collect()[0]
+                dup = None
+                if tot > dist:
+                    with driver_sized(self.spark):
+                        dup = (
+                            source.groupBy(*keys)
+                            .agg(F.count(F.lit(1)).alias("__n"))
+                            .filter(F.col("__n") > 1)
+                            .limit(1)
+                            .collect()
+                        )
                 if dup:
                     raise IntegrityError(
                         f"duplicate key in MERGE source for enforced table "

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plan_spark.faults import fault_point
+from plan_spark.session import driver_sized
 
 
 def _interleave(bx, by):
@@ -82,10 +83,11 @@ class RtreeIndex:
             F.col("xmin").isNotNull() & F.col("xmax").isNotNull()
             & F.col("ymin").isNotNull() & F.col("ymax").isNotNull()
         )
-        b = boxes.agg(
-            F.min("xmin").alias("xlo"), F.max("xmax").alias("xhi"),
-            F.min("ymin").alias("ylo"), F.max("ymax").alias("yhi"),
-        ).collect()[0]
+        with driver_sized(spark):
+            b = boxes.agg(
+                F.min("xmin").alias("xlo"), F.max("xmax").alias("xhi"),
+                F.min("ymin").alias("ylo"), F.max("ymax").alias("yhi"),
+            ).collect()[0]
         xlo, ylo = b.xlo or 0.0, b.ylo or 0.0
         xspan = ((b.xhi or 0.0) - xlo) or 1.0
         yspan = ((b.yhi or 0.0) - ylo) or 1.0

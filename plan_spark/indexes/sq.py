@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from plan_spark.session import driver_sized
+
 
 class SqIndex:
     def __init__(self, spark: SparkSession, path: str):
@@ -61,13 +63,14 @@ class SqIndex:
             from plan_spark.indexes.hnsw import _unit
 
             e = _unit(e, "v")
-        stats = (
-            e.select(F.posexplode("v").alias("pos", "x"))
-            .groupBy("pos")
-            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-            .orderBy("pos")
-            .collect()
-        )
+        with driver_sized(spark):
+            stats = (
+                e.select(F.posexplode("v").alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                .orderBy("pos")
+                .collect()
+            )
         mins = [r.lo for r in stats]
         # zero-range dimensions get scale 1.0 so encode maps them to level 0
         scales = [((r.hi - r.lo) / levels) or 1.0 for r in stats]

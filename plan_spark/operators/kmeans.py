@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from plan_spark.localrel import local_df
+from plan_spark.session import driver_sized
 
 
 def _dot(a, b):
@@ -133,12 +134,15 @@ def fit(
         for it in range(1, max_iter + 1):
             a = assign(data, centroids, vec_col=vec_col, id_col=seed_col)
             # per-(cluster, dimension) mean: explode to k*dim cells map-side
-            cells = (
-                a.select("centroid", F.posexplode(vec_col).alias("pos", "x"))
-                .groupBy("centroid", "pos")
-                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
+            # driver_sized: k*dim cells reach the driver; AQE would split
+            # the groupBy into 2 jobs per Lloyd iteration for no benefit
+            with driver_sized(data.sparkSession):
+                cells = (
+                    a.select("centroid", F.posexplode(vec_col).alias("pos", "x"))
+                    .groupBy("centroid", "pos")
+                    .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
             new_c = [list(c) for c in centroids]  # empty clusters keep position
             by_cluster: dict[int, list[tuple[int, float, int]]] = {}
             for r in cells:

@@ -17,8 +17,39 @@ distributed DAG, so the session is where the scale knobs live:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def driver_sized(spark: SparkSession):
+    """Plan a control-plane query without AQE.
+
+    Scope: internal collects whose RESULT is driver-metadata-sized (one
+    stats row, a per-file count map, a limit(1) witness). AQE's runtime
+    re-planning exists to right-size exchanges that feed further
+    distributed stages; these queries terminate at the driver with a
+    KB-sized answer, so re-planning buys nothing — but it costs one
+    scheduler round-trip PER QUERY STAGE (a 2-exchange count_distinct
+    aggregate becomes 3 sequential jobs instead of 1 multi-stage job).
+    Measured r11: a 2-row INSERT on an enforced table paid 3 jobs for its
+    fused constraint aggregate and 3 for the existing-key probe; DELETE
+    paid 3 for its per-file hit counts. On a cluster the round-trip is a
+    full driver->executor cycle, so the latency argument gets stronger
+    with scale, and partial aggregation still bounds the shuffled bytes.
+
+    Only queries PLANNED inside the block are affected (Spark reads the
+    conf at physical-planning time, i.e. at the action); the data-plane
+    writes and every declared query keep AQE on.
+    """
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
 
 
 def get_spark(

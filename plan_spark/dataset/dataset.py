@@ -3218,7 +3218,11 @@ class Dataset:
         if not paths:
             return {}
         rows = (
-            self.spark.read.parquet(*paths)
+            # pinned read schema: the fragments' physical schema is known
+            # from the manifest, so the backfill scan skips the distributed
+            # footer-inference job spark.read.parquet would otherwise run
+            self.spark.read.schema(self._read_schema(self.schema))
+            .parquet(*paths)
             .select(
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1

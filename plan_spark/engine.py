@@ -1076,7 +1076,55 @@ class Engine:
         (no inference — reference reads typed fields, executor_scan.go:364)."""
         ds = self.dataset(name, schema)
         if fmt == "parquet":
-            df = self.spark.read.parquet(path)
+            # spark.read.parquet runs a distributed footer-inference job
+            # even for one file; the footer can be read driver-side
+            # (pyarrow) instead. The pinned schema carries the FILE's own
+            # types for the TABLE's columns — insert_df then casts to the
+            # table types exactly as it does after inference, so semantics
+            # are unchanged — and prunes extra file columns at the scan
+            # (insert_df's projection drops them anyway; a wide-file ->
+            # narrow-table COPY stops deserializing them at all). Bails to
+            # inference when a table column is absent (must stay a loud
+            # error, never all-NULL) or an arrow type is outside the
+            # exactly-mapped whitelist (timestamps/nested stay on Spark's
+            # own inference).
+            df = None
+            try:
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                cand = path
+                if os.path.isdir(cand):
+                    parts = sorted(
+                        p for p in os.listdir(cand) if p.endswith(".parquet")
+                    )
+                    cand = os.path.join(cand, parts[0]) if parts else None
+                if cand is not None and os.path.isfile(cand):
+                    fsch = _pq.read_schema(cand)
+                    need = [f.name for f in ds.schema.fields]
+                    if set(need) <= set(fsch.names):
+                        sub = [fsch.field(n) for n in need]
+                        ok = all(
+                            _pa.types.is_integer(f.type)
+                            or _pa.types.is_floating(f.type)
+                            or _pa.types.is_decimal(f.type)
+                            or _pa.types.is_boolean(f.type)
+                            or _pa.types.is_string(f.type)
+                            or _pa.types.is_large_string(f.type)
+                            or _pa.types.is_binary(f.type)
+                            or _pa.types.is_date32(f.type)
+                            for f in sub
+                        ) and not any(
+                            _pa.types.is_unsigned_integer(f.type) for f in sub
+                        )
+                        if ok:
+                            pinned = from_arrow_schema(_pa.schema(sub))
+                            df = self.spark.read.schema(pinned).parquet(path)
+            except Exception:
+                df = None  # unreadable footer: let Spark report it
+            if df is None:
+                df = self.spark.read.parquet(path)
         elif fmt == "csv":
             df = self.spark.read.options(**({"header": "true"} | options)).schema(
                 ds.schema

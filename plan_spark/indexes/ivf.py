@@ -110,7 +110,14 @@ class IvfIndex:
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         feat = e.withColumn("features", array_to_vector("v"))
-        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+        # random init, not the k-means|| default: k-means|| costs ~7 driver
+        # round-trip jobs (2 takeSample + per-step cost sums + countByValue
+        # + collectAsMap) before the first Lloyd iteration. Partition
+        # assignment only routes the search (results are exact whenever
+        # nprobe covers the probed clusters); pruned-path quality is pinned
+        # by the recall floors in tests/test_ann_recall.py, which hold under
+        # random init at the fixed seed.
+        model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(feat)
         # Arrow local relation, NOT createDataFrame(list-of-tuples): the
         # pickled-RDD path measured ~4.8 s just to write k centroid rows
         cents = local_df(

@@ -109,7 +109,9 @@ class IvfHnswIndex:
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         feat = e.withColumn("features", array_to_vector("v"))
-        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+        # random init (see IvfIndex.build): saves the k-means|| init's ~7
+        # driver round-trips per build; recall floors gate the quality
+        model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(feat)
         # Arrow local relation, NOT createDataFrame(list-of-tuples): the
         # pickled-RDD path measured ~4.8 s just to write k centroid rows
         cents = local_df(

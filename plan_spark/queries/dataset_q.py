@@ -1157,14 +1157,14 @@ def sql_tpch_verbatim_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch("sql_tpch_verbatim_q21", sf_dir)
     eng = Engine(spark, path)
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nation = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("int").alias("n_nationkey"),
         F.element_at(
             F.array(*[F.lit(n) for n in _SPEC_NATIONS]),
             F.col("n_nationkey").cast("int") + 1,
         ).alias("n_name"),
     )
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    lineitem = table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
         F.expr(
@@ -1176,10 +1176,10 @@ def sql_tpch_verbatim_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((l_orderkey + l_linenumber) % 30 + 1 AS INT))"
         ).alias("l_receiptdate"),
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supplier = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
     for name, df in (

@@ -3947,7 +3947,7 @@ def sql_tpcds_verbatim_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tempfile.gettempdir(), "plan_spark_q", f"sql_tpcds_verbatim_q51_{tag}"
     )
     _shutil.rmtree(path, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = table(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_partkey").cast("bigint").alias("item_sk"),
         F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))

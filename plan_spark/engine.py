@@ -828,7 +828,9 @@ class Engine:
         """NOT NULL + CHECK over one batch of candidate rows (also run on
         UPDATE's post-assignment rows). CHECK is violated only when the
         predicate is FALSE — NULL/UNKNOWN passes, per the SQL standard."""
-        for c in entry.get("not_null") or []:
+        not_null = entry.get("not_null") or []
+        checks = entry.get("checks") or []
+        for c in not_null:
             if c not in batch.columns:
                 # never skip silently: an absent constrained column means
                 # the metadata and the live schema have diverged (or a
@@ -838,16 +840,35 @@ class Engine:
                     f"NOT NULL column {c!r} of {name} is absent from the "
                     "write batch (constraint metadata out of sync?)"
                 )
-            bad = batch.filter(F.col(c).isNull()).limit(1).count()
-            if bad:
-                raise IntegrityError(f"NULL in NOT NULL column {c!r} of {name}")
-        for chk in entry.get("checks") or []:
-            bad = (
-                batch.filter(~F.coalesce(F.expr(chk), F.lit(True)))
-                .limit(1)
-                .collect()
+        if not not_null and not checks:
+            return
+        # ONE aggregate job answers every question (same fusion as the
+        # INSERT front door's _check_constraints): the old shape ran a
+        # sequential probe job per declared constraint on every enforced
+        # UPDATE/MERGE batch. Witness probes run on the failure path only;
+        # violation precedence (NOT NULL before CHECK, declaration order
+        # within each) and every message are unchanged.
+        aggs = []
+        for i, c in enumerate(not_null):
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}"))
+        for i, chk in enumerate(checks):
+            aggs.append(
+                F.sum(
+                    (~F.coalesce(F.expr(chk), F.lit(True))).cast("long")
+                ).alias(f"__ck{i}")
             )
-            if bad:
+        with driver_sized(self.spark):
+            stats = batch.agg(*aggs).collect()[0]
+        for i, c in enumerate(not_null):
+            if stats[f"__nn{i}"] or 0:
+                raise IntegrityError(f"NULL in NOT NULL column {c!r} of {name}")
+        for i, chk in enumerate(checks):
+            if stats[f"__ck{i}"] or 0:
+                bad = (
+                    batch.filter(~F.coalesce(F.expr(chk), F.lit(True)))
+                    .limit(1)
+                    .collect()
+                )
                 raise IntegrityError(
                     f"CHECK ({chk}) violated on {name}: {tuple(bad[0])}"
                 )

@@ -17,9 +17,14 @@ distributed DAG, so the session is where the scale knobs live:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+# driver_sized nesting state per session: id(spark) -> (depth, saved AQE flag).
+_DS_LOCK = threading.Lock()
+_DS_STATE: dict[int, tuple[int, str | None]] = {}
 
 
 @contextmanager
@@ -44,12 +49,27 @@ def driver_sized(spark: SparkSession):
     writes and every declared query keep AQE on.
     """
     conf = spark.conf
-    old = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    key = id(spark)
+    with _DS_LOCK:
+        depth, old = _DS_STATE.get(key, (0, None))
+        if depth == 0:
+            # Overlapping blocks from concurrent statements must not read
+            # each other's "false" as the value to restore (that race left
+            # AQE permanently off for the whole session): only the OUTERMOST
+            # block snapshots and restores; inner blocks just ride along.
+            old = conf.get("spark.sql.adaptive.enabled", "true")
+            conf.set("spark.sql.adaptive.enabled", "false")
+        _DS_STATE[key] = (depth + 1, old)
     try:
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", old)
+        with _DS_LOCK:
+            depth, old = _DS_STATE[key]
+            if depth == 1:
+                del _DS_STATE[key]
+                conf.set("spark.sql.adaptive.enabled", old)
+            else:
+                _DS_STATE[key] = (depth - 1, old)
 
 
 def get_spark(

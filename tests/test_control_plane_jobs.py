@@ -123,3 +123,35 @@ def test_driver_sized_restores_aqe(spark):
         with driver_sized(spark):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_driver_sized_overlapping_threads_restore_aqe(spark):
+    """Overlapping blocks from concurrent statements must not capture each
+    other's "false" as the restore value (the race left AQE permanently
+    off for the whole session after any concurrent Engine workload)."""
+    import threading
+
+    from plan_spark.session import driver_sized
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    enter = threading.Barrier(4, timeout=30)
+    inside = threading.Barrier(4, timeout=30)
+
+    def worker():
+        enter.wait()
+        with driver_sized(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            inside.wait()  # every thread is inside before any exits
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # plain nesting on one thread also restores
+    with driver_sized(spark):
+        with driver_sized(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -1975,7 +1975,14 @@ class Dataset:
         m = self.manifest
         if not m.fragments:
             return self
-        scan = self._scan_with_lineage(m.fragments)
+        # zonemap pre-prune (driver-side manifest stats, zero jobs): a
+        # fragment whose stats prove no row can match contributes no hits,
+        # so the find-hits scan skips it — same pruning the filtered SELECT
+        # path gets, now on the write path's predicate scan
+        scan_frags, _ = self.plan_scan(predicate, use_indexes=False)
+        if not scan_frags:
+            return self
+        scan = self._scan_with_lineage(scan_frags)
         # persisted: the per-file count job below materializes the matched
         # rows once, and the deletion-file write re-reads the CACHE instead
         # of re-evaluating the predicate scan (r2 judge finding: two full
@@ -2071,7 +2078,12 @@ class Dataset:
         """Copy-on-write UPDATE (reference: update.go:20-82): only fragments
         containing matches are rewritten; the rest are untouched metadata."""
         m = self.manifest
-        scan = self._scan_with_lineage(m.fragments)
+        # zonemap pre-prune, as in delete(): find-affected only scans
+        # fragments whose stats admit a match
+        scan_frags, _ = self.plan_scan(predicate, use_indexes=False)
+        if not scan_frags:
+            return self
+        scan = self._scan_with_lineage(scan_frags)
         with driver_sized(self.spark):
             affected = {
                 r[_FILE_COL]

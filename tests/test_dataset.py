@@ -231,6 +231,50 @@ def test_stats_pruning(spark, tmp_path_ds, base_df):
     assert len(sel2) == 1
 
 
+def test_delete_update_zonemap_preprune(spark, tmp_path_ds, base_df, monkeypatch):
+    """The COW write paths' find-hits / find-affected scans ride the same
+    driver-side zonemap pruning as filtered SELECT scans: fragments whose
+    stats preclude a match are never read, and a fully-pruned predicate
+    commits nothing. Results must match the unpruned semantics exactly."""
+    ds = Dataset.create(spark, tmp_path_ds, base_df.repartitionByRange(5, "id"))
+    seen: list[int] = []
+    orig = Dataset._scan_with_lineage
+
+    def spy(self, frags, *a, **k):
+        seen.append(len(frags))
+        return orig(self, frags, *a, **k)
+
+    monkeypatch.setattr(Dataset, "_scan_with_lineage", spy)
+
+    # range delete touches only the one overlapping fragment
+    ds.delete("id >= 950")
+    assert seen and seen[0] == 1, f"find-hits scanned {seen} fragments"
+    assert ds.to_df().count() == 950
+
+    # range update: find-affected AND the rewrite scan see one fragment
+    seen.clear()
+    v0 = ds.version
+    ds.update({"val": "val + 100000"}, "id < 100")
+    assert seen and all(n == 1 for n in seen), f"update scanned {seen}"
+    got = {r.id: r.val for r in ds.to_df().filter("id < 3 OR id = 500").collect()}
+    assert got == {0: 100000.0, 1: 100002.5, 2: 100005.0, 500: 1250.0}
+
+    # provably-no-match predicates commit nothing and scan nothing
+    seen.clear()
+    v1 = ds.version
+    assert ds.delete("id >= 5000") is ds
+    assert ds.update({"val": "0.0"}, "id < -1") is ds
+    assert seen == [] and ds.version == v1 > v0
+
+    # unparseable predicate falls back to the full fragment set (pruning
+    # is best-effort metadata, never a correctness surface)
+    seen.clear()
+    nfrags = len(ds.manifest.fragments)
+    ds.delete("id % 997 = 1")
+    assert seen and seen[0] == nfrags
+    assert ds.to_df().count() == 949
+
+
 def test_restore(spark, tmp_path_ds, base_df):
     ds = Dataset.create(spark, tmp_path_ds, base_df)
     ds.delete("grp = 3")

@@ -3966,23 +3966,25 @@ class Dataset:
         the pruned scan + count."""
         m = self.manifest
         if filter is not None:
-            return self.to_df(filters=filter).count()
+            with driver_sized(self.spark):
+                return self.to_df(filters=filter).count()
         total = sum(f.rows for f in m.fragments)
         all_dels = sorted({d for f in m.fragments for d in f.deletion_files})
         if all_dels:
             live = [os.path.basename(f.path) for f in m.fragments]
-            total -= (
-                self.spark.read.schema(_DELETES_SCHEMA).parquet(
-                    *[os.path.join(self.path, d) for d in all_dels]
+            with driver_sized(self.spark):
+                total -= (
+                    self.spark.read.schema(_DELETES_SCHEMA).parquet(
+                        *[os.path.join(self.path, d) for d in all_dels]
+                    )
+                    # a shared sidecar may carry rows of fragments that later
+                    # became fully dead and left the manifest — only live
+                    # targets subtract; distinct since a row can be re-deleted
+                    .filter(F.col("file").isin(live))
+                    .select("file", "pos")
+                    .distinct()
+                    .count()
                 )
-                # a shared sidecar may carry rows of fragments that later
-                # became fully dead and left the manifest — only live
-                # targets subtract; distinct since a row can be re-deleted
-                .filter(F.col("file").isin(live))
-                .select("file", "pos")
-                .distinct()
-                .count()
-            )
         return total
 
     def data_size(self) -> int:

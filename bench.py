@@ -261,12 +261,19 @@ def main() -> None:
         if canary and canary_prev and canary > 0 and canary_prev > 0
         else None
     )
+    # ONE self-contained JSON line, per-query map included — the driver
+    # contract ({"metric", "value", "unit", "queries", "sf"}). r11's PERF
+    # comparator produced an empty per_query/geomean because the queries
+    # map lived on a separate stdout line the driver's parse never joined
+    # to the headline; folding it in (compact separators, 3-decimal times)
+    # makes the parsed BENCH record carry the whole comparison input.
     headline = json.dumps(
         {
             "metric": "declared-query-set total wall time (median of "
             f"{runs} warm runs per query)",
             "value": total,
             "unit": "sec",
+            "queries": {n: (round(t, 3) if t > 0 else t) for n, t in times.items()},
             "sf": sf_val,
             "n_queries": len(times),
             "n_failed": sum(1 for t in times.values() if t < 0),
@@ -275,7 +282,8 @@ def main() -> None:
             "contention_spread": contention_spread,
             "contended_total": contended_total,  # non-null = resweep fired
             "recheck": recheck,
-        }
+        },
+        separators=(",", ":"),
     )
     # Full per-query detail persists to the repo root (the driver keeps only
     # ~2 KB of stdout tail, which hid half the per-query numbers from the
@@ -301,13 +309,11 @@ def main() -> None:
                 )
         except Exception as e:
             print(f"bench: detail write failed: {e}", file=sys.stderr)
-    # The driver captures only the TAIL of stdout (~2 KB). The per-query map
-    # for ~120 queries exceeds that, so the compact headline prints BOTH
-    # first (truncation can never eat it entirely) and last (the tail always
-    # ends with a complete, parseable JSON line); the detail map sits in the
-    # middle for judges/humans reading the full log.
+    # Printed FIRST and LAST: the driver parses full stdout (its BENCH_r11
+    # "parsed" field held the complete final line), but its log keeps only a
+    # ~2 KB tail — printing the line twice means a human reading either end
+    # of the log sees it, and the final line is always complete JSON.
     print(headline)
-    print(json.dumps({"queries": times, "sf": sf_val}))
     print(headline)
     spark.stop()
 

@@ -1052,7 +1052,9 @@ class Dataset:
         correctness surface."""
         import re
 
-        parts = Dataset._split_top_level_and(pred.strip())
+        parts = Dataset._split_top_level_and(
+            Dataset._rewrite_between(pred.strip())
+        )
         if parts is None:
             return []
         out: list[tuple[str, str, Any]] = []
@@ -1092,6 +1094,44 @@ class Dataset:
                 val = int(lit)
             out.append((col, op, val))
         return out
+
+    @staticmethod
+    def _rewrite_between(pred: str) -> str:
+        """Rewrite ``col BETWEEN lit AND lit`` to ``col >= lit AND col <=
+        lit`` so the AND splitter doesn't cut BETWEEN in half (it splits on
+        every top-level AND) and both bounds prune. Quote-aware: a BETWEEN
+        inside a string literal is left alone (rewriting it would
+        fabricate conjuncts that wrongly prune). ``NOT BETWEEN`` cannot
+        prune on min/max and is skipped — the unrewritten text simply
+        contributes no conjunct, and the full predicate always applies as
+        the residual filter."""
+        import re
+
+        lit = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
+        pat = re.compile(
+            rf"(?is)\b(\w+)\s+BETWEEN\s+({lit})\s+AND\s+({lit})"
+        )
+        out: list[str] = []
+        i, n = 0, len(pred)
+        while i < n:
+            ch = pred[i]
+            if ch == "'":
+                j = pred.find("'", i + 1)
+                j = n if j < 0 else j + 1
+                out.append(pred[i:j])
+                i = j
+                continue
+            m = pat.match(pred, i)
+            # keyword "columns" mean the match swallowed part of a larger
+            # construct (x NOT BETWEEN ... matches with col='NOT'): skip
+            if m and m.group(1).upper() not in ("NOT", "AND", "OR"):
+                col, lo, hi = m.group(1), m.group(2), m.group(3)
+                out.append(f"{col} >= {lo} AND {col} <= {hi}")
+                i = m.end()
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     @staticmethod
     def _conjunct_bounds(op: str, val):
@@ -3966,8 +4006,10 @@ class Dataset:
         the pruned scan + count."""
         m = self.manifest
         if filter is not None:
-            with driver_sized(self.spark):
-                return self.to_df(filters=filter).count()
+            # NOT driver_sized: the filtered count scans the (pruned) corpus
+            # — data-plane work that keeps AQE's skew/coalesce mitigation.
+            # driver_sized is reserved for metadata-sized collects below.
+            return self.to_df(filters=filter).count()
         total = sum(f.rows for f in m.fragments)
         all_dels = sorted({d for f in m.fragments for d in f.deletion_files})
         if all_dels:

@@ -29,6 +29,15 @@ from plan_spark.dataset import Dataset
 from plan_spark.session import driver_sized
 
 
+def _witness(rows) -> str:
+    """Offending-tuple text for an IntegrityError message. The witness row
+    is fetched by a SECOND Spark job after the violation count: if the
+    batch/source is non-deterministic between the two jobs the probe can
+    come back empty — the violation verdict stands (the count proved it),
+    only the message degrades instead of raising IndexError."""
+    return str(tuple(rows[0])) if rows else "(witness row not reproducible)"
+
+
 class IntegrityError(RuntimeError):
     """A declared constraint was violated by a write (reference: ART-index
     uniqueness enforcement rejects INSERTs with "duplicate key",
@@ -686,7 +695,7 @@ class Engine:
                     .collect()
                 )
                 raise IntegrityError(
-                    f"CHECK ({chk}) violated on {name}: {tuple(bad[0])}"
+                    f"CHECK ({chk}) violated on {name}: {_witness(bad)}"
                 )
         if not n_rows:
             return  # an empty batch can violate no FK or key constraint
@@ -728,14 +737,16 @@ class Engine:
             orphans = tuples.join(parent_df, on=ref_cols, how="left_anti")
             with driver_sized(self.spark):
                 n_orphan = orphans.agg(F.count(F.lit(1))).collect()[0][0]
-            orphan = None
             if n_orphan:
+                # witness fetch is a SECOND job: if the source moved between
+                # the two, the probe can come back empty — the violation
+                # verdict stands (the count already proved it), only the
+                # offending tuple in the message degrades
                 with driver_sized(self.spark):
                     orphan = orphans.limit(1).collect()
-            if orphan:
                 raise IntegrityError(
                     f"FOREIGN KEY violation on {base}: {tuple(cols)} = "
-                    f"{tuple(orphan[0])} has no match in "
+                    f"{_witness(orphan)} has no match in "
                     f"{ref_table}{tuple(ref_cols)}"
                 )
 
@@ -813,15 +824,13 @@ class Engine:
             hits_df = refs.join(vanished, on=ref_cols, how="left_semi")
             with driver_sized(self.spark):
                 n_hit = hits_df.agg(F.count(F.lit(1))).collect()[0][0]
-            hit = None
             if n_hit:
                 with driver_sized(self.spark):
                     hit = hits_df.limit(1).collect()
-            if hit:
                 raise IntegrityError(
                     f"FOREIGN KEY RESTRICT: {cname}{tuple(fk['columns'])} "
                     f"still references {parent}{tuple(ref_cols)} = "
-                    f"{tuple(hit[0])}"
+                    f"{_witness(hit)}"
                 )
 
     def _check_row_constraints(self, name: str, entry: dict, batch: DataFrame) -> None:
@@ -870,7 +879,7 @@ class Engine:
                     .collect()
                 )
                 raise IntegrityError(
-                    f"CHECK ({chk}) violated on {name}: {tuple(bad[0])}"
+                    f"CHECK ({chk}) violated on {name}: {_witness(bad)}"
                 )
 
     def _check_key_frames(
@@ -923,7 +932,7 @@ class Engine:
         if kind == "PRIMARY KEY" and n_null:
             bad = keys.filter(null_pred).limit(1).collect()
             raise IntegrityError(
-                f"NULL in PRIMARY KEY {tuple(cols)} of {name}: {tuple(bad[0])}"
+                f"NULL in PRIMARY KEY {tuple(cols)} of {name}: {_witness(bad)}"
             )
         # SQL UNIQUE: rows with a NULL key component never collide (NULLs
         # are distinct) — they were excluded from __n_dist above and are
@@ -941,7 +950,8 @@ class Engine:
                 )
             raise IntegrityError(
                 f"duplicate key in INSERT batch for {name} "
-                f"{kind} {tuple(cols)}: {tuple(dup[0])[:-1]}"
+                f"{kind} {tuple(cols)}: "
+                f"{tuple(dup[0])[:-1] if dup else _witness(dup)}"
             )
         if existing is None:
             return
@@ -958,7 +968,7 @@ class Engine:
                 hit = collided.limit(1).collect()
             raise IntegrityError(
                 f"duplicate key: {name} already contains "
-                f"{kind} {tuple(cols)} = {tuple(hit[0])}"
+                f"{kind} {tuple(cols)} = {_witness(hit)}"
             )
 
     def create_view(
@@ -1116,13 +1126,25 @@ class Engine:
                 from pyspark.sql.pandas.types import from_arrow_schema
 
                 cand = path
+                check = None  # second footer to verify directory-wide drift
                 if os.path.isdir(cand):
+                    # skip '.'/'_'-prefixed entries (Spark ignores hidden/
+                    # temp files — pinning one of those could pin types no
+                    # visible file carries)
                     parts = sorted(
-                        p for p in os.listdir(cand) if p.endswith(".parquet")
+                        p
+                        for p in os.listdir(cand)
+                        if p.endswith(".parquet") and p[0] not in "._"
                     )
                     cand = os.path.join(cand, parts[0]) if parts else None
+                    if cand is not None and len(parts) > 1:
+                        check = os.path.join(cand.rsplit("/", 1)[0], parts[-1])
                 if cand is not None and os.path.isfile(cand):
                     fsch = _pq.read_schema(cand)
+                    if check is not None and _pq.read_schema(check) != fsch:
+                        # per-file schema drift: one footer cannot speak for
+                        # the directory — fall back to Spark's own inference
+                        raise ValueError("parquet schema drift across files")
                     need = [f.name for f in ds.schema.fields]
                     if set(need) <= set(fsch.names):
                         sub = [fsch.field(n) for n in need]
@@ -2086,7 +2108,6 @@ class Engine:
                         F.count(F.lit(1)),
                         F.count_distinct(F.struct(*keys)),
                     ).collect()[0]
-                dup = None
                 if tot > dist:
                     with driver_sized(self.spark):
                         dup = (
@@ -2096,10 +2117,10 @@ class Engine:
                             .limit(1)
                             .collect()
                         )
-                if dup:
                     raise IntegrityError(
                         f"duplicate key in MERGE source for enforced table "
-                        f"{tgt} ON {tuple(keys)}: {tuple(dup[0])[:-1]} "
+                        f"{tgt} ON {tuple(keys)}: "
+                        f"{tuple(dup[0])[:-1] if dup else _witness(dup)} "
                         "(matched-UPDATE would fan out the target row)"
                     )
             if when_matched == "update" and (

@@ -91,8 +91,25 @@ def min_label_components(
     # count, both union branches of sym, every propagation round) reads
     # the materialized edge list instead of re-running the LSH front end
     edges = edges.select("da", "db").localCheckpoint(eager=True)
-    if edges.count() <= single_threshold:
-        return _single_task_components(edges)
+    # the single-task path is numpy-int64 only: non-integral ids (string
+    # doc keys) and mismatched endpoint types fall through to the
+    # distributed loop, which handles any orderable type — and its output
+    # is cast back to the input id type so which side of the gate a graph
+    # lands on never changes the schema
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    da_t, db_t = (f.dataType for f in edges.schema.fields)
+    integral = isinstance(da_t, (ByteType, ShortType, IntegerType, LongType)) and (
+        da_t == db_t
+    )
+    if integral and edges.count() <= single_threshold:
+        out = _single_task_components(edges)
+        if not isinstance(da_t, LongType):
+            out = out.select(
+                F.col("node").cast(da_t).alias("node"),
+                F.col("label").cast(da_t).alias("label"),
+            )
+        return out
     sym = edges.select(F.col("da").alias("a"), F.col("db").alias("b")).unionByName(
         edges.select(F.col("db").alias("a"), F.col("da").alias("b"))
     )

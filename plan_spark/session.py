@@ -47,6 +47,16 @@ def driver_sized(spark: SparkSession):
     Only queries PLANNED inside the block are affected (Spark reads the
     conf at physical-planning time, i.e. at the action); the data-plane
     writes and every declared query keep AQE on.
+
+    Thread-scope caveat: the toggle is session-global, so an UNRELATED
+    data-plane query planned concurrently on another thread of the same
+    session is planned without AQE for the block's duration. Overlapping
+    driver_sized blocks are safe (the depth counter below); the residual
+    exposure is metadata-collect-sized (the blocks last milliseconds and
+    wrap KB-result collects only — count_rows' corpus-sized filtered count
+    was moved OUT of the block for exactly this reason). A deployment that
+    plans large queries concurrently with DDL/DML should give the engine
+    its own newSession().
     """
     conf = spark.conf
     key = id(spark)

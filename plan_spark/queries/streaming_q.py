@@ -48,6 +48,7 @@ def _gated_available_now(
     name: str,
     output_mode: str = "complete",
     partitions: int = 2,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Bounded streaming run with layout-gated state parallelism.
 
@@ -81,7 +82,11 @@ def _gated_available_now(
     else:
         s = spark
     return run_available_now(
-        build(s), name, output_mode=output_mode, partitions=partitions
+        build(s),
+        name,
+        output_mode=output_mode,
+        partitions=partitions,
+        no_data_batch=no_data_batch,
     )
 
 
@@ -195,7 +200,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = _gated_available_now(
-        spark, sf_dir, build, "stream_dedup_sink", output_mode="append"
+        spark,
+        sf_dir,
+        build,
+        "stream_dedup_sink",
+        output_mode="append",
+        # dedup emits the survivor on ARRIVAL (append-mode dropDuplicates);
+        # the no-data batch only evicts expired keys
+        no_data_batch=False,
     )
     return (
         out.groupBy("event_type")
@@ -240,6 +252,9 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: click_purchase_join_stream(s, sf_dir, user_mod=_JOIN_USER_MOD),
         "stream_join_sink",
         output_mode="append",
+        # inner join emits on match, within the data batch — the trailing
+        # no-data flush batch can emit nothing (state just expires)
+        no_data_batch=False,
     )
     return (
         out.groupBy("user_id")
@@ -607,6 +622,9 @@ def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: click_purchase_semi_join_stream(s, sf_dir, user_mod=_JOIN_USER_MOD),
         "stream_semi_join_sink",
         output_mode="append",
+        # semi join emits each click at most once, on first match — the
+        # no-data flush batch only expires state, never emits
+        no_data_batch=False,
     )
     return (
         out.groupBy("user_id")

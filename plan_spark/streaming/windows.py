@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 from plan_spark.catalog import table
 
 
+# (path, mtime) -> parquet schema: pure file metadata, re-read when the
+# fixture regenerates. Every stream construction paid a driver-side footer
+# inference (two per join row — both sides); the schema never changes
+# within a process lifetime for an unchanged file.
+_STREAM_SCHEMA_CACHE: dict = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a bounded stream (availableNow semantics in the caller).
 
@@ -29,7 +36,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize to a session-UTC TIMESTAMP exactly like the batch catalog —
     watermarks require the LTZ type.
     """
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    import os as _os
+
+    src = f"{sf_dir}/events.parquet"
+    try:
+        key = (src, _os.path.getmtime(src))
+    except OSError:
+        key = None
+    batch_schema = _STREAM_SCHEMA_CACHE.get(key) if key else None
+    if batch_schema is None:
+        batch_schema = spark.read.parquet(src).schema
+        if key:
+            _STREAM_SCHEMA_CACHE[key] = batch_schema
     # the file-stream source wants a directory: point it at sf_dir and
     # glob-filter down to the events file
     df = (
@@ -225,7 +243,11 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    sdf: DataFrame, name: str, output_mode: str = "complete", partitions: int = 2
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    partitions: int = 2,
+    no_data_batch: bool = True,
 ):
     """Execute a streaming aggregate over all currently-available input
     (one bounded run) into an in-memory table; returns the result DataFrame.
@@ -254,11 +276,26 @@ def run_available_now(
     partitions also bounds PYTHON-worker parallelism for its per-key loop,
     so callers size it up (8) — at 2 the per-key work serializes onto two
     Python workers (measured sf0.1: 1.7 s at 32 parts -> 3.5 s at 2 for
-    the same stateful run, while the JVM joins went the other way)."""
+    the same stateful run, while the JVM joins went the other way).
+
+    ``no_data_batch=False`` skips the trailing NO-DATA micro-batch Spark
+    appends after source exhaustion so event-time timers can fire. Rows
+    whose output cannot depend on that flush — inner/semi interval joins
+    (emit on match), keyed dedup (emit on arrival) — pay a full extra
+    plan+state-commit+WAL cycle for zero output rows (measured sf0.1:
+    ~0.5 s of the join rows' ~1.8 s; at cluster scale it is one wasted
+    cluster-wide micro-batch per bounded run). OUTER joins and
+    watermark-emitting aggregates MUST keep it — it is where their flush
+    rows come from."""
     spark = sdf.sparkSession
     spark.catalog.dropTempView(name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batch else "false",
+    )
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -270,6 +307,7 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     return spark.table(name)
 
 

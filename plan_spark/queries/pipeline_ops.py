@@ -510,6 +510,18 @@ def w_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "value", "event_id")
 
 
+@register("w_dist_bucketed", oracle=_W_DIST_SQL, tags=("window", "scale-arm"))
+def w_dist_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED exact-rank arm of w_dist, gate-forced at every scale —
+    same result contract (same oracle SQL) as w_dist, but the driver's
+    DuckDB hash check executes the >1M-row scale path end-to-end instead
+    of only the unit equivalence tests covering it (r11 verdict: the
+    oracle never ran the size-gated arm). A hash mismatch here means the
+    parallel-sort formulation broke, caught at oracle scale."""
+    ev = table(spark, sf_dir, "events")
+    return _dist_windows_scalable(ev).orderBy("event_type", "value", "event_id")
+
+
 _DIST_SMALL_N = 1_000_000
 _N_EVENTS_CACHE: dict[str, int] = {}  # sf_dir -> events row count
 

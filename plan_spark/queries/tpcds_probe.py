@@ -165,20 +165,29 @@ def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = table(spark, sf_dir, "orders")
     day = F.date_trunc("DAY", "o_orderdate").alias("day")
 
-    def channel(prios: list[str]) -> DataFrame:
-        return (
-            ords.filter(F.col("o_orderpriority").isin(prios))
-            .groupBy(day)
-            .agg(F.sum(dec("o_totalprice")).alias("daily"))
-        )
-
-    hi = channel(["1-URGENT", "2-HIGH"]).alias("hi")
-    lo = channel(["4-NOT SPECIFIED", "5-LOW"]).alias("lo")
+    # The two channels are disjoint priority slices of the SAME fact: the
+    # full-outer join of two per-day aggregates is ONE conditional aggregate
+    # over the union slice (a day appears iff either channel has a row —
+    # exactly the outer join's row set; each channel's missing side
+    # coalesces to 0 exactly like the sum of an empty CASE branch).
+    # 2 fact scans + join exchange -> 1 scan, no join (guide §2.4, the
+    # q83/q88 single-pass discipline).
+    pri = F.col("o_orderpriority")
+    hi_p = ["1-URGENT", "2-HIGH"]
+    lo_p = ["4-NOT SPECIFIED", "5-LOW"]
     zero = F.lit(0).cast("decimal(18,2)")
-    joined = hi.join(lo, F.col("hi.day") == F.col("lo.day"), "full_outer").select(
-        F.coalesce(F.col("hi.day"), F.col("lo.day")).alias("day"),
-        F.coalesce(F.col("hi.daily"), zero).alias("hi_daily"),
-        F.coalesce(F.col("lo.daily"), zero).alias("lo_daily"),
+    joined = (
+        ords.filter(pri.isin(hi_p + lo_p))
+        .groupBy(day)
+        .agg(
+            F.sum(F.when(pri.isin(hi_p), dec("o_totalprice"))).alias("hi_raw"),
+            F.sum(F.when(pri.isin(lo_p), dec("o_totalprice"))).alias("lo_raw"),
+        )
+        .select(
+            "day",
+            F.coalesce(F.col("hi_raw"), zero).alias("hi_daily"),
+            F.coalesce(F.col("lo_raw"), zero).alias("lo_daily"),
+        )
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = joined.select(
@@ -418,21 +427,30 @@ def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = li.groupBy(
         F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
     ).agg(F.sum(rev_col()).alias("rev_dec"))
-    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    # The yr-1 self-join IS a lag within each month's year series: Catalyst
+    # cannot merge the two differently-aliased aggregate subtrees, so the
+    # join form scanned + aggregated the fact TWICE. LAG over (month, yr)
+    # with an exact prev_yr == yr-1 guard (a gap year must not match, same
+    # as the equi-join) reproduces the inner join's row set from ONE scan —
+    # 2 fact scans + broadcast join -> 1 scan + an O(months) window
+    # (guide §2.4: window over the aggregate replaces the self-join).
+    w = Window.partitionBy("mo").orderBy("yr")
     return (
-        cur.join(
-            F.broadcast(prev),
-            (F.col("prev.yr") == F.col("cur.yr") - 1)
-            & (F.col("prev.mo") == F.col("cur.mo")),
+        monthly.select(
+            "yr",
+            "mo",
+            "rev_dec",
+            F.lag("yr").over(w).alias("prev_yr"),
+            F.lag("rev_dec").over(w).alias("prev_dec"),
         )
+        .filter(F.col("prev_yr") == F.col("yr") - 1)
         .select(
-            F.col("cur.yr").alias("yr"),
-            F.col("cur.mo").alias("mo"),
-            F.col("cur.rev_dec").cast("double").alias("rev"),
-            F.col("prev.rev_dec").cast("double").alias("rev_prev_yr"),
+            "yr",
+            "mo",
+            F.col("rev_dec").cast("double").alias("rev"),
+            F.col("prev_dec").cast("double").alias("rev_prev_yr"),
             (
-                F.col("cur.rev_dec").cast("double")
-                / F.col("prev.rev_dec").cast("double")
+                F.col("rev_dec").cast("double") / F.col("prev_dec").cast("double")
             ).alias("yoy_ratio"),
         )
         .orderBy("yr", "mo")
@@ -940,12 +958,21 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_name")
     ords = table(spark, sf_dir, "orders")
+    # Each CTE feeds TWO consumers (semi join + its COUNT scalar; cust_sales
+    # feeds cmax + best), and Catalyst re-evaluates the whole subtree per
+    # consumer — measured 7 lineitem / 5 orders scans per invocation.
+    # localCheckpoint each reduced intermediate once (frequent/best are key
+    # sets, cust_sales is O(customers) — all orders of magnitude smaller
+    # than the fact): 7 fact scans -> 3, 5 orders scans -> 2, and every
+    # CTE aggregate runs exactly once at any scale (guide §3.3/§5 —
+    # materialize a reused intermediate instead of recomputing it).
     frequent = (
         li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.substring("p_name", 1, 10).alias("pfx"), "l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 30)
         .select("l_partkey")
+        .localCheckpoint()
     )
     yr = F.year("o_orderdate")
     # a 2-year orders slice is also fact-sized at corpus scale: pin shuffle
@@ -954,12 +981,14 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(ords_window, li.l_orderkey == ords_window.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.sum(rev_col()).alias("csales"))
+        .localCheckpoint()
     )
     cmax = cust_sales.agg(F.max("csales").cast("double").alias("cmax"))
     best = (
         cust_sales.crossJoin(F.broadcast(cmax))
         .filter(F.col("csales").cast("double") > 0.95 * F.col("cmax"))
         .select("o_custkey")
+        .localCheckpoint()
     )
     # the month-filtered orders slice is fact-sized at corpus scale (1/84 of
     # orders is still ~1 TB at 100 TB): pin the lineitem join to shuffle —
@@ -3211,16 +3240,23 @@ def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     ords = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    multi = (
+    # Both IN-arms collapse to ONE key set: ret_multi = ret ∩ multi ⊆ multi,
+    # so "IN multi AND IN ret_multi" ≡ "IN ret_multi" ≡ orders with >= 2
+    # distinct suppliers AND >= 1 returned line — one per-orderkey aggregate
+    # carrying both marks replaces two full-fact aggregates (the old `multi`
+    # frame fed two consumers, so its fact scan + countDistinct ran twice)
+    # and one of the two semi joins. 4 fact scans -> 2.
+    keys = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") >= 2)
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "has_ret"
+            ),
+        )
+        .filter((F.col("ns") >= 2) & (F.col("has_ret") == 1))
         .select("l_orderkey")
     )
-    ret = (
-        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
-    )
-    ret_multi = ret.join(multi, "l_orderkey", "left_semi")
     sel = (
         li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
         .filter(
@@ -3229,8 +3265,7 @@ def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust, ords.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") < 5)
-        .join(multi.hint("shuffle_hash"), "l_orderkey", "left_semi")
-        .join(ret_multi.hint("shuffle_hash"), "l_orderkey", "left_semi")
+        .join(keys.hint("shuffle_hash"), "l_orderkey", "left_semi")
     )
     return sel.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("order_count"),
@@ -3282,13 +3317,22 @@ def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     ords = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    multi = (
+    # EXISTS + NOT EXISTS fuse into ONE per-orderkey aggregate: the kept
+    # keys are exactly {ns >= 2 AND no returned line}, so the old semi
+    # (multi-supplier) + anti (returned) pair becomes a single semi join
+    # against one key set — one fact aggregate instead of two, 3 fact
+    # scans -> 2 (the q95 collapse applied to the MARK/ANTI-MARK face).
+    keys = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") >= 2)
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "has_ret"
+            ),
+        )
+        .filter((F.col("ns") >= 2) & (F.col("has_ret") == 0))
         .select("l_orderkey")
     )
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     sel = (
         li.join(ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey)
         .filter(
@@ -3297,8 +3341,7 @@ def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust, ords.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") >= 20)
-        .join(multi.hint("shuffle_hash"), "l_orderkey", "left_semi")
-        .join(returned.hint("shuffle_hash"), "l_orderkey", "left_anti")
+        .join(keys.hint("shuffle_hash"), "l_orderkey", "left_semi")
     )
     return sel.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("order_count"),
@@ -3700,11 +3743,17 @@ def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec("l_extendedprice") * dec("l_discount")).alias("disc_amt"),
         )
     )
-    avg_by_part = win.groupBy("l_partkey").agg(
-        (F.sum("disc_amt").cast("double") / F.count(F.lit(1))).alias("avg_disc")
+    # The per-part average joined back to the SAME filtered slice is a
+    # window aggregate: one scan + one (l_partkey) exchange instead of two
+    # scans + two exchanges + the key join (guide §2.4). Identical math —
+    # the window SUM is the same exact decimal sum the groupBy produced,
+    # divided by the same count. Per-part groups are uniform (no skew key).
+    w = Window.partitionBy("l_partkey")
+    avg_disc = (
+        F.sum("disc_amt").over(w).cast("double") / F.count(F.lit(1)).over(w)
     )
     return (
-        win.join(avg_by_part.hint("shuffle_hash"), "l_partkey")
+        win.withColumn("avg_disc", avg_disc)
         .filter(F.col("disc_amt").cast("double") > 1.3 * F.col("avg_disc"))
         .agg(F.sum("disc_amt").cast("double").alias("excess_discount"))
     )
@@ -4131,37 +4180,77 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     prt = table(spark, sf_dir, "part").filter("p_size <= 5")
     cst = table(spark, sf_dir, "customer").filter("c_acctbal >= 0")
 
-    def arm(df, channel, col_name):
-        return df.select(
-            F.lit(channel).alias("channel"),
-            F.lit(col_name).alias("col_name"),
-            F.year("l_shipdate").alias("yr"),
-            F.quarter("l_shipdate").alias("qtr"),
-            "l_returnflag",
-            "l_extendedprice",
+    grp = [
+        F.year("l_shipdate").alias("yr"),
+        F.quarter("l_shipdate").alias("qtr"),
+        F.col("l_returnflag"),
+    ]
+    # The store and web arms are the SAME fact scan with different anti
+    # dimensions: replace the two anti joins + union with ONE scan carrying
+    # both membership marks (left joins against the unique-keyed dimension
+    # subsets), a conditional aggregate per mark, and a stack() unpivot of
+    # the O(groups) aggregate back into channel rows. A group row exists in
+    # the union-all aggregate iff its arm has >= 1 row == its conditional
+    # count > 0, and each arm's count/sum see exactly the rows its anti
+    # join kept. 3 fact scans -> 2, one fewer union leg (guide §2.4, the
+    # q83 fuse applied to the anti-join union). The catalog arm keeps its
+    # own scan: it alone needs the orders join.
+    sup_k = sup.select(F.col("s_suppkey").alias("mk_supp"))
+    prt_k = prt.select(F.col("p_partkey").alias("mk_part"))
+    base = (
+        li.join(F.broadcast(sup_k), F.col("l_suppkey") == F.col("mk_supp"), "left")
+        .join(F.broadcast(prt_k), F.col("l_partkey") == F.col("mk_part"), "left")
+        .groupBy(*grp)
+        .agg(
+            F.sum(F.when(F.col("mk_supp").isNull(), 1).otherwise(0)).alias("store_cnt"),
+            F.sum(F.when(F.col("mk_supp").isNull(), dec("l_extendedprice"))).alias("store_amt"),
+            F.sum(F.when(F.col("mk_part").isNull(), 1).otherwise(0)).alias("web_cnt"),
+            F.sum(F.when(F.col("mk_part").isNull(), dec("l_extendedprice"))).alias("web_amt"),
         )
-
-    store = arm(
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"),
-        "store", "s_suppkey",
     )
-    web = arm(
-        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"), "left_anti"),
-        "web", "p_partkey",
-    )
-    catalog = arm(
+    store_web = base.select(
+        F.expr(
+            "stack(2, 'store', 's_suppkey', store_cnt, store_amt,"
+            " 'web', 'p_partkey', web_cnt, web_amt)"
+            " AS (channel, col_name, sales_cnt, amt_dec)"
+        ),
+        "yr",
+        "qtr",
+        "l_returnflag",
+    ).filter(F.col("sales_cnt") > 0)
+    catalog = (
         # fact-fact join pinned to shuffle (same 100 TB discipline as q24:
         # the 2-column orders scan would dynamic-broadcast at bench SF)
         li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cst), F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
-        "catalog", "c_custkey",
-    )
-    return (
-        store.unionAll(web).unionAll(catalog)
-        .groupBy("channel", "col_name", "yr", "qtr", "l_returnflag")
+        .join(F.broadcast(cst), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(*grp)
         .agg(
             F.count(F.lit(1)).alias("sales_cnt"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sales_amt"),
+            F.sum(dec("l_extendedprice")).alias("amt_dec"),
+        )
+        .select(
+            F.lit("catalog").alias("channel"),
+            F.lit("c_custkey").alias("col_name"),
+            "yr",
+            "qtr",
+            "l_returnflag",
+            "sales_cnt",
+            "amt_dec",
+        )
+    )
+    return (
+        store_web.select(
+            "channel", "col_name", "yr", "qtr", "l_returnflag", "sales_cnt", "amt_dec"
+        )
+        .unionByName(catalog)
+        .select(
+            "channel",
+            "col_name",
+            "yr",
+            "qtr",
+            "l_returnflag",
+            "sales_cnt",
+            F.col("amt_dec").cast("double").alias("sales_amt"),
         )
         .orderBy("channel", "col_name", "yr", "qtr", "l_returnflag")
     )

@@ -641,24 +641,28 @@ def test_q72_inventory_join_copartitioned_no_nested_loop(spark):
 
 
 def test_q95_two_level_in_becomes_semi_joins_no_pair_join(spark):
-    """tpcds_q95: both IN arms run as LEFT-SEMI key joins; the
-    multi-warehouse membership comes from a pair-free COUNT(DISTINCT)
-    aggregate — the spec's O(lines^2 per order) self-join never appears."""
+    """tpcds_q95 (r12 fuse): the two IN arms collapse to ONE key set
+    (ret ∩ multi ⊆ multi) fed by ONE pair-free per-orderkey aggregate
+    carrying both marks — a single LEFT-SEMI, exactly two fact scans,
+    and the spec's O(lines^2 per order) self-join never appears."""
     from plan_spark.queries.tpcds_probe import tpcds_q95
 
     p = _plan(spark, tpcds_q95(spark, BENCH_SF_DIR), mode="simple")
-    assert p.count("LeftSemi") >= 2
+    assert p.count("LeftSemi") == 1
+    assert p.count("lineitem") == 2, p.count("lineitem")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
 def test_q16_semi_plus_anti_on_fact_key(spark):
-    """tpcds_q16: the EXISTS arm is a LEFT-SEMI and the NOT EXISTS arm a
-    LEFT-ANTI, both keyed on the fact's own l_orderkey — no new shuffle
-    dimension, no correlated re-scan per row."""
+    """tpcds_q16 (r12 fuse): EXISTS + NOT EXISTS collapse to one key set
+    {>= 2 suppliers AND no returned line} from ONE per-orderkey aggregate
+    — a single LEFT-SEMI (the anti condition lives in the aggregate's
+    mark filter), exactly two fact scans, no correlated re-scan."""
     from plan_spark.queries.tpcds_probe import tpcds_q16
 
     p = _plan(spark, tpcds_q16(spark, BENCH_SF_DIR), mode="simple")
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert p.count("LeftSemi") == 1 and "LeftAnti" not in p
+    assert p.count("lineitem") == 2, p.count("lineitem")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
@@ -777,14 +781,17 @@ def test_q24_cte_reused_threshold_broadcast(spark):
 
 
 def test_q76_anti_channels_broadcast_single_union_agg(spark):
-    """tpcds_q76: the three null-channel arms are broadcast ANTI joins
-    against small dimension subsets (the fact never shuffles for them);
-    one Union feeds one aggregate."""
+    """tpcds_q76 (r12 fuse): the store and web anti arms share ONE marked
+    fact scan (broadcast LEFT joins against the unique-keyed dimension
+    subsets + conditional aggregate + stack unpivot); only the catalog arm
+    — the one needing the orders join — keeps its own scan and ANTI join.
+    Exactly two fact scans, the fact never shuffles for a dimension."""
     from plan_spark.queries.tpcds_probe import tpcds_q76
 
     p = _plan(spark, tpcds_q76(spark, BENCH_SF_DIR), mode="simple")
-    assert p.count("LeftAnti") >= 3
-    assert "Union" in p
+    assert p.count("LeftAnti") == 1  # catalog only; store/web are marks
+    assert p.count("lineitem") == 2, p.count("lineitem")
+    assert "Union" in p and "Generate" in p  # stack unpivot of the agg
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
 
 

@@ -438,7 +438,17 @@ _EMBED_CLUSTER_CAP = 96
 # driver-oracle scale (<= 2000 vectors) stays on 4x6, bit-identical to
 # the DuckDB oracle; at 100 TB you additionally raise _LSH_BITS itself
 # (more hyperplanes), which this fixed-signature fixture cannot express.
-_LSH_SMALL_N = 50_000
+#
+# Threshold (r12): the r11 gate sat at 50k — sized from the sf10 failure,
+# not from where saturation BEGINS. The r12 sf1 bench leg measured the
+# listing face (cap=None) at 76.8 s for 20k vectors: avg bucket n/64 =
+# 312, Σ bucket² ≈ 25M candidate pairs, all paying the exact-cosine
+# rescore. Regrouped 2x12 the same corpus yields 214k candidates and the
+# row runs in ~10 s. Saturation is a fan-in property, not an sf10 one:
+# gate where expected fan-in n/64 passes ~2 bucket-widths (n/64 > 125),
+# with every driver-oracle scale (<= 2000 vectors, fan-in <= 31) still
+# on the oracle-identical 4x6 arm.
+_LSH_SMALL_N = 8_000
 _N_VECS_CACHE: dict[str, int] = {}  # sf_dir -> embeddings row count
 
 
@@ -541,33 +551,6 @@ def _embed_neardup_pairs(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    # Projections via posexplode + broadcast weights + groupBy sums: all
-    # codegen (no interpreted fold), and exactly the oracle's sequential
-    # fold — a vector's 64 exploded rows stay contiguous in one partition,
-    # so the per-key partial sum accumulates in index order.
-    wtab = local_df(
-        spark,
-        [(j, *[_W[i][j] for i in range(_LSH_BITS)]) for j in range(_LSH_DIM)],
-        "pos int, " + ", ".join(f"w{i} double" for i in range(_LSH_BITS)),
-    )
-    pos = e.select("vec_id", F.posexplode("v").alias("pos", "val"))
-    sig = (
-        pos.join(F.broadcast(wtab), "pos")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("val") * F.col(f"w{i}")).alias(f"p{i}")
-                for i in range(_LSH_BITS)
-            ]
-        )
-    )
-    bits = sig.select(
-        "vec_id",
-        *[
-            F.when(F.col(f"p{i}") > 0, 1).otherwise(0).alias(f"b{i}")
-            for i in range(_LSH_BITS)
-        ],
-    )
     # band width by corpus size: 4x6 while the 6-bit key space holds
     # (every driver-oracle scale — bit-identical to the oracle), 2x12
     # once it saturates (see _LSH_SMALL_N). The row count is a
@@ -577,16 +560,64 @@ def _embed_neardup_pairs(
     if n_vecs is None:
         n_vecs = _N_VECS_CACHE[sf_dir] = e.count()
     width = _BAND_BITS if n_vecs <= _LSH_SMALL_N else _LSH_BITS // 2
-    # all band keys in one pass (posexplode), no per-band union recompute.
+
+    # Signature + banding in ONE Arrow pass (guide §4.2): the previous
+    # chain — 64-way posexplode (64 rows/vector) -> broadcast join to the
+    # 24-column weight table -> 24-sum groupBy -> sign projection -> band
+    # posexplode — was the pipeline's most expensive stage (r12 sf1
+    # profile: ~6 s of the row's time for 20k vectors; it exists only to
+    # compute 24 dot products per row). One mapInArrow batch computes the
+    # projections with a j-SEQUENTIAL numpy loop — acc += v[:, j] * W[:, j]
+    # accumulates in index order, float64, so every p_i is bit-identical
+    # to the oracle's sequential left fold (vectorized ACROSS vectors,
+    # ordered WITHIN each fold) — and emits (vec_id, band, bkey) directly.
+    # Column pruning: only (vec_id, v) cross the boundary.
+    import numpy as _np
+
+    w_mat = _np.array(_W, dtype=_np.float64)  # (_LSH_BITS, _LSH_DIM)
+    nb = _LSH_BITS // width
+    shifts = _np.array(
+        [1 << (width - 1 - t) for t in range(width)], dtype=_np.int64
+    )
+
+    def _band_batches(it):
+        import pyarrow as pa
+
+        for batch in it:
+            tb = pa.table(batch) if isinstance(batch, pa.RecordBatch) else batch
+            ids = tb.column("vec_id").to_numpy(zero_copy_only=False)
+            varr = tb.column("v")
+            if isinstance(varr, pa.ChunkedArray):
+                varr = varr.combine_chunks()
+            flat = varr.flatten().to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n == 0:
+                continue
+            vs = flat.reshape(n, _LSH_DIM)
+            acc = _np.zeros((n, _LSH_BITS), dtype=_np.float64)
+            for j in range(_LSH_DIM):  # sequential in j == the oracle fold
+                acc += vs[:, j : j + 1] * w_mat[:, j]
+            bits_m = (acc > 0).astype(_np.int64)  # (n, _LSH_BITS)
+            keys = _np.zeros((n, nb), dtype=_np.int64)
+            for b in range(nb):
+                keys[:, b] = bits_m[:, b * width : (b + 1) * width] @ shifts
+            out_ids = _np.repeat(ids, nb)
+            out_band = _np.tile(_np.arange(nb, dtype=_np.int32), n)
+            out_key = keys.reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(out_key, type=pa.int64()),
+                ],
+                names=["vec_id", "band", "bkey"],
+            )
     # Checkpointed: the blocking step consumes this frame 2-4x (sizes
-    # aggregate, self-join sides, hub star), and its lineage — the
-    # 64-way posexplode + 24-sum signature aggregate over the corpus —
-    # is the pipeline's most expensive stage. The materialized frame is
+    # aggregate, self-join sides, hub star). The materialized frame is
     # (vec_id, band, bkey): ~20 bytes/row x bands-per-vector, far
     # cheaper to store than to recompute at any scale.
-    bands = bits.select(
-        "vec_id",
-        F.posexplode(F.array(*_band_keys(width))).alias("band", "bkey"),
+    bands = e.mapInArrow(
+        _band_batches, "vec_id long, band int, bkey long"
     ).localCheckpoint(eager=True)
     from plan_spark.operators.blocking import bounded_band_pairs
 

@@ -449,14 +449,25 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are unaffected (the inner part of an outer join never waits)."""
     from plan_spark.streaming.windows import click_purchase_left_join_stream
 
+    # The final-watermark bound rides the plan as a broadcast scalar
+    # instead of a blocking driver collect: the old bounds.collect() was a
+    # separate sequential batch job (a full events pass + driver round-trip)
+    # before the streaming run; folding it into the output plan removes
+    # that round-trip and lets the bounds scan execute alongside the final
+    # aggregate (guide §5 — the driver should do almost no data work).
     ev = table(spark, sf_dir, "events").filter(
         F.col("user_id") % _JOIN_USER_MOD == 0
     )
     bounds = ev.agg(
-        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
-    ).collect()[0]
-    wm = min(bounds.mc, bounds.mp)  # - 1h delay applied in the predicate
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("interval 1 hour")
+            - F.expr("interval 1 minute")
+        ).alias("flush_bound")
+    )
 
     out = _gated_available_now(
         spark,
@@ -465,12 +476,9 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_outer_join_sink",
         output_mode="append",
     )
-    closed = out.filter(
+    closed = out.crossJoin(F.broadcast(bounds)).filter(
         F.col("purchase_id").isNotNull()
-        | (
-            F.col("c_ts") + F.expr("interval 2 hours")
-            < F.lit(wm) - F.expr("interval 1 hour") - F.expr("interval 1 minute")
-        )
+        | (F.col("c_ts") + F.expr("interval 2 hours") < F.col("flush_bound"))
     )
     return (
         closed.groupBy("user_id")
@@ -537,14 +545,22 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     from plan_spark.streaming.windows import click_purchase_full_join_stream
 
+    # Same bounds fold-in as stream_outer_join: the flush bound becomes a
+    # broadcast scalar in the output plan instead of a blocking driver
+    # collect before the streaming run (one sequential batch job removed).
     ev = table(spark, sf_dir, "events").filter(
         F.col("user_id") % _JOIN_USER_MOD == 0
     )
     bounds = ev.agg(
-        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
-    ).collect()[0]
-    wm = min(bounds.mc, bounds.mp)  # - 1h delay applied in the predicate
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("interval 1 hour")
+            - F.expr("interval 1 minute")
+        ).alias("flush_bound")
+    )
 
     out = _gated_available_now(
         spark,
@@ -553,8 +569,8 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_full_outer_join_sink",
         output_mode="append",
     )
-    delay_margin = F.lit(wm) - F.expr("interval 1 hour") - F.expr("interval 1 minute")
-    closed = out.filter(
+    delay_margin = F.col("flush_bound")
+    closed = out.crossJoin(F.broadcast(bounds)).filter(
         (F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull())
         | (
             F.col("purchase_id").isNull()

@@ -58,62 +58,66 @@ _loaded = False
 # surface: queries whose implementation CHANGED this round (their prior
 # green rows are stale) outrank unchanged multi-round-green ones.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # ---- round 11: CHANGED this round (hot-bucket blocking in the
-    # cluster faces; tpcds_q83 single-scan fuse; verbatim-text pinning;
-    # data-plane Store seam through every ds_* lifecycle row) ----
+    # ---- round 12: CHANGED this round, plus the three rows the r11
+    # verdict asked fronted (percentile_exact, knn_ivf, dedup_embed) and
+    # the new never-driver-checked gate-crossing row. ----
+    "w_dist_bucketed",  # declared this round — no driver row yet
+    # seven probe fuses (duplicate fact scans removed; oracle unchanged)
+    "tpcds_q95",
+    "tpcds_q16",
+    "tpcds_q23",
+    "tpcds_q51",
+    "tpcds_q59",
+    "tpcds_q92",
+    "tpcds_q76",
+    # r11-verdict item 4 + the per-process ANN index scratch rebuild
+    "percentile_exact",
+    "knn_ivf",
+    "knn_bq",
+    "knn_ivf_hnsw",
+    "knn_ivf_pq",
+    "dedup_embed",
+    # streaming: no-data-batch skip (join/semi/dedup), bounds fold-in
+    # (outer/full), source-schema memoization (every row)
+    "stream_join",
+    "stream_semi_join",
+    "stream_dedup",
+    "stream_outer_join",
+    "stream_full_outer_join",
+    "stream_tumbling_agg",
+    "stream_sessionize",
+    "stream_curation",
+    "stream_enrich",
+    "stream_stateful",
+    # components id-type gate (advice fix)
     "dedup_clusters",
     "dedup_apply",
     "dedup_embed_clusters",
-    "tpcds_q83",
-    "distinct_kmv",  # r11 top-k pre-prune (exact; oracle unchanged)
+    # engine witness guards + COPY footer pinning (advice fixes)
+    "sql_lifecycle",
+    "sql_tpch_verbatim",
     "sql_tpch_verbatim_q21",
     "sql_tpcds_verbatim_q51",
-    "ds_auto_index_scan",
-    "ds_bitmap_scan",
-    "ds_btree_scan",
-    "ds_clone_restore",
-    "ds_delete_scan",
-    "ds_detached_scan",
-    "ds_evolve_scan",
-    "ds_index_knn",
-    "ds_merge_scan",
-    # ---- round 11: the full remaining r7 tail (newest green = r7) —
-    # post-r11 no row's newest driver verification predates r8. The
-    # seven ds_* rows in this tail are ALSO changed (data-plane seam). ----
-    "ds_nested_scan",
-    "ds_pruned_scan",
-    "ds_refresh_scan",
-    "ds_rowid_take",
-    "ds_rtree_scan",
-    "ds_timetravel",
-    "ds_zorder_scan",
-    "emb_gram",
-    "fts_bool",
-    "gsets_agg",
-    "knn_dot",
-    "knn_l2",
-    "paginate",
-    "pii_redact",
-    "quality_filter",
-    "range_join_q",
-    "retention_cohorts",
-    "rollup_agg",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "sql_lifecycle",
-    "stream_semi_join",
-    "stream_stateful",
-    "tpcds_q34",
-    "tpcds_q74",
-    "tpcds_q88",
-    "tpcds_q89",
-    "w_dist",
-    "w_lag",
-    "w_movavg",
-    "w_rank",
-    "w_running",
-    "w_topn",
+    # ---- round 12: stalest tail (newest driver green = r8) ----
+    "chunk_docs",
+    "dedup_exact",
+    "fingerprint",
+    "fts_bm25",
+    "json_props_agg",
+    "knn_brute",
+    "knn_filtered",
+    "lang_id",
+    "multimodal_audio",
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pack_sequences",
+    "q1",
+    "q5",
+    "rep_filter",
+    "sessionize",
+    "text_stats",
 )
 
 # Complementary: names pushed to the very END of the registry — queries

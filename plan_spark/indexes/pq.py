@@ -72,14 +72,36 @@ class PqIndex:
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         sub = dim // m
-        codebooks: list[list[list[float]]] = []
+
+        # The m subspace codebooks are INDEPENDENT fits (disjoint slices,
+        # per-subspace seeds): run them from a small thread pool so each
+        # fit's driver round-trips overlap the others' tail (guide §2.6 —
+        # the sequential loop paid ~m x fit latency: measured 36 s at
+        # sf0.1 / 50 s at sf1 for m=8, dominated by scheduler round-trips
+        # of 8 x maxIter tiny jobs). Same seeds, same inputs, same models
+        # — fit concurrency changes scheduling only, never a codebook.
+        def _fit(j: int):
+            feat = e.withColumn(
+                "__feat", array_to_vector(F.slice("v", j * sub + 1, sub))
+            )
+            return KMeans(
+                k=k, seed=seed + j, maxIter=8, featuresCol="__feat"
+            ).fit(feat)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+            models = list(pool.map(inheritable_thread_target(_fit), range(m)))
+        codebooks = [
+            [[float(x) for x in c] for c in mod.clusterCenters()] for mod in models
+        ]
         coded = e
-        for j in range(m):
+        for j, model in enumerate(models):
             feat = coded.withColumn(
                 "__feat", array_to_vector(F.slice("v", j * sub + 1, sub))
             )
-            model = KMeans(k=k, seed=seed + j, maxIter=8, featuresCol="__feat").fit(feat)
-            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
             coded = (
                 model.transform(feat)
                 .withColumnRenamed("prediction", f"c{j}")

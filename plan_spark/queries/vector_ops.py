@@ -623,7 +623,7 @@ def _embed_neardup_pairs(
 
     cand = bounded_band_pairs(bands, "vec_id", cap)
     # squared norms are per-VECTOR: fold them once before the pair join so
-    # each candidate pair runs one interpreted fold (the dot), not three —
+    # each candidate pair carries its norms instead of refolding them —
     # the folded values are identical to the oracle's per-pair _SQ calls
     en = e.select("vec_id", "v", _sq(F.col("v")).alias("sq"))
     x = en.select(
@@ -632,13 +632,60 @@ def _embed_neardup_pairs(
     y = en.select(
         F.col("vec_id").alias("db"), F.col("v").alias("yv"), F.col("sq").alias("ysq")
     )
-    cos = _dot(F.col("xv"), F.col("yv")) / F.sqrt(F.col("xsq") * F.col("ysq"))
-    return (
+
+    # Exact-cosine rescore in Arrow batches (guide §4.2): per candidate the
+    # JVM form ran an interpreted zip_with+aggregate fold (allocating a
+    # 64-element array per pair — ~40M candidate pairs at sf10-adversarial).
+    # The numpy loop is j-sequential (acc += xs[:, j] * ys[:, j]), float64,
+    # so every dot is bit-identical to the oracle's sequential left fold;
+    # sqrt/divide/compare are the same IEEE ops the JVM expression ran.
+    # Only qualifying pairs cross back out of Python.
+    def _rescore_batches(it):
+        import pyarrow as pa
+
+        for batch in it:
+            tb = pa.table(batch) if isinstance(batch, pa.RecordBatch) else batch
+            n = tb.num_rows
+            if n == 0:
+                continue
+
+            def _mat(name):
+                arr = tb.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                return arr.flatten().to_numpy(zero_copy_only=False).reshape(
+                    n, _LSH_DIM
+                )
+
+            xs, ys = _mat("xv"), _mat("yv")
+            xsq = tb.column("xsq").to_numpy(zero_copy_only=False)
+            ysq = tb.column("ysq").to_numpy(zero_copy_only=False)
+            acc = _np.zeros(n, dtype=_np.float64)
+            for j in range(_LSH_DIM):  # sequential in j == the oracle fold
+                acc += xs[:, j] * ys[:, j]
+            cos = acc / _np.sqrt(xsq * ysq)
+            keep = cos >= _NEARDUP_TAU
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        tb.column("da").to_numpy(zero_copy_only=False)[keep],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        tb.column("db").to_numpy(zero_copy_only=False)[keep],
+                        type=pa.int64(),
+                    ),
+                    pa.array(cos[keep], type=pa.float64()),
+                ],
+                names=["da", "db", "cos_sim"],
+            )
+
+    joined = (
         cand.join(x, "da")
         .join(y, "db")
-        .select("da", "db", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _NEARDUP_TAU)
+        .select("da", "db", "xv", "yv", "xsq", "ysq")
     )
+    return joined.mapInArrow(_rescore_batches, "da long, db long, cos_sim double")
 
 
 @register("dedup_embed", oracle=_DEDUP_EMBED_SQL, tags=("dedup", "vector", "lsh"))
